@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders (TESTDATA.md): parquet stand-ins for the
+  * reference's PostgreSQL tables (SURVEY.md §2.1 S2,
+  * reference data_loader.py:122–146).
+  *
+  * Scale posture: these are plain partitioned-parquet scans, so at
+  * 100 TB Catalyst pushes filters (`PushedFilters`) and prunes columns
+  * (`ReadSchema`) into the scan for free as long as callers filter and
+  * select *before* any wide transform — every query in this library
+  * does.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events fixture stores TIMESTAMP(NANOS), which Spark 4 has
+      // no native type for: read nanos as long (legacy conf) and
+      // truncate to microseconds — the same ns→us truncation DuckDB
+      // applies, so both engines see identical timestamps.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}

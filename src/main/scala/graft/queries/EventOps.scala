@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.Fns._
+
+/** Event-table operators: JSON extraction, event-time tumbling
+  * windows (batch form), gaps-and-islands sessionization, and the
+  * deterministic twin of the reference's rating-tier mapping
+  * (imb_rating.py:116–124). The seeded-random synthesis itself lives
+  * in graft.synth (not oracle-checkable — rand() differs per engine).
+  */
+object EventOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q30_case_tiers",
+      "F6's tier mapping as a deterministic when-chain over event value (reference imb_rating.py:116–124 tier table).",
+      (s, d) => t(s, d, "events")
+        .withColumn("tier",
+          when(col("value") >= 180.0, 5)
+            .when(col("value") >= 120.0, 4)
+            .when(col("value") >= 60.0, 3)
+            .when(col("value") >= 20.0, 2)
+            .otherwise(1))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("tier")),
+      Some("SELECT CASE WHEN value >= 180.0 THEN 5 WHEN value >= 120.0 THEN 4 WHEN value >= 60.0 THEN 3 " +
+        "WHEN value >= 20.0 THEN 2 ELSE 1 END AS tier, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events GROUP BY tier ORDER BY tier")),
+
+    GraftQuery(
+      "q31_json_extract",
+      "JSON field extraction from the events.props column (SURVEY.md §1 extension surface; get_json_object is codegen'd, no UDF).",
+      (s, d) => t(s, d, "events")
+        .withColumn("k_mod", (get_json_object(col("props"), "$.k").cast("int") % 10))
+        .groupBy(col("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k_mod")),
+      Some("SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) % 10 AS k_mod, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY k_mod ORDER BY k_mod")),
+
+    GraftQuery(
+      "q32_tumbling_hour",
+      "Event-time tumbling window aggregation, batch form of the streaming shape (window() group-by; readStream twin in graft.streaming).",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("w.start")).as("hour_start"),
+          col("cnt"), col("value_cents"))
+        .orderBy(col("hour_start")),
+      Some("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start, " +
+        "CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events GROUP BY hour_start ORDER BY hour_start")),
+
+    GraftQuery(
+      "q33_sessionize",
+      "Gaps-and-islands sessionization (30-min inactivity gap) via lag window — the batch twin of mapGroupsWithState session logic. One shuffle on user_id.",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).cast("long").as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("WITH e AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+        "SELECT user_id, CAST(sum(CASE WHEN prev_ts IS NULL OR " +
+        "floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions " +
+        "FROM e GROUP BY user_id ORDER BY user_id")),
+
+    GraftQuery(
+      "q34_event_type_pivot",
+      "Conditional aggregation (pivot shape): per-user counts of each event type in one pass — no per-type re-scans.",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+        .orderBy(col("user_id")),
+      Some("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
+        "CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors " +
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+  )
+}

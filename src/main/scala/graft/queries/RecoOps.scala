@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.reco.{RatingSynth, Recommender}
+
+/** Recommendation surface registered as driver queries. These are the
+  * non-SQL-expressible ops (SURVEY §5.2): no DuckDB oracle — the
+  * driver records rows-only checks; the quantitative invariants
+  * (seeded RMSE bound, top-k shape, cold-start drop, id round-trip)
+  * live in the scalatest suite.
+  */
+object RecoOps {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q60_synth_ratings",
+      "F6 seeded rating synthesis (imb_rating.py:99–127): distributed weighted-choice stars. rand(42) is Spark-specific, so no cross-engine oracle.",
+      (s, d) => RatingSynth.synthRatings(s, d)
+        .groupBy(col("rating"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("rating")),
+      None),
+
+    GraftQuery(
+      "q61_als_recommend",
+      "M1–M6+U1 end-to-end: synth ratings → StringIndexer×2 + ALS pipeline → recommendForAllUsers(5) → explode → IndexToString back-map → top-5 per user. Float factorization is seeded but not bit-stable across engines — rows-only check; invariants in scalatest.",
+      (s, d) => {
+        val ratings = RatingSynth.synthRatings(s, d)
+          .select(col("userId").cast("string").as("userId"),
+            col("itemId").cast("string").as("itemId"), col("rating"))
+        val (model, _) = Recommender.train(ratings)
+        Recommender.recommendAll(model, 5)
+          .select(col("userId"), col("itemId"), col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.Fns._
+
+/** Relational parity sweep: every operator family from SURVEY.md
+  * §2.2–2.8, re-expressed as declarative DataFrame plans over the
+  * TPC-H-ish fixtures. Each query cites the reference site whose
+  * shape it models.
+  *
+  * Scale notes common to all: filters are applied before joins (so
+  * Catalyst pushes them into the parquet scan), dimension tables
+  * (region/nation/supplier) broadcast automatically, every top-k is
+  * ORDER BY+LIMIT (planned as TakeOrderedAndProject — no global
+  * sort), and no query ever collects to the driver.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q01_popular",
+      "Flagship serving query (reference app.py:218–236): scan → inner equi-join → 5-way conjunctive filter incl. rlike + cast-of-substring → order → limit. Covers S2+J1+P5+F3+F5+T1/T5.",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .filter(col("o_orderstatus") === "F" &&
+            col("c_mktsegment") === "BUILDING" &&
+            col("o_orderpriority").rlike("^[1-3]-") &&
+            substring(col("o_orderpriority"), 1, 1).cast("int") <= 2 &&
+            col("o_totalprice") >= 50000.0)
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            round(col("o_totalprice"), 2).as("total"),
+            col("o_orderpriority").as("priority"))
+          .orderBy(col("total").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("SELECT o_orderkey, c_custkey, c_name, round(o_totalprice,2) AS total, o_orderpriority AS priority " +
+        "FROM orders JOIN customer ON o_custkey=c_custkey " +
+        "WHERE o_orderstatus='F' AND c_mktsegment='BUILDING' AND regexp_matches(o_orderpriority,'^[1-3]-') " +
+        "AND CAST(substr(o_orderpriority,1,1) AS INTEGER) <= 2 AND o_totalprice >= 50000.0 " +
+        "ORDER BY total DESC, o_orderkey LIMIT 100")),
+
+    GraftQuery(
+      "q02_project_cast",
+      "P1/P2/F3 (reference recommender.py:65–69): projection with casts and a derived net-price column.",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("string").as("okey"),
+            col("l_linenumber").cast("long").as("lineno"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
+          .orderBy(col("okey"), col("lineno")),
+      Some("SELECT CAST(l_orderkey AS VARCHAR) AS okey, CAST(l_linenumber AS BIGINT) AS lineno, " +
+        "round(l_extendedprice*(1-l_discount),4) AS net_price FROM lineitem ORDER BY okey, lineno")),
+
+    GraftQuery(
+      "q03_range_filter",
+      "P3 numeric range filter (reference imb_rating.py:48): pushed into the parquet scan.",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 45.0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45.0 " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    GraftQuery(
+      "q04_eq_filter",
+      "P4 equality filter (reference imb_rating.py:145).",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus='F' ORDER BY o_orderkey")),
+
+    GraftQuery(
+      "q05_derived_range",
+      "P5/P8/F3 conjunctive filter with a derived year column (reference app.py:229–233).",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" &&
+            col("l_quantity").between(10.0, 20.0) &&
+            year(col("l_shipdate")) >= 1998)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            year(col("l_shipdate")).as("ship_year"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS INTEGER) AS ship_year FROM lineitem " +
+        "WHERE l_returnflag='R' AND l_quantity BETWEEN 10.0 AND 20.0 AND year(l_shipdate) >= 1998 " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    GraftQuery(
+      "q06_regex_filter",
+      "P6/F5 regex predicate (reference app.py:230, user.py:141).",
+      (s, d) =>
+        t(s, d, "part")
+          .filter(col("p_name").rlike("^(red|blue) "))
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^(red|blue) ') ORDER BY p_partkey")),
+
+    GraftQuery(
+      "q07_substr_ci",
+      "P7/F4 case-insensitive substring predicate (reference app.py:363–366).",
+      (s, d) =>
+        t(s, d, "part")
+          .filter(lower(trim(col("p_type"))).contains("econ"))
+          .select(col("p_partkey"), col("p_type"))
+          .orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, p_type FROM part WHERE contains(lower(trim(p_type)), 'econ') ORDER BY p_partkey")),
+
+    GraftQuery(
+      "q08_anti_join",
+      "P9 anti-membership as a set-based left-anti join (reference app.py:342–344 pandas isin-negation). Scales as a shuffle join, not a driver-side list.",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q09_semi_join",
+      "Left-semi twin of q08 (existence filtering without row duplication).",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q10_join_agg",
+      "J1+A3/A4: orders⋈customer⋈nation revenue rollup (reference imb_rating.py:47 join + recommender.py:96 agg). Nation broadcasts; money summed as exact cents.",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(cents(col("o_totalprice"))).as("revenue_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("SELECT n_name, CAST(count(*) AS BIGINT) AS order_cnt, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    GraftQuery(
+      "q11_left_join",
+      "J2/J4 left outer join preserving unmatched rows (reference recommender.py:216, app.py:125).",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON o_custkey=c_custkey GROUP BY c_custkey ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q12_global_count",
+      "A1 global count (reference data_loader.py:130).",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem")),
+
+    GraftQuery(
+      "q13_distinct_count",
+      "A2 exact distinct count (reference recommender.py:91–92). At 100 TB prefer approx_count_distinct; exact kept for oracle parity.",
+      (s, d) => t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_users")),
+      Some("SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_users FROM orders")),
+
+    GraftQuery(
+      "q14_groupby_count",
+      "A3 group-by count (reference recommender.py:96). Partial+final hash agg, no skew risk on 5 keys thanks to map-side combine.",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderpriority")),
+      Some("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    GraftQuery(
+      "q15_global_avg",
+      "A4 global averages (reference app.py:169).",
+      (s, d) => t(s, d, "lineitem")
+        .agg(round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(avg(col("l_quantity")), 6).as("avg_qty")),
+      Some("SELECT round(avg(l_discount),6) AS avg_disc, round(avg(l_quantity),6) AS avg_qty FROM lineitem")),
+
+    GraftQuery(
+      "q16_topk",
+      "T1/T2/T5 global top-k: ORDER BY+LIMIT plans as TakeOrderedAndProject — per-partition heaps then a k-row merge, never a global sort (reference imb_rating.py:55–56).",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(500),
+      Some("SELECT o_orderkey, round(o_totalprice,2) AS total FROM orders " +
+        "ORDER BY total DESC, o_orderkey LIMIT 500")),
+
+    GraftQuery(
+      "q17_recent_events",
+      "T3 recent-5 by timestamp (reference app.py:171).",
+      (s, d) => t(s, d, "events")
+        .orderBy(col("ts").desc, col("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value_r"))
+        .limit(5),
+      Some("SELECT event_id, user_id, event_type, round(value,2) AS value_r FROM events " +
+        "ORDER BY ts DESC, event_id LIMIT 5")),
+
+    GraftQuery(
+      "q18_agg_sum",
+      "TPC-H Q1-shaped multi-aggregate rollup: exact integer quantity sum, cents price sum, rounded avg. The widest-used agg shape at 100 TB; map-side partial agg keeps the shuffle tiny (5 groups).",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, " +
+        "round(avg(l_discount),6) AS avg_disc, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    GraftQuery(
+      "q19_window_topk",
+      "W1 per-entity top-k via row_number window — the relational twin of recommendForAllUsers' per-user top-10 (reference recommender.py:145–150). Single shuffle on the partition key.",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    GraftQuery(
+      "q20_split_explode",
+      "F1/F2 split + explode: comma/space-separated string → rows (reference imb_rating.py:107, recommender.py:154–161). Generator runs inside codegen.",
+      (s, d) => t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(30),
+      Some("SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30")),
+
+    GraftQuery(
+      "q21_having",
+      "Group-filter (HAVING) on aggregated counts (reference recommender.py:96–101 shape).",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 15)
+        .orderBy(col("o_custkey")),
+      Some("SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey " +
+        "HAVING count(*) >= 15 ORDER BY o_custkey")),
+
+    GraftQuery(
+      "q22_exists_probe",
+      "S4/S9 existence probe as a 1-row aggregate (reference app.py:82–100). No driver-side collect.",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_totalprice") > 100000.0)
+        .agg((count(lit(1)) > 0).as("has_rows")),
+      Some("SELECT CAST(count(*)>0 AS BOOLEAN) AS has_rows FROM orders WHERE o_totalprice > 100000.0")),
+
+    GraftQuery(
+      "q23_distinct",
+      "A2-style set projection: DISTINCT (reference recommender.py:91).",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    GraftQuery(
+      "q24_union",
+      "Set op beyond the reference (§2.7): UNION ALL of two entity scans with a tag column.",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey").cast("long").as("id"), lit("supplier").as("kind"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id"), lit("customer").as("kind"))
+        sup.unionAll(cust).orderBy(col("kind"), col("id"))
+      },
+      Some("SELECT * FROM (SELECT CAST(s_suppkey AS BIGINT) AS id, 'supplier' AS kind FROM supplier " +
+        "UNION ALL SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS kind FROM customer) " +
+        "ORDER BY kind, id")),
+
+    GraftQuery(
+      "q25_star_join",
+      "J3 star join across 5 tables: lineitem⋈orders⋈customer⋈nation⋈region revenue by region. The bench headline: fact-fact sort-merge + broadcast dims, exact cents arithmetic.",
+      (s, d) => {
+        val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+          .orderBy(col("r_name"))
+      },
+      Some("SELECT r_name, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+        "JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"))
+  )
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.Fns._
+
+/** LLM-training-data text pipeline: deduplication (exact, fingerprint,
+  * n-gram Jaccard, MinHash-LSH, SimHash), quality scoring, language
+  * ID, and token statistics over the `documents` fixture.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact/fingerprint dedup are hash→groupBy — embarrassingly
+  *    parallel, shuffle only the 16-byte digest + key;
+  *  - near-dup candidate generation is banded MinHash-LSH
+  *    (groupBy band signature, compare only within buckets) — NEVER an
+  *    all-pairs self-join. The all-pairs inverted-index variant
+  *    (q41) exists as the small-SF oracle twin and recall baseline;
+  *  - everything is built from codegen'd native functions; the only
+  *    per-row heavy op is md5 over short shingles.
+  */
+object TextOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Exact-Jaccard threshold used by both the all-pairs oracle variant
+    * and the LSH verify step; sits in the fixture's similarity gap
+    * (planted near-dups are >=0.9, background noise <=0.1).
+    */
+  private val JaccardThreshold = 0.5
+
+  /** Distinct 3-gram word shingles per doc: (doc_id, s). */
+  private def shingleSet(docs: DataFrame): DataFrame =
+    docs.filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
+
+  /** Exact pairwise Jaccard >= threshold via a shingle inverted index:
+    * explode shingles, self-join on shingle, count intersections,
+    * join |A|/|B|. Correct at any SF but the join fan-out is bounded
+    * by shingle frequency — this is the oracle/verify kernel, not the
+    * 100 TB candidate generator (that's MinHash-LSH below).
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** DuckDB twin of jaccardPairs — shared by q41 (all-pairs) and q42
+    * (LSH path whose verified output must equal the exact answer).
+    */
+  private val jaccardOracle: String =
+    "WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+      "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db) " +
+      "SELECT da, db, round(c*1.0/(sa.n + sb.n - c), 6) AS jaccard " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+      s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold ORDER BY da, db"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q40_dedup_exact",
+      "Exact dedup: md5 of normalized text → groupBy digest, keep min doc_id. Shuffles only (digest, id) — scale-safe at any corpus size.",
+      (s, d) => t(s, d, "documents")
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("h")),
+      Some("SELECT md5(lower(trim(text))) AS h, CAST(count(*) AS BIGINT) AS dup_cnt, " +
+        "CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY h ORDER BY h")),
+
+    GraftQuery(
+      "q41_jaccard_pairs",
+      "Near-dup detection, exact variant: 3-gram shingle inverted index → pairwise Jaccard >= 0.5. Small-SF oracle + recall baseline for the LSH path (q42).",
+      (s, d) => jaccardPairs(shingleSet(t(s, d, "documents"))),
+      Some(jaccardOracle)),
+
+    GraftQuery(
+      "q42_minhash_lsh_pairs",
+      "Near-dup detection, scale variant: 16-perm MinHash, 8 bands × 2 rows → candidate pairs from band-bucket groupBy (no all-pairs join), then exact-Jaccard verify on candidates only. P(miss | j>=0.9) = (1-0.9^2)^8 ≈ 2e-6, so the verified output equals the exact answer — same oracle as q41.",
+      (s, d) => {
+        val sh = shingleSet(t(s, d, "documents"))
+        // 16 independent hash permutations from salted md5; minhash per (doc, perm).
+        val mh = sh.select(col("doc_id"), col("s"),
+            explode(sequence(lit(0), lit(15))).as("p"))
+          .withColumn("hv",
+            conv(substring(md5(concat(col("s"), lit("#"), col("p"))), 1, 8), 16, 10).cast("long"))
+          .groupBy(col("doc_id"), col("p")).agg(min(col("hv")).as("mh"))
+        // Band signature = the 2 minhashes of the band, ordered by perm index.
+        val bands = mh.withColumn("band", expr("p div 2"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(max(when(col("p") % 2 === 0, col("mh"))).as("m0"),
+            max(when(col("p") % 2 === 1, col("mh"))).as("m1"))
+          .select(col("doc_id"), col("band"),
+            concat_ws(":", col("m0"), col("m1")).as("sig"))
+        // Candidates: pairs sharing any band bucket. groupBy-scale, not O(n^2).
+        val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
+        val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
+        val cand = l.join(r, Seq("band", "sig")).filter(col("da") < col("db"))
+          .select(col("da"), col("db")).distinct()
+        // Verify candidates with exact Jaccard (intersection via shingle join
+        // restricted to candidate docs — candidate set is tiny by construction).
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("jaccard",
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select(col("da"), col("db"), col("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(jaccardOracle)),
+
+    GraftQuery(
+      "q43_dedup_fingerprint",
+      "Order-insensitive dedup: fingerprint = md5 of the sorted distinct token set; catches token-shuffled duplicates that exact dedup misses.",
+      (s, d) => t(s, d, "documents")
+        .withColumn("fp", md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("fp")),
+      Some("SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp, " +
+        "CAST(count(*) AS BIGINT) AS dup_cnt, CAST(min(doc_id) AS BIGINT) AS keep_id " +
+        "FROM documents GROUP BY fp ORDER BY fp")),
+
+    GraftQuery(
+      "q44_simhash",
+      "SimHash document signature (16-bit, md5-derived bit weights): per-token hash → per-bit ±1 vote → sign vector packed to an int. Near-dup docs land on close hashes; groupBy signature finds exact-signature collisions.",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+        val hv = tok.withColumn("hv",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+        val bits = hv
+          .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(15))).as("j"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(sum(expr("2 * ((hv div cast(pow(2, j) as bigint)) % 2) - 1")).as("bsum"))
+        bits.groupBy(col("doc_id"))
+          .agg(expr("cast(sum(case when bsum > 0 then cast(pow(2, j) as bigint) else 0 end) as bigint)")
+            .as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, ((instr('0123456789abcdef', substr(md5(tok),1,1))-1)*4096 + " +
+        "(instr('0123456789abcdef', substr(md5(tok),2,1))-1)*256 + " +
+        "(instr('0123456789abcdef', substr(md5(tok),3,1))-1)*16 + " +
+        "(instr('0123456789abcdef', substr(md5(tok),4,1))-1)) AS hv FROM tok), " +
+        "bits AS (SELECT doc_id, j, sum(2 * ((hv // CAST(pow(2,j) AS BIGINT)) % 2) - 1) AS bsum " +
+        "FROM h, UNNEST(range(0,16)) t(j) GROUP BY doc_id, j) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN bsum > 0 THEN CAST(pow(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash " +
+        "FROM bits GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q45_token_stats",
+      "Token counting per language: doc counts, total whitespace tokens, avg chars (reference imb_rating.py:107-style split lifted to native ops).",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang")),
+      Some("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens, " +
+        "round(avg(n_chars),4) AS avg_chars FROM documents GROUP BY lang ORDER BY lang")),
+
+    GraftQuery(
+      "q46_quality_score",
+      "Per-document quality scoring: token count, stopword ratio, alpha-char ratio, bucketed verdict — the standard pre-training corpus filter, fully codegen'd.",
+      (s, d) => {
+        val tk = toks(col("text"))
+        val stopRatio = size(filter(tk, t =>
+          t.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double") / size(tk)
+        val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(tk).as("n_tokens"),
+            round(stopRatio, 6).as("stop_ratio"),
+            round(alphaRatio, 6).as("alpha_ratio"))
+          .withColumn("quality",
+            when(col("n_tokens") >= 40 && col("stop_ratio") <= 0.4, "high")
+              .when(col("n_tokens") >= 15, "medium")
+              .otherwise("low"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH q AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','it')))*1.0" +
+        "/len(string_split(text,' ')), 6) AS stop_ratio, " +
+        "round(len(regexp_replace(text,'[^a-z]','','g'))*1.0/len(text), 6) AS alpha_ratio FROM documents) " +
+        "SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, stop_ratio, alpha_ratio, " +
+        "CASE WHEN n_tokens >= 40 AND stop_ratio <= 0.4 THEN 'high' " +
+        "WHEN n_tokens >= 15 THEN 'medium' ELSE 'low' END AS quality " +
+        "FROM q ORDER BY doc_id")),
+
+    GraftQuery(
+      "q47_lang_id",
+      "Language-ID heuristic: marker-token votes per language, argmax with fixed priority — deterministic n-gram-style classifier shape (real corpora would swap in char-trigram tables).",
+      (s, d) => {
+        val tk = toks(col("text"))
+        def score(ms: Seq[String]) =
+          size(filter(tk, t => t.isin(ms: _*)))
+        val sEn = score(Seq("the", "and", "of", "is"))
+        val sEs = score(Seq("el", "la", "de", "que"))
+        val sFr = score(Seq("le", "et", "les", "des"))
+        val sDe = score(Seq("der", "und", "die", "nicht"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"))
+          .withColumn("pred",
+            when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+              .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+              .when(col("s_fr") >= col("s_de"), "fr")
+              .otherwise("de"))
+          .select(col("doc_id"), col("lang"), col("pred"),
+            (col("pred") === col("lang")).as("hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH sc AS (SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is'))) AS s_en, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que'))) AS s_es, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('le','et','les','des'))) AS s_fr, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('der','und','die','nicht'))) AS s_de " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
+        "WHEN s_es >= greatest(s_fr, s_de) THEN 'es' WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred, " +
+        "(CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
+        "WHEN s_es >= greatest(s_fr, s_de) THEN 'es' WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS hit " +
+        "FROM sc ORDER BY doc_id")),
+
+    GraftQuery(
+      "q48_doc_fingerprint_minhash",
+      "Rolling-hash document fingerprint: min over 5-gram shingle digests (a 1-perm MinHash) — cheap near-dup blocking key for a first-pass groupBy at corpus scale.",
+      (s, d) => t(s, d, "documents")
+        .filter(size(toks(col("text"))) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(toks(col("text")), 5))).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(min(substring(md5(col("s")), 1, 8)).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-3)) t(i) WHERE len(toks) >= 5) " +
+        "SELECT doc_id, min(substr(md5(s),1,8)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id"))
+  )
+}

@@ -1,0 +1,56 @@
+package graft.reco
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** F6: seeded weighted-choice rating synthesis, the reference's
+  * IMDbRatingsConverter lifted into native Spark expressions
+  * (reference utils/imb_rating.py:99–127; tier table README.md:126–130).
+  *
+  * The reference draws per-row random stars with tier-dependent
+  * weights from an item's aggregate rating. Here the "aggregate
+  * rating" analog is derived from the lineitem fixture (6 + 4·avg
+  * discount-complement per part, landing in the reference's 6–10
+  * band), and the weighted choice is a seeded `rand(42)` against the
+  * tier's cumulative weights — fully distributed, no driver loop
+  * (the reference does this row-by-row in Python).
+  */
+object RatingSynth {
+
+  /** (userId, itemId, rating) interactions: users = customers, items =
+    * parts, one interaction per lineitem row (sampled
+    * deterministically by orderkey to bound training cost at bench SF).
+    */
+  def synthRatings(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0) // deterministic sample, not rand
+      .select(col("l_orderkey"), col("l_partkey"), col("l_discount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("userId"), col("l_partkey").as("itemId"),
+        col("l_discount"))
+
+    // Aggregate item score in the reference's 6–10 rating band.
+    val itemScore = inter.groupBy(col("itemId"))
+      .agg((lit(6.0) + lit(4.0) * avg(lit(1.0) - col("l_discount"))).as("agg_rating"))
+
+    // Reference tier table: >=8 → {3,4,5} w {10,40,50}; >=7 → {2,3,4,5}
+    // w {5,35,45,15}; >=6 → {1,2,3,4} w {5,30,40,25}; else {1,2,3} w
+    // {40,40,20}. Seeded uniform draw against cumulative weights.
+    val u = rand(42)
+    val star =
+      when(col("agg_rating") >= 8.0,
+        when(u < 0.10, 3).when(u < 0.50, 4).otherwise(5))
+        .when(col("agg_rating") >= 7.0,
+          when(u < 0.05, 2).when(u < 0.40, 3).when(u < 0.85, 4).otherwise(5))
+        .when(col("agg_rating") >= 6.0,
+          when(u < 0.05, 1).when(u < 0.35, 2).when(u < 0.75, 3).otherwise(4))
+        .otherwise(when(u < 0.40, 1).when(u < 0.80, 2).otherwise(3))
+
+    inter.join(itemScore, Seq("itemId"))
+      .select(col("userId"), col("itemId"),
+        star.cast("float").as("rating"))
+  }
+}
