@@ -38,8 +38,11 @@ object RatingSynth {
 
     // Reference tier table: >=8 → {3,4,5} w {10,40,50}; >=7 → {2,3,4,5}
     // w {5,35,45,15}; >=6 → {1,2,3,4} w {5,30,40,25}; else {1,2,3} w
-    // {40,40,20}. Seeded uniform draw against cumulative weights.
-    val u = rand(42)
+    // {40,40,20}. The uniform draw is materialized ONCE per row ("u"):
+    // repeating rand(42) inside the when-chain would create separate
+    // RNG streams that desynchronize under conditional evaluation and
+    // bias the tiers.
+    val u = col("u")
     val star =
       when(col("agg_rating") >= 8.0,
         when(u < 0.10, 3).when(u < 0.50, 4).otherwise(5))
@@ -50,6 +53,7 @@ object RatingSynth {
         .otherwise(when(u < 0.40, 1).when(u < 0.80, 2).otherwise(3))
 
     inter.join(itemScore, Seq("itemId"))
+      .withColumn("u", rand(42))
       .select(col("userId"), col("itemId"),
         star.cast("float").as("rating"))
   }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the engine's answer to the
+  * reference's "real-time model updates" future-work item
+  * (reference README.md:180–185; SURVEY §2.9 notes parity needs no
+  * streaming, so this is extension surface).
+  *
+  * Both ops run identically on a `readStream` source in production
+  * and on a MemoryStream in tests. Watermarking bounds state so the
+  * job survives unbounded input — the thing a naive batch-loop port
+  * would get wrong at scale.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, n_events: Int, closed: Boolean)
+
+  /** Event-time tumbling-window counts with a watermark: the
+    * streaming twin of batch q32_tumbling_hour. Late data beyond the
+    * watermark is dropped; state for closed windows is evicted.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("cnt"), col("value_sum"))
+
+  /** Custom stateful sessionization with mapGroupsWithState: counts
+    * events per user-session with a 30-minute inactivity gap on
+    * event time. The streaming twin of batch q33_sessionize.
+    *
+    * `timeout` defaults to NoTimeout (deterministic: sessions close
+    * on the next event past the gap). Pass ProcessingTimeTimeout in
+    * production to also evict idle users' state on wall-clock —
+    * required for bounded state over an unbounded key space.
+    */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Int), SessionUpdate](timeout) {
+        case (userId, it, state: GroupState[(Long, Int)]) =>
+          if (state.hasTimedOut) {
+            val (_, n) = state.get
+            state.remove()
+            SessionUpdate(userId, n, closed = true)
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0))
+            evs.foreach { e =>
+              n = if (lastTs != Long.MinValue && e.ts.getTime - lastTs > gapMs) 1 else n + 1
+              lastTs = e.ts.getTime
+            }
+            state.update((lastTs, n))
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, n, closed = false)
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured Streaming surface driven through MemoryStream: the
+  * tumbling-window agg and the stateful sessionizer.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts over a memory stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:50:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 01:10:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString -> r.getAs[Long]("cnt"))
+        .toMap
+      assert(rows("2024-01-01 00:00:00.0") === 2)
+      assert(rows("2024-01-01 01:00:00.0") === 1)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization with inactivity gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // second batch: 40 min later → new session (gap > 30 min)
+      input.addData(Event(3, ts("2024-01-01 00:50:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val upd = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events")))
+      assert(upd.contains((7L, 2)))  // first batch: 2 events in session
+      assert(upd.last === ((7L, 1))) // gap reset the in-session count
+    } finally q.stop()
+  }
+}

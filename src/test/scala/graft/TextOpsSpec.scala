@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup / text-analysis invariants beyond the DuckDB oracle. */
+class TextOpsSpec extends SparkSpec {
+
+  test("MinHash-LSH recovers exactly the pairs exact Jaccard finds") {
+    def pairs(name: String) = Registry.byName(name).fn(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val exact = pairs("q41_jaccard_pairs")
+    val lsh = pairs("q42_minhash_lsh_pairs")
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("exact dedup groups duplicated texts together") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val dup = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000L)
+    val both = docs.unionAll(dup)
+    val groups = both
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy("h").agg(count(lit(1)).as("dup_cnt"))
+    assert(groups.filter(col("dup_cnt") === 2).count() === 3)
+    assert(groups.filter(col("dup_cnt") > 2).count() === 0)
+  }
+
+  test("fingerprint dedup is token-order-insensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.withColumn("fp",
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n")).sorted
+    assert(fp.toSeq === Seq(1L, 2L))
+  }
+
+  test("quality score fields are well-formed ratios") {
+    val q = Registry.byName("q46_quality_score").fn(spark, sfDir).collect()
+    q.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") > 0)
+      val sr = r.getAs[Double]("stop_ratio")
+      val ar = r.getAs[Double]("alpha_ratio")
+      assert(sr >= 0 && sr <= 1)
+      assert(ar >= 0 && ar <= 1)
+      assert(Set("high", "medium", "low").contains(r.getAs[String]("quality")))
+    }
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val sh = Registry.byName("q44_simhash").fn(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // near-dup pairs from the exact-jaccard surface
+    val nearDups = Registry.byName("q41_jaccard_pairs").fn(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    nearDups.foreach { case (a, b) =>
+      assert(hamming(sh(a), sh(b)) <= 4,
+        s"near-dup pair ($a,$b) has distant simhashes")
+    }
+  }
+}
