@@ -20,6 +20,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm up the JVM/codegen/shuffle paths once so the first timed
+    // query doesn't absorb session startup cost.
+    spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -115,15 +115,16 @@ object Relational {
 
     GraftQuery(
       "q08_anti_join",
-      "P9 anti-membership as a set-based left-anti join (reference app.py:342–344 pandas isin-negation). Scales as a shuffle join, not a driver-side list.",
+      "P9 anti-membership as a set-based left-anti join (reference app.py:342–344 pandas isin-negation). Scales as a shuffle join, not a driver-side list. Filtered right side keeps the result non-vacuous on the fixtures.",
       (s, d) => {
-        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY c_custkey")),
 
     GraftQuery(
       "q09_semi_join",

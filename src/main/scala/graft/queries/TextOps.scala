@@ -28,11 +28,17 @@ object TextOps {
     */
   private val JaccardThreshold = 0.5
 
-  /** Distinct 3-gram word shingles per doc: (doc_id, s). */
+  /** Distinct 3-gram word shingles per doc, pre-hashed to 64-bit keys:
+    * (doc_id, sk). Joining/shuffling on an 8-byte long instead of the
+    * ~20-byte shingle string roughly halves shuffle width; a cross-doc
+    * xxhash64 collision would need ~2^32 distinct shingles per doc
+    * pair to matter (birthday bound), so counts are exact in practice.
+    */
   private def shingleSet(docs: DataFrame): DataFrame =
     docs.filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sk"))
 
   /** Exact pairwise Jaccard >= threshold via a shingle inverted index:
     * explode shingles, self-join on shingle, count intersections,
@@ -42,9 +48,9 @@ object TextOps {
     */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("da") < col("db"))
+    val a = sh.select(col("doc_id").as("da"), col("sk"))
+    val b = sh.select(col("doc_id").as("db"), col("sk"))
+    val inter = a.join(b, Seq("sk")).filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
@@ -94,11 +100,16 @@ object TextOps {
       "Near-dup detection, scale variant: 16-perm MinHash, 8 bands × 2 rows → candidate pairs from band-bucket groupBy (no all-pairs join), then exact-Jaccard verify on candidates only. P(miss | j>=0.9) = (1-0.9^2)^8 ≈ 2e-6, so the verified output equals the exact answer — same oracle as q41.",
       (s, d) => {
         val sh = shingleSet(t(s, d, "documents"))
-        // 16 independent hash permutations from salted md5; minhash per (doc, perm).
-        val mh = sh.select(col("doc_id"), col("s"),
+        // 16 hash permutations via cheap affine maps over the base
+        // 64-bit shingle key: h_p = (a_p·h + b_p) mod prime (universal
+        // hashing) — no per-perm digest computation at all.
+        val prime = 2147483647L // 2^31 - 1
+        val mh = sh
+          .withColumn("h0", pmod(col("sk"), lit(prime)))
+          .select(col("doc_id"), col("h0"),
             explode(sequence(lit(0), lit(15))).as("p"))
           .withColumn("hv",
-            conv(substring(md5(concat(col("s"), lit("#"), col("p"))), 1, 8), 16, 10).cast("long"))
+            pmod((col("p") * 2 + 1) * col("h0") + col("p") * 40503L, lit(prime)))
           .groupBy(col("doc_id"), col("p")).agg(min(col("hv")).as("mh"))
         // Band signature = the 2 minhashes of the band, ordered by perm index.
         val bands = mh.withColumn("band", expr("p div 2"))
@@ -116,8 +127,8 @@ object TextOps {
         // restricted to candidate docs — candidate set is tiny by construction).
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand
-          .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+          .join(sh.select(col("doc_id").as("da"), col("sk")), Seq("da"))
+          .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("db", "sk"))
           .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
         inter
           .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))

@@ -32,9 +32,18 @@ object RatingSynth {
       .select(col("o_custkey").as("userId"), col("l_partkey").as("itemId"),
         col("l_discount"))
 
-    // Aggregate item score in the reference's 6–10 rating band.
+    // Aggregate item score in the reference's ~5.5–8.5 rating band,
+    // from popularity quartiles (the reference's numVotes analog) so
+    // all four tier branches are exercised. ntile runs on the *item*
+    // dimension (small next to the fact table); at 100 TB the same
+    // quartiling would use approxQuantile instead of a global window.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pop"), col("itemId"))
     val itemScore = inter.groupBy(col("itemId"))
-      .agg((lit(6.0) + lit(4.0) * avg(lit(1.0) - col("l_discount"))).as("agg_rating"))
+      .agg(count(lit(1)).as("pop"))
+      .withColumn("q", ntile(4).over(w))
+      .select(col("itemId"),
+        (lit(5.0) + col("q") * 0.9).as("agg_rating"))
 
     // Reference tier table: >=8 → {3,4,5} w {10,40,50}; >=7 → {2,3,4,5}
     // w {5,35,45,15}; >=6 → {1,2,3,4} w {5,30,40,25}; else {1,2,3} w

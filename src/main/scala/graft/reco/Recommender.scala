@@ -57,9 +57,14 @@ object Recommender {
     * (model, rmse). Ratings schema: userId/itemId string, rating float.
     */
   def train(ratings: DataFrame, cfg: Config = Config()): (PipelineModel, Double) = {
-    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), cfg.seed)
-    val model = pipeline(cfg).fit(train)
-    (model, rmse(model, test))
+    // Cache the (possibly expensive) ratings lineage: the two indexer
+    // fits, the ALS fit, and the holdout scoring each traverse it.
+    val cached = ratings.cache()
+    try {
+      val Array(train, test) = cached.randomSplit(Array(0.8, 0.2), cfg.seed)
+      val model = pipeline(cfg).fit(train)
+      (model, rmse(model, test))
+    } finally cached.unpersist()
   }
 
   /** M4: 3-fold CrossValidator over the reference's single grid point

@@ -15,16 +15,18 @@ class SynthSpec extends SparkSpec {
     assert(mm.getFloat(0) >= 1f && mm.getFloat(1) <= 5f)
   }
 
-  test("high-tier items draw only {3,4,5} with ~{10,40,50}% weights") {
+  test("popularity quartiles exercise every tier; stars match the weight table") {
     val r = RatingSynth.synthRatings(spark, "/root/testdata/sf0.01")
     val counts = r.groupBy("rating").count().collect()
       .map(x => x.getFloat(0) -> x.getLong(1)).toMap
-    // the fixture's discounts put every item in the >=8.0 tier
-    assert(counts.keySet.subsetOf(Set(3f, 4f, 5f)))
+    // all four tiers present → full star support 1..5
+    assert(counts.keySet === Set(1f, 2f, 3f, 4f, 5f))
+    // coarse mixture bounds: quartile interaction mass varies with
+    // popularity, so only the achievable range per star is pinned
+    // (star-5 max weight is 0.50 in one tier + 0.15 in another)
     val n = counts.values.sum.toDouble
-    assert(math.abs(counts(3f) / n - 0.10) < 0.03)
-    assert(math.abs(counts(4f) / n - 0.40) < 0.03)
-    assert(math.abs(counts(5f) / n - 0.50) < 0.03)
+    assert(counts(5f) / n > 0.05 && counts(5f) / n < 0.40)
+    assert(counts(1f) / n > 0.02 && counts(1f) / n < 0.30)
   }
 
   test("seeded synthesis is deterministic across runs") {
