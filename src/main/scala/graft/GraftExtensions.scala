@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.CosineSimilarity
+
+/** Session-extension entry point: registers the engine's native
+  * expressions into the Catalyst function registry at session build.
+  *
+  * Usage: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * (Verify/Bench/tests do this; CosineSimilarity.ensureRegistered is
+  * the runtime fallback for foreign sessions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
+      CosineSimilarity.info, CosineSimilarity.builder))
+}

@@ -306,6 +306,35 @@ object Relational {
         "ORDER BY kind, id")),
 
     GraftQuery(
+      "q26_rollup",
+      "Hierarchical subtotals via ROLLUP (beyond the reference — §2.4 notes grouping sets absent; added as first-class OLAP surface). Subtotal labels coalesced so null-ordering can't diverge between engines.",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some("SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls, " +
+        "CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls")),
+
+    GraftQuery(
+      "q27_cube",
+      "Full cross-dimension subtotals via CUBE (beyond the reference).",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("cnt"))
+        .orderBy(col("st"), col("pri")),
+      Some("SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY st, pri")),
+
+    GraftQuery(
       "q25_star_join",
       "J3 star join across 5 tables: lineitem⋈orders⋈customer⋈nation⋈region revenue by region. The bench headline: fact-fact sort-merge + broadcast dims, exact cents arithmetic.",
       (s, d) => {

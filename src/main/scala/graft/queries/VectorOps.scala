@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.Fns._
+import graft.functions.CosineSimilarity
 
 /** Similarity search over the embeddings fixture (Array[Float], 64-d).
   *
@@ -42,11 +43,12 @@ object VectorOps {
       "q50_cosine_topk",
       "Brute-force cosine top-5 for a small query set (vec_id < 10) against the full corpus: broadcast the queries, one pass over the corpus, per-query top-k via row_number window. The exact-ANN baseline.",
       (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val pairs = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-          .withColumn("cos_r", round(cosine(col("q_emb"), col("embedding")), 6))
+          .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_r").desc, col("vec_id"))
         pairs.withColumn("rn", row_number().over(w))
@@ -67,12 +69,13 @@ object VectorOps {
       "q51_ann_lsh_topk",
       "Bucketed ANN: 8-bit sign-signature LSH over the first 8 dims, then per-vector top-3 neighbors *within the bucket*. Join key = bucket, so cost is sum of squared bucket sizes (~n²/256 uniformly), not n² — and at 100 TB buckets shard naturally across executors.",
       (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
         val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
         val pairs = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos_r", round(cosine(col("a_emb"), col("b_emb")), 6))
+          .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
         val w = Window.partitionBy(col("a_id"))
           .orderBy(col("cos_r").desc, col("b_id"))
         pairs.withColumn("rn", row_number().over(w))
