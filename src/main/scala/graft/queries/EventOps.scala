@@ -82,6 +82,40 @@ object EventOps {
         "FROM e GROUP BY user_id ORDER BY user_id")),
 
     GraftQuery(
+      "q35_sliding_window",
+      "Sliding event-time windows (1h window, 30min slide): each event lands in exactly two epoch-aligned windows — the overlap shape tumbling windows can't express.",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("w.start")).as("ws"),
+          col("cnt"), col("value_cents"))
+        .orderBy(col("ws")),
+      Some("WITH x AS (SELECT unnest([CAST(floor(floor(epoch(ts))/1800)*1800 AS BIGINT), " +
+        "CAST(floor(floor(epoch(ts))/1800)*1800 - 1800 AS BIGINT)]) AS ws, value FROM events) " +
+        "SELECT ws, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM x GROUP BY ws ORDER BY ws")),
+
+    GraftQuery(
+      "q36_session_window",
+      "Native session windows (session_window, 30-min gap) per user — Spark's built-in merging-interval state; the oracle derives the same sessions via gaps-and-islands SQL. New session iff the gap >= 30min (Spark's window end is exclusive).",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+          col("cnt"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("WITH e AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 " +
+        "THEN 1 ELSE 0 END AS ns FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+        "SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS sess_start, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY user_id, sid " +
+        "ORDER BY user_id, sess_start")),
+
+    GraftQuery(
       "q34_event_type_pivot",
       "Conditional aggregation (pivot shape): per-user counts of each event type in one pass — no per-type re-scans.",
       (s, d) => t(s, d, "events")

@@ -306,6 +306,33 @@ object Relational {
         "ORDER BY kind, id")),
 
     GraftQuery(
+      "q28_percentiles",
+      "Exact interpolated percentiles (beyond the reference): Spark percentile() and DuckDB quantile_cont share the linear-interpolation definition. At 100 TB the swap-in is approx_percentile (t-digest) — exact kept for the oracle.",
+      (s, d) => t(s, d, "orders")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90")),
+      Some("SELECT round(quantile_cont(o_totalprice, 0.5),4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9),4) AS p90 FROM orders")),
+
+    GraftQuery(
+      "q29_lag_lead",
+      "lag/lead window functions: per-customer order-to-order price deltas (sequence analytics shape). One shuffle on the partition key.",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta_prev"),
+            round(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice"), 2).as("delta_next"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev, " +
+        "round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey")),
+
+    GraftQuery(
       "q26_rollup",
       "Hierarchical subtotals via ROLLUP (beyond the reference — §2.4 notes grouping sets absent; added as first-class OLAP surface). Subtotal labels coalesced so null-ordering can't diverge between engines.",
       (s, d) => t(s, d, "lineitem")

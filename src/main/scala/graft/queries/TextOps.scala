@@ -258,6 +258,21 @@ object TextOps {
         "FROM sc ORDER BY doc_id")),
 
     GraftQuery(
+      "q49_regex_token_count",
+      "BPE-ish regex tokenization (letters runs / digit runs / single symbols) vs whitespace tokens, summed per source — the token-budget accounting step of a training-data pipeline.",
+      (s, d) => t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("ws_tokens"),
+          sum(expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+            .as("re_tokens"))
+        .orderBy(col("source")),
+      Some("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens, " +
+        "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens " +
+        "FROM documents GROUP BY source ORDER BY source")),
+
+    GraftQuery(
       "q48_doc_fingerprint_minhash",
       "Rolling-hash document fingerprint: min over 5-gram shingle digests (a 1-perm MinHash) — cheap near-dup blocking key for a first-pass groupBy at corpus scale.",
       (s, d) => t(s, d, "documents")

@@ -94,6 +94,31 @@ object VectorOps {
         "SELECT a_id, b_id, cos_r, rn FROM r WHERE rn <= 3 ORDER BY a_id, rn")),
 
     GraftQuery(
+      "q54_embedding_neardup",
+      "Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates (same blocking as q51), keep unordered pairs above a similarity floor — the semantic-dedup step of an embedding-indexed corpus. No all-pairs join at any scale.",
+      (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+        val l = e.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("a_emb"))
+        val r = e.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("b_emb"))
+        l.join(r, Seq("bucket")).filter(col("da") < col("db"))
+          .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+          .filter(col("cos_r") >= 0.3)
+          .select(col("da"), col("db"), col("cos_r"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
+        s"($signBucketSql) AS bucket FROM embeddings) " +
+        "SELECT a.vec_id AS da, b.vec_id AS db, " +
+        "round(list_inner_product(a.emb, b.emb)/" +
+        "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "WHERE round(list_inner_product(a.emb, b.emb)/" +
+        "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3 " +
+        "ORDER BY da, db")),
+
+    GraftQuery(
       "q52_ivf_assign",
       "IVF building block: per-label centroids (rounded to 6dp to pin FP), then nearest-centroid assignment by squared L2 — the routing step of an IVF index. Centroid table is tiny and broadcasts.",
       (s, d) => {
