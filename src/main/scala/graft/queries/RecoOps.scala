@@ -31,7 +31,7 @@ object RecoOps {
           .select(col("userId").cast("string").as("userId"),
             col("itemId").cast("string").as("itemId"), col("rating"))
         val (model, _) = Recommender.train(ratings)
-        Recommender.recommendAll(model, 5)
+        Recommender.recommendAll(model, 5, userLimit = Some(2000))
           .select(col("userId"), col("itemId"), col("rank"))
       },
       None)

@@ -85,12 +85,22 @@ object Recommender {
   /** M6 + U1: top-k per user, exploded and mapped back to original
     * ids with IndexToString (no UDFs — recommender.py:145–174 rebuilt).
     * Output: userId, itemId, rank (1-based), predicted float.
+    *
+    * `userLimit` bounds the scored user set (recommendForUserSubset on
+    * the first N indexed users): recommendForAllUsers is a blocked
+    * users×items cross product, so production at scale batches the
+    * user side rather than scoring the full cross in one job.
     */
-  def recommendAll(model: PipelineModel, k: Int): DataFrame = {
+  def recommendAll(model: PipelineModel, k: Int,
+      userLimit: Option[Int] = None): DataFrame = {
     val userIdx = model.stages(0).asInstanceOf[StringIndexerModel]
     val itemIdx = model.stages(1).asInstanceOf[StringIndexerModel]
     val als = model.stages(2).asInstanceOf[ALSModel]
-    val recs = als.recommendForAllUsers(k)
+    val recs = userLimit.map { n =>
+      val subset = als.userFactors.select(col("id").cast("double").as("userIndexed"))
+        .filter(col("userIndexed") < n)
+      als.recommendForUserSubset(subset, k)
+    }.getOrElse(als.recommendForAllUsers(k))
       .select(col("userIndexed"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))
       .select(col("userIndexed").cast("double"),
