@@ -45,21 +45,12 @@ object RatingSynth {
       .select(col("itemId"),
         (lit(5.0) + col("q") * 0.9).as("agg_rating"))
 
-    // Reference tier table: >=8 → {3,4,5} w {10,40,50}; >=7 → {2,3,4,5}
-    // w {5,35,45,15}; >=6 → {1,2,3,4} w {5,30,40,25}; else {1,2,3} w
-    // {40,40,20}. The uniform draw is materialized ONCE per row ("u"):
+    // Reference tier table via the shared mapping (RatingsConverter
+    // .tierStar). The uniform draw is materialized ONCE per row ("u"):
     // repeating rand(42) inside the when-chain would create separate
     // RNG streams that desynchronize under conditional evaluation and
     // bias the tiers.
-    val u = col("u")
-    val star =
-      when(col("agg_rating") >= 8.0,
-        when(u < 0.10, 3).when(u < 0.50, 4).otherwise(5))
-        .when(col("agg_rating") >= 7.0,
-          when(u < 0.05, 2).when(u < 0.40, 3).when(u < 0.85, 4).otherwise(5))
-        .when(col("agg_rating") >= 6.0,
-          when(u < 0.05, 1).when(u < 0.35, 2).when(u < 0.75, 3).otherwise(4))
-        .otherwise(when(u < 0.40, 1).when(u < 0.80, 2).otherwise(3))
+    val star = graft.app.RatingsConverter.tierStar(col("agg_rating"), col("u"))
 
     inter.join(itemScore, Seq("itemId"))
       .withColumn("u", rand(42))
