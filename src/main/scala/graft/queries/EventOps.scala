@@ -116,6 +116,29 @@ object EventOps {
         "ORDER BY user_id, sess_start")),
 
     GraftQuery(
+      "q37_event_funnel",
+      "Ordered funnel (view → click → purchase): per-user first-occurrence times, conversion = each step strictly after the previous. One aggregation pass — no per-step re-scans or joins.",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .select(col("user_id"),
+          col("t_view").isNotNull.as("viewed"),
+          (col("t_click") > col("t_view")).as("clicked_after_view"),
+          (col("t_purchase") > col("t_click") && col("t_click") > col("t_view"))
+            .as("full_funnel"))
+        .orderBy(col("user_id")),
+      Some("SELECT user_id, (t_view IS NOT NULL) AS viewed, " +
+        "(t_click > t_view) AS clicked_after_view, " +
+        "(t_purchase > t_click AND t_click > t_view) AS full_funnel FROM (" +
+        "SELECT user_id, min(CASE WHEN event_type='view' THEN ts END) AS t_view, " +
+        "min(CASE WHEN event_type='click' THEN ts END) AS t_click, " +
+        "min(CASE WHEN event_type='purchase' THEN ts END) AS t_purchase " +
+        "FROM events GROUP BY user_id) ORDER BY user_id")),
+
+    GraftQuery(
       "q34_event_type_pivot",
       "Conditional aggregation (pivot shape): per-user counts of each event type in one pass — no per-type re-scans.",
       (s, d) => t(s, d, "events")

@@ -56,6 +56,15 @@ class RelationalSpec extends SparkSpec {
     assert(topk.toSeq === full.toSeq)
   }
 
+  test("format_number display formatting (F8, app.py:332/377 f-strings)") {
+    import spark.implicits._
+    val r = Seq(1234567.891).toDF("x")
+      .select(format_number(col("x"), 2).as("s"), round(col("x"), 1).as("r"))
+      .collect().head
+    assert(r.getString(0) === "1,234,567.89")
+    assert(r.getDouble(1) === 1234567.9)
+  }
+
   test("existence probe (S4/S9) is true on non-empty, false on empty match") {
     val t = Registry.byName("q22_exists_probe").fn(spark, sfDir).collect()
     assert(t.head.getAs[Boolean]("has_rows"))
