@@ -2,17 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashAgg}
 
 /** Session-extension entry point: registers the engine's native
   * expressions into the Catalyst function registry at session build.
   *
   * Usage: .config("spark.sql.extensions", "graft.GraftExtensions")
-  * (Verify/Bench/tests do this; CosineSimilarity.ensureRegistered is
-  * the runtime fallback for foreign sessions.)
+  * (Verify/Bench/tests do this; the objects' ensureRegistered is the
+  * runtime fallback for foreign sessions.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction((FunctionIdentifier(MinHashAgg.name),
+      MinHashAgg.info, MinHashAgg.builder))
+  }
 }

@@ -99,25 +99,20 @@ object TextOps {
       "q42_minhash_lsh_pairs",
       "Near-dup detection, scale variant: 16-perm MinHash, 8 bands × 2 rows → candidate pairs from band-bucket groupBy (no all-pairs join), then exact-Jaccard verify on candidates only. P(miss | j>=0.9) = (1-0.9^2)^8 ≈ 2e-6, so the verified output equals the exact answer — same oracle as q41.",
       (s, d) => {
+        graft.functions.MinHashAgg.ensureRegistered(s)
         val sh = shingleSet(t(s, d, "documents"))
-        // 16 hash permutations via cheap affine maps over the base
-        // 64-bit shingle key: h_p = (a_p·h + b_p) mod prime (universal
-        // hashing) — no per-perm digest computation at all.
-        val prime = 2147483647L // 2^31 - 1
-        val mh = sh
-          .withColumn("h0", pmod(col("sk"), lit(prime)))
-          .select(col("doc_id"), col("h0"),
-            explode(sequence(lit(0), lit(15))).as("p"))
-          .withColumn("hv",
-            pmod((col("p") * 2 + 1) * col("h0") + col("p") * 40503L, lit(prime)))
-          .groupBy(col("doc_id"), col("p")).agg(min(col("hv")).as("mh"))
+        // All 16 permutation minima in one pass per doc via the native
+        // TypedImperativeAggregate — shuffles 16 longs per doc instead
+        // of exploding every shingle row 16×.
+        val sig = sh.groupBy(col("doc_id"))
+          .agg(expr(s"${graft.functions.MinHashAgg.name}(sk)").as("sig"))
         // Band signature = the 2 minhashes of the band, ordered by perm index.
-        val bands = mh.withColumn("band", expr("p div 2"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(max(when(col("p") % 2 === 0, col("mh"))).as("m0"),
-            max(when(col("p") % 2 === 1, col("mh"))).as("m1"))
+        val bands = sig
+          .select(col("doc_id"), col("sig"),
+            explode(sequence(lit(0), lit(7))).as("band"))
           .select(col("doc_id"), col("band"),
-            concat_ws(":", col("m0"), col("m1")).as("sig"))
+            concat_ws(":", element_at(col("sig"), col("band") * 2 + 1),
+              element_at(col("sig"), col("band") * 2 + 2)).as("sig"))
         // Candidates: pairs sharing any band bucket. groupBy-scale, not O(n^2).
         val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
         val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
