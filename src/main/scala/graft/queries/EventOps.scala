@@ -116,6 +116,35 @@ object EventOps {
         "ORDER BY user_id, sess_start")),
 
     GraftQuery(
+      "q38_asof_join",
+      "As-of join, composed scalably (guide preference (a)): for each purchase, the same user's most recent prior click — one sort per user key via last(ignoreNulls) over an unbounded-preceding frame, no range join and no per-row lookup. The custom-SparkPlan route is unnecessary because the union+window form already gives the merge-join execution an AsOfJoinExec would.",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_ts_s",
+            last(when(col("event_type") === "click", unix_timestamp(col("ts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("click_id"),
+            (unix_timestamp(col("ts")) - col("click_ts_s")).as("gap_s"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("SELECT user_id, event_id AS purchase_id, click_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - click_ts_s AS gap_s FROM (" +
+        "SELECT user_id, ts, event_id, event_type, " +
+        "last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) " +
+        "OVER w AS click_id, " +
+        "last_value(CASE WHEN event_type='click' THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS) " +
+        "OVER w AS click_ts_s FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "WHERE event_type='purchase' ORDER BY purchase_id")),
+
+    GraftQuery(
       "q37_event_funnel",
       "Ordered funnel (view → click → purchase): per-user first-occurrence times, conversion = each step strictly after the previous. One aggregation pass — no per-step re-scans or joins.",
       (s, d) => t(s, d, "events")

@@ -333,6 +333,25 @@ object Relational {
         "ORDER BY o_custkey, o_orderkey")),
 
     GraftQuery(
+      "q55_band_range_join",
+      "Range join via banding (guide preference (a) for the range-join gap): |acctbal delta| <= 1.0 customer pairs. Left side explodes into 3 candidate bands, joins on band equality (an equi shuffle key!), exact filter after — O(n·bandwidth) instead of the O(n²) theta join a naive inequality join plans.",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("v"))
+          .withColumn("band", floor(col("v") / 1.0).cast("long"))
+        val l = c.withColumn("jb",
+          explode(array(col("band") - 1, col("band"), col("band") + 1)))
+          .select(col("id").as("la"), col("v").as("va"), col("jb"))
+        val r = c.select(col("id").as("lb"), col("v").as("vb"),
+          col("band").as("jb"))
+        l.join(r, Seq("jb"))
+          .filter(col("la") < col("lb") && abs(col("va") - col("vb")) <= 1.0)
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM customer a JOIN customer b " +
+        "ON a.c_custkey < b.c_custkey AND abs(a.c_acctbal - b.c_acctbal) <= 1.0")),
+
+    GraftQuery(
       "q26_rollup",
       "Hierarchical subtotals via ROLLUP (beyond the reference — §2.4 notes grouping sets absent; added as first-class OLAP surface). Subtotal labels coalesced so null-ordering can't diverge between engines.",
       (s, d) => t(s, d, "lineitem")
