@@ -333,6 +333,34 @@ object Relational {
         "ORDER BY o_custkey, o_orderkey")),
 
     GraftQuery(
+      "q57_collect_agg",
+      "Ordered array aggregation (collect_list + array_sort): per-customer order-key lists — the nested-output shape serving layers consume. Sorted post-agg so accumulation order can't leak.",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("order_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey")),
+      Some("SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+
+    GraftQuery(
+      "q58_heavy_hitters",
+      "Heavy-hitter profiling: top-20 join keys by frequency with their share — the skew-detection query run before choosing salting/AQE strategies at scale.",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val total = li.count() // single scalar, driver-safe
+        li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("share_ppm",
+            round(col("cnt") * 1000000.0 / total, 0).cast("long"))
+          .orderBy(col("cnt").desc, col("l_partkey"))
+          .limit(20)
+      },
+      Some("SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(round(count(*) * 1000000.0 / (SELECT count(*) FROM lineitem)) AS BIGINT) AS share_ppm " +
+        "FROM lineitem GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 20")),
+
+    GraftQuery(
       "q55_band_range_join",
       "Range join via banding (guide preference (a) for the range-join gap): |acctbal delta| <= 1.0 customer pairs. Left side explodes into 3 candidate bands, joins on band equality (an equi shuffle key!), exact filter after — O(n·bandwidth) instead of the O(n²) theta join a naive inequality join plans.",
       (s, d) => {

@@ -268,6 +268,26 @@ object TextOps {
         "FROM documents GROUP BY source ORDER BY source")),
 
     GraftQuery(
+      "q56_repetition_ratio",
+      "Within-document repetition (a Gopher-style quality signal): 1 - distinct/total 3-gram shingles. High ratio = boilerplate/looping text; all per-row array math, no shuffle beyond the final sort.",
+      (s, d) => {
+        val sh = shingles(toks(col("text")), 3)
+        t(s, d, "documents")
+          .filter(size(toks(col("text"))) >= 3)
+          .select(col("doc_id"),
+            size(sh).as("n_shingles"),
+            round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+              .as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+        "FOR i IN range(1, len(toks)-1)] AS s FROM t WHERE len(toks) >= 3) " +
+        "SELECT doc_id, CAST(len(s) AS INTEGER) AS n_shingles, " +
+        "round(1.0 - len(list_distinct(s))*1.0/len(s), 6) AS rep_ratio " +
+        "FROM sh ORDER BY doc_id")),
+
+    GraftQuery(
       "q48_doc_fingerprint_minhash",
       "Rolling-hash document fingerprint: min over 5-gram shingle digests (a 1-perm MinHash) — cheap near-dup blocking key for a first-pass groupBy at corpus scale.",
       (s, d) => t(s, d, "documents")

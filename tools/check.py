@@ -39,6 +39,13 @@ for name in sorted(os.listdir(out)):
         print(f"FAIL {name}: oracle SQL error: {e}")
         n_fail += 1
         continue
+    # array-typed cells (numpy arrays / lists) are unhashable — canonicalize
+    for df in (got, want):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                    else tuple(v) if isinstance(v, list) else v)
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         print(f"FAIL {name}: columns {gc} vs {wc}")
