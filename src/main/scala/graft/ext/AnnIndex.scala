@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Trained IVF (inverted-file) ANN index: KMeans centroids partition
+  * the corpus into cells; queries probe only their `nProbe` nearest
+  * cells — the standard recall/cost dial of production vector search.
+  *
+  * Scale posture: the centroid table is tiny (k rows) and broadcasts;
+  * cell assignment is one codegen'd pass over the corpus; a probe
+  * touches nProbe/k of the data. Persist `assigned` partitioned by
+  * `cell` and a probe prunes files, not just rows.
+  */
+object AnnIndex {
+
+  final case class Index(centroids: DataFrame, assigned: DataFrame, k: Int)
+
+  /** Fit KMeans (seeded) on the embedding column and assign every
+    * vector to its cell. `embeddings`: (vec_id long, embedding
+    * array<float>).
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, k: Int = 16,
+      seed: Long = 42): Index = {
+    CosineSimilarity.ensureRegistered(spark)
+    val vecs = embeddings.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(vecs)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    val centroids = cents.toSeq.toDF("cell", "centroid")
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    Index(centroids, assigned, k)
+  }
+
+  /** Top-k neighbors for each query vector, probing the nProbe cells
+    * whose centroids are most cosine-similar to the query. Queries:
+    * (q_id long, q_emb array<float>).
+    */
+  def search(index: Index, queries: DataFrame, topK: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val qCells = queries
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    qCells.join(index.assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
+  }
+}

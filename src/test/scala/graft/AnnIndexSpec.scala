@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.AnnIndex
+
+/** Trained-IVF ANN: index shape, probe pruning, and recall against the
+  * brute-force baseline.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val index = AnnIndex.build(spark, emb, k = 8)
+
+  test("every vector lands in exactly one of k cells") {
+    assert(index.assigned.count() === emb.count())
+    val cells = index.assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 8).toSet))
+    assert(index.centroids.count() === 8)
+  }
+
+  test("probing all cells reproduces the exact brute-force top-5") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = AnnIndex.search(index, queries, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full === exact)
+  }
+
+  test("nProbe=3 of 8 keeps recall@5 above 60% at ~3/8 of the scan") {
+    // the fixture's embeddings are nearly isotropic (weak clusters),
+    // so IVF recall here is a floor — real clustered corpora do better
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnIndex.search(index, queries, topK = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}
