@@ -361,6 +361,39 @@ object Relational {
         "FROM lineitem GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 20")),
 
     GraftQuery(
+      "q59_moving_avg",
+      "Time-series moving average: daily revenue rolled up first (unique day key — ROWS frames over duplicate keys are nondeterministic), then a 7-row trailing mean. Two shuffles total: the daily agg and one global day sort (at scale: range-partition by day).",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily
+          .withColumn("ma7_cents", round(avg(col("rev_cents")).over(w), 2))
+          .select(col("day").cast("string").as("day_s"),
+            col("rev_cents"), col("ma7_cents"))
+          .orderBy(col("day_s"))
+      },
+      Some("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM orders GROUP BY day) " +
+        "SELECT CAST(day AS VARCHAR) AS day_s, rev_cents, " +
+        "round(avg(rev_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7_cents " +
+        "FROM daily ORDER BY day_s")),
+
+    GraftQuery(
+      "q62_ntile_quartiles",
+      "ntile ranking: customers bucketed into account-balance quartiles with a unique-key tiebreak so bucket boundaries are deterministic.",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile " +
+        "FROM customer ORDER BY c_custkey")),
+
+    GraftQuery(
       "q55_band_range_join",
       "Range join via banding (guide preference (a) for the range-join gap): |acctbal delta| <= 1.0 customer pairs. Left side explodes into 3 candidate bands, joins on band equality (an equi shuffle key!), exact filter after — O(n·bandwidth) instead of the O(n²) theta join a naive inequality join plans.",
       (s, d) => {
