@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: replicates the sf0.1 fact tables 10× (with
+  * consistently shifted join keys, so join fan-in is preserved) into a
+  * scratch dir and times the headline queries there — evidence that
+  * the recorded plans scale superlinearly-free beyond the fixtures.
+  *
+  * Usage: runMain graft.ScaleStress [scratchDir]
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.length > 0) args(0) else "/tmp/graft_sfx"
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = 10
+    def replicate(table: String, keyCols: Seq[String], keyStride: Long): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val big = (0 until copies).map { i =>
+        keyCols.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * keyStride))
+        }
+      }.reduce(_ unionAll _)
+      big.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    // shift orderkeys consistently in both fact tables; leave dim keys
+    // intact so per-key fan-in matches a real larger SF
+    replicate("lineitem", Seq("l_orderkey"), 10000000L)
+    replicate("orders", Seq("o_orderkey"), 10000000L)
+    Seq("customer", "supplier", "part", "nation", "region", "events",
+      "documents", "embeddings").foreach { t =>
+      val d = Paths.get(s"$out/$t.parquet")
+      if (Files.exists(d)) Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      Files.createDirectories(d.getParent)
+      // parquet "file" in testdata is a single file, not a dir
+      Files.copy(Paths.get(s"$src/$t.parquet"), d, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val headline = Seq("q25_star_join", "q18_agg_sum", "q19_window_topk",
+      "q16_topk", "q11_left_join", "q13_distinct_count", "q55_band_range_join")
+    // warm-up
+    spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(s"SCALE lineitem_rows $rows")
+    headline.foreach { q =>
+      val t0 = System.nanoTime()
+      Registry.byName(q).fn(spark, out).write.format("noop").mode("overwrite").save()
+      println(f"SCALE $q ${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}
