@@ -22,6 +22,9 @@ object StreamOps {
 
   final case class SessionUpdate(user_id: Long, n_events: Int, closed: Boolean)
 
+  final case class ClosedSession(user_id: Long, start_s: Long, end_s: Long,
+      n_events: Int)
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.
@@ -43,6 +46,37 @@ object StreamOps {
     * production to also evict idle users' state on wall-clock —
     * required for bounded state over an unbounded key space.
     */
+  /** flatMapGroupsWithState twin of `sessionize`: emits one row per
+    * CLOSED session (0..n rows per group per batch — the shape
+    * mapGroupsWithState's exactly-one-row contract can't express).
+    * State per user = (sessionStartMs, lastMs, count).
+    */
+  def sessionizeClosed(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Int), ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[(Long, Long, Int)]) =>
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          var cur = state.getOption
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some((start, last, n)) if t - last > gapMs =>
+                closed += ClosedSession(userId, start / 1000, last / 1000, n)
+                cur = Some((t, t, 1))
+              case Some((start, _, n)) => cur = Some((start, t, n + 1))
+              case None => cur = Some((t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionUpdate] = {

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits exactly the closed sessions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionizeClosed(input.toDS())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() === 0) // still open
+      // 40-min gap closes the first session; a later event stays open
+      input.addData(
+        Event(3, ts("2024-01-01 00:50:00"), 7, "click", 1.0),
+        Event(4, ts("2024-01-01 00:55:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("closed_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("n_events"),
+          r.getAs[Long]("end_s") - r.getAs[Long]("start_s")))
+      assert(rows.toSeq === Seq((7L, 2, 600L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization with inactivity gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
