@@ -394,6 +394,29 @@ object Relational {
         "FROM customer ORDER BY c_custkey")),
 
     GraftQuery(
+      "q63_sql_text",
+      "spark.sql(...) text entry point over registered views — Catalyst analyzes/optimizes the SQL text through the same pipeline as the DataFrame queries, proving the engine surface is SQL-addressable end to end. View names are dir-scoped so concurrent invocations on different data dirs can't race.",
+      (s, d) => {
+        val tag = Integer.toHexString(d.hashCode).takeRight(8)
+        Seq("orders", "customer", "nation").foreach { n =>
+          t(s, d, n).createOrReplaceTempView(s"sqlapi_${tag}_$n")
+        }
+        s.sql(s"""
+          SELECT n_name, CAST(count(*) AS BIGINT) AS order_cnt,
+                 CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM sqlapi_${tag}_orders
+          JOIN sqlapi_${tag}_customer ON o_custkey = c_custkey
+          JOIN sqlapi_${tag}_nation ON c_nationkey = n_nationkey
+          WHERE o_orderstatus <> 'P'
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("SELECT n_name, CAST(count(*) AS BIGINT) AS order_cnt, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey WHERE o_orderstatus <> 'P' " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    GraftQuery(
       "q55_band_range_join",
       "Range join via banding (guide preference (a) for the range-join gap): |acctbal delta| <= 1.0 customer pairs. Left side explodes into 3 candidate bands, joins on band equality (an equi shuffle key!), exact filter after — O(n·bandwidth) instead of the O(n²) theta join a naive inequality join plans.",
       (s, d) => {
