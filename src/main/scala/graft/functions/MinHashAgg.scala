@@ -19,10 +19,14 @@ import org.apache.spark.sql.SparkSession
   * shuffles only P longs per doc — the partial/merge path Spark gives
   * every ImperativeAggregate for free (map-side combine included).
   *
-  * Permutation family (MUST stay in sync with the LSH query's oracle
-  * assumptions): h0 = sk mod prime (nonneg), hv_p = ((2p+1)·h0 +
-  * p·40503) mod prime, prime = 2^31-1 — the same universal-hash
-  * family the composed form uses, so signatures are bit-identical.
+  * Permutation family: h0 = sk mod prime (nonneg), hv_p = (A_p·h0 +
+  * B_p) mod prime with ~31-bit multipliers A_p (MinHashAgg.A/B),
+  * prime = 2^31-1. The multipliers MUST be large: with small ones
+  * (e.g. 2p+1) the product never wraps the prime for typical min
+  * values, every "permutation" is monotone in h0, all perms pick the
+  * same argmin shingle, and banded LSH degenerates to single-hash
+  * matching (observed as a recall miss on a 0.95-jaccard pair).
+  * A_p·h0 stays < 2^62, so no Long overflow under ANSI mode.
   */
 case class MinHashAgg(
     child: Expression,
@@ -54,7 +58,8 @@ case class MinHashAgg(
       val h0 = java.lang.Math.floorMod(sk, Prime)
       var p = 0
       while (p < numPerms) {
-        val hv = java.lang.Math.floorMod((2L * p + 1) * h0 + p * 40503L, Prime)
+        val hv = java.lang.Math.floorMod(
+          MinHashAgg.A(p) * h0 + MinHashAgg.B(p), Prime)
         if (hv < buf(p)) buf(p) = hv
         p += 1
       }
@@ -91,6 +96,20 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  private val Prime = 2147483647L
+
+  /** Per-permutation affine constants: large (~31-bit) multipliers so
+    * A·h0 wraps the prime many times — a genuine scramble, not a
+    * monotone map. Derived from Knuth's multiplicative constant.
+    */
+  val A: Array[Long] = Array.tabulate(16) { p =>
+    val a = java.lang.Math.floorMod(2654435761L * (p + 1) + 1013904223L, Prime)
+    if (a == 0) 1L else a
+  }
+  val B: Array[Long] = Array.tabulate(16) { p =>
+    java.lang.Math.floorMod(40503L * (p + 7) + 69069L * p, Prime)
+  }
+
   val name = "minhash_sig"
   val info = new ExpressionInfo(classOf[MinHashAgg].getName, name)
   val builder: Seq[Expression] => Expression = {

@@ -20,10 +20,14 @@ class MinHashAggSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
 
     val prime = 2147483647L
+    val aCol = array(MinHashAgg.A.map(lit): _*)
+    val bCol = array(MinHashAgg.B.map(lit): _*)
     val composed = sk
       .withColumn("h0", pmod(col("sk"), lit(prime)))
       .select(col("doc_id"), col("h0"), explode(sequence(lit(0), lit(15))).as("p"))
-      .withColumn("hv", pmod((col("p") * 2 + 1) * col("h0") + col("p") * 40503L, lit(prime)))
+      .withColumn("hv", pmod(
+        element_at(aCol, col("p") + 1) * col("h0") + element_at(bCol, col("p") + 1),
+        lit(prime)))
       .groupBy("doc_id", "p").agg(min("hv").as("mh"))
       .groupBy("doc_id").agg(array_sort(collect_list(struct(col("p"), col("mh")))).as("a"))
       .select(col("doc_id"), expr("transform(a, x -> x.mh)").as("sig"))
