@@ -39,6 +39,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune partitions at scan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    val q = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // the day predicate must be a partition filter (directory pruning),
+    // not a row-level data filter over the full table
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+    assert(pf.exists(_.contains("day")), s"no partition filter on day:\n$pf")
+    val expected = ev.filter(col("day") === "2024-01-05").count()
+    assert(q.agg(sum("n")).collect().head.getLong(0) === expected)
+  }
+
   test("salted skew join equals the plain join") {
     val l = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_partkey").as("k"), col("l_quantity"))
