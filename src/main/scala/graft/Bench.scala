@@ -25,15 +25,22 @@ object Bench {
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
 
+    // min of two runs per query: this box shows extreme host-CPU-steal
+    // variance (identical runs observed 6s vs 53s), and the minimum is
+    // the stable steady-state estimator a plan comparison needs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.app.{MovieQueries, RatingsConverter}
+import graft.reco.Recommender
+
+/** Library facade: one object binding a session + data dir to the
+  * whole engine surface, so a user of the reference app can switch
+  * with a handful of calls. Every method returns a lazy DataFrame —
+  * nothing executes until the caller acts.
+  */
+final class GraftEngine(val spark: SparkSession, val dataDir: String) {
+  CosineRegistration.ensure(spark)
+
+  /** Any registered query by name (see Registry / ARCHITECTURE.md). */
+  def query(name: String): DataFrame = Registry.byName(name).fn(spark, dataDir)
+
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  /** The reference app's serving surface over IMDb-shaped tables. */
+  def popularMovies(basics: DataFrame, ratings: DataFrame, limit: Int = 100): DataFrame =
+    MovieQueries.popularMovies(basics, ratings, limit = limit)
+
+  /** End-to-end recommendation lifecycle on reference-shaped inputs:
+    * synthesize ratings, train ALS, return top-k per user.
+    */
+  def trainAndRecommend(users: DataFrame, pool: DataFrame, k: Int = 10,
+      cfg: Recommender.Config = Recommender.Config()): DataFrame = {
+    val ratings = RatingsConverter.synthesize(users, pool, cfg.seed)
+      .withColumnRenamed("tconst", "itemId")
+    val (model, _) = Recommender.train(ratings, cfg)
+    Recommender.recommendAll(model, k)
+  }
+}
+
+private object CosineRegistration {
+  def ensure(spark: SparkSession): Unit = {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    graft.functions.MinHashAgg.ensureRegistered(spark)
+  }
+}

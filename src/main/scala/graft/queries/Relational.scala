@@ -394,6 +394,33 @@ object Relational {
         "FROM customer ORDER BY c_custkey")),
 
     GraftQuery(
+      "q64_integrity_checks",
+      "Data-quality audit in one pass per table: referential orphans (orders→customer, lineitem→orders), key uniqueness, and null ratios — the validation stage every ingest pipeline runs before publishing a snapshot.",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer"); val l = t(s, d, "lineitem")
+        val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("orphan_orders").as("check"), col("n"))
+        val orphanLines = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("orphan_lineitems").as("check"), col("n"))
+        val dupCust = c.groupBy(col("c_custkey")).agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1).agg(count(lit(1)).as("n"))
+          .select(lit("dup_custkeys").as("check"), col("n"))
+        val nullBal = c.agg(sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n"))
+          .select(lit("null_acctbal").as("check"), col("n"))
+        orphanOrders.unionAll(orphanLines).unionAll(dupCust).unionAll(nullBal)
+          .orderBy(col("check"))
+      },
+      Some("SELECT * FROM (" +
+        "SELECT 'orphan_orders' AS check, CAST(count(*) AS BIGINT) AS n FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) " +
+        "UNION ALL SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT) FROM lineitem " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) " +
+        "UNION ALL SELECT 'dup_custkeys', CAST(count(*) AS BIGINT) FROM " +
+        "(SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'null_acctbal', CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM customer) ORDER BY \"check\"")),
+
+    GraftQuery(
       "q63_sql_text",
       "spark.sql(...) text entry point over registered views — Catalyst analyzes/optimizes the SQL text through the same pipeline as the DataFrame queries, proving the engine surface is SQL-addressable end to end. View names are dir-scoped so concurrent invocations on different data dirs can't race.",
       (s, d) => {

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The library facade exposes the full surface from one handle. */
+class GraftEngineSpec extends SparkSpec {
+
+  private lazy val engine = new GraftEngine(spark, sfDir)
+
+  test("query-by-name reaches every registered query") {
+    assert(engine.query("q01_popular").count() > 0)
+    assert(engine.query("q40_dedup_exact").count() === 500)
+    intercept[NoSuchElementException] { engine.query("no_such_query") }
+  }
+
+  test("native functions are registered through the facade") {
+    val r = engine.table("embeddings").limit(5)
+      .select(expr("cosine_sim(embedding, embedding)").as("c")).collect()
+    assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("integrity audit reports clean fixtures") {
+    val checks = engine.query("q64_integrity_checks").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(checks === Map(
+      "orphan_orders" -> 0L, "orphan_lineitems" -> 0L,
+      "dup_custkeys" -> 0L, "null_acctbal" -> 0L))
+  }
+}
