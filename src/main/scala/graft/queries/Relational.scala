@@ -394,6 +394,75 @@ object Relational {
         "FROM customer ORDER BY c_custkey")),
 
     GraftQuery(
+      "q65_above_avg_orders",
+      "Correlated-subquery shape (orders above their customer's average), decorrelated explicitly into an aggregate + join — the plan Catalyst's subquery decorrelation produces, written directly.",
+      (s, d) => {
+        // all arithmetic in exact cents: avg of 2dp money lands on
+        // half-cent round boundaries, where engine accumulation order
+        // would flip round() — an exact integer sum / exact count
+        // divides to the identical double on both engines
+        val o = t(s, d, "orders")
+        val avgPer = o.groupBy(col("o_custkey").as("ck"))
+          .agg((sum(cents(col("o_totalprice"))).cast("double") /
+            count(lit(1))).as("avg_cents"))
+        o.join(avgPer, o("o_custkey") === avgPer("ck"))
+          .filter(cents(col("o_totalprice")) > col("avg_cents"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(cents(col("o_totalprice")) - col("avg_cents"), 4).as("above_by_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("SELECT o_orderkey, o_custkey, " +
+        "round(CAST(round(o_totalprice*100) AS BIGINT) - avg_cents, 4) AS above_by_cents " +
+        "FROM orders JOIN (SELECT o_custkey AS ck, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT))*1.0/count(*) AS avg_cents " +
+        "FROM orders GROUP BY o_custkey) ON o_custkey = ck " +
+        "WHERE CAST(round(o_totalprice*100) AS BIGINT) > avg_cents ORDER BY o_orderkey")),
+
+    GraftQuery(
+      "q66_edit_distance_pairs",
+      "Edit-distance near-dup over short strings (part names), blocked by name length (|len delta| <= 1 is necessary for distance <= 1) — levenshtein runs only within length bands, never all-pairs.",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_partkey") <= 500)
+          .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+            length(col("p_name")).as("len"))
+        val l = p.withColumn("jl",
+            explode(array(col("len") - 1, col("len"), col("len") + 1)))
+          .select(col("id").as("ida"), col("nm").as("na"), col("jl"))
+        val r = p.select(col("id").as("idb"), col("nm").as("nb"),
+          col("len").as("jl"))
+        l.join(r, Seq("jl"))
+          .filter(col("ida") < col("idb") &&
+            levenshtein(col("na"), col("nb")) <= 1)
+          .select(col("ida"), col("idb"), col("na"), col("nb"))
+          .distinct()
+          .orderBy(col("ida"), col("idb"))
+      },
+      Some("SELECT DISTINCT a.p_partkey AS ida, b.p_partkey AS idb, " +
+        "a.p_name AS na, b.p_name AS nb FROM part a JOIN part b " +
+        "ON a.p_partkey < b.p_partkey AND abs(length(a.p_name) - length(b.p_name)) <= 1 " +
+        "AND levenshtein(a.p_name, b.p_name) <= 1 " +
+        "WHERE a.p_partkey <= 500 AND b.p_partkey <= 500 ORDER BY ida, idb")),
+
+    GraftQuery(
+      "q67_date_math",
+      "Date arithmetic: order-to-ship latency in days per order priority (datediff + avg), plus the month extraction shape.",
+      (s, d) => {
+        val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"),
+            month(col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4)
+              .as("avg_latency_days"))
+          .orderBy(col("o_orderpriority"), col("order_month"))
+      },
+      Some("SELECT o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS order_month, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "round(avg(datediff('day', o_orderdate, l_shipdate)), 4) AS avg_latency_days " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority, order_month ORDER BY o_orderpriority, order_month")),
+
+    GraftQuery(
       "q64_integrity_checks",
       "Data-quality audit in one pass per table: referential orphans (orders→customer, lineitem→orders), key uniqueness, and null ratios — the validation stage every ingest pipeline runs before publishing a snapshot.",
       (s, d) => {
