@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.Fns._
@@ -266,6 +267,55 @@ object TextOps {
         "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens, " +
         "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens " +
         "FROM documents GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q68_hash_sample",
+      "Deterministic hash sampling (the reproducible alternative to Bernoulli rand sampling for pipeline reruns): keep rows whose md5-derived bucket < 10 of 100 — every engine and every rerun selects the identical subset.",
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("bucket",
+          (conv(substring(md5(col("l_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100))
+        .filter(col("bucket") < 10)
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(cents(col("l_extendedprice"))).as("sampled_price_cents")),
+      Some("WITH h AS (SELECT l_extendedprice, " +
+        "((instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)),1,1))-1)*4096 + " +
+        "(instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)),2,1))-1)*256 + " +
+        "(instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)),3,1))-1)*16 + " +
+        "(instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)),4,1))-1)) % 100 AS bucket " +
+        "FROM lineitem) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_sampled, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sampled_price_cents " +
+        "FROM h WHERE bucket < 10")),
+
+    GraftQuery(
+      "q69_tfidf_terms",
+      "TF-IDF: top-3 highest-scoring terms per document (tf x ln(N/df)), ranked on the rounded score with a term tiebreak. df is one groupBy over the exploded tokens; the per-doc ranking is one window.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(df_, Seq("tok"))
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("tok"), col("tfidf"), col("rn"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some("WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+        "n AS (SELECT count(*)*1.0 AS n FROM documents), " +
+        "sc AS (SELECT doc_id, tf.tok, round(tf * ln(n / df), 6) AS tfidf FROM tf " +
+        "JOIN df ON tf.tok = df.tok CROSS JOIN n), " +
+        "r AS (SELECT doc_id, tok, tfidf, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INTEGER) AS rn FROM sc) " +
+        "SELECT doc_id, tok, tfidf, rn FROM r WHERE rn <= 3 ORDER BY doc_id, rn")),
 
     GraftQuery(
       "q56_repetition_ratio",
