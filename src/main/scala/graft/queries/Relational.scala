@@ -382,6 +382,21 @@ object Relational {
         "FROM daily ORDER BY day_s")),
 
     GraftQuery(
+      "q70_percent_rank",
+      "Distribution ranking: percent_rank and cume_dist over account balance — exact rational values ((rank-1)/(n-1), rank/n) so no rounding slack is needed beyond 6dp.",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd FROM customer " +
+        "WINDOW w AS (ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey")),
+
+    GraftQuery(
       "q62_ntile_quartiles",
       "ntile ranking: customers bucketed into account-balance quartiles with a unique-key tiebreak so bucket boundaries are deterministic.",
       (s, d) => {
