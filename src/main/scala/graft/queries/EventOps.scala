@@ -168,6 +168,23 @@ object EventOps {
         "FROM events GROUP BY user_id) ORDER BY user_id")),
 
     GraftQuery(
+      "q73_map_ops",
+      "MapType surface: parse the JSON props column into map<string,int>, explode entries, aggregate per key — schema-on-read for semi-structured payloads.",
+      (s, d) => t(s, d, "events")
+        .select(explode(from_json(col("props"), lit("MAP<STRING, INT>")))
+          .as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("long")).as("v_sum"),
+          countDistinct(col("v")).as("v_distinct"))
+        .orderBy(col("k")),
+      Some("WITH kv AS (SELECT unnest(json_keys(props)) AS k, " +
+        "CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS INTEGER) AS v " +
+        "FROM events) " +
+        "SELECT k, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v) AS BIGINT) AS v_sum, " +
+        "CAST(count(DISTINCT v) AS BIGINT) AS v_distinct FROM kv GROUP BY k ORDER BY k"),
+    ),
+
+    GraftQuery(
       "q34_event_type_pivot",
       "Conditional aggregation (pivot shape): per-user counts of each event type in one pass — no per-type re-scans.",
       (s, d) => t(s, d, "events")

@@ -562,6 +562,38 @@ object Relational {
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls")),
 
     GraftQuery(
+      "q71_grouping_sets",
+      "Explicit GROUPING SETS — the general form rollup/cube specialize: per-status and per-priority marginals in one pass over orders.",
+      (s, d) => {
+        val tag = Integer.toHexString(d.hashCode).takeRight(8)
+        t(s, d, "orders").createOrReplaceTempView(s"gsets_${tag}_orders")
+        s.sql(s"""
+          SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                 coalesce(o_orderpriority, 'ALL') AS pri,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM gsets_${tag}_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          ORDER BY st, pri""")
+      },
+      Some("SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY st, pri")),
+
+    GraftQuery(
+      "q72_conditional_distinct",
+      "Distinct aggregation under a condition: distinct buyers per status vs overall distinct buyers, one pass.",
+      (s, d) => t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("buyers_all"),
+          countDistinct(when(col("o_orderstatus") === "F", col("o_custkey")))
+            .as("buyers_f"),
+          countDistinct(when(col("o_orderstatus") === "O", col("o_custkey")))
+            .as("buyers_o")),
+      Some("SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS buyers_all, " +
+        "CAST(count(DISTINCT CASE WHEN o_orderstatus='F' THEN o_custkey END) AS BIGINT) AS buyers_f, " +
+        "CAST(count(DISTINCT CASE WHEN o_orderstatus='O' THEN o_custkey END) AS BIGINT) AS buyers_o " +
+        "FROM orders")),
+
+    GraftQuery(
       "q27_cube",
       "Full cross-dimension subtotals via CUBE (beyond the reference).",
       (s, d) => t(s, d, "orders")
