@@ -382,6 +382,37 @@ object Relational {
         "FROM daily ORDER BY day_s")),
 
     GraftQuery(
+      "q74_stat_aggs",
+      "Statistical aggregates: sample stddev/variance of order totals per status and the quantity-price Pearson correlation — rounded to 4dp, far above the ~1e-10 accumulation-order noise.",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+          round(var_samp(col("o_totalprice")), 4).as("vr"))
+        .orderBy(col("o_orderstatus")),
+      Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(stddev_samp(o_totalprice), 4) AS sd, " +
+        "round(var_samp(o_totalprice), 4) AS vr " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    GraftQuery(
+      "q75_string_funcs",
+      "String-function breadth (F4/F8 family): upper, reverse, lpad, translate, repeat over part names — all codegen'd, per-row only.",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          reverse(col("p_name")).as("rev"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          concat(col("p_type"), lit("|"), repeat(col("p_brand"), 2)).as("cat"))
+        .orderBy(col("p_partkey")),
+      Some("SELECT p_partkey, upper(p_name) AS up, reverse(p_name) AS rev, " +
+        "lpad(p_brand, 12, '*') AS pad, translate(p_name, 'aeiou', 'AEIOU') AS tr, " +
+        "concat(p_type, '|', repeat(p_brand, 2)) AS cat " +
+        "FROM part WHERE p_partkey <= 100 ORDER BY p_partkey")),
+
+    GraftQuery(
       "q70_percent_rank",
       "Distribution ranking: percent_rank and cume_dist over account balance — exact rational values ((rank-1)/(n-1), rank/n) so no rounding slack is needed beyond 6dp.",
       (s, d) => {
