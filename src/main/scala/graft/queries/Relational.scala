@@ -382,6 +382,47 @@ object Relational {
         "FROM daily ORDER BY day_s")),
 
     GraftQuery(
+      "q76_null_handling",
+      "Null-handling functions over outer-join nulls: customers' last order year via coalesce/nullif defaults — the explicit null-discipline surface (P9-adjacent).",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(max(year(col("o_orderdate"))).as("last_p_year"))
+          .select(col("c_custkey"),
+            coalesce(col("last_p_year"), lit(0)).as("last_p_year_or_0"),
+            (col("last_p_year").isNull).as("never_pending"),
+            nullif(coalesce(col("last_p_year"), lit(0)), lit(0)).isNull
+              .as("nullif_roundtrip"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("SELECT c_custkey, coalesce(last_p_year, 0) AS last_p_year_or_0, " +
+        "(last_p_year IS NULL) AS never_pending, " +
+        "(nullif(coalesce(last_p_year, 0), 0) IS NULL) AS nullif_roundtrip FROM " +
+        "(SELECT c_custkey, max(CAST(year(o_orderdate) AS INTEGER)) AS last_p_year " +
+        "FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') " +
+        "ON o_custkey = c_custkey GROUP BY c_custkey) ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q78_pivot_api",
+      "Native .pivot() API with an explicit value list (bounded output columns — never let pivot discover unbounded distinct values at scale).",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+        .orderBy(col("user_id")),
+      Some("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view, " +
+        "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    GraftQuery(
       "q74_stat_aggs",
       "Statistical aggregates: sample stddev/variance of order totals per status and the quantity-price Pearson correlation — rounded to 4dp, far above the ~1e-10 accumulation-order noise.",
       (s, d) => t(s, d, "orders")
