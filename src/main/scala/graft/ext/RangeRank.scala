@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking: an unpartitioned `Window.orderBy(...)`
+  * moves the ENTIRE table into one task — fine on a 1500-row fixture,
+  * fatal on a 100 TB dimension. This helper computes the identical
+  * exact global row_number in two distributed passes:
+  *
+  *  1. bucket rows by a coarse range expression over the leading sort
+  *     key (value-contiguous, so bucket order == global order), and
+  *     rank WITHIN buckets — one hash shuffle, every bucket a normal
+  *     task;
+  *  2. add per-bucket offsets from the cumulative counts of preceding
+  *     buckets — a broadcast join against a table with one row per
+  *     bucket (the only single-partition window runs over THAT tiny
+  *     table, O(buckets) rows, never the data).
+  *
+  * The result is exact and partitioning-invariant for any total
+  * ordering (callers pass a unique tiebreak column, as they already
+  * must for deterministic ranking). Bucket boundaries only affect task
+  * sizing, never values. At 100 TB the bucket expression would be
+  * derived from `approx_percentile` over the sort key (equi-depth
+  * boundaries) instead of a fixed value width; the two-pass shape is
+  * unchanged.
+  */
+object RangeRank {
+
+  /** Adds `rnName` (global row_number, 1-based) and `nName` (total row
+    * count) columns. `bucket` MUST be monotone non-decreasing in the
+    * leading sort key (e.g. `floor(col("x") / width)` when sorting by
+    * `x`), and `sortCols` must be a total order.
+    */
+  def withGlobalRowNumber(df: DataFrame, bucket: Column, sortCols: Seq[Column],
+      rnName: String = "global_rn", nName: String = "global_n"): DataFrame = {
+    val withB = df.withColumn("__bucket", bucket)
+    val wLocal = Window.partitionBy(col("__bucket")).orderBy(sortCols: _*)
+    val local = withB.withColumn("__local_rn", row_number().over(wLocal))
+
+    // one row per bucket; these windows single-partition O(buckets)
+    // rows, not the data
+    val wPrev = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = withB.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bn")).over(wPrev), lit(0L)).as("__offset"),
+        sum(col("__bn")).over(wAll).as(nName))
+
+    local.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(rnName, col("__offset") + col("__local_rn"))
+      .drop("__bucket", "__local_rn", "__offset")
+  }
+
+  /** SQL-standard ntile from a global row_number: the first `n mod k`
+    * tiles get `floor(n/k)+1` rows, the rest `floor(n/k)` — identical
+    * to `ntile(k)` over the same total order.
+    */
+  def ntileOf(rn: Column, n: Column, k: Int): Column = {
+    val base = floor(n / k)
+    val rem = n % k
+    val cut = rem * (base + 1)
+    when(rn <= cut, ceil(rn.cast("double") / (base + 1)))
+      .otherwise(rem + ceil((rn - cut).cast("double") / base))
+      .cast("int")
+  }
+}

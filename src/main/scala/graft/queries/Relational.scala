@@ -348,11 +348,16 @@ object Relational {
       "Heavy-hitter profiling: top-20 join keys by frequency with their share — the skew-detection query run before choosing salting/AQE strategies at scale.",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val total = li.count() // single scalar, driver-safe
+        // the scalar total stays inside the plan as a broadcast 1-row
+        // aggregate — a driver-side li.count() would be a second job
+        // scanning the fact table twice per execution
+        val total = li.agg(count(lit(1)).as("n_total"))
         li.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
           .withColumn("share_ppm",
-            round(col("cnt") * 1000000.0 / total, 0).cast("long"))
+            round(col("cnt") * 1000000.0 / col("n_total"), 0).cast("long"))
+          .select(col("l_partkey"), col("cnt"), col("share_ppm"))
           .orderBy(col("cnt").desc, col("l_partkey"))
           .limit(20)
       },
@@ -455,13 +460,15 @@ object Relational {
 
     GraftQuery(
       "q70_percent_rank",
-      "Distribution ranking: percent_rank and cume_dist over account balance — exact rational values ((rank-1)/(n-1), rank/n) so no rounding slack is needed beyond 6dp.",
+      "Distribution ranking: percent_rank and cume_dist over account balance — exact rational values ((rank-1)/(n-1), rank/n) so no rounding slack is needed beyond 6dp. Computed via range-bucketed two-pass ranking (ext.RangeRank), NOT an unpartitioned Window.orderBy: the ordering key is unique, so rank == row_number and the distributed two-pass result is identical.",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        t(s, d, "customer")
-          .select(col("c_custkey"),
-            round(percent_rank().over(w), 6).as("pr"),
-            round(cume_dist().over(w), 6).as("cd"))
+        val ranked = graft.ext.RangeRank.withGlobalRowNumber(
+          t(s, d, "customer"),
+          floor(col("c_acctbal") / 500), // acctbal in [-999.99, 9999.99] → ~22 value-range buckets
+          Seq(col("c_acctbal"), col("c_custkey")))
+        ranked.select(col("c_custkey"),
+          round((col("global_rn") - 1).cast("double") / (col("global_n") - 1), 6).as("pr"),
+          round(col("global_rn").cast("double") / col("global_n"), 6).as("cd"))
           .orderBy(col("c_custkey"))
       },
       Some("SELECT c_custkey, round(percent_rank() OVER w, 6) AS pr, " +
@@ -470,11 +477,14 @@ object Relational {
 
     GraftQuery(
       "q62_ntile_quartiles",
-      "ntile ranking: customers bucketed into account-balance quartiles with a unique-key tiebreak so bucket boundaries are deterministic.",
+      "ntile ranking: customers bucketed into account-balance quartiles with a unique-key tiebreak so bucket boundaries are deterministic. The SQL-standard ntile is derived from a range-bucketed two-pass global row_number (ext.RangeRank) instead of a single-partition Window.orderBy over the whole table.",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        t(s, d, "customer")
-          .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+        val ranked = graft.ext.RangeRank.withGlobalRowNumber(
+          t(s, d, "customer"),
+          floor(col("c_acctbal") / 500),
+          Seq(col("c_acctbal"), col("c_custkey")))
+        ranked.select(col("c_custkey"),
+          graft.ext.RangeRank.ntileOf(col("global_rn"), col("global_n"), 4).as("quartile"))
           .orderBy(col("c_custkey"))
       },
       Some("SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile " +

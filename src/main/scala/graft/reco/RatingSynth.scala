@@ -30,30 +30,34 @@ object RatingSynth {
       .select(col("o_orderkey"), col("o_custkey"))
     val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey").as("userId"), col("l_partkey").as("itemId"),
-        col("l_discount"))
+        col("l_orderkey"), col("l_discount"))
 
     // Aggregate item score in the reference's ~5.5–8.5 rating band,
     // from popularity quartiles (the reference's numVotes analog) so
-    // all four tier branches are exercised. ntile runs on the *item*
-    // dimension (small next to the fact table); at 100 TB the same
-    // quartiling would use approxQuantile instead of a global window.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pop"), col("itemId"))
-    val itemScore = inter.groupBy(col("itemId"))
-      .agg(count(lit(1)).as("pop"))
-      .withColumn("q", ntile(4).over(w))
+    // all four tier branches are exercised. Quartiling uses the
+    // range-bucketed two-pass ranking (ext.RangeRank) — bucketing on
+    // `pop` itself (the leading sort key, a small-int count domain) —
+    // so even this dimension-side ranking never funnels the table into
+    // a single-partition Window.orderBy.
+    val pops = inter.groupBy(col("itemId")).agg(count(lit(1)).as("pop"))
+    val ranked = graft.ext.RangeRank.withGlobalRowNumber(
+      pops, col("pop"), Seq(col("pop"), col("itemId")))
+    val itemScore = ranked
+      .withColumn("q", graft.ext.RangeRank.ntileOf(col("global_rn"), col("global_n"), 4))
       .select(col("itemId"),
         (lit(5.0) + col("q") * 0.9).as("agg_rating"))
 
     // Reference tier table via the shared mapping (RatingsConverter
-    // .tierStar). The uniform draw is materialized ONCE per row ("u"):
-    // repeating rand(42) inside the when-chain would create separate
-    // RNG streams that desynchronize under conditional evaluation and
-    // bias the tiers.
+    // .tierStar). The uniform draw is materialized ONCE per row ("u")
+    // and derived from the row's keys via hashUniform, not rand(seed):
+    // rand seeds per *partition*, so after the shuffle join its values
+    // depend on partition assignment — hash-of-keys is invariant under
+    // any partitioning, keeping the synthesis byte-stable across runs.
     val star = graft.app.RatingsConverter.tierStar(col("agg_rating"), col("u"))
 
     inter.join(itemScore, Seq("itemId"))
-      .withColumn("u", rand(42))
+      .withColumn("u", graft.app.RatingsConverter.hashUniform(
+        42, col("userId"), col("itemId"), col("l_orderkey")))
       .select(col("userId"), col("itemId"),
         star.cast("float").as("rating"))
   }
