@@ -17,6 +17,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.requiredConf._1, Tables.requiredConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,6 +42,13 @@ object Bench {
       val a = once()
       val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
       name -> dt
+    }
+    graft.queries.TextOps.releaseCaches()
+    // Per-query lines FIRST, the parseable one-line summary LAST: the
+    // driver keeps only the output tail, so a total printed up front
+    // gets truncated away (BENCH_r02/r03 both lost their head).
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":$v}""")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -11,11 +11,29 @@ import graft.reco.Recommender
   */
 final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   CosineRegistration.ensure(spark)
+  // One-time, at engine construction (documented; Bench/Verify/Plans set
+  // it at session build) — never per-table-load, which would be a racy
+  // global side effect buried in a loader.
+  spark.conf.set(Tables.requiredConf._1, Tables.requiredConf._2)
 
   /** Any registered query by name (see Registry / ARCHITECTURE.md). */
   def query(name: String): DataFrame = Registry.byName(name).fn(spark, dataDir)
 
   def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  /** S9 catalog existence probe: the reference's
+    * `information_schema.tables` lookup (app.py:55–72) expressed
+    * through the Spark catalog — no scan, pure metadata.
+    */
+  def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
+
+  /** "Create if missing" registration (the reference's ensure-table
+    * step): expose a fixture table to SQL as a temp view only when the
+    * catalog doesn't already have that name.
+    */
+  def ensureView(name: String): Boolean =
+    if (tableExists(name)) false
+    else { table(name).createOrReplaceTempView(name); true }
 
   /** The reference app's serving surface over IMDb-shaped tables. */
   def popularMovies(basics: DataFrame, ratings: DataFrame, limit: Int = 100): DataFrame =

@@ -20,6 +20,7 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.requiredConf._1, Tables.requiredConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -18,13 +18,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session conf every consumer of these fixtures must set ONCE at
+    * session-build time (Bench/Verify/Plans/ScaleStress/SparkSpec do;
+    * GraftEngine sets it at construction for library users): the events
+    * fixture stores TIMESTAMP(NANOS), which Spark 4 has no native type
+    * for, so nanos are read as long and truncated to microseconds —
+    * the same ns→us truncation DuckDB applies. Kept OUT of `load`
+    * itself: a per-call `spark.conf.set` is a global side effect, racy
+    * under concurrent loads.
+    */
+  val requiredConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores TIMESTAMP(NANOS), which Spark 4 has
-      // no native type for: read nanos as long (legacy conf) and
-      // truncate to microseconds — the same ns→us truncation DuckDB
-      // applies, so both engines see identical timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {

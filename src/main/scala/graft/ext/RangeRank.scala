@@ -31,10 +31,20 @@ object RangeRank {
   /** Adds `rnName` (global row_number, 1-based) and `nName` (total row
     * count) columns. `bucket` MUST be monotone non-decreasing in the
     * leading sort key (e.g. `floor(col("x") / width)` when sorting by
-    * `x`), and `sortCols` must be a total order.
+    * `x`), and `sortCols` must be a total order. A null bucket (null
+    * leading sort key) is handled: the bucket join is null-safe and a
+    * null bucket sorts first, matching `Window.orderBy`'s default
+    * asc-nulls-first placement.
     */
   def withGlobalRowNumber(df: DataFrame, bucket: Column, sortCols: Seq[Column],
       rnName: String = "global_rn", nName: String = "global_n"): DataFrame = {
+    // withColumn silently REPLACES an existing column — a collision with
+    // the internal helper names would corrupt the ranking, so refuse.
+    val reserved = Set("__bucket", "__obucket", "__local_rn", "__offset", rnName, nName)
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"RangeRank: input columns collide with internal/output names: ${clash.mkString(", ")}")
+
     val withB = df.withColumn("__bucket", bucket)
     val wLocal = Window.partitionBy(col("__bucket")).orderBy(sortCols: _*)
     val local = withB.withColumn("__local_rn", row_number().over(wLocal))
@@ -46,13 +56,15 @@ object RangeRank {
     val wAll = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = withB.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
-      .select(col("__bucket"),
+      .select(col("__bucket").as("__obucket"),
         coalesce(sum(col("__bn")).over(wPrev), lit(0L)).as("__offset"),
         sum(col("__bn")).over(wAll).as(nName))
 
-    local.join(broadcast(offsets), Seq("__bucket"))
+    // null-safe equality: a plain equi-join would silently DROP rows in
+    // the null bucket, where Window.orderBy would rank them (first).
+    local.join(broadcast(offsets), col("__bucket") <=> col("__obucket"))
       .withColumn(rnName, col("__offset") + col("__local_rn"))
-      .drop("__bucket", "__local_rn", "__offset")
+      .drop("__bucket", "__obucket", "__local_rn", "__offset")
   }
 
   /** SQL-standard ntile from a global row_number: the first `n mod k`

@@ -51,10 +51,25 @@ object TextOps {
     * At 100 TB the same role is played by materializing the shingle
     * table once (parquet, bucketed by doc_id) ahead of the dedup pass.
     */
+  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
   private def cachedShingles(docs: DataFrame): DataFrame = {
     val sh = shingleSet(docs)
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.synchronized { pinned += sh }
     sh
+  }
+
+  /** Unpins every shingle relation persisted by q41/q42 plan builds.
+    * Bench/Verify call this after the query sweep so a long-lived
+    * session doesn't accumulate one pinned MEMORY_AND_DISK entry per
+    * data dir it ever touched. (At 100 TB the cache is replaced by a
+    * one-time bucketed-parquet materialization — see cachedShingles
+    * scaladoc — so this lifecycle concern is local-session only.)
+    */
+  def releaseCaches(): Unit = pinned.synchronized {
+    pinned.foreach(df => df.unpersist(blocking = false))
+    pinned.clear()
   }
 
   /** Exact pairwise Jaccard >= threshold via a shingle inverted index:

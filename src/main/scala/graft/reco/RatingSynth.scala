@@ -25,12 +25,12 @@ object RatingSynth {
   def synthRatings(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .filter(col("l_orderkey") % 3 === 0) // deterministic sample, not rand
-      .select(col("l_orderkey"), col("l_partkey"), col("l_discount"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_discount"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey").as("userId"), col("l_partkey").as("itemId"),
-        col("l_orderkey"), col("l_discount"))
+        col("l_orderkey"), col("l_linenumber"), col("l_discount"))
 
     // Aggregate item score in the reference's ~5.5–8.5 rating band,
     // from popularity quartiles (the reference's numVotes analog) so
@@ -55,9 +55,12 @@ object RatingSynth {
     // any partitioning, keeping the synthesis byte-stable across runs.
     val star = graft.app.RatingsConverter.tierStar(col("agg_rating"), col("u"))
 
+    // (userId, itemId, l_orderkey) is NOT row-unique — one order can
+    // carry the same part on several lineitems — so the draw is keyed on
+    // l_linenumber too, making it per-row unique.
     inter.join(itemScore, Seq("itemId"))
       .withColumn("u", graft.app.RatingsConverter.hashUniform(
-        42, col("userId"), col("itemId"), col("l_orderkey")))
+        42, col("userId"), col("itemId"), col("l_orderkey"), col("l_linenumber")))
       .select(col("userId"), col("itemId"),
         star.cast("float").as("rating"))
   }

@@ -19,6 +19,17 @@ class GraftEngineSpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("catalog existence probe and ensure-view registration") {
+    assert(!engine.tableExists("nation"))
+    // registers when absent, no-op when already present
+    assert(engine.ensureView("nation"))
+    assert(engine.tableExists("nation"))
+    assert(!engine.ensureView("nation"))
+    assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) === 25L)
+    spark.catalog.dropTempView("nation")
+    assert(!engine.tableExists("nation"))
+  }
+
   test("integrity audit reports clean fixtures") {
     val checks = engine.query("q64_integrity_checks").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
