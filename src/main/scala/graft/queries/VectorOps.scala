@@ -26,16 +26,61 @@ import graft.functions.CosineSimilarity
 object VectorOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** 8-bit sign-signature LSH bucket from the first 8 dims. */
-  private def signBucket(emb: org.apache.spark.sql.Column) =
-    (0 until 8).map { j =>
-      when(element_at(emb, j + 1) > 0f, lit(1 << j)).otherwise(lit(0))
+  /** Adaptive sign-LSH width: the fixed 8-bit bucket of earlier rounds
+    * made the within-bucket self-join ~n²/256 — quadratic in corpus
+    * size. The bucket count now scales with the corpus: bits = the
+    * smallest b in [8, 24] with n ≤ 32·2^b, so the expected bucket size
+    * stays ≈≤32 and the candidate join does ~32·n comparisons — linear.
+    * Derived with pure INTEGER comparisons (no log/float), so Spark and
+    * the DuckDB oracle cannot disagree at a power-of-two boundary. The
+    * 24-bit cap is the embedding's usable sign dims; past ~5·10⁸
+    * vectors bucket sizes grow again, but only linearly (n/2^24).
+    */
+  private val MinBits = 8
+  private val MaxBits = 24
+  private val TargetBucket = 32L
+
+  private def bitsFor(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (MinBits until MaxBits).reverse.foldLeft(lit(MaxBits): org.apache.spark.sql.Column) {
+      (acc, b) => when(n <= lit(TargetBucket << b), lit(b)).otherwise(acc)
+    }
+
+  private val bitsSql: String =
+    (MinBits until MaxBits).reverse.foldLeft(MaxBits.toString) { (acc, b) =>
+      s"(CASE WHEN n <= ${TargetBucket << b} THEN $b ELSE $acc END)"
+    }
+
+  /** Sign-signature LSH bucket over the first `bits` dims (bits is a
+    * per-corpus column from `bitsFor`, constant across rows).
+    */
+  private def signBucket(emb: org.apache.spark.sql.Column,
+      bits: org.apache.spark.sql.Column) =
+    (0 until MaxBits).map { j =>
+      when((lit(j) < bits) && (element_at(emb, j + 1) > 0f), lit(1 << j))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   private val signBucketSql: String =
-    (0 until 8).map { j =>
-      s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+    (0 until MaxBits).map { j =>
+      s"(CASE WHEN $j < bits AND embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Corpus with its adaptive bucket: n is a broadcast 1-row aggregate
+    * INSIDE the plan (no driver-side count), bits derives from it.
+    */
+  private def withBucket(e0: DataFrame): DataFrame = {
+    val n = e0.groupBy().agg(count(lit(1)).as("n"))
+    e0.crossJoin(broadcast(n))
+      .withColumn("bucket", signBucket(col("embedding"), bitsFor(col("n"))))
+      .drop("n")
+  }
+
+  /** DuckDB twin of `withBucket` as a CTE body over `embeddings`. */
+  private val bucketCteSql: String =
+    "nb AS (SELECT count(*) AS n FROM embeddings), " +
+      s"bb AS (SELECT ($bitsSql) AS bits FROM nb), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
+      s"($signBucketSql) AS bucket FROM embeddings, bb)"
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -67,11 +112,10 @@ object VectorOps {
 
     GraftQuery(
       "q51_ann_lsh_topk",
-      "Bucketed ANN: 8-bit sign-signature LSH over the first 8 dims, then per-vector top-3 neighbors *within the bucket*. Join key = bucket, so cost is sum of squared bucket sizes (~n²/256 uniformly), not n² — and at 100 TB buckets shard naturally across executors.",
+      "Bucketed ANN: sign-signature LSH whose bit width GROWS with the corpus (bits = smallest b in [8,24] with n <= 32*2^b, n a broadcast 1-row agg in the plan), then per-vector top-3 neighbors within the bucket. Expected bucket size stays ~<=32, so the candidate join is ~32n comparisons — linear in corpus size, and buckets shard naturally across executors.",
       (s, d) => {
         CosineSimilarity.ensureRegistered(s)
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+        val e = withBucket(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
         val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
         val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
         val pairs = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
@@ -83,8 +127,7 @@ object VectorOps {
           .select(col("a_id"), col("b_id"), col("cos_r"), col("rn"))
           .orderBy(col("a_id"), col("rn"))
       },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
-        s"($signBucketSql) AS bucket FROM embeddings), " +
+      Some(s"WITH $bucketCteSql, " +
         "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "round(list_inner_product(a.emb, b.emb)/" +
         "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
@@ -95,11 +138,10 @@ object VectorOps {
 
     GraftQuery(
       "q54_embedding_neardup",
-      "Embedding-cosine near-duplicate pairs: sign-bucket LSH candidates (same blocking as q51), keep unordered pairs above a similarity floor — the semantic-dedup step of an embedding-indexed corpus. No all-pairs join at any scale.",
+      "Embedding-cosine near-duplicate pairs: adaptive sign-bucket LSH candidates (same corpus-scaled blocking as q51), keep unordered pairs above a similarity floor — the semantic-dedup step of an embedding-indexed corpus. No all-pairs join at any scale; candidate volume stays ~32n.",
       (s, d) => {
         CosineSimilarity.ensureRegistered(s)
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+        val e = withBucket(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
         val l = e.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("a_emb"))
         val r = e.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("b_emb"))
         l.join(r, Seq("bucket")).filter(col("da") < col("db"))
@@ -108,8 +150,7 @@ object VectorOps {
           .select(col("da"), col("db"), col("cos_r"))
           .orderBy(col("da"), col("db"))
       },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
-        s"($signBucketSql) AS bucket FROM embeddings) " +
+      Some(s"WITH $bucketCteSql " +
         "SELECT a.vec_id AS da, b.vec_id AS db, " +
         "round(list_inner_product(a.emb, b.emb)/" +
         "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
@@ -169,6 +210,19 @@ object VectorOps {
         "(instr('0123456789abcdef', substr(md5(text),6,1))-1)) AS hv FROM documents) " +
         "SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes, " +
         "CAST(hv % 1280 AS INTEGER) AS fake_width, " +
-        "CAST((hv // 1280) % 720 AS INTEGER) AS fake_height FROM h ORDER BY doc_id"))
+        "CAST((hv // 1280) % 720 AS INTEGER) AS fake_height FROM h ORDER BY doc_id")),
+
+    GraftQuery(
+      "q79_ivf_topk",
+      "Trained-IVF ANN serving query (ext.AnnIndex): seeded KMeans(16) centroids partition the corpus into cells; each query (vec_id < 10) probes only its nProbe most-similar cells and ranks candidates exactly. The 100 TB ANN path: centroids broadcast, a probe touches ~nProbe/k of the corpus, and cell-partitioned persistence prunes files. No SQL oracle — KMeans cell boundaries aren't SQL-expressible — so the driver records rows-only; AnnIndexSpec pins exact-equivalence at full probe and a recall floor vs the q50 brute-force baseline.",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = graft.ext.AnnIndex.build(s, e, k = 16)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.ext.AnnIndex.search(index, q, topK = 5, nProbe = 8)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None)
   )
 }

@@ -30,6 +30,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("registered q79_ivf_topk: top-5 per query, high recall vs exact") {
+    val rows = Registry.byName("q79_ivf_topk").fn(spark, sfDir).collect()
+    assert(rows.length === 50) // 10 queries x top-5
+    val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe=8 of 16 cells over 50 near-isotropic vectors (sf0.001) —
+    // the worst case for IVF: neighbors scatter across cells, so this
+    // is a recall FLOOR (observed 0.78, deterministic under the fixed
+    // seed). Clustered real corpora reach far higher recall at the same
+    // probe fraction; exact-equivalence at full probe is pinned above.
+    assert(recall >= 0.75, s"recall=$recall")
+  }
+
   test("nProbe=3 of 8 keeps recall@5 above 60% at ~3/8 of the scan") {
     // the fixture's embeddings are nearly isotropic (weak clusters),
     // so IVF recall here is a floor — real clustered corpora do better
