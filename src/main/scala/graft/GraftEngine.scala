@@ -15,6 +15,11 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   // it at session build) — never per-table-load, which would be a racy
   // global side effect buried in a loader.
   spark.conf.set(Tables.requiredConf._1, Tables.requiredConf._2)
+  // Deep-iteration ALS (Recommender.referenceConfig) requires a
+  // checkpoint dir for lineage truncation; respect one already set.
+  if (spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
 
   /** Any registered query by name (see Registry / ARCHITECTURE.md). */
   def query(name: String): DataFrame = Registry.byName(name).fn(spark, dataDir)

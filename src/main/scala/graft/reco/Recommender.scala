@@ -32,6 +32,24 @@ object Recommender {
       seed: Long = 42L,
       numFolds: Int = 3)
 
+  /** The reference's exact training point (recommender.py:106–123):
+    * rank 200, maxIter 40, regParam 0.4, 3-fold CV. Heavily
+    * overparameterized for the synthetic fixtures (RecoSpec trains it
+    * on sf0.001 in-suite; the recorded RMSE lives in BASELINE.md) but
+    * runs in the default test-session memory — rank-200 factor blocks
+    * on fixture-sized user/item sets are megabytes, not gigabytes. At
+    * production scale the memory driver is (users+items)·rank·4 bytes
+    * across executors, all executor-side: no driver-memory bump needed
+    * beyond Spark defaults until recommendForAllUsers collects.
+    *
+    * REQUIREMENT at maxIter ≳ 20: `sc.setCheckpointDir(...)` must be
+    * set (SparkSpec/GraftEngine callers do) — ALS truncates its factor
+    * lineage by checkpointing every 10 iterations, and without a dir
+    * the 40-iter lineage overflows the task-deserialization stack.
+    */
+  val referenceConfig: Config =
+    Config(rank = 200, maxIter = 40, regParam = 0.4f, seed = 42L, numFolds = 3)
+
   /** M1+M3: StringIndexer×2 + ALS pipeline (recommender.py:70–82). */
   def pipeline(cfg: Config): Pipeline = {
     val userIdx = new StringIndexer().setInputCol("userId")

