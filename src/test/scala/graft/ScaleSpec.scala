@@ -1,13 +1,80 @@
 package graft
 
+import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.functions._
 import graft.ext.SkewJoin
 
 /** Scale-pattern proofs: bucketed co-located joins eliminate the join
-  * shuffle; salted joins equal their plain equivalents.
+  * shuffle; salted joins equal their plain equivalents; and the plan
+  * audits that guard those wins against regression (a reverted
+  * `Window.orderBy` or an accidental cartesian product fails here, not
+  * at 100 TB).
   */
 class ScaleSpec extends SparkSpec {
+
+  /** Physical plan with AQE off: AdaptiveSparkPlanExec is a leaf node
+    * that hides its subtree from `collect` until execution, so static
+    * plan-shape assertions need the non-adaptive planning.
+    */
+  private def staticPlan[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.queries.TextOps.releaseCaches()
+    }
+  }
+
+  // Model-fitting queries execute Spark jobs just to CONSTRUCT their
+  // result frame — no stable static plan to audit.
+  private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk")
+
+  test("no registered query plans a cartesian product") {
+    staticPlan {
+      Registry.all.filterNot(q => fitQueries(q.name)).foreach { q =>
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        assert(cart.isEmpty, s"${q.name} plans a CartesianProduct")
+      }
+    }
+  }
+
+  test("selective scans reach the parquet reader as pushed filters") {
+    staticPlan {
+      Seq("q01_popular", "q03_range_filter", "q25_star_join").foreach { n =>
+        val txt = Registry.byName(n).fn(spark, sfDir).queryExecution
+          .explainString(FormattedMode)
+        val pushed = txt.linesIterator
+          .filter(_.trim.startsWith("PushedFilters:")).toSeq
+        assert(pushed.exists(l => !l.trim.endsWith("[]")),
+          s"$n pushes no filters into any scan:\n${pushed.mkString("\n")}")
+      }
+    }
+  }
+
+  test("global rankings never single-partition the data (RangeRank guard)") {
+    // q62/q70 (and q60's popularity quartiling) rank via ext.RangeRank:
+    // the ONLY single-partition exchange allowed in their plans is the
+    // one over the per-bucket count table (O(buckets) rows, recognizable
+    // by its __bucket column). A revert to Window.orderBy over the data
+    // plans a SinglePartition exchange of the raw input and fails here.
+    staticPlan {
+      Seq("q62_ntile_quartiles", "q70_percent_rank", "q60_synth_ratings")
+        .foreach { n =>
+          val plan = Registry.byName(n).fn(spark, sfDir)
+            .queryExecution.executedPlan
+          val bad = plan.collect {
+            case e: ShuffleExchangeExec
+                if e.outputPartitioning.numPartitions == 1 &&
+                  !e.child.toString.contains("__bucket") => e
+          }
+          assert(bad.isEmpty,
+            s"$n single-partitions non-bucket-count data:\n${bad.mkString("\n")}")
+        }
+    }
+  }
 
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpec's builder
