@@ -67,6 +67,32 @@ object RangeRank {
       .drop("__bucket", "__obucket", "__local_rn", "__offset")
   }
 
+  /** The self-tuning form: derives equi-depth bucket boundaries for
+    * `sortCol` from `approx_percentile` (one tiny broadcast aggregate),
+    * then ranks exactly as `withGlobalRowNumber`. This is the variant
+    * the fixed-width callers graduate to at 100 TB — boundaries adapt
+    * to ANY value distribution (skew included: equal-depth buckets mean
+    * equal task sizes), while the data still makes exactly two passes.
+    *
+    * Correctness does not depend on percentile accuracy: boundaries
+    * only place rows in buckets, and `count(boundaries <= x)` is
+    * monotone in `x`, so bucket order always equals value order. Null
+    * sort keys take bucket 0 and sort first inside it — identical to
+    * `Window.orderBy`'s asc-nulls-first.
+    */
+  def withGlobalRowNumberAuto(df: DataFrame, sortCol: Column,
+      tieBreaks: Seq[Column], buckets: Int = 64,
+      rnName: String = "global_rn", nName: String = "global_n"): DataFrame = {
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val bounds = df.agg(
+      percentile_approx(sortCol, probs, lit(10000)).as("__bounds"))
+    val withBounds = df.crossJoin(broadcast(bounds))
+    val bucket = aggregate(col("__bounds"), lit(0),
+      (acc, b) => acc + when(sortCol >= b, 1).otherwise(0))
+    withGlobalRowNumber(withBounds, bucket, sortCol +: tieBreaks, rnName, nName)
+      .drop("__bounds")
+  }
+
   /** SQL-standard ntile from a global row_number: the first `n mod k`
     * tiles get `floor(n/k)+1` rows, the rest `floor(n/k)` — identical
     * to `ntile(k)` over the same total order.
