@@ -388,6 +388,28 @@ object TextOps {
       Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s " +
         "FROM tok, UNNEST(range(1, len(toks)-3)) t(i) WHERE len(toks) >= 5) " +
-        "SELECT doc_id, min(substr(md5(s),1,8)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id"))
+        "SELECT doc_id, min(substr(md5(s),1,8)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q80_contamination",
+      "Benchmark-contamination check: corpus documents sharing >=3 distinct word 3-grams with any held-out evaluation document (eval set = doc_id % 20 == 0). Inverted-index join on the 64-bit shingle key — cost bounded by shingle frequency, never corpus x eval all-pairs. At 100 TB a real benchmark set is tiny and its shingle table broadcasts, turning this into a map-side probe over the streaming corpus.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val ev = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_id"), col("sk"))
+        val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+        corpus.join(ev, Seq("sk"))
+          .groupBy(col("doc_id"), col("eval_id"))
+          .agg(count(lit(1)).as("overlap"))
+          .filter(col("overlap") >= 3)
+          .orderBy(col("doc_id"), col("eval_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0), " +
+        "co AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0) " +
+        "SELECT co.doc_id, eval_id, count(*) AS overlap FROM co JOIN ev USING (s) " +
+        "GROUP BY co.doc_id, eval_id HAVING count(*) >= 3 ORDER BY doc_id, eval_id"))
   )
 }

@@ -76,6 +76,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-partition config governs exchange width (X2)") {
+    // the session builders pin spark.sql.shuffle.partitions (32 in
+    // Bench/Verify, 4 here); the static plan must inherit it
+    staticPlan {
+      val q = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      val widths = q.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning.numPartitions
+      }
+      assert(widths.nonEmpty && widths.forall(_ ==
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    }
+  }
+
+  test("AQE coalesces tiny shuffle partitions at runtime (X3)") {
+    // with AQE on (session default), a 6-group aggregate must NOT run
+    // 4 reduce partitions configured statically — runtime stats shrink
+    // the exchange to fewer, fuller partitions
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val q = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("s"))
+    val n = q.rdd.getNumPartitions
+    assert(n < spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"AQE did not coalesce: $n partitions")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpec's builder
     val o = Tables.load(spark, sfDir, "orders")
