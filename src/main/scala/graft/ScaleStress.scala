@@ -38,8 +38,13 @@ object ScaleStress {
     // intact so per-key fan-in matches a real larger SF
     replicate("lineitem", Seq("l_orderkey"), 10000000L)
     replicate("orders", Seq("o_orderkey"), 10000000L)
-    Seq("customer", "supplier", "part", "nation", "region", "events",
-      "documents", "embeddings").foreach { t =>
+    // documents/embeddings replicate with shifted ids: every doc gains 9
+    // exact duplicates (realistic dedup load — near-dup candidates grow
+    // 45× per cluster) and the 10× embedding corpus pushes q51's
+    // adaptive LSH past its 8-bit floor (50k vectors → 11 bucket bits)
+    replicate("documents", Seq("doc_id"), 10000000L)
+    replicate("embeddings", Seq("vec_id"), 10000000L)
+    Seq("customer", "supplier", "part", "nation", "region", "events").foreach { t =>
       val d = Paths.get(s"$out/$t.parquet")
       if (Files.exists(d)) Files.walk(d).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
@@ -49,7 +54,8 @@ object ScaleStress {
     }
 
     val headline = Seq("q25_star_join", "q18_agg_sum", "q19_window_topk",
-      "q16_topk", "q11_left_join", "q13_distinct_count", "q55_band_range_join")
+      "q16_topk", "q11_left_join", "q13_distinct_count", "q55_band_range_join",
+      "q40_dedup_exact", "q42_minhash_lsh_pairs", "q51_ann_lsh_topk")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

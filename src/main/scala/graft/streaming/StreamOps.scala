@@ -25,6 +25,21 @@ object StreamOps {
   final case class ClosedSession(user_id: Long, start_s: Long, end_s: Long,
       n_events: Int)
 
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming exact dedup — the streaming twin of batch
+    * q40_dedup_exact, for a continuous ingest feed: documents are
+    * deduped on their normalized content digest, and
+    * `dropDuplicatesWithinWatermark` bounds the digest state by event
+    * time, so an unbounded feed can't grow state without bound (a plain
+    * `dropDuplicates` on a stream retains every digest forever).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(lower(trim(col("text")))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

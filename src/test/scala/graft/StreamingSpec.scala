@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.dedupStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.Doc(1, ts("2024-01-01 00:00:00"), "the same text"),
+        StreamOps.Doc(2, ts("2024-01-01 00:05:00"), "THE SAME   text".replace("   ", " ")),
+        StreamOps.Doc(3, ts("2024-01-01 00:10:00"), "a different text"))
+      q.processAllAvailable()
+      // one survivor per digest: normalization folds case, so docs 1+2
+      // collapse; doc 3 survives separately
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size === 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits exactly the closed sessions") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
