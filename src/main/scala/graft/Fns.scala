@@ -41,7 +41,11 @@ object Fns {
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Word n-gram shingles of a token array, 1-based slices. Caller
-    * must guarantee size >= n (Spark's `sequence(1,0)` would descend).
+    * must guarantee size >= n (Spark's `sequence(1,0)` would descend),
+    * and should pass a MATERIALIZED token column (`.as("tk")` in a
+    * prior projection), never an inline `toks(text)`: the argument
+    * embeds in the lambda body, and interpreted HOF eval re-runs it
+    * per element — inlined split(text) makes this O(tokens²) per doc.
     */
   def shingles(tokArr: Column, n: Int): Column =
     transform(sequence(lit(1), size(tokArr) - (n - 1)),

@@ -36,9 +36,13 @@ object TextOps {
     * pair to matter (birthday bound), so counts are exact in practice.
     */
   private def shingleSet(docs: DataFrame): DataFrame =
-    docs.filter(size(toks(col("text"))) >= 3)
+    // tokens materialize in their OWN projection: inlining toks() into
+    // the shingle transform embeds split(text) in the lambda body,
+    // which interpreted HOF eval re-runs per element — O(tokens²)/doc
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
+        explode(array_distinct(shingles(col("tk"), 3))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sk"))
 
   /** shingleSet, persisted: both q41 and q42 consume the shingle rows
@@ -359,12 +363,20 @@ object TextOps {
       "q56_repetition_ratio",
       "Within-document repetition (a Gopher-style quality signal): 1 - distinct/total 3-gram shingles. High ratio = boilerplate/looping text; all per-row array math, no shuffle beyond the final sort.",
       (s, d) => {
-        val sh = shingles(toks(col("text")), 3)
+        // tokens AND the shingle array each materialize once in their
+        // own projection: higher-order functions aren't codegen'd, so
+        // the single-project form re-evaluated the tokenize+shingle
+        // chain 3× (once per size()) with split(text) re-run per
+        // shingle element; CollapseProject keeps these splits because
+        // the aliases are non-cheap and multiply referenced
         t(s, d, "documents")
-          .filter(size(toks(col("text"))) >= 3)
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), shingles(col("tk"), 3).as("sh"))
           .select(col("doc_id"),
-            size(sh).as("n_shingles"),
-            round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+            size(col("sh")).as("n_shingles"),
+            round(lit(1.0) -
+              size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6)
               .as("rep_ratio"))
           .orderBy(col("doc_id"))
       },
@@ -377,11 +389,12 @@ object TextOps {
 
     GraftQuery(
       "q48_doc_fingerprint_minhash",
-      "Rolling-hash document fingerprint: min over 5-gram shingle digests (a 1-perm MinHash) — cheap near-dup blocking key for a first-pass groupBy at corpus scale.",
+      "Rolling-hash document fingerprint: min over 5-gram shingle digests (a 1-perm MinHash) — cheap near-dup blocking key for a first-pass groupBy at corpus scale. Explode + partial-min deliberately: the per-shingle md5 stays inside whole-stage codegen and map-side combine shuffles ONE row per doc (an array_min-over-lambda variant measured ~1.7x slower — interpreted HOF vs codegen).",
       (s, d) => t(s, d, "documents")
-        .filter(size(toks(col("text"))) >= 5)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
         .select(col("doc_id"),
-          explode(array_distinct(shingles(toks(col("text")), 5))).as("s"))
+          explode(array_distinct(shingles(col("tk"), 5))).as("s"))
         .groupBy(col("doc_id"))
         .agg(min(substring(md5(col("s")), 1, 8)).as("fp"))
         .orderBy(col("doc_id")),
