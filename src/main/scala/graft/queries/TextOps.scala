@@ -35,7 +35,7 @@ object TextOps {
     * xxhash64 collision would need ~2^32 distinct shingles per doc
     * pair to matter (birthday bound), so counts are exact in practice.
     */
-  private def shingleSet(docs: DataFrame): DataFrame =
+  private[graft] def shingleSet(docs: DataFrame): DataFrame =
     // tokens materialize in their OWN projection: inlining toks() into
     // the shingle transform embeds split(text) in the lambda body,
     // which interpreted HOF eval re-runs per element — O(tokens²)/doc

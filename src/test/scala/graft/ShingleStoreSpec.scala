@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.ext.ShingleStore
+import graft.queries.TextOps
+
+/** The bucketed shingle materialization must be value-identical to the
+  * in-session computation and must actually remove the shuffle from
+  * doc_id-keyed consumers — otherwise it's just a slower cache.
+  */
+class ShingleStoreSpec extends SparkSpec {
+
+  test("materialized shingle table equals the computed shingle set") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    ShingleStore.materialize(docs, "shingles_b", buckets = 4)
+    try {
+      val live = TextOps.shingleSet(docs)
+      val stored = ShingleStore.load(spark, "shingles_b")
+      assert(stored.exceptAll(live).count() === 0)
+      assert(live.exceptAll(stored).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS shingles_b")
+  }
+
+  test("doc_id aggregation over the store plans without a data shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    ShingleStore.materialize(docs, "shingles_b2", buckets = 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // per-doc shingle-set sizes: the |A| / |B| side of every Jaccard
+      // verify join — on the bucketed store this aggregates in place
+      val sizes = ShingleStore.load(spark, "shingles_b2")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shuffles = sizes.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed store still shuffles: ${shuffles.mkString(", ")}")
+      // and the values are right
+      val live = TextOps.shingleSet(docs)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      assert(sizes.exceptAll(live).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS shingles_b2")
+    }
+  }
+}
