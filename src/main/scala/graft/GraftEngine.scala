@@ -17,9 +17,20 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   spark.conf.set(Tables.requiredConf._1, Tables.requiredConf._2)
   // Deep-iteration ALS (Recommender.referenceConfig) requires a
   // checkpoint dir for lineage truncation; respect one already set.
-  if (spark.sparkContext.getCheckpointDir.isEmpty)
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+  if (spark.sparkContext.getCheckpointDir.isEmpty) {
+    // Spark never deletes checkpoint files on its own; since this dir is
+    // ours (not caller-provided), remove it when the JVM exits so repeated
+    // engine constructions don't accumulate rank-200 factor checkpoints.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () }
+    }
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+  }
 
   /** Any registered query by name (see Registry / ARCHITECTURE.md). */
   def query(name: String): DataFrame = Registry.byName(name).fn(spark, dataDir)

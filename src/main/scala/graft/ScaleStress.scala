@@ -41,7 +41,7 @@ object ScaleStress {
     // documents/embeddings replicate with shifted ids: every doc gains 9
     // exact duplicates (realistic dedup load — near-dup candidates grow
     // 45× per cluster) and the 10× embedding corpus pushes q51's
-    // adaptive LSH past its 8-bit floor (50k vectors → 11 bucket bits)
+    // adaptive LSH past its 8-bit floor (20k vectors → 10 bucket bits)
     replicate("documents", Seq("doc_id"), 10000000L)
     replicate("embeddings", Seq("vec_id"), 10000000L)
     Seq("customer", "supplier", "part", "nation", "region", "events").foreach { t =>

@@ -18,19 +18,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session conf every consumer of these fixtures must set ONCE at
+  /** Session conf every consumer of these fixtures should set ONCE at
     * session-build time (Bench/Verify/Plans/ScaleStress/SparkSpec do;
     * GraftEngine sets it at construction for library users): the events
     * fixture stores TIMESTAMP(NANOS), which Spark 4 has no native type
     * for, so nanos are read as long and truncated to microseconds —
-    * the same ns→us truncation DuckDB applies. Kept OUT of `load`
-    * itself: a per-call `spark.conf.set` is a global side effect, racy
-    * under concurrent loads.
+    * the same ns→us truncation DuckDB applies.
     */
   val requiredConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // Defensive for externally-built sessions (the SparkEntry driver
+      // contract hands us a session our builders never saw): without this
+      // conf the TIMESTAMP(NANOS) scan throws. Unlike the racy per-call
+      // toggle this replaced, the set is monotonic — always "true", never
+      // unset — so concurrent loads of different tables cannot observe a
+      // flip; our own builders remain the primary path.
+      spark.conf.set(requiredConf._1, requiredConf._2)
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {

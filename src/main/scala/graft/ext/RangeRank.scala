@@ -83,6 +83,10 @@ object RangeRank {
   def withGlobalRowNumberAuto(df: DataFrame, sortCol: Column,
       tieBreaks: Seq[Column], buckets: Int = 64,
       rnName: String = "global_rn", nName: String = "global_n"): DataFrame = {
+    // Same refusal as withGlobalRowNumber, for this variant's own helper:
+    // a pre-existing __bounds column would make the crossJoin ambiguous.
+    require(!df.columns.contains("__bounds"),
+      "RangeRank: input column __bounds collides with an internal helper name")
     val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
     val bounds = df.agg(
       percentile_approx(sortCol, probs, lit(10000)).as("__bounds"))

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Datase
 /** Connection + tuning knobs of the reference's Postgres layer
   * (reference utils/data_loader.py:16–27): Spark consumes `batchsize`
   * and `numPartitions` itself (they size JDBC insert batches and
-  * parallelism via JDBCOptions); the prepared-statement knobs are
-  * forwarded verbatim to the driver.
+  * parallelism via JDBCOptions); the batch-rewrite and
+  * prepared-statement knobs are translated to each vendor's property
+  * spelling by `JdbcIo.vendorProps`.
   */
 final case class JdbcConfig(
     url: String,
@@ -32,10 +33,34 @@ final case class JdbcConfig(
   * Scale posture: reads parallelize either by `predicates` (one WHERE
   * clause per partition — the reference's point-lookup shape) or by
   * `partitionColumn` bounds; writes batch `batchSize` rows per
-  * executemany with `rewriteBatchedStatements` collapsing them into
-  * multi-row INSERTs server-side.
+  * executemany with batched-insert rewriting collapsing them into
+  * multi-row INSERTs (see `vendorProps` for the per-driver spelling).
   */
 object JdbcIo {
+
+  /** Vendor-correct spelling of the config's tuning intent. The
+    * reference passes MySQL-flavored property names
+    * (`rewriteBatchedStatements`, `prepStmtCacheSize/SqlLimit` —
+    * data_loader.py:18–27) on a Postgres URL; pgjdbc silently ignores
+    * unknown properties, so those knobs were inert in the reference.
+    * We keep the intent — batched-insert rewriting + prepared-statement
+    * caching — and emit the names each driver actually reads
+    * (case-sensitive on the driver side; Spark's `JDBCOptions
+    * .asConnectionProperties` forwards original-cased keys). Unknown
+    * vendors get no tuning properties rather than inert ones.
+    */
+  def vendorProps(cfg: JdbcConfig): Map[String, String] =
+    if (cfg.url.startsWith("jdbc:postgresql:"))
+      Map(
+        "reWriteBatchedInserts" -> cfg.rewriteBatchedStatements.toString,
+        "preparedStatementCacheQueries" -> cfg.prepStmtCacheSize.toString)
+    else if (cfg.url.startsWith("jdbc:mysql:") || cfg.url.startsWith("jdbc:mariadb:"))
+      Map(
+        "rewriteBatchedStatements" -> cfg.rewriteBatchedStatements.toString,
+        "cachePrepStmts" -> "true",
+        "prepStmtCacheSize" -> cfg.prepStmtCacheSize.toString,
+        "prepStmtCacheSqlLimit" -> cfg.prepStmtCacheSqlLimit.toString)
+    else Map.empty
 
   /** The reference's connection-property map, as Spark reader/writer
     * options (data_loader.py:18–27 plus the per-write batchsize
@@ -47,10 +72,7 @@ object JdbcIo {
     "password" -> cfg.password,
     "driver" -> cfg.driver,
     "batchsize" -> cfg.batchSize.toString,
-    "numPartitions" -> cfg.numPartitions.toString,
-    "rewriteBatchedStatements" -> cfg.rewriteBatchedStatements.toString,
-    "prepStmtCacheSize" -> cfg.prepStmtCacheSize.toString,
-    "prepStmtCacheSqlLimit" -> cfg.prepStmtCacheSqlLimit.toString)
+    "numPartitions" -> cfg.numPartitions.toString) ++ vendorProps(cfg)
 
   /** The same map in `java.util.Properties` form, for the
     * `spark.read.jdbc(url, table, predicates, props)` overload.

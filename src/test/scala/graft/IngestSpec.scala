@@ -22,6 +22,21 @@ class IngestSpec extends SparkSpec {
     f.toString
   }
 
+  test("events table loads on a session missing the nanos conf (driver contract)") {
+    // The SparkEntry contract hands us externally-built sessions that
+    // never ran our builders; Tables.load must self-heal the
+    // TIMESTAMP(NANOS) legacy conf (monotonically) or every
+    // events-backed query throws on such sessions.
+    val key = Tables.requiredConf._1
+    val prev = spark.conf.get(key)
+    spark.conf.unset(key)
+    try {
+      val events = Tables.load(spark, sfDir, "events")
+      assert(events.limit(1).count() === 1)
+      assert(spark.conf.get(key) === "true")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("gz TSV with explicit schema and \\N nulls (S1)") {
     val path = writeTsvGz(Seq(
       "tconst\taverageRating\tnumVotes",

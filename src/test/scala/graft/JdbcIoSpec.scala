@@ -52,15 +52,30 @@ class JdbcIoSpec extends SparkSpec {
     fail("no extraOptions field found on " + o.getClass)
   }
 
-  test("option map matches the reference's tuned connection properties") {
+  test("option map carries the reference's tuning intent in pgjdbc's spelling") {
     val opts = JdbcIo.options(JdbcConfig(url = "jdbc:postgresql://h/db",
       user = "u", password = "p"))
     assert(opts("batchsize") === "10000")
     assert(opts("numPartitions") === "4")
+    // pgjdbc's actual knobs — NOT the MySQL names the reference passes
+    // (which pgjdbc silently ignores, data_loader.py:18–27)
+    assert(opts("reWriteBatchedInserts") === "true")
+    assert(opts("preparedStatementCacheQueries") === "250")
+    assert(!opts.contains("rewriteBatchedStatements"))
+    assert(opts("driver") === "org.postgresql.Driver")
+  }
+
+  test("MySQL/MariaDB URLs get the Connector/J property spellings") {
+    val opts = JdbcIo.options(JdbcConfig(url = "jdbc:mysql://h/db",
+      user = "u", password = "p", driver = "com.mysql.cj.jdbc.Driver"))
     assert(opts("rewriteBatchedStatements") === "true")
+    assert(opts("cachePrepStmts") === "true")
     assert(opts("prepStmtCacheSize") === "250")
     assert(opts("prepStmtCacheSqlLimit") === "2048")
-    assert(opts("driver") === "org.postgresql.Driver")
+    // unknown vendors get no inert tuning properties at all
+    val other = JdbcIo.options(JdbcConfig(url = "jdbc:sqlite:mem",
+      user = "u", password = "p", driver = "org.sqlite.JDBC"))
+    assert(!other.exists(_._1.toLowerCase.contains("prep")))
   }
 
   test("Spark's JDBCOptions parses the map the way the source will") {
@@ -70,9 +85,10 @@ class JdbcIoSpec extends SparkSpec {
     assert(parsed.numPartitions === Some(4))
     assert(parsed.tableOrQuery === "users")
     // driver-forwarded properties survive into the connection Properties
+    // with their original (vendor-significant) casing intact
     val p = parsed.asConnectionProperties
-    assert(p.getProperty("rewriteBatchedStatements") === "true")
-    assert(p.getProperty("prepStmtCacheSize") === "250")
+    assert(p.getProperty("reWriteBatchedInserts") === "true")
+    assert(p.getProperty("preparedStatementCacheQueries") === "250")
   }
 
   test("reader carries url/dbtable/tuning options") {

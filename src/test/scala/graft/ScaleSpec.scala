@@ -14,19 +14,6 @@ import graft.ext.SkewJoin
   */
 class ScaleSpec extends SparkSpec {
 
-  /** Physical plan with AQE off: AdaptiveSparkPlanExec is a leaf node
-    * that hides its subtree from `collect` until execution, so static
-    * plan-shape assertions need the non-adaptive planning.
-    */
-  private def staticPlan[A](body: => A): A = {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prev)
-      graft.queries.TextOps.releaseCaches()
-    }
-  }
-
   // Model-fitting queries execute Spark jobs just to CONSTRUCT their
   // result frame — no stable static plan to audit.
   private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk")

@@ -25,9 +25,7 @@ class ShingleStoreSpec extends SparkSpec {
   test("doc_id aggregation over the store plans without a data shuffle") {
     val docs = Tables.load(spark, sfDir, "documents")
     ShingleStore.materialize(docs, "shingles_b2", buckets = 4)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    try staticPlan {
       // per-doc shingle-set sizes: the |A| / |B| side of every Jaccard
       // verify join — on the bucketed store this aggregates in place
       val sizes = ShingleStore.load(spark, "shingles_b2")
@@ -41,9 +39,6 @@ class ShingleStoreSpec extends SparkSpec {
       val live = TextOps.shingleSet(docs)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       assert(sizes.exceptAll(live).count() === 0)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS shingles_b2")
-    }
+    } finally spark.sql("DROP TABLE IF EXISTS shingles_b2")
   }
 }

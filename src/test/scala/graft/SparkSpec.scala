@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Plan-shape assertions need AQE off: `AdaptiveSparkPlanExec` is a
+    * leaf pre-execution, so `executedPlan.collect` finds nothing inside
+    * it and assertions pass vacuously. Restores the conf and releases
+    * any query-pinned caches afterwards.
+    */
+  protected def staticPlan[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.queries.TextOps.releaseCaches()
+    }
+  }
 }
 
 object SparkSpec {
