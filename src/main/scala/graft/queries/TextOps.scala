@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -423,6 +423,84 @@ object TextOps {
         "ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0), " +
         "co AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0) " +
         "SELECT co.doc_id, eval_id, count(*) AS overlap FROM co JOIN ev USING (s) " +
-        "GROUP BY co.doc_id, eval_id HAVING count(*) >= 3 ORDER BY doc_id, eval_id"))
+        "GROUP BY co.doc_id, eval_id HAVING count(*) >= 3 ORDER BY doc_id, eval_id")),
+
+    GraftQuery(
+      "q81_stratified_sample",
+      "Per-source stratified downsampling — the corpus-mixing primitive: each source keeps a deterministic md5-bucket fraction of its documents (rate = 10 + 7*source_idx mod 60, out of 100), so reruns and engines select the identical subset (the q68 rationale, per stratum). Pure map-side filter into a 20-group agg: nothing shuffles but the final tiny rollup, trivially parallel at 100 TB.",
+      (s, d) => {
+        val rate = lit(10) + pmod(substring(col("source"), 4, 10).cast("int") * 7, lit(60))
+        t(s, d, "documents")
+          .filter(md5Bucket(col("doc_id")) < rate)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some("WITH h AS (SELECT source, n_chars, " + md5BucketSql("doc_id") + " AS bucket, " +
+        "10 + (CAST(substr(source,4) AS INT) * 7) % 60 AS rate FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(n_chars) AS BIGINT) AS kept_chars " +
+        "FROM h WHERE bucket < rate GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q82_split_assign",
+      "Reproducible train/val/test assignment (90/5/5) keyed on doc_id's md5 bucket: the split is a pure function of the stable id — not of ordering, partitioning, or a seeded RNG — so no leakage across reruns or engines. Verified by per-split doc counts, char totals, and distinct-language counts.",
+      (s, d) => t(s, d, "documents")
+        .withColumn("split",
+          when(md5Bucket(col("doc_id")) < 90, "train")
+            .when(md5Bucket(col("doc_id")) < 95, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split")),
+      Some("WITH h AS (SELECT lang, n_chars, " +
+        "CASE WHEN " + md5BucketSql("doc_id") + " < 90 THEN 'train' " +
+        "WHEN " + md5BucketSql("doc_id") + " < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs " +
+        "FROM h GROUP BY split ORDER BY split")),
+
+    GraftQuery(
+      "q83_length_trim",
+      "Rank-based length-trim quality gate: drop the shortest 5% and longest 5% of documents by exact global token-count rank — the standard outlier filter before training, done without a single-partition sort via RangeRank's equi-depth auto-bucketing (approx_percentile boundaries, two distributed passes). Integer rank cutoffs (n*5 div 100) keep the boundary engine-exact.",
+      (s, d) => {
+        val withTok = t(s, d, "documents")
+          .select(col("doc_id"), size(toks(col("text"))).cast("long").as("tok_count"))
+        graft.ext.RangeRank
+          .withGlobalRowNumberAuto(withTok, col("tok_count"), Seq(col("doc_id")))
+          .filter(col("global_rn") > expr("global_n * 5 div 100") &&
+            col("global_rn") <= expr("global_n * 95 div 100"))
+          .select(col("doc_id"), col("tok_count"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS tok_count " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, tok_count, " +
+        "row_number() OVER (ORDER BY tok_count, doc_id) AS rn, " +
+        "count(*) OVER () AS n FROM tk) " +
+        "SELECT doc_id, tok_count FROM r " +
+        "WHERE rn > n*5//100 AND rn <= n*95//100 ORDER BY doc_id"))
   )
+
+  /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick
+    * shared by the sampling/split queries: every engine and every rerun
+    * derives the same bucket from the same id (unlike seeded RNGs,
+    * which are partition-dependent — see RatingSynth).
+    */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** The same bucket in DuckDB SQL (no conv() there: hex digits
+    * reconstructed positionally via instr).
+    */
+  private def md5BucketSql(c: String): String = {
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)),$i,1))-1)"
+    s"(${digit(1)}*4096 + ${digit(2)}*256 + ${digit(3)}*16 + ${digit(4)}) % 100"
+  }
 }

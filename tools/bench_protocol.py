@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Stabilized bench-recording protocol (BASELINE.md "Recorded engine
+bench"): run graft.Bench N times (fresh JVM each), parse the final
+machine-readable JSON line of each run, and print the median/min
+markdown table with totals that are exact column sums.
+
+Host-CPU-steal on this box swings identical runs up to ~8x, so never
+run this concurrently with other sbt/Spark work, and treat the median
+column as the comparison number.
+
+Usage: python3 tools/bench_protocol.py [sfDir] [runs]
+"""
+import json
+import statistics
+import subprocess
+import sys
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+totals = []
+per_query = {}
+for i in range(runs):
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        env={**__import__("os").environ,
+             "SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": "8"},
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    line = [l for l in out.splitlines() if '"metric":"total"' in l][-1]
+    rec = json.loads(line[line.index("{"):])
+    totals.append(rec["value"])
+    for q, s in rec["queries"].items():
+        per_query.setdefault(q, []).append(s)
+    print(f"run {i + 1}/{runs}: total {rec['value']:.1f} s", file=sys.stderr)
+
+print("| query | median sec | min sec |")
+print("|---|---|---|")
+med_sum = min_sum = 0.0
+for q in sorted(per_query):
+    med, mn = statistics.median(per_query[q]), min(per_query[q])
+    med_sum += med
+    min_sum += mn
+    print(f"| {q} | {med:.2f} | {mn:.2f} |")
+print(f"| **total (sum of column)** | **{med_sum:.1f}** | **{min_sum:.1f}** |")
+print(f"run totals: {' / '.join(f'{t:.1f}' for t in totals)} s", file=sys.stderr)
