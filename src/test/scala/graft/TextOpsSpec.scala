@@ -62,4 +62,19 @@ class TextOpsSpec extends SparkSpec {
         s"near-dup pair ($a,$b) has distant simhashes")
     }
   }
+
+  test("corpus-assembly trio is invariant to input partitioning") {
+    // The historical failure mode this guards (the q60 rand(42) lesson):
+    // a draw seeded per PARTITION changes results when the scan layout
+    // changes. The md5-bucket trio must select identical rows from a
+    // 7-way repartitioned copy of the corpus.
+    val names = Seq("q81_stratified_sample", "q82_split_assign", "q83_length_trim")
+    val expected = names.map(n => Registry.byName(n).fn(spark, sfDir).collect().toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-parts").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(7).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    names.zip(expected).foreach { case (n, want) =>
+      assert(Registry.byName(n).fn(spark, tmp).collect().toSeq === want, n)
+    }
+  }
 }
