@@ -447,10 +447,7 @@ object TextOps {
       "q82_split_assign",
       "Reproducible train/val/test assignment (90/5/5) keyed on doc_id's md5 bucket: the split is a pure function of the stable id — not of ordering, partitioning, or a seeded RNG — so no leakage across reruns or engines. Verified by per-split doc counts, char totals, and distinct-language counts.",
       (s, d) => t(s, d, "documents")
-        .withColumn("split",
-          when(md5Bucket(col("doc_id")) < 90, "train")
-            .when(md5Bucket(col("doc_id")) < 95, "val")
-            .otherwise("test"))
+        .withColumn("split", splitFor(col("doc_id")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars_total"),
@@ -494,6 +491,18 @@ object TextOps {
     */
   private def md5Bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** The q82 train/val/test assignment (90/5/5) as a reusable column.
+    * Pure and stateless — a function of the stable id alone — so it
+    * applies unchanged to a streaming corpus (no watermark, no state):
+    * documents arriving incrementally get the same split they'd get in
+    * a batch backfill, which is exactly the leakage-free property a
+    * 100 TB ingest pipeline needs.
+    */
+  def splitFor(id: Column): Column =
+    when(md5Bucket(id) < 90, "train")
+      .when(md5Bucket(id) < 95, "val")
+      .otherwise("test")
 
   /** The same bucket in DuckDB SQL (no conv() there: hex digits
     * reconstructed positionally via instr).

@@ -33,6 +33,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming split assignment matches the batch assignment exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // split is a pure function of doc_id (TextOps.splitFor), so a doc
+    // arriving on a stream must land in the same split a batch backfill
+    // would put it in — the leakage-free property under incremental ingest.
+    val input = MemoryStream[StreamOps.Doc]
+    val q = input.toDF()
+      .withColumn("split", graft.queries.TextOps.splitFor(col("doc_id")))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      val docs = (1L to 40L).map(i => StreamOps.Doc(i, ts("2024-01-01 00:00:00"), s"d$i"))
+      input.addData(docs.take(20): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = docs.toDF()
+        .withColumn("split", graft.queries.TextOps.splitFor(col("doc_id")))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.toSet.subsetOf(Set("train", "val", "test")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct docs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
