@@ -481,7 +481,31 @@ object TextOps {
         "row_number() OVER (ORDER BY tok_count, doc_id) AS rn, " +
         "count(*) OVER () AS n FROM tk) " +
         "SELECT doc_id, tok_count FROM r " +
-        "WHERE rn > n*5//100 AND rn <= n*95//100 ORDER BY doc_id"))
+        "WHERE rn > n*5//100 AND rn <= n*95//100 ORDER BY doc_id")),
+
+    GraftQuery(
+      "q84_corpus_mix",
+      "Mixture balancing — downsample every source to (approximately) the size of the smallest so each contributes equally to the training mix: per-source integer keep-rates (min_n*100 div n_src) come from a tiny count aggregate that broadcasts back onto the corpus, then the same deterministic md5-bucket filter as q81 selects rows. Data makes two passes (count, filter) with no shuffle wider than the 20-row rate table; rates are integer-derived so every engine draws the same boundary.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(min(col("n_src")).as("min_n"))))
+          .select(col("source"), expr("min_n * 100 div n_src").as("rate"))
+        docs.join(broadcast(rates), Seq("source"))
+          .filter(md5Bucket(col("doc_id")) < col("rate"))
+          .groupBy(col("source"))
+          .agg(max(col("rate")).as("rate"), count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source), " +
+        "m AS (SELECT min(n_src) AS min_n FROM c), " +
+        "r AS (SELECT source, (min_n * 100) // n_src AS rate FROM c, m), " +
+        "k AS (SELECT d.source, r.rate FROM documents d JOIN r USING (source) " +
+        "WHERE " + md5BucketSql("d.doc_id") + " < r.rate) " +
+        "SELECT source, CAST(max(rate) AS BIGINT) AS rate, " +
+        "CAST(count(*) AS BIGINT) AS n_kept " +
+        "FROM k GROUP BY source ORDER BY source"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

@@ -68,7 +68,8 @@ class TextOpsSpec extends SparkSpec {
     // a draw seeded per PARTITION changes results when the scan layout
     // changes. The md5-bucket trio must select identical rows from a
     // 7-way repartitioned copy of the corpus.
-    val names = Seq("q81_stratified_sample", "q82_split_assign", "q83_length_trim")
+    val names = Seq("q81_stratified_sample", "q82_split_assign",
+      "q83_length_trim", "q84_corpus_mix")
     val expected = names.map(n => Registry.byName(n).fn(spark, sfDir).collect().toSeq)
     val tmp = java.nio.file.Files.createTempDirectory("graft-parts").toString
     Tables.load(spark, sfDir, "documents")
