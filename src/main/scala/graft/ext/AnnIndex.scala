@@ -41,6 +41,28 @@ object AnnIndex {
     Index(centroids, assigned, k)
   }
 
+  /** Persist the index: `assigned` lands partitioned BY CELL, so a
+    * probe's `cell` predicate prunes whole directories at the file
+    * listing (see the AnnIndexSpec PartitionFilters proof) — at 100 TB
+    * a nProbe=4/k=1024 search lists ~0.4% of the index files. The
+    * centroid table is k rows and stays a single small parquet.
+    */
+  def save(index: Index, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Reload a saved index. The `count` on the k-row centroid table is
+    * a metadata-sized driver action, not a data scan.
+    */
+  def load(spark: SparkSession, dir: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    Index(centroids, assigned, centroids.count().toInt)
+  }
+
   /** Top-k neighbors for each query vector, probing the nProbe cells
     * whose centroids are most cosine-similar to the query. Queries:
     * (q_id long, q_emb array<float>).

@@ -45,6 +45,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall=$recall")
   }
 
+  test("saved index round-trips and a probe prunes cell partitions, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    AnnIndex.save(index, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.k === 8)
+    // search over the reloaded index returns byte-identical neighbors
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fromMem = AnnIndex.search(index, queries, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val fromDisk = AnnIndex.search(loaded, queries, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(fromDisk === fromMem)
+    // the scale claim: a cell predicate must reach PartitionFilters
+    // (directory pruning at file listing), not a row-level data filter
+    staticPlan {
+      val probe = loaded.assigned.filter(col("cell") === 3)
+      val plan = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$pf")
+    }
+  }
+
   test("nProbe=3 of 8 keeps recall@5 above 60% at ~3/8 of the scan") {
     // the fixture's embeddings are nearly isotropic (weak clusters),
     // so IVF recall here is a floor — real clustered corpora do better
