@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CosineSimilarity, MinHashAgg}
+import graft.functions.{CosineSimilarity, HllAgg, MinHashAgg}
 
 /** Session-extension entry point: registers the engine's native
   * expressions into the Catalyst function registry at session build.
@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((FunctionIdentifier(MinHashAgg.name),
       MinHashAgg.info, MinHashAgg.builder))
+    ext.injectFunction((FunctionIdentifier(HllAgg.name),
+      HllAgg.info, HllAgg.builder))
   }
 }

@@ -505,7 +505,21 @@ object TextOps {
         "WHERE " + md5BucketSql("d.doc_id") + " < r.rate) " +
         "SELECT source, CAST(max(rate) AS BIGINT) AS rate, " +
         "CAST(count(*) AS BIGINT) AS n_kept " +
-        "FROM k GROUP BY source ORDER BY source"))
+        "FROM k GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q85_approx_distinct",
+      "Sketch-based distinct count (native HyperLogLog TypedImperativeAggregate over xxhash64 keys): the 100 TB cardinality path — exact COUNT(DISTINCT) shuffles every distinct value, while the sketch keeps a fixed 4 KiB register array whose partials merge by elementwise max (map-side combine sends 4 KiB per partition, any merge order). Output pins the estimate against the exact count in one row. No SQL oracle: HLL register layouts aren't portable across engines (DuckDB's approx_count_distinct is a different sketch), so the driver records rows-only; HllAggSpec pins the <=5% error bound and merge-order invariance.",
+      (s, d) => {
+        graft.functions.HllAgg.ensureRegistered(s)
+        t(s, d, "lineitem")
+          .agg(expr("hll_distinct(xxhash64(l_partkey))").as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("approx_parts"), col("exact_parts"),
+            round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts"), 4).as("rel_err"))
+      },
+      None)
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick
