@@ -46,14 +46,19 @@ object Bench {
     graft.queries.TextOps.releaseCaches()
     // Per-query lines FIRST, the parseable one-line summary LAST: the
     // driver keeps only the output tail, so a total printed up front
-    // gets truncated away (BENCH_r02/r03 both lost their head).
+    // gets truncated away (BENCH_r02/r03 both lost their head). The
+    // summary's seconds are rounded to 3 decimals — full-precision
+    // doubles pushed the one line past the tail buffer and clipped its
+    // head too (BENCH_r04 "parsed": null); ~2 KB rounded fits.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":$v}""")
+      println(s"""{"query":"$k","sec":${fmt(v)}}""")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -519,7 +519,136 @@ object TextOps {
             round(abs(col("approx_parts") - col("exact_parts")).cast("double") /
               col("exact_parts"), 4).as("rel_err"))
       },
-      None)
+      None),
+
+    GraftQuery(
+      "q86_bloom_decontaminate",
+      "Bloom-filter decontamination — the runtime-filter pattern for benchmark scrubbing at 100 TB: a sketch of the (tiny) eval set's 3-gram shingle keys is built once, embedded in the plan as a binary literal, and probed MAP-SIDE by the native codegen'd bloom_might_contain while the corpus shingles stream by; only the sketch's survivors reach the exact verify join, so the expensive shuffle sees a sliver of the corpus. No false negatives => (prune, then exact verify) returns exactly the plain-join answer, which is what the oracle checks. Output: per-source count of corpus docs sharing NO 3-gram with any eval doc (doc_id % 20 == 0).",
+      (s, d) => {
+        graft.functions.BloomMightContain.ensureRegistered(s)
+        val sh = cachedShingles(t(s, d, "documents"))
+        val ev = sh.filter(col("doc_id") % 20 === 0).select(col("sk")).distinct()
+        // Both driver actions run on the EVAL side only — a benchmark
+        // set is metadata-sized next to the corpus (the same posture as
+        // AnnIndex's k-row centroid count); the corpus is never counted
+        // or collected.
+        val nEval = math.max(ev.count(), 1L)
+        val bytes = graft.functions.BloomMightContain.toBytes(
+          ev.stat.bloomFilter("sk", nEval, 0.01))
+        val cand = sh.filter(col("doc_id") % 20 =!= 0)
+          .filter(call_function(graft.functions.BloomMightContain.name,
+            lit(bytes), col("sk")))
+        val hits = cand.join(ev, Seq("sk")).select(col("doc_id")).distinct()
+        t(s, d, "documents").filter(col("doc_id") % 20 =!= 0)
+          .join(hits, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_clean"),
+            sum(col("n_chars")).as("clean_chars"))
+          .orderBy(col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0), " +
+        "hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) WHERE sh.doc_id % 20 <> 0) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_clean, " +
+        "CAST(sum(n_chars) AS BIGINT) AS clean_chars " +
+        "FROM documents d WHERE d.doc_id % 20 <> 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = d.doc_id) " +
+        "GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q87_passage_dedup",
+      "Passage-granularity duplication audit (the C4/RefinedWeb sub-document dedup signal): each doc is cut into non-overlapping 8-word passages, passages are hashed to 64-bit keys (the shingleSet rationale: shuffle 8 bytes, not ~50-byte strings; oracle groups the strings and counts agree absent a ~2^-32 collision), and a passage seen in >1 distinct doc marks its occurrences duplicated. Per-doc output: passage count, duplicated-passage count, dup ratio. Two hash shuffles (passage key, then doc_id), no self-join anywhere — linear at 100 TB.",
+      (s, d) => {
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), expr("int(size(tk) div 8)").as("nw"), col("tk"))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), col("nw") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8))))).as("pg"))
+          .select(col("doc_id"), xxhash64(col("pg")).as("pk"))
+        val nd = p.groupBy(col("pk")).agg(countDistinct(col("doc_id")).as("nd"))
+        p.join(nd, Seq("pk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_ratio",
+            round(col("n_dup").cast("double") / col("n_passages"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents), " +
+        "p AS (SELECT doc_id, array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS pg " +
+        "FROM tk, UNNEST(range(0, len(tk)//8)) x(i) WHERE len(tk) >= 8), " +
+        "nd AS (SELECT pg, count(DISTINCT doc_id) AS nd FROM p GROUP BY pg) " +
+        "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages, " +
+        "CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "round(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)*1.0/count(*), 6) AS dup_ratio " +
+        "FROM p JOIN nd USING (pg) GROUP BY p.doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q88_bigram_lm",
+      "Perplexity-style quality scoring (the CCNet filter): an add-one-smoothed bigram LM is trained on the corpus IN the plan — c(w1 w2) and c(w1 .) are two token-key groupBys, vocabulary size V is a broadcast 1-row aggregate (the q69 pattern) — and every doc is scored by its mean ln P(w2|w1). Training and scoring are one pass each over the exploded bigrams; nothing is collected, the model IS the two count tables, co-partitioned with the scoring join by their keys. Low scores mark gibberish for the quality gate.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val c12 = base.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        val c1 = base.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vocab = docs.select(explode(toks(col("text"))).as("tok"))
+          .agg(countDistinct(col("tok")).cast("double").as("v"))
+        base.join(c12, Seq("bg")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log((col("c12") + 1) / (col("c1") + col("v")))), 6)
+              .as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1 " +
+        "FROM tk, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2), " +
+        "c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT tok)*1.0 AS v FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS tok FROM documents)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(avg(ln((c12 + 1) / (c1 + v))), 6) AS lm_score " +
+        "FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1), v " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q89_pack_chunks",
+      "Sequence packing (concat-and-chunk): documents are laid end-to-end in the deterministic (source, doc_id) order and cut at 512-token boundaries — each doc lands in the chunk holding its last token. The global running token sum is the RangeRank two-pass prefix-scan shape with `source` as the natural order-prefix bucket: per-source window cumsums run fully parallel, and the cross-source offsets come from a 20-row aggregate whose window is O(sources), never the data. All-integer math, so every engine cuts identical boundaries.",
+      (s, d) => {
+        val dtok = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            size(toks(col("text"))).cast("long").as("ntok"))
+        val wLoc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val local = dtok.withColumn("cum_local", sum(col("ntok")).over(wLoc))
+        val wPrev = Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = dtok.groupBy(col("source")).agg(sum(col("ntok")).as("stot"))
+          .select(col("source"),
+            coalesce(sum(col("stot")).over(wPrev), lit(0L)).as("off"))
+        local.join(broadcast(offsets), Seq("source"))
+          .withColumn("cum", col("off") + col("cum_local"))
+          .withColumn("chunk_id", expr("(cum - 1) div 512"))
+          .groupBy(col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("chunk_tokens"))
+          .orderBy(col("chunk_id"))
+      },
+      Some("WITH tk AS (SELECT source, doc_id, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS ntok FROM documents), " +
+        "c AS (SELECT ntok, sum(ntok) OVER (ORDER BY source, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM tk) " +
+        "SELECT CAST((cum-1)//512 AS BIGINT) AS chunk_id, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS chunk_tokens " +
+        "FROM c GROUP BY 1 ORDER BY 1"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick
