@@ -648,7 +648,45 @@ object TextOps {
         "SELECT CAST((cum-1)//512 AS BIGINT) AS chunk_id, " +
         "CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(ntok) AS BIGINT) AS chunk_tokens " +
-        "FROM c GROUP BY 1 ORDER BY 1"))
+        "FROM c GROUP BY 1 ORDER BY 1")),
+
+    GraftQuery(
+      "q90_cms_freq",
+      "Count-min-sketch point-frequency check (native cms_sketch TypedImperativeAggregate + cms_estimate probe): the 100 TB frequency path keeps a fixed 7x2000 counter grid whose partials merge by elementwise ADDITION — map-side combine ships ~110 KiB per partition, never the keys — versus the exact groupBy that shuffles every distinct token. Output pins the sketch's estimate against the exact count for the corpus's top-20 tokens: CMS only ever over-counts, so est_cnt >= exact_cnt with err <= eps*N (CmsSketchSpec proves the bound and merge-order invariance). No SQL oracle: counter-grid layouts aren't portable across engines (rows-only, like q85's HLL).",
+      (s, d) => {
+        graft.functions.CmsAgg.ensureRegistered(s)
+        graft.functions.CmsEstimate.ensureRegistered(s)
+        val tok = t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("tok"))
+          .select(col("tok"), xxhash64(col("tok")).as("tk"))
+        val sketch = tok.agg(expr("cms_sketch(tk)").as("cms"))
+        val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        top.crossJoin(broadcast(sketch))
+          .select(col("tok"), col("exact_cnt"),
+            expr("cms_estimate(cms, xxhash64(tok))").as("est_cnt"))
+          .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      },
+      None),
+
+    GraftQuery(
+      "q91_bottomk_sample",
+      "Per-stratum bottom-k sampling: each source keeps its k=3 documents with the smallest md5(doc_id) — a uniform-without-replacement draw that is a pure function of the stable ids, so every engine and rerun (and an incremental backfill) selects the identical subset; unlike the q81 fixed-rate filter this yields an EXACT per-stratum sample size. One shuffle on the stratum key; the per-stratum window never sees more than a stratum (at 100 TB, a pre-filter on an approximate global hash threshold bounds even that).",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3 " +
+        "ORDER BY source, rk"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

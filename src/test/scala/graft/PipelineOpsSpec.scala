@@ -14,12 +14,45 @@ class PipelineOpsSpec extends SparkSpec {
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.01)
     keys.foreach(bloom.putLong)
     val bytes = graft.functions.BloomMightContain.toBytes(bloom)
-    val df = (keys ++ (1L to 1000L).map(_ * 7919L + 3L)).toDF("k")
+    // repartition first: a Filter directly over a LocalRelation is
+    // folded away on the driver (ConvertToLocalRelation), which would
+    // leave no physical plan to prove codegen residency on
+    val df = (keys ++ (1L to 1000L).map(_ * 7919L + 3L)).toDF("k").repartition(4)
     val kept = df.filter(call_function("bloom_might_contain", lit(bytes), col("k")))
     // every inserted key survives (no false negatives)...
     assert(kept.count() >= keys.size)
     // ...and the 1000 non-members are mostly pruned (fpp 1%, allow 10x)
     assert(kept.count() <= keys.size + 100)
+    // the probe participates in whole-stage codegen (one virtual call
+    // per row, no interpreted fallback on the corpus hot path).
+    // staticPlan because AdaptiveSparkPlanExec hides its subtree from
+    // collect() pre-execution; spark.range because a filter over local
+    // rows is constant-folded on the driver and leaves no FilterExec
+    staticPlan {
+      val ranged = spark.range(10000).toDF("k")
+        .filter(call_function("bloom_might_contain", lit(bytes), col("k")))
+      val spans = ranged.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(spans.exists(_.toString.contains("bloom_might_contain")),
+        "bloom_might_contain fell out of whole-stage codegen")
+      ranged.count() // execute the codegen'd path, not just plan it
+    }
+  }
+
+  test("bloom_might_contain survives interpreted (non-codegen) eval too") {
+    import spark.implicits._
+    graft.functions.BloomMightContain.ensureRegistered(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bloom.putLong(42L)
+    val bytes = graft.functions.BloomMightContain.toBytes(bloom)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val got = Seq(42L, 43L).toDF("k")
+        .filter(call_function("bloom_might_contain", lit(bytes), col("k")))
+        .collect().map(_.getLong(0)).toSet
+      assert(got.contains(42L))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   test("q86 bloom prune + exact verify equals the plain exact join") {

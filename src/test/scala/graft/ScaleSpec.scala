@@ -63,6 +63,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing single-partitions only the per-source offset table") {
+    // q89's global prefix sum must stay the two-pass shape: per-source
+    // window cumsums over the data, one tiny ordered window over the
+    // per-source totals (recognizable by its `stot` aggregate). A
+    // revert to a global Window.orderBy cumsum would single-partition
+    // the raw documents scan and fail here.
+    staticPlan {
+      val plan = Registry.byName("q89_pack_chunks").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val bad = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 &&
+              !e.child.toString.contains("stot") => e
+      }
+      assert(bad.isEmpty,
+        s"q89 single-partitions non-offset data:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("shuffle-partition config governs exchange width (X2)") {
     // the session builders pin spark.sql.shuffle.partitions (32 in
     // Bench/Verify, 4 here); the static plan must inherit it
