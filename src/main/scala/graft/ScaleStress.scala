@@ -56,7 +56,11 @@ object ScaleStress {
     val headline = Seq("q25_star_join", "q18_agg_sum", "q19_window_topk",
       "q16_topk", "q11_left_join", "q13_distinct_count", "q55_band_range_join",
       "q40_dedup_exact", "q42_minhash_lsh_pairs", "q51_ann_lsh_topk",
-      "q81_stratified_sample", "q83_length_trim")
+      "q81_stratified_sample", "q83_length_trim",
+      // round-5 training-pipeline ops: 10× duplicate clusters stress the
+      // passage/bloom paths, the packing prefix-scan, and both sketches
+      "q86_bloom_decontaminate", "q87_passage_dedup", "q88_bigram_lm",
+      "q89_pack_chunks", "q90_cms_freq", "q91_bottomk_sample")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
