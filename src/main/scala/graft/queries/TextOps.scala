@@ -57,11 +57,16 @@ object TextOps {
     */
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  private def cachedShingles(docs: DataFrame): DataFrame = {
-    val sh = shingleSet(docs)
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned.synchronized { pinned += sh }
-    sh
+  private def cachedShingles(docs: DataFrame): DataFrame = pin(shingleSet(docs))
+
+  /** Persist a frame for reuse across jobs within one query build and
+    * register it for `releaseCaches()` — shared by the shingle cache
+    * and q92's label-propagation iterates.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.synchronized { pinned += df }
+    df
   }
 
   /** Unpins every shingle relation persisted by q41/q42 plan builds.
@@ -686,7 +691,66 @@ object TextOps {
         "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
         "FROM documents) " +
         "SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3 " +
-        "ORDER BY source, rk"))
+        "ORDER BY source, rk")),
+
+    GraftQuery(
+      "q92_dedup_clusters",
+      "Near-dup cluster resolution — the survivor-selection step a dedup pipeline runs AFTER candidate pairs are found: connected components over the q41 near-dup pair graph via distributed min-label propagation (each round: one join of edges to labels + a min aggregate; the driver holds only the convergence counter). The near-dup graph's components have tiny diameters (duplicates of a duplicate are duplicates), so rounds ~= 3; at 100 TB the identical join+min building blocks run the alternating large-star/small-star algorithm for worst-case-diameter graphs. Output: every clustered doc with its canonical (min doc_id) cluster id, cluster size, and a keep flag electing one survivor per cluster.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst"))
+        var labels = pin(edges.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("lbl")))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 32) {
+          // every frame below derives from `labels`, so resolve columns
+          // by RENAMED NAME, never dataset-qualified — qualified access
+          // across shared lineage trips the ambiguous-self-join check
+          val nbrMin = edges
+            .join(labels.select(col("v").as("nv"), col("lbl").as("nlbl")),
+              col("dst") === col("nv"))
+            .groupBy(col("src")).agg(min(col("nlbl")).as("mn"))
+            .select(col("src").as("mv"), col("mn"))
+          val next = pin(labels
+            .join(nbrMin, col("v") === col("mv"), "left")
+            .select(col("v"),
+              least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl")))
+          changed = next.select(col("v").as("v2"), col("lbl").as("l2"))
+            .join(labels.select(col("v").as("v3"), col("lbl").as("l3")),
+              col("v2") === col("v3"))
+            .filter(col("l2") =!= col("l3")).count()
+          labels = next
+          rounds += 1
+        }
+        val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, Seq("lbl"))
+          .select(col("lbl").as("cluster_id"), col("v").as("doc_id"),
+            col("cluster_size"), (col("v") === col("lbl")).as("keep"))
+          .orderBy(col("cluster_id"), col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS v FROM edges), " +
+        "r AS (WITH RECURSIVE rr(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a) " +
+        "SELECT * FROM rr), " +
+        "lbl AS (SELECT v AS doc_id, least(v, min(b)) AS cluster_id " +
+        "FROM nodes LEFT JOIN r ON r.a = v GROUP BY v) " +
+        "SELECT cluster_id, doc_id, " +
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
+        "doc_id = cluster_id AS keep " +
+        "FROM lbl ORDER BY cluster_id, doc_id"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

@@ -109,6 +109,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q92 clusters are closed over near-dup pairs with one survivor each") {
+    val rows = Registry.byName("q92_dedup_clusters").fn(spark, sfDir).collect()
+    val cluster = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Registry.byName("q41_jaccard_pairs").fn(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(pairs.nonEmpty)
+    // membership = exactly the docs appearing in some near-dup pair
+    assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // near-dup pairs never straddle clusters (components are closed)
+    pairs.foreach { case (a, b) => assert(cluster(a) === cluster(b)) }
+    // canonical id is the min member; exactly one keep per cluster
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(cid === members.map(_.getAs[Long]("doc_id")).min)
+      assert(members.count(_.getAs[Boolean]("keep")) === 1)
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") === members.length))
+    }
+    graft.queries.TextOps.releaseCaches()
+  }
+
   test("q89 packing conserves tokens and numbers chunks contiguously") {
     val chunks = Registry.byName("q89_pack_chunks").fn(spark, sfDir).collect()
     val docs = Tables.load(spark, sfDir, "documents")
