@@ -60,7 +60,12 @@ object ScaleStress {
       // round-5 training-pipeline ops: 10× duplicate clusters stress the
       // passage/bloom paths, the packing prefix-scan, and both sketches
       "q86_bloom_decontaminate", "q87_passage_dedup", "q88_bigram_lm",
-      "q89_pack_chunks", "q90_cms_freq", "q91_bottomk_sample")
+      "q89_pack_chunks", "q90_cms_freq", "q91_bottomk_sample",
+      // round-5 curation ops: redaction/sampling/PMI/CDC are narrow maps
+      // plus token-key shuffles — they must stay linear under 10×
+      "q93_pii_redact", "q94_weighted_sample", "q95_pmi_bigrams",
+      "q96_zipf_spectrum", "q97_cdc_chunks", "q98_cohort_retention",
+      "q99_quantize_embed")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -200,6 +200,36 @@ object EventOps {
         "CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views, " +
         "CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
         "CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors " +
-        "FROM events GROUP BY user_id ORDER BY user_id"))
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    GraftQuery(
+      "q98_cohort_retention",
+      "Cohort retention matrix — the product-analytics standard: users cohort by the week of their first event (relative to the corpus's min day, a broadcast 1-row aggregate — the q69 pattern, nothing hits the driver), and each (cohort_week, week_offset) cell counts distinct users still active that many weeks later. Two shuffles on user_id (first-touch min, then the enrichment join — co-partitioned on the same key, so AQE plans one exchange each side) plus one on the ~25 cell keys. All date math is integer day arithmetic, so engines cannot disagree at week boundaries.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        val g0 = ev.agg(min(col("day")).as("g0"))
+        ev.join(firstDay, Seq("user_id"))
+          .crossJoin(broadcast(g0))
+          .withColumn("cohort_week",
+            floor(datediff(col("cohort_day"), col("g0")) / 7).cast("int"))
+          .withColumn("week_offset",
+            floor(datediff(col("day"), col("cohort_day")) / 7).cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id), " +
+        "g AS (SELECT min(day) AS g0 FROM ev) " +
+        "SELECT CAST(date_diff('day', g0, cohort_day) // 7 AS INTEGER) AS cohort_week, " +
+        "CAST(date_diff('day', cohort_day, day) // 7 AS INTEGER) AS week_offset, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM ev JOIN fd USING (user_id), g " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"))
   )
 }

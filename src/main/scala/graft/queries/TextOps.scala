@@ -750,7 +750,153 @@ object TextOps {
         "SELECT cluster_id, doc_id, " +
         "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
         "doc_id = cluster_id AS keep " +
-        "FROM lbl ORDER BY cluster_id, doc_id"))
+        "FROM lbl ORDER BY cluster_id, doc_id")),
+
+    GraftQuery(
+      "q93_pii_redact",
+      "PII scrubbing kernel — the mandatory pre-training redaction pass: regexp_replace chains mask email addresses and phone numbers map-side (codegen'd, zero shuffle until the final per-segment rollup). The fixture corpus carries no PII, so the kernel is exercised against contact blobs synthesized IN the plan from customer keys — both engines build the identical string, so the oracle pins the redaction REGEXES exactly (match counts, masked-character totals, and a sample redacted value per segment). At 100 TB this is a pure narrow map over the corpus: no state, no skew sensitivity, and the scan reads only the projected columns.",
+      (s, d) => {
+        val emailPat = "[a-z0-9_#]+@[a-z]+\\.[a-z]+"
+        val phonePat = "555-[0-9]{4}"
+        val blob = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            concat(col("c_name"), lit(" <"),
+              lower(translate(col("c_name"), "#", "_")), lit("@example.com> tel 555-"),
+              lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("contact"))
+        blob
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(col("contact"), emailPat, "[EMAIL]"),
+              phonePat, "[PHONE]"))
+          .withColumn("n_emails", regexp_count(col("contact"), lit(emailPat)))
+          .withColumn("n_phones", regexp_count(col("contact"), lit(phonePat)))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_contacts"),
+            sum(col("n_emails")).as("n_emails"),
+            sum(col("n_phones")).as("n_phones"),
+            sum(length(col("contact")) - length(col("redacted"))).as("chars_masked"),
+            min(col("redacted")).as("sample_redacted"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("WITH b AS (SELECT c_custkey, c_mktsegment, c_name || ' <' || " +
+        "lower(replace(c_name, '#', '_')) || '@example.com> tel 555-' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact FROM customer), " +
+        "r AS (SELECT c_mktsegment, contact, " +
+        "regexp_replace(regexp_replace(contact, '[a-z0-9_#]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'), " +
+        "'555-[0-9]{4}', '[PHONE]', 'g') AS redacted, " +
+        "len(regexp_extract_all(contact, '[a-z0-9_#]+@[a-z]+\\.[a-z]+')) AS n_emails, " +
+        "len(regexp_extract_all(contact, '555-[0-9]{4}')) AS n_phones FROM b) " +
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_contacts, " +
+        "CAST(sum(n_emails) AS BIGINT) AS n_emails, " +
+        "CAST(sum(n_phones) AS BIGINT) AS n_phones, " +
+        "CAST(sum(len(contact) - len(redacted)) AS BIGINT) AS chars_masked, " +
+        "min(redacted) AS sample_redacted " +
+        "FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    GraftQuery(
+      "q94_weighted_sample",
+      "Weighted sampling without replacement (Efraimidis–Spirtsos A-ES): each doc draws u from the md5 of its stable id (32-bit resolution, partition-invariant — the RatingSynth lesson: never a seeded RNG) and is ranked by key = -ln(u)/weight with n_chars as the weight; the global smallest-k keys are the sample. Every engine, rerun, and incremental backfill draws the identical sample. Ranking happens on the 9-decimal-ROUNDED key with a doc_id tiebreak so sub-ulp ln() differences between engines cannot flip the cutoff. At 100 TB the top-k is Spark's TakeOrderedAndProject: per-partition bounded heaps, only k rows per partition reach the driver-side merge — never a global sort.",
+      (s, d) => {
+        val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val u = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
+        t(s, d, "documents")
+          .withColumn("samp_key", round(-log(u) / col("n_chars"), 9))
+          .orderBy(col("samp_key"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("samp_key"))
+      },
+      Some("WITH k AS (SELECT doc_id, source, n_chars, " +
+        s"round(-ln((${md5U32Sql("doc_id")} + 0.5) / 4294967296.0) / n_chars, 9) " +
+        "AS samp_key FROM documents) " +
+        "SELECT doc_id, source, n_chars, samp_key FROM k " +
+        "ORDER BY samp_key, doc_id LIMIT 20")),
+
+    GraftQuery(
+      "q95_pmi_bigrams",
+      "Collocation mining — top-20 bigrams by pointwise mutual information, the classic phrase-detection pass (word2vec preprocessing, tokenizer-vocab curation): PMI = ln(c12·N / (c1·c2)) from three token-key groupBys (pair count, first-slot count, second-slot count) plus the corpus bigram total as a broadcast 1-row aggregate (the q69 pattern — N never hits the driver). A min-count floor of 5 kills the low-frequency PMI explosion. All shuffles are on token/bigram keys — linear at 100 TB; the final top-20 is a bounded-heap TakeOrdered, not a sort.",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(shingles(col("tk"), 2)).as("bigram"))
+          .select(col("bigram"),
+            substring_index(col("bigram"), " ", 1).as("w1"),
+            substring_index(col("bigram"), " ", -1).as("w2"))
+        val c12 = base.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        val c1 = base.groupBy(col("w1")).agg(count(lit(1)).as("n_first"))
+        val c2 = base.groupBy(col("w2")).agg(count(lit(1)).as("n_second"))
+        val nTot = base.agg(count(lit(1)).cast("double").as("nn"))
+        c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
+          .crossJoin(broadcast(nTot))
+          .filter(col("n_pair") >= 5)
+          .withColumn("pmi",
+            round(log(col("n_pair") * col("nn") / (col("n_first") * col("n_second"))), 6))
+          .select(col("bigram"), col("n_pair"), col("n_first"), col("n_second"), col("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("WITH tk AS (SELECT string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, t[i+1] AS w2 " +
+        "FROM tk, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2), " +
+        "c12 AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram), " +
+        "c1 AS (SELECT w1, count(*) AS n_first FROM bg GROUP BY w1), " +
+        "c2 AS (SELECT w2, count(*) AS n_second FROM bg GROUP BY w2), " +
+        "n AS (SELECT count(*)*1.0 AS nn FROM bg) " +
+        "SELECT c.bigram, c.n_pair, c1.n_first, c2.n_second, " +
+        "round(ln(c.n_pair * nn / (c1.n_first * c2.n_second)), 6) AS pmi " +
+        "FROM c12 c JOIN c1 ON c1.w1 = string_split(c.bigram,' ')[1] " +
+        "JOIN c2 ON c2.w2 = string_split(c.bigram,' ')[2], n " +
+        "WHERE c.n_pair >= 5 ORDER BY pmi DESC, c.bigram LIMIT 20")),
+
+    GraftQuery(
+      "q96_zipf_spectrum",
+      "Token frequency-of-frequencies (the Zipf audit a corpus health check runs before vocab/tokenizer training): token counts bucket into powers of two — floor(log2(f)) is exact on integer f, so engines cannot disagree at bucket boundaries — and each bucket reports how many distinct tokens and how many total occurrences it holds. Two hash shuffles (token key, then ~60 bucket keys); map-side combine makes the second negligible. A corpus whose spectrum head is fat (few tokens dominating occurrences) flags template/boilerplate contamination.",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+          .withColumn("bucket", floor(log2(col("f"))).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("n_occurrences"))
+          .orderBy(col("bucket"))
+      },
+      Some("WITH f AS (SELECT tok, count(*) AS f FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS tok FROM documents) GROUP BY tok) " +
+        "SELECT CAST(floor(log2(f)) AS INTEGER) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(f) AS BIGINT) AS n_occurrences " +
+        "FROM f GROUP BY bucket ORDER BY bucket")),
+
+    GraftQuery(
+      "q97_cdc_chunks",
+      "Content-defined chunking (the rolling-hash/gear-hash pattern behind rsync, CDC dedup stores, and long-doc splitting): a token opens a new chunk when its stable hash lands under the cut threshold (md5 bucket < 3, ~1/33 cut rate), so chunk boundaries depend only on CONTENT — an insertion resynchronizes at the next cut point instead of shifting every downstream boundary the way fixed-width q89 chunks do. The running boundary count is a per-doc window (partitioned by doc_id — a task never sees more than one doc's tokens), then per-doc chunk stats. One shuffle on doc_id at 100 TB.",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(toks(col("text"))))
+          .toDF("doc_id", "pos", "tok")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val chunks = tok
+          .withColumn("chunk",
+            sum(when(md5Bucket(col("tok")) < 3, 1L).otherwise(0L)).over(w))
+          .groupBy(col("doc_id"), col("chunk")).agg(count(lit(1)).as("cnt"))
+        chunks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            max(col("cnt")).as("max_chunk"),
+            round(avg(col("cnt")), 4).as("avg_chunk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "tok AS (SELECT doc_id, i, t[i] AS tok FROM tk, UNNEST(range(1, len(t)+1)) x(i)), " +
+        "ch AS (SELECT doc_id, sum(CASE WHEN " + md5BucketSql("tok") + " < 3 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS UNBOUNDED PRECEDING) AS chunk FROM tok), " +
+        "cs AS (SELECT doc_id, chunk, count(*) AS cnt FROM ch GROUP BY doc_id, chunk) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(max(cnt) AS BIGINT) AS max_chunk, round(avg(cnt), 4) AS avg_chunk " +
+        "FROM cs GROUP BY doc_id ORDER BY doc_id"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick
@@ -772,6 +918,17 @@ object TextOps {
     when(md5Bucket(id) < 90, "train")
       .when(md5Bucket(id) < 95, "val")
       .otherwise("test")
+
+  /** First 8 hex digits of md5(c) as an unsigned 32-bit value in DuckDB
+    * SQL (positional digit reconstruction, the md5BucketSql technique
+    * widened to 8 digits) — the uniform-draw source for q94's weighted
+    * sampling keys. Spark twin: conv(substring(md5(..),1,8),16,10).
+    */
+  private def md5U32Sql(c: String): String = {
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)),$i,1))-1)"
+    (1 to 8).map(i => s"${digit(i)}*${1L << (4 * (8 - i))}").mkString("(", " + ", ")")
+  }
 
   /** The same bucket in DuckDB SQL (no conv() there: hex digits
     * reconstructed positionally via instr).

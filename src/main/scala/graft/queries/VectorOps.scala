@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -223,6 +223,38 @@ object VectorOps {
         graft.ext.AnnIndex.search(index, q, topK = 5, nProbe = 8)
           .orderBy(col("q_id"), col("rn"))
       },
-      None)
+      None),
+
+    GraftQuery(
+      "q99_quantize_embed",
+      "Int8 scalar quantization audit — the 4x-compression step an embedding store applies before ANN serving: each vector gets a symmetric per-vector scale (max|x|/127), elements round to the nearest of 255 levels via floor(x/s + 0.5) (floor is exact in both engines — no round-half dialect risk), and the reconstruction error sums per vector. Per-label output pins mean and max squared error, i.e. how much recall the compression can cost. Pure narrow map over the corpus — no shuffle until the ~10-row label rollup; at 100 TB the quantized vectors (64 B vs 256 B) are what the IVF cells would persist.",
+      (s, d) => {
+        val scale = array_max(transform(col("embedding"), x => abs(x)))
+          .cast("double") / lit(127.0)
+        def sqErr(x: Column): Column = {
+          val d = x.cast("double") -
+            col("scale") * floor(x.cast("double") / col("scale") + lit(0.5))
+          d * d
+        }
+        t(s, d, "embeddings")
+          .withColumn("scale", scale)
+          .withColumn("err",
+            when(col("scale") === 0.0, 0.0)
+              .otherwise(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + sqErr(x))))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("err")), 6).as("avg_sq_err"),
+            round(max(col("err")), 6).as("max_sq_err"))
+          .orderBy(col("label"))
+      },
+      Some("WITH s AS (SELECT label, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale FROM embeddings), " +
+        "e AS (SELECT label, CASE WHEN scale = 0 THEN 0.0 ELSE " +
+        "list_sum(list_transform(embedding, x -> " +
+        "(x - scale*floor(x/scale + 0.5)) * (x - scale*floor(x/scale + 0.5)))) " +
+        "END AS err FROM s) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(avg(err), 6) AS avg_sq_err, round(max(err), 6) AS max_sq_err " +
+        "FROM e GROUP BY label ORDER BY label"))
   )
 }
