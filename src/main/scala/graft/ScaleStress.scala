@@ -65,7 +65,12 @@ object ScaleStress {
       // plus token-key shuffles — they must stay linear under 10×
       "q93_pii_redact", "q94_weighted_sample", "q95_pmi_bigrams",
       "q96_zipf_spectrum", "q97_cdc_chunks", "q98_cohort_retention",
-      "q99_quantize_embed")
+      "q99_quantize_embed",
+      // round-6 index/tokenizer ops: pair counting and the inverted
+      // index are token-key shuffles; novelty re-walks the 10× shingle
+      // relation; the salted join must hold its spread under 10× facts
+      "q100_bpe_pairs", "q101_inverted_index", "q102_ngram_novelty",
+      "q103_norm_dedup", "q104_dim_stats", "q105_salted_join")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -708,6 +708,25 @@ object Relational {
         "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
         "JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
-        "GROUP BY r_name ORDER BY r_name"))
+        "GROUP BY r_name ORDER BY r_name")),
+
+    GraftQuery(
+      "q105_salted_join",
+      "Skew-mitigated fact join as a first-class query — per-supplier revenue through ext/SkewJoin.saltedEquiJoin: the large side salts its key 8 ways, the supplier side replicates across the salt domain, so one hot key spreads over 8 reducers instead of melting a single executor (the manual fallback when AQE skew splitting can't reach the subtree). The oracle is the PLAIN join — salting must be invisible in the result, and this entry keeps the driver proving that on every round. Sums are exact fixed-point cents, so 8-way spreading cannot perturb them.",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.ext.SkewJoin.saltedEquiJoin(li, sup, "l_suppkey", 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("revenue_cents"))
+          .orderBy(col("s_name"))
+      },
+      Some("SELECT s_name, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_name ORDER BY s_name"))
   )
 }

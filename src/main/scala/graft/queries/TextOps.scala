@@ -896,7 +896,87 @@ object TextOps {
         "cs AS (SELECT doc_id, chunk, count(*) AS cnt FROM ch GROUP BY doc_id, chunk) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
         "CAST(max(cnt) AS BIGINT) AS max_chunk, round(avg(cnt), 4) AS avg_chunk " +
-        "FROM cs GROUP BY doc_id ORDER BY doc_id"))
+        "FROM cs GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q100_bpe_pairs",
+      "BPE vocabulary-learning kernel — one merge iteration of byte-pair encoding (the tokenizer-training inner loop): every adjacent character pair inside every word, counted corpus-wide, top-30 by frequency. The pair extraction is a per-row higher-order transform (sequence + substr — codegen'd, zero shuffle), the count is one hash shuffle on the 2-char pair key with map-side combine (at most ~vocab² ≈ thousands of distinct keys, so the reduce side is tiny no matter the corpus size), and the top-30 is a bounded-heap TakeOrdered. A full BPE trainer is this query in a loop with a merge-table broadcast — each iteration stays one map + one micro-shuffle at 100 TB.",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(30)
+      },
+      Some("WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), " +
+        "p AS (SELECT substr(w, i, 2) AS pair FROM w, UNNEST(range(1, length(w))) x(i) " +
+        "WHERE length(w) >= 2) " +
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 30")),
+
+    GraftQuery(
+      "q101_inverted_index",
+      "Inverted-index construction — term → document-frequency + sorted posting list, the retrieval-side artifact a dedup/contamination pipeline shares with search: per-doc distinct terms (array_distinct before the explode, so a term repeated in one doc posts once), one hash shuffle on the term key, postings sorted post-agg so accumulation order can't leak into the output (the q57 rule). Emitted as a comma-joined string — the serving-layer shape — with a df ≥ 10 floor and a top-100 cap so the result stays bounded while the build itself is linear: at 100 TB the same plan writes the full index out partitioned by term-hash instead of taking the head.",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"),
+            array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+          .filter(col("df") >= 10)
+          .orderBy(col("df").desc, col("tok"))
+          .limit(100)
+      },
+      Some("WITH p AS (SELECT DISTINCT doc_id, tok FROM " +
+        "(SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)) " +
+        "SELECT tok, CAST(count(*) AS BIGINT) AS df, " +
+        "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
+        "FROM p GROUP BY tok HAVING count(*) >= 10 " +
+        "ORDER BY df DESC, tok LIMIT 100")),
+
+    GraftQuery(
+      "q102_ngram_novelty",
+      "Per-document n-gram novelty — the fraction of a doc's distinct 3-gram shingles that appear NOWHERE else in the corpus (df = 1), the memorization/boilerplate audit run before sampling training data: low novelty ⇒ the doc is assembled from corpus-common fragments. Reuses the pinned q41/q42 shingle relation (64-bit keys, built once per dir), so the marginal cost is one groupBy on the shingle key for df plus one join back — both shuffles on the same 8-byte key. The ratio divides in double on both engines and rounds to 6dp, far above accumulation noise. At 100 TB this is the same two-pass over the materialized shingle table the dedup stack already requires.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val dfreq = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+        sh.join(dfreq, Seq("sk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            round(sum(when(col("df") === 1, 1).otherwise(0)).cast("double")
+              / count(lit(1)), 6).as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "df AS (SELECT s, count(*) AS df FROM sh GROUP BY s) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)*1.0/count(*), 6) AS novelty " +
+        "FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q103_norm_dedup",
+      "Canonicalization dedup — exact dedup AFTER text normalization (lowercase, strip non-alphanumerics, collapse runs of spaces, trim): the standard first-rung dedup that catches reformatted copies exact-byte dedup (q40) misses while staying embarrassingly parallel. The normalization chain is pure per-row codegen'd string ops; the group key is the 16-byte md5 of the normalized form, so the shuffle carries digests, not documents (the q40 posture). Survivor = min doc_id per class — deterministic on any cluster layout. Spark's regexp_replace is global by default; the oracle pins the same semantics with DuckDB's 'g' flag.",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        t(s, d, "documents")
+          .select(col("doc_id"), md5(norm).as("nk"))
+          .groupBy(col("nk"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+          .orderBy(col("canonical_id"))
+      },
+      Some("WITH n AS (SELECT doc_id, md5(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk " +
+        "FROM documents) " +
+        "SELECT nk, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM n GROUP BY nk ORDER BY canonical_id"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

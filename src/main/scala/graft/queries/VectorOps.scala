@@ -255,6 +255,28 @@ object VectorOps {
         "END AS err FROM s) " +
         "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
         "round(avg(err), 6) AS avg_sq_err, round(max(err), 6) AS max_sq_err " +
-        "FROM e GROUP BY label ORDER BY label"))
+        "FROM e GROUP BY label ORDER BY label")),
+
+    GraftQuery(
+      "q104_dim_stats",
+      "Per-dimension embedding statistics — the feature-normalization / whitening pass (mean, sample stddev, min, max per coordinate) an embedding pipeline fits before training or indexing, and the drift monitor it re-runs per batch. posexplode turns each vector into (dim, value) rows map-side; the only shuffle is a hash agg on exactly 64 dim keys, and map-side partial aggregation reduces each task to 64 rows before it — at 100 TB every executor ships 64 accumulators, nothing else. min/max pass through un-rounded (float→double widening is exact in both engines); mean/std round at 4dp, far above distributed-summation-order noise (the q74 rule).",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            col("col").cast("double").as("v"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("v")), 4).as("mean"),
+            round(stddev_samp(col("v")), 4).as("sd"),
+            min(col("v")).as("mn"),
+            max(col("v")).as("mx"))
+          .orderBy(col("dim"))
+      },
+      Some("WITH e AS (SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, len(embedding)+1)) x(i)) " +
+        "SELECT dim, CAST(count(*) AS BIGINT) AS n, round(avg(v), 4) AS mean, " +
+        "round(stddev_samp(v), 4) AS sd, min(v) AS mn, max(v) AS mx " +
+        "FROM e GROUP BY dim ORDER BY dim"))
   )
 }

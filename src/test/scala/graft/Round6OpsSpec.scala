@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-6 index/tokenizer/normalization operators
+  * (q100–q105) beyond their DuckDB oracle twins: BPE pair-shape and
+  * count conservation, posting-list ordering, novelty bounds, the
+  * normalization fixed point, per-dim stat consistency, and the
+  * salted join's equality with the plain join it must be invisible in.
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  test("q100 BPE pairs are 2-char, positive-count, and conserve mass") {
+    val rows = Registry.byName("q100_bpe_pairs").fn(spark, sfDir).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length === 2)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    // descending by count with pair tiebreak — the heap order is total
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // every adjacent pair of every word is counted exactly once: the
+    // corpus-wide pair mass equals sum over words of (len - 1)
+    val total = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")) - 1)).head.getLong(0)
+    val allPairs = Registry.byName("q100_bpe_pairs").fn(spark, sfDir)
+    // top-30 is a subset; re-derive the full mass through the same path
+    val full = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .count()
+    assert(full === total)
+    assert(allPairs.count() === 30)
+  }
+
+  test("q101 posting lists are ascending, df-consistent, and per-doc distinct") {
+    val rows = Registry.byName("q101_inverted_index").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(posts.length === r.getAs[Long]("df"), "df != |postings|")
+      assert(posts.zip(posts.tail).forall { case (a, b) => a < b },
+        "postings not strictly ascending — a doc posted twice or sort leaked")
+      assert(r.getAs[Long]("df") >= 10L)
+    }
+  }
+
+  test("q102 novelty is a [0,1] ratio over every shingled doc") {
+    val got = Registry.byName("q102_ngram_novelty").fn(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_shingles") > 0L)
+    }
+    // exactly the docs with >= 3 tokens participate
+    val eligible = Tables.load(spark, sfDir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(rows.length.toLong === eligible)
+    graft.queries.TextOps.releaseCaches()
+  }
+
+  test("q103 normalization dedup conserves docs and is a fixed point") {
+    val rows = Registry.byName("q103_norm_dedup").fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, sfDir, "documents").count())
+    // canonical ids are distinct and each class keeps its minimum
+    val canon = rows.map(_.getAs[Long]("canonical_id"))
+    assert(canon.distinct.length === canon.length)
+    // normalizing an already-normalized string changes nothing
+    val norm = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    val twice = Tables.load(spark, sfDir, "documents")
+      .select(norm(col("text")).as("n1"))
+      .select(col("n1"), norm(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2")).count()
+    assert(twice === 0L)
+  }
+
+  test("q104 per-dim stats cover all 64 dims with consistent bounds") {
+    val rows = Registry.byName("q104_dim_stats").fn(spark, sfDir).collect()
+    assert(rows.length === 64)
+    val n0 = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === n0, "ragged dimension counts")
+      assert(r.getAs[Double]("sd") >= 0.0)
+      assert(r.getAs[Double]("mn") <= r.getAs[Double]("mean") + 1e-4)
+      assert(r.getAs[Double]("mean") <= r.getAs[Double]("mx") + 1e-4)
+    }
+    assert(n0 === Tables.load(spark, sfDir, "embeddings").count())
+  }
+
+  test("q105 salted join result equals the plain join exactly") {
+    val salted = Registry.byName("q105_salted_join").fn(spark, sfDir)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"),
+        Fns.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    val plain = li.join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("s_name"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
