@@ -70,7 +70,10 @@ object ScaleStress {
       // index are token-key shuffles; novelty re-walks the 10× shingle
       // relation; the salted join must hold its spread under 10× facts
       "q100_bpe_pairs", "q101_inverted_index", "q102_ngram_novelty",
-      "q103_norm_dedup", "q104_dim_stats", "q105_salted_join")
+      "q103_norm_dedup", "q104_dim_stats", "q105_salted_join",
+      // the funnel is a narrow map; DSIR and the outlier audit re-walk
+      // the exploded token/coordinate space twice — linearity matters
+      "q106_embedding_outliers", "q107_filter_funnel", "q108_dsir_weights")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

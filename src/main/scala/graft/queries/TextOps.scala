@@ -976,7 +976,88 @@ object TextOps {
         "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk " +
         "FROM documents) " +
         "SELECT nk, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs " +
-        "FROM n GROUP BY nk ORDER BY canonical_id"))
+        "FROM n GROUP BY nk ORDER BY canonical_id")),
+
+    GraftQuery(
+      "q107_filter_funnel",
+      "The curation filter funnel — the C4/RefinedWeb-style cascade that decides every document's fate with ONE reason: rules fire in a fixed order (too_short → low_alpha → high_stop → non_english → kept) so each doc lands in exactly one verdict bucket, and the output is the funnel report (docs, chars, mean length per verdict) a pipeline operator reads before shipping a corpus. Reuses q46's exact rounded-ratio kernels, so thresholds compare identically in both engines. Pure narrow map until the ~5-row verdict rollup — zero shuffle pressure at 100 TB, and the verdict column is what a real run would PARTITION BY on write so downstream readers prune to 'kept' files only.",
+      (s, d) => {
+        val tk = toks(col("text"))
+        val stopRatio = round(size(filter(tk, x =>
+          x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double")
+          / size(tk), 6)
+        val alphaRatio = round(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text")), 6)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(tk).as("n_tokens"),
+            stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"))
+          .withColumn("verdict",
+            when(col("n_tokens") < 15, "too_short")
+              .when(col("alpha_ratio") < 0.5, "low_alpha")
+              .when(col("stop_ratio") > 0.4, "high_stop")
+              .when(col("lang") =!= "en", "non_english")
+              .otherwise("kept"))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens"))
+          .orderBy(col("verdict"))
+      },
+      Some("WITH q AS (SELECT doc_id, lang, n_chars, " +
+        "len(string_split(text,' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(text,' '), t -> t IN " +
+        "('the','a','of','and','to','in','is','it')))*1.0" +
+        "/len(string_split(text,' ')), 6) AS stop_ratio, " +
+        "round(len(regexp_replace(text,'[^a-z]','','g'))*1.0/len(text), 6) AS alpha_ratio " +
+        "FROM documents), " +
+        "v AS (SELECT n_chars, n_tokens, CASE " +
+        "WHEN n_tokens < 15 THEN 'too_short' " +
+        "WHEN alpha_ratio < 0.5 THEN 'low_alpha' " +
+        "WHEN stop_ratio > 0.4 THEN 'high_stop' " +
+        "WHEN lang <> 'en' THEN 'non_english' " +
+        "ELSE 'kept' END AS verdict FROM q) " +
+        "SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "round(avg(n_tokens), 4) AS avg_tokens " +
+        "FROM v GROUP BY verdict ORDER BY verdict")),
+
+    GraftQuery(
+      "q108_dsir_weights",
+      "DSIR-style domain importance weights (data-selection-by-importance-resampling, the targeted-sampling pass behind domain-matched pretraining mixes): per-document mean log-likelihood RATIO between a target-domain unigram LM and the all-corpus LM, both add-one smoothed and trained IN the plan — two token-key groupBys plus broadcast 1-row totals (the q88 posture, twice). Target domain = the deterministic doc_id%10=0 slice. Docs scoring high look like the target and get upsampled. One exploded-token pass scores everything; the count tables co-partition with the scoring join on the token key; at 100 TB the target table (a curated seed set) broadcasts.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toksOf = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), explode(col("tk")).as("tok"))
+        val cAll = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("c_all"))
+        val cTgt = toksOf.filter(col("doc_id") % 10 === 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("c_tgt"))
+        val totals = toksOf.agg(
+          count(lit(1)).cast("double").as("n_all"),
+          sum(when(col("doc_id") % 10 === 0, 1).otherwise(0)).cast("double").as("n_tgt"),
+          countDistinct(col("tok")).cast("double").as("v"))
+        toksOf
+          .join(cAll, Seq("tok"))
+          .join(cTgt, Seq("tok"), "left")
+          .crossJoin(broadcast(totals))
+          .withColumn("llr",
+            log((coalesce(col("c_tgt"), lit(0L)) + 1) / (col("n_tgt") + col("v")))
+              - log((col("c_all") + 1) / (col("n_all") + col("v"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), round(avg(col("llr")), 6).as("dsir_w"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "ca AS (SELECT tok, count(*) AS c_all FROM tok GROUP BY tok), " +
+        "ct AS (SELECT tok, count(*) AS c_tgt FROM tok WHERE doc_id % 10 = 0 GROUP BY tok), " +
+        "tt AS (SELECT count(*)*1.0 AS n_all, " +
+        "sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)*1.0 AS n_tgt, " +
+        "count(DISTINCT tok)*1.0 AS v FROM tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(avg(ln((coalesce(c_tgt, 0) + 1) / (n_tgt + v)) " +
+        "- ln((c_all + 1) / (n_all + v))), 6) AS dsir_w " +
+        "FROM tok JOIN ca USING (tok) LEFT JOIN ct USING (tok), tt " +
+        "GROUP BY doc_id ORDER BY doc_id"))
   )
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

@@ -277,6 +277,35 @@ object VectorOps {
         "FROM embeddings, UNNEST(range(1, len(embedding)+1)) x(i)) " +
         "SELECT dim, CAST(count(*) AS BIGINT) AS n, round(avg(v), 4) AS mean, " +
         "round(stddev_samp(v), 4) AS sd, min(v) AS mn, max(v) AS mx " +
-        "FROM e GROUP BY dim ORDER BY dim"))
+        "FROM e GROUP BY dim ORDER BY dim")),
+
+    GraftQuery(
+      "q106_embedding_outliers",
+      "Embedding outlier audit — the vector-space data-quality gate run before index build or training: fit per-dimension mean/sd (the q104 stats) inside the plan, z-score every coordinate against them, and report per label how many vectors have any coordinate beyond 4σ plus the worst z seen. Two passes over the exploded coordinates — a 64-key stats agg, then a rejoin against the broadcast 64-row stats table — so nothing but (dim → 2 doubles) crosses executors between them; the per-vector max-|z| agg shuffles on vec_id. The flag compares the 6dp-ROUNDED max-z so sub-ulp accumulation noise in the fitted moments cannot flip a vector across the threshold.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            (col("pos") + 1).cast("long").as("dim"), col("col").cast("double").as("v"))
+        val st = e.groupBy(col("dim"))
+          .agg(avg(col("v")).as("m"), stddev_samp(col("v")).as("sd"))
+        val z = e.join(broadcast(st), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(max(abs((col("v") - col("m")) / col("sd"))), 6).as("maxz"))
+        z.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("maxz") >= 4.0, 1L).otherwise(0L)).as("n_outliers"),
+            round(max(col("maxz")), 4).as("max_z"))
+          .orderBy(col("label"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, len(embedding)+1)) x(i)), " +
+        "st AS (SELECT dim, avg(v) AS m, stddev_samp(v) AS sd FROM e GROUP BY dim), " +
+        "z AS (SELECT vec_id, label, round(max(abs((v - m)/sd)), 6) AS maxz " +
+        "FROM e JOIN st USING (dim) GROUP BY vec_id, label) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CASE WHEN maxz >= 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "round(max(maxz), 4) AS max_z " +
+        "FROM z GROUP BY label ORDER BY label"))
   )
 }

@@ -96,6 +96,39 @@ class Round6OpsSpec extends SparkSpec {
     assert(n0 === Tables.load(spark, sfDir, "embeddings").count())
   }
 
+  test("q106 outlier audit conserves vectors and bounds flags") {
+    val rows = Registry.byName("q106_embedding_outliers").fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ===
+      Tables.load(spark, sfDir, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Double]("max_z") >= 0.0)
+      // any flagged outlier forces the label's max beyond the threshold
+      if (r.getAs[Long]("n_outliers") > 0) assert(r.getAs[Double]("max_z") >= 4.0)
+    }
+  }
+
+  test("q107 funnel verdicts partition the corpus with one reason each") {
+    val rows = Registry.byName("q107_filter_funnel").fn(spark, sfDir).collect()
+    val legal = Set("too_short", "low_alpha", "high_stop", "non_english", "kept")
+    assert(rows.map(_.getAs[String]("verdict")).forall(legal))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, sfDir, "documents").count())
+    rows.foreach(r => assert(r.getAs[Double]("avg_tokens") > 0.0))
+  }
+
+  test("q108 DSIR weights cover every doc and favor the target slice") {
+    val got = Registry.byName("q108_dsir_weights").fn(spark, sfDir)
+    assert(got.count() === Tables.load(spark, sfDir, "documents").count())
+    // the target LM memorizes its own sample (add-one smoothing only
+    // dampens it), so the target slice must score higher on average
+    val m = got.withColumn("tgt", col("doc_id") % 10 === 0)
+      .groupBy(col("tgt")).agg(avg(col("dsir_w")).as("m"))
+      .collect().map(r => r.getAs[Boolean]("tgt") -> r.getAs[Double]("m")).toMap
+    assert(m(true) > m(false),
+      s"target slice not upweighted: ${m(true)} vs ${m(false)}")
+  }
+
   test("q105 salted join result equals the plain join exactly") {
     val salted = Registry.byName("q105_salted_join").fn(spark, sfDir)
     val li = Tables.load(spark, sfDir, "lineitem")
