@@ -73,7 +73,10 @@ object ScaleStress {
       "q103_norm_dedup", "q104_dim_stats", "q105_salted_join",
       // the funnel is a narrow map; DSIR and the outlier audit re-walk
       // the exploded token/coordinate space twice — linearity matters
-      "q106_embedding_outliers", "q107_filter_funnel", "q108_dsir_weights")
+      "q106_embedding_outliers", "q107_filter_funnel", "q108_dsir_weights",
+      // PQ codebooks retrain on the 10× corpus; survivor election rides
+      // the 45×-denser near-dup graph through the same label propagation
+      "q109_pq_topk", "q110_dedup_survivors")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

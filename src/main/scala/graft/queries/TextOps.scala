@@ -701,30 +701,7 @@ object TextOps {
         val p = jaccardPairs(sh).select(col("da"), col("db"))
         val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
           .toDF("src", "dst"))
-        var labels = pin(edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("lbl")))
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 32) {
-          // every frame below derives from `labels`, so resolve columns
-          // by RENAMED NAME, never dataset-qualified — qualified access
-          // across shared lineage trips the ambiguous-self-join check
-          val nbrMin = edges
-            .join(labels.select(col("v").as("nv"), col("lbl").as("nlbl")),
-              col("dst") === col("nv"))
-            .groupBy(col("src")).agg(min(col("nlbl")).as("mn"))
-            .select(col("src").as("mv"), col("mn"))
-          val next = pin(labels
-            .join(nbrMin, col("v") === col("mv"), "left")
-            .select(col("v"),
-              least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl")))
-          changed = next.select(col("v").as("v2"), col("lbl").as("l2"))
-            .join(labels.select(col("v").as("v3"), col("lbl").as("l3")),
-              col("v2") === col("v3"))
-            .filter(col("l2") =!= col("l3")).count()
-          labels = next
-          rounds += 1
-        }
+        val labels = connectedLabels(edges)
         val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, Seq("lbl"))
           .select(col("lbl").as("cluster_id"), col("v").as("doc_id"),
@@ -1057,8 +1034,93 @@ object TextOps {
         "round(avg(ln((coalesce(c_tgt, 0) + 1) / (n_tgt + v)) " +
         "- ln((c_all + 1) / (n_all + v))), 6) AS dsir_w " +
         "FROM tok JOIN ca USING (tok) LEFT JOIN ct USING (tok), tt " +
-        "GROUP BY doc_id ORDER BY doc_id"))
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q110_dedup_survivors",
+      "Quality-aware survivor election — the step real dedup pipelines run instead of q92's min-id keep flag: within each near-dup cluster (same connected components over the q41 pair graph) elect the LONGEST document (n_chars, doc_id tiebreak) as the canonical copy, since near-dup truncations should lose to the fullest version. One row_number window per cluster — partitioned by cluster id, so no global sort — plus the cluster rollup. At 100 TB the cluster ids come from the same label propagation and the election shuffles (cluster_id, doc_id, quality) triples only.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst"))
+        val labels = connectedLabels(edges)
+        val withQ = labels
+          .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            col("v") === col("doc_id"))
+          .select(col("lbl").as("cluster_id"), col("doc_id"), col("n_chars"))
+        withQ
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster_id"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .groupBy(col("cluster_id"))
+          .agg(max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+            count(lit(1)).as("cluster_size"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS v FROM edges), " +
+        "r AS (WITH RECURSIVE rr(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a) " +
+        "SELECT * FROM rr), " +
+        "lbl AS (SELECT v AS doc_id, least(v, min(b)) AS cluster_id " +
+        "FROM nodes LEFT JOIN r ON r.a = v GROUP BY v), " +
+        "j AS (SELECT l.cluster_id, l.doc_id, d.n_chars, " +
+        "row_number() OVER (PARTITION BY l.cluster_id " +
+        "ORDER BY d.n_chars DESC, l.doc_id) AS rn " +
+        "FROM lbl l JOIN documents d USING (doc_id)) " +
+        "SELECT cluster_id, max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id, " +
+        "CAST(count(*) AS BIGINT) AS cluster_size, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_chars " +
+        "FROM j GROUP BY cluster_id ORDER BY cluster_id"))
   )
+
+  /** Distributed min-label propagation over a BIDIRECTIONAL edge set
+    * (src, dst): every vertex converges to the minimum vertex id of
+    * its connected component. Each round is one join of edges to the
+    * current labels plus a min aggregate; the driver holds only the
+    * convergence counter. Near-dup graphs have tiny diameters
+    * (duplicates of a duplicate are duplicates), so rounds ≈ 3; the
+    * identical join+min building blocks run large-star/small-star for
+    * worst-case-diameter graphs at 100 TB. Returns (v, lbl).
+    */
+  private def connectedLabels(edges: DataFrame): DataFrame = {
+    var labels = pin(edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      // every frame below derives from `labels`, so resolve columns
+      // by RENAMED NAME, never dataset-qualified — qualified access
+      // across shared lineage trips the ambiguous-self-join check
+      val nbrMin = edges
+        .join(labels.select(col("v").as("nv"), col("lbl").as("nlbl")),
+          col("dst") === col("nv"))
+        .groupBy(col("src")).agg(min(col("nlbl")).as("mn"))
+        .select(col("src").as("mv"), col("mn"))
+      val next = pin(labels
+        .join(nbrMin, col("v") === col("mv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl")))
+      changed = next.select(col("v").as("v2"), col("lbl").as("l2"))
+        .join(labels.select(col("v").as("v3"), col("lbl").as("l3")),
+          col("v2") === col("v3"))
+        .filter(col("l2") =!= col("l3")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick
     * shared by the sampling/split queries: every engine and every rerun

@@ -226,6 +226,19 @@ object VectorOps {
       None),
 
     GraftQuery(
+      "q109_pq_topk",
+      "Product-quantization ANN serving query (ext.PqIndex): 8 seeded per-subspace KMeans(16) codebooks compress each 64-d float vector to 8 one-byte codes (32×); the candidate scan ranks by asymmetric distance — one broadcast m×k lookup table per query over CODES (8 B/vector, never raw vectors) — and only the ADC shortlist (25/query) fetches raw embeddings for exact re-ranking, the standard production PQ pipeline. This is the memory-bandwidth answer at 100 TB (and composes with q79's IVF cells as standard IVF-PQ). No SQL oracle — KMeans codebooks aren't SQL-expressible — so the driver records rows-only; PqIndexSpec pins the ADC relative-error bound and a recall floor vs an exact-L2 baseline.",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = graft.ext.PqIndex.build(s, e, dim = 64)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        graft.ext.PqIndex.searchReRanked(index, e, q, topK = 5)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
+    GraftQuery(
       "q99_quantize_embed",
       "Int8 scalar quantization audit — the 4x-compression step an embedding store applies before ANN serving: each vector gets a symmetric per-vector scale (max|x|/127), elements round to the nearest of 255 levels via floor(x/s + 0.5) (floor is exact in both engines — no round-half dialect risk), and the reconstruction error sums per vector. Per-label output pins mean and max squared error, i.e. how much recall the compression can cost. Pure narrow map over the corpus — no shuffle until the ~10-row label rollup; at 100 TB the quantized vectors (64 B vs 256 B) are what the IVF cells would persist.",
       (s, d) => {

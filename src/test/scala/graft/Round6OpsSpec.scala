@@ -129,6 +129,27 @@ class Round6OpsSpec extends SparkSpec {
       s"target slice not upweighted: ${m(true)} vs ${m(false)}")
   }
 
+  test("q110 elects the longest member of each q92 cluster") {
+    val clusters = Registry.byName("q92_dedup_clusters").fn(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("cluster_id"))
+    val chars = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Registry.byName("q110_dedup_survivors").fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet === clusters.keySet)
+    rows.foreach { r =>
+      val members = clusters(r.getAs[Long]("cluster_id"))
+        .map(_.getAs[Long]("doc_id"))
+      val survivor = r.getAs[Long]("survivor_id")
+      assert(members.contains(survivor), "survivor outside its cluster")
+      assert(r.getAs[Long]("cluster_size") === members.length)
+      val maxChars = members.map(chars).max
+      assert(r.getAs[Long]("max_chars") === maxChars)
+      assert(chars(survivor) === maxChars, "survivor is not the longest member")
+    }
+    graft.queries.TextOps.releaseCaches()
+  }
+
   test("q105 salted join result equals the plain join exactly") {
     val salted = Registry.byName("q105_salted_join").fn(spark, sfDir)
     val li = Tables.load(spark, sfDir, "lineitem")
