@@ -45,17 +45,20 @@ object Bench {
     }
     graft.queries.TextOps.releaseCaches()
     // Per-query lines FIRST, the parseable one-line summary LAST: the
-    // driver keeps only the output tail, so a total printed up front
-    // gets truncated away (BENCH_r02/r03 both lost their head). The
-    // summary's seconds are rounded to 3 decimals — full-precision
-    // doubles pushed the one line past the tail buffer and clipped its
-    // head too (BENCH_r04 "parsed": null); ~2 KB rounded fits.
+    // driver keeps only the output tail (~2000 chars), so a total
+    // printed up front gets truncated away (BENCH_r02/r03 lost their
+    // head) and an over-long summary line gets its head clipped
+    // (BENCH_r04 "parsed": null at full float precision). With 110+
+    // queries even 3-decimal full-name keys overflow 2 KB, so the
+    // summary map keys are the unique qNN prefixes (full names are on
+    // the per-query lines above): ~1.5 KB, inside the tail window.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":${fmt(v)}}""")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

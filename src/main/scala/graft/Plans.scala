@@ -25,7 +25,8 @@ object Plans {
     val sb = new StringBuilder
     // Exclude only the ML model-fitting queries (no stable plan to
     // audit) — by exact name, so q62..q69 stay in the dump.
-    val skip = Set("q60_synth_ratings", "q61_als_recommend", "q79_ivf_topk")
+    val skip = Set("q60_synth_ratings", "q61_als_recommend", "q79_ivf_topk",
+      "q109_pq_topk")
     Registry.all.filterNot(q => skip.contains(q.name)).foreach { q =>
       sb.append(s"==================== ${q.name} ====================\n")
       try sb.append(q.fn(spark, sfDir).queryExecution.explainString(

@@ -76,7 +76,9 @@ object ScaleStress {
       "q106_embedding_outliers", "q107_filter_funnel", "q108_dsir_weights",
       // PQ codebooks retrain on the 10× corpus; survivor election rides
       // the 45×-denser near-dup graph through the same label propagation
-      "q109_pq_topk", "q110_dedup_survivors")
+      "q109_pq_topk", "q110_dedup_survivors",
+      "q111_lang_confusion", "q112_dup_rate_by_source",
+      "q113_temperature_mix", "q114_split_leakage", "q115_length_histogram")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -959,22 +959,10 @@ object TextOps {
       "q107_filter_funnel",
       "The curation filter funnel — the C4/RefinedWeb-style cascade that decides every document's fate with ONE reason: rules fire in a fixed order (too_short → low_alpha → high_stop → non_english → kept) so each doc lands in exactly one verdict bucket, and the output is the funnel report (docs, chars, mean length per verdict) a pipeline operator reads before shipping a corpus. Reuses q46's exact rounded-ratio kernels, so thresholds compare identically in both engines. Pure narrow map until the ~5-row verdict rollup — zero shuffle pressure at 100 TB, and the verdict column is what a real run would PARTITION BY on write so downstream readers prune to 'kept' files only.",
       (s, d) => {
-        val tk = toks(col("text"))
-        val stopRatio = round(size(filter(tk, x =>
-          x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double")
-          / size(tk), 6)
-        val alphaRatio = round(length(regexp_replace(col("text"), "[^a-z]", ""))
-          .cast("double") / length(col("text")), 6)
         t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-            size(tk).as("n_tokens"),
-            stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"))
-          .withColumn("verdict",
-            when(col("n_tokens") < 15, "too_short")
-              .when(col("alpha_ratio") < 0.5, "low_alpha")
-              .when(col("stop_ratio") > 0.4, "high_stop")
-              .when(col("lang") =!= "en", "non_english")
-              .otherwise("kept"))
+          .select(col("doc_id"), col("n_chars"),
+            size(toks(col("text"))).as("n_tokens"),
+            funnelVerdict(col("text"), col("lang")).as("verdict"))
           .groupBy(col("verdict"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),
@@ -1082,8 +1070,212 @@ object TextOps {
         "SELECT cluster_id, max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id, " +
         "CAST(count(*) AS BIGINT) AS cluster_size, " +
         "CAST(max(n_chars) AS BIGINT) AS max_chars " +
-        "FROM j GROUP BY cluster_id ORDER BY cluster_id"))
+        "FROM j GROUP BY cluster_id ORDER BY cluster_id")),
+
+    GraftQuery(
+      "q111_lang_confusion",
+      "Language-ID confusion matrix — the evaluation rollup a curation team runs over q47's classifier against the corpus's declared labels: (declared, predicted) cell counts plus each cell's share of its declared-language row (double division, 6dp). The marker-vote argmax is per-row codegen'd; the matrix is one hash agg on at most |langs|² tiny keys, and the row totals come from a window over those same few rows — nothing heavier than the scan itself at 100 TB. Off-diagonal mass tells you where the classifier (or the metadata) lies.",
+      (s, d) => {
+        val tk = toks(col("text"))
+        def score(ms: Seq[String]) = size(filter(tk, x => x.isin(ms: _*)))
+        val pred =
+          when(score(Seq("the", "and", "of", "is"))
+            >= greatest(score(Seq("el", "la", "de", "que")),
+              score(Seq("le", "et", "les", "des")),
+              score(Seq("der", "und", "die", "nicht"))), "en")
+            .when(score(Seq("el", "la", "de", "que"))
+              >= greatest(score(Seq("le", "et", "les", "des")),
+                score(Seq("der", "und", "die", "nicht"))), "es")
+            .when(score(Seq("le", "et", "les", "des"))
+              >= score(Seq("der", "und", "die", "nicht")), "fr")
+            .otherwise("de")
+        val cells = t(s, d, "documents")
+          .select(col("lang"), pred.as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        cells
+          .withColumn("row_total", sum(col("n")).over(
+            Window.partitionBy(col("lang"))))
+          .select(col("lang"), col("pred"), col("n"),
+            round(col("n").cast("double") / col("row_total"), 6).as("share"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("WITH sc AS (SELECT lang, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is'))) AS s_en, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que'))) AS s_es, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('le','et','les','des'))) AS s_fr, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('der','und','die','nicht'))) AS s_de " +
+        "FROM documents), " +
+        "p AS (SELECT lang, CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en' " +
+        "WHEN s_es >= greatest(s_fr, s_de) THEN 'es' " +
+        "WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred FROM sc), " +
+        "c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred) " +
+        "SELECT lang, pred, CAST(n AS BIGINT) AS n, " +
+        "round(n*1.0/sum(n) OVER (PARTITION BY lang), 6) AS share " +
+        "FROM c ORDER BY lang, pred")),
+
+    GraftQuery(
+      "q112_dup_rate_by_source",
+      "Near-duplication rate per source — the provenance audit that decides which feeds get demoted in the corpus mix: every doc in any q41 near-dup cluster counts as duplicated, rolled up against each source's total. The cluster membership comes from the SAME label propagation as q92/q110 (shared helper, shared pinned shingle relation), so the marginal cost over them is two joins on doc_id/source keys. Sources with no clustered docs still report (left join, zero-coalesced) — silence and zero are different answers in a provenance audit.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = cachedShingles(docs)
+        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst"))
+        val clustered = connectedLabels(edges).select(col("v").as("doc_id"))
+        val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val dupPerSource = clustered
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+        perSource.join(dupPerSource, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            round(coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_docs"), 6).as("dup_rate"))
+          .orderBy(col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "cl AS (SELECT DISTINCT da AS doc_id FROM pr UNION SELECT DISTINCT db FROM pr), " +
+        "d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "c2 AS (SELECT d2.source, count(*) AS n_dup FROM cl " +
+        "JOIN documents d2 USING (doc_id) GROUP BY d2.source) " +
+        "SELECT d.source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup, " +
+        "round(coalesce(n_dup, 0)*1.0/n_docs, 6) AS dup_rate " +
+        "FROM d LEFT JOIN c2 USING (source) ORDER BY d.source")),
+
+    GraftQuery(
+      "q113_temperature_mix",
+      "Temperature-scaled source sampling weights (alpha=0.5, the mT5/XLM-R multilingual recipe): each source's draw probability is n^alpha normalized over all sources, flattening the natural size distribution so small sources aren't drowned. `boost` is the resulting up/downsampling factor vs natural frequency — the number a data loader multiplies per-source epochs by. One tiny per-source count aggregate plus a broadcast 1-row total; the corpus itself is scanned once and shuffles only (source) keys, so the plan is identical at 100 TB.",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tots = counts.agg(
+          sum(sqrt(col("n_docs").cast("double"))).as("sum_w"),
+          sum(col("n_docs")).as("n_total"))
+        counts.crossJoin(broadcast(tots))
+          .select(col("source"), col("n_docs"),
+            round(sqrt(col("n_docs").cast("double")) / col("sum_w"), 6)
+              .as("weight"),
+            round(sqrt(col("n_docs").cast("double")) / col("sum_w")
+              * col("n_total").cast("double") / col("n_docs"), 6).as("boost"))
+          .orderBy(col("source"))
+      },
+      Some("WITH c AS (SELECT source, count(*) AS n_docs FROM documents " +
+        "GROUP BY source), " +
+        "t AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_w, " +
+        "sum(n_docs) AS n_total FROM c) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "round(sqrt(CAST(n_docs AS DOUBLE))/sum_w, 6) AS weight, " +
+        "round(sqrt(CAST(n_docs AS DOUBLE))/sum_w " +
+        "* CAST(n_total AS DOUBLE)/n_docs, 6) AS boost " +
+        "FROM c, t ORDER BY source")),
+
+    GraftQuery(
+      "q114_split_leakage",
+      "Cross-split near-dup leakage audit — the integrity check that catches test-set contamination BEFORE training: every q41 near-dup pair is labeled with its endpoints' q82 train/val/test assignment (same md5-bucket `splitFor`, shared definition) and rolled up per unordered split pair. Any mass off the diagonal (train,test)/(train,val) is leaked evaluation data. Rides the SAME pinned shingle relation as q41/q92/q112, so the marginal cost is two joins of a tiny pair set against (doc_id, split) — nothing rescans the corpus.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val splits = docs.select(col("doc_id"),
+          splitFor(col("doc_id")).as("split"))
+        val pairs = jaccardPairs(cachedShingles(docs))
+          .select(col("da"), col("db"))
+        pairs
+          .join(splits.select(col("doc_id").as("da"), col("split").as("sa")),
+            Seq("da"))
+          .join(splits.select(col("doc_id").as("db"), col("split").as("sb")),
+            Seq("db"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "sp AS (SELECT doc_id, CASE WHEN " + md5BucketSql("doc_id") +
+        " < 90 THEN 'train' WHEN " + md5BucketSql("doc_id") +
+        " < 95 THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT least(a.split, b.split) AS split_a, " +
+        "greatest(a.split, b.split) AS split_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM pr JOIN sp a ON pr.da = a.doc_id JOIN sp b ON pr.db = b.doc_id " +
+        "GROUP BY split_a, split_b ORDER BY split_a, split_b")),
+
+    GraftQuery(
+      "q115_length_histogram",
+      "Token-length histogram with cumulative token share — the batch-shape planning table a packing/batching stage reads to pick sequence lengths: docs bucketed by 16-token-wide length bins (pure integer arithmetic, engine-exact boundaries), each bin reporting doc count, token mass, and the running share of all corpus tokens at or below it. The corpus aggregates in one hash groupBy on the bin key; the prefix sum and grand total are ONE window pass over the few-dozen bin rows — O(bins), never the data, the RangeRank offsets posture.",
+      (s, d) => {
+        val hist = t(s, d, "documents")
+          .select(size(toks(col("text"))).cast("long").as("tok_count"))
+          .select((col("tok_count") - col("tok_count") % 16).as("bucket_lo"),
+            col("tok_count"))
+          .groupBy(col("bucket_lo"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok_count")).as("bucket_tokens"))
+        // both sums window over the ~dozens of bin rows, not the data
+        val w = Window.orderBy(col("bucket_lo"))
+        hist
+          .withColumn("cum_tokens", sum(col("bucket_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total_tokens", sum(col("bucket_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("bucket_lo"), col("n_docs"), col("bucket_tokens"),
+            round(col("cum_tokens").cast("double") / col("total_tokens"), 6)
+              .as("cum_token_share"))
+          .orderBy(col("bucket_lo"))
+      },
+      Some("WITH tc AS (SELECT len(string_split(text,' ')) AS tok_count " +
+        "FROM documents), " +
+        "h AS (SELECT tok_count - (tok_count % 16) AS bucket_lo, " +
+        "count(*) AS n_docs, sum(tok_count) AS bucket_tokens " +
+        "FROM tc GROUP BY bucket_lo) " +
+        "SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(bucket_tokens AS BIGINT) AS bucket_tokens, " +
+        "round(CAST(sum(bucket_tokens) OVER (ORDER BY bucket_lo " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "/ sum(bucket_tokens) OVER (), 6) AS cum_token_share " +
+        "FROM h ORDER BY bucket_lo"))
   )
+
+  /** q107's ordered filter cascade as a reusable column — the batch
+    * query and the streaming twin (`StreamOps.funnelStream`) share this
+    * single definition, so their verdicts can never drift. Pure per-row
+    * codegen'd string/ratio math: stateless, watermark-free, applies
+    * identically to a bounded corpus and a continuous feed. Ratio
+    * thresholds compare against 6dp-ROUNDED values (the q46 rule) so
+    * both engines and both modes agree at boundaries.
+    */
+  def funnelVerdict(text: Column, lang: Column): Column = {
+    val tk = toks(text)
+    val stopRatio = round(size(filter(tk, x =>
+      x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("double")
+      / size(tk), 6)
+    val alphaRatio = round(length(regexp_replace(text, "[^a-z]", ""))
+      .cast("double") / length(text), 6)
+    when(size(tk) < 15, "too_short")
+      .when(alphaRatio < 0.5, "low_alpha")
+      .when(stopRatio > 0.4, "high_stop")
+      .when(lang =!= "en", "non_english")
+      .otherwise("kept")
+  }
 
   /** Distributed min-label propagation over a BIDIRECTIONAL edge set
     * (src, dst): every vertex converges to the minimum vertex id of

@@ -40,6 +40,32 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming curation funnel — the stateless streaming twin of batch
+    * q107_filter_funnel, sharing `TextOps.funnelVerdict` verbatim so
+    * stream and backfill can never disagree on a document's fate. The
+    * verdict is a pure per-row map (no watermark, no state): append
+    * mode works, and a production sink would partition the output by
+    * `verdict` so downstream training readers list only 'kept' files.
+    * Input must carry `text` and `lang` columns.
+    */
+  def funnelStream(docs: DataFrame): DataFrame =
+    docs.withColumn("verdict",
+      graft.queries.TextOps.funnelVerdict(col("text"), col("lang")))
+
+  /** Stream-static enrichment join: a continuous event feed joined to
+    * a slow-changing dimension with an explicit broadcast hint, so
+    * every micro-batch probes an executor-local hash map instead of
+    * shuffling the stream (a shuffled stream-static join would
+    * re-exchange every batch). Left join: events with no dimension row
+    * still flow through — an enrichment stage must never drop or delay
+    * the stream. This is the streaming twin of the batch dim joins
+    * (q10/q11/q25); at 100 TB/day the dimension refreshes by swapping
+    * the static side between restarts or reading a Delta-style table.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

@@ -129,6 +129,75 @@ class Round6OpsSpec extends SparkSpec {
       s"target slice not upweighted: ${m(true)} vs ${m(false)}")
   }
 
+  test("q111 confusion matrix conserves docs and row shares sum to 1") {
+    val rows = Registry.byName("q111_lang_confusion").fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.load(spark, sfDir, "documents").count())
+    assert(rows.map(_.getAs[String]("pred")).toSet
+      .subsetOf(Set("en", "es", "fr", "de")))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      val share = cells.map(_.getAs[Double]("share")).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"lang $lang shares sum to $share")
+    }
+  }
+
+  test("q112 dup rates bound correctly and cover every source") {
+    val rows = Registry.byName("q112_dup_rate_by_source").fn(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.length.toLong === docs.select("source").distinct().count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // total duplicated docs equals the q92 cluster membership count
+    val clustered = Registry.byName("q92_dedup_clusters").fn(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_dup")).sum === clustered)
+    graft.queries.TextOps.releaseCaches()
+  }
+
+  test("q113 temperature weights sum to 1 and boost favors small sources") {
+    val rows = Registry.byName("q113_temperature_mix").fn(spark, sfDir).collect()
+    assert(rows.length.toLong === Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count())
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // alpha<1 flattening: boost strictly decreases as source size grows
+    val byN = rows.sortBy(_.getAs[Long]("n_docs")).map(_.getAs[Double]("boost"))
+    byN.zip(byN.tail).foreach { case (small, big) => assert(small >= big) }
+    // the weighted mean of boost under natural frequency is 1 (it is a
+    // reweighting, not a corpus-size change)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val mean = rows.map(r =>
+      r.getAs[Long]("n_docs") / total * r.getAs[Double]("boost")).sum
+    assert(math.abs(mean - 1.0) < 1e-3, s"natural-weighted boost mean $mean")
+  }
+
+  test("q114 leakage pairs partition the q41 pair set by split") {
+    val rows = Registry.byName("q114_split_leakage").fn(spark, sfDir).collect()
+    val totalPairs = Registry.byName("q41_jaccard_pairs").fn(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === totalPairs)
+    rows.foreach { r =>
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+  }
+
+  test("q115 histogram conserves docs/tokens and its cum share hits 1") {
+    val rows = Registry.byName("q115_length_histogram").fn(spark, sfDir)
+      .orderBy(col("bucket_lo")).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val tokTotal = docs.select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("bucket_tokens")).sum === tokTotal)
+    val shares = rows.map(_.getAs[Double]("cum_token_share"))
+    shares.zip(shares.tail).foreach { case (a, b) => assert(a <= b) }
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    rows.foreach(r => assert(r.getAs[Long]("bucket_lo") % 16 === 0L))
+  }
+
   test("q110 elects the longest member of each q92 cluster") {
     val clusters = Registry.byName("q92_dedup_clusters").fn(spark, sfDir)
       .collect().groupBy(_.getAs[Long]("cluster_id"))

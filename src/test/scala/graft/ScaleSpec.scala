@@ -16,7 +16,8 @@ class ScaleSpec extends SparkSpec {
 
   // Model-fitting queries execute Spark jobs just to CONSTRUCT their
   // result frame — no stable static plan to audit.
-  private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk")
+  private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk",
+    "q109_pq_topk")
 
   test("no registered query plans a cartesian product") {
     staticPlan {

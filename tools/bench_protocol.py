@@ -29,8 +29,12 @@ for i in range(runs):
     line = [l for l in out.splitlines() if '"metric":"total"' in l][-1]
     rec = json.loads(line[line.index("{"):])
     totals.append(rec["value"])
-    for q, s in rec["queries"].items():
-        per_query.setdefault(q, []).append(s)
+    # full query names come from the per-query lines (the summary map
+    # keys are shortened to qNN prefixes to fit the driver's tail)
+    for l in out.splitlines():
+        if '"query":' in l and '"sec":' in l:
+            r = json.loads(l[l.index("{"):])
+            per_query.setdefault(r["query"], []).append(r["sec"])
     print(f"run {i + 1}/{runs}: total {rec['value']:.1f} s", file=sys.stderr)
 
 print("| query | median sec | min sec |")
