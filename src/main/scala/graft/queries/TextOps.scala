@@ -1252,7 +1252,76 @@ object TextOps {
         "round(CAST(sum(bucket_tokens) OVER (ORDER BY bucket_lo " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
         "/ sum(bucket_tokens) OVER (), 6) AS cum_token_share " +
-        "FROM h ORDER BY bucket_lo"))
+        "FROM h ORDER BY bucket_lo")),
+
+    GraftQuery(
+      "q116_net_token_yield",
+      "End-to-end net training-token yield per source — the single accounting table a pipeline owner reads after curation: raw docs, docs surviving the q107 funnel, docs ALSO surviving near-dup resolution (only each q110 cluster's elected survivor counts), and the net token mass that actually reaches training. Composes three already-priced stages over shared state: the funnel verdict is a per-row map on the corpus scan, the cluster losers come from the SAME pinned shingle relation and label propagation as q92/q110/q112, and the final rollup shuffles (source) keys only. Yield = what you ship, not what you crawled.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = cachedShingles(docs)
+        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst"))
+        // non-survivors: every cluster member except the elected
+        // (n_chars desc, doc_id) winner — the q110 election, reused
+        val losers = connectedLabels(edges)
+          .join(docs.select(col("doc_id"), col("n_chars")),
+            col("v") === col("doc_id"))
+          .select(col("lbl"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lbl"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), lit(1).as("is_loser"))
+        docs
+          .select(col("doc_id"), col("source"),
+            funnelVerdict(col("text"), col("lang")).as("verdict"),
+            size(toks(col("text"))).cast("long").as("tok_count"))
+          .join(losers, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("verdict") === "kept" && col("is_loser").isNull, 1L)
+              .otherwise(0L)).as("n_net"),
+            sum(when(col("verdict") === "kept" && col("is_loser").isNull,
+              col("tok_count")).otherwise(0L)).as("net_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr), " +
+        "nodes AS (SELECT DISTINCT a AS v FROM edges), " +
+        "r AS (WITH RECURSIVE rr(a, b) AS (SELECT a, b FROM edges " +
+        "UNION SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a) " +
+        "SELECT * FROM rr), " +
+        "lbl AS (SELECT v AS doc_id, least(v, min(b)) AS cluster_id " +
+        "FROM nodes LEFT JOIN r ON r.a = v GROUP BY v), " +
+        "losers AS (SELECT doc_id FROM (SELECT l.doc_id, " +
+        "row_number() OVER (PARTITION BY l.cluster_id " +
+        "ORDER BY d.n_chars DESC, l.doc_id) AS rn " +
+        "FROM lbl l JOIN documents d USING (doc_id)) WHERE rn > 1), " +
+        "v AS (SELECT doc_id, source, len(string_split(text,' ')) AS tok_count, CASE " +
+        "WHEN len(string_split(text,' ')) < 15 THEN 'too_short' " +
+        "WHEN round(len(regexp_replace(text,'[^a-z]','','g'))*1.0/len(text), 6) < 0.5 THEN 'low_alpha' " +
+        "WHEN round(len(list_filter(string_split(text,' '), t -> t IN " +
+        "('the','a','of','and','to','in','is','it')))*1.0" +
+        "/len(string_split(text,' ')), 6) > 0.4 THEN 'high_stop' " +
+        "WHEN lang <> 'en' THEN 'non_english' " +
+        "ELSE 'kept' END AS verdict FROM documents) " +
+        "SELECT v.source, CAST(count(*) AS BIGINT) AS n_raw, " +
+        "CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN verdict = 'kept' AND lo.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_net, " +
+        "CAST(sum(CASE WHEN verdict = 'kept' AND lo.doc_id IS NULL THEN tok_count ELSE 0 END) AS BIGINT) AS net_tokens " +
+        "FROM v LEFT JOIN losers lo USING (doc_id) " +
+        "GROUP BY v.source ORDER BY v.source"))
   )
 
   /** q107's ordered filter cascade as a reusable column — the batch

@@ -66,6 +66,30 @@ object StreamOps {
       key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream inner join: pairs each left event with
+    * the right-stream events of the SAME user that arrive within
+    * `maxGap` after it (attribution: view → click). Both sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets Spark evict buffered rows
+    * once the watermark passes — an unbounded-condition stream-stream
+    * join would buffer both streams forever. State is per-user and
+    * per-gap-window only; the join shuffles both streams once on
+    * user_id.
+    */
+  def joinStreams(views: DataFrame, clicks: DataFrame,
+      watermark: String = "2 hours", maxGap: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $maxGap"))
+      .drop("c_user")
+  }
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

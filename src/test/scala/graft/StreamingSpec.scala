@@ -123,6 +123,28 @@ class StreamingSpec extends SparkSpec {
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
   }
 
+  test("stream-stream interval join attributes clicks to views and bounds state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamOps.joinStreams(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(10, ts("2024-01-01 00:10:00"), 1, "view", 0.0))
+      clicks.addData(
+        Event(20, ts("2024-01-01 00:40:00"), 1, "click", 1.0), // in window
+        Event(21, ts("2024-01-01 02:30:00"), 1, "click", 1.0), // too late
+        Event(22, ts("2024-01-01 00:30:00"), 2, "click", 1.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet === Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct docs") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
