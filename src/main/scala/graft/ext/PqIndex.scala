@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.parallel.CollectionConverters._
+
 /** Product-quantization (PQ) index: split the d-dim embedding into `m`
   * contiguous subspaces, k-means each subspace independently (seeded),
   * and store every vector as `m` small codes — 64 float32 dims become
@@ -46,10 +48,15 @@ object PqIndex {
       df.withColumn(s"fv_$s",
         array_to_vector(slice(col("embedding"), s * subDim + 1, subDim)))
     }.cache()
-    val models = (0 until m).map { s =>
+    // The m subspace fits are independent Spark jobs over the SAME
+    // cached relation — launch them concurrently (the scheduler
+    // interleaves their stages across the cores) instead of serially
+    // paying m× the KMeans latency. Seeds are per-subspace, so the
+    // trained codebooks are identical to the sequential build.
+    val models = (0 until m).par.map { s =>
       new KMeans().setK(k).setSeed(seed + s).setFeaturesCol(s"fv_$s")
         .setPredictionCol(s"code_$s").fit(withSubs)
-    }
+    }.seq
     val encoded = models.zipWithIndex.foldLeft(withSubs: DataFrame) {
       case (df, (model, _)) => model.transform(df)
     }
