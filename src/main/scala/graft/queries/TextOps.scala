@@ -1321,7 +1321,177 @@ object TextOps {
         "CAST(sum(CASE WHEN verdict = 'kept' AND lo.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_net, " +
         "CAST(sum(CASE WHEN verdict = 'kept' AND lo.doc_id IS NULL THEN tok_count ELSE 0 END) AS BIGINT) AS net_tokens " +
         "FROM v LEFT JOIN losers lo USING (doc_id) " +
-        "GROUP BY v.source ORDER BY v.source"))
+        "GROUP BY v.source ORDER BY v.source")),
+
+    GraftQuery(
+      "q117_token_entropy",
+      "Per-document unigram token Shannon entropy (bits) — the lexical-diversity quality gate that catches looping/templated text a stopword ratio misses (low entropy = few distinct tokens dominate). H = log2(n) - Σc·log2(c)/n over the doc's token frequencies, so the plan is one (doc,token) count shuffle and one doc rollup — linear, no joins. The 6dp round sits far above double accumulation noise for per-doc sums of a few hundred terms.",
+      (s, d) => {
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        f.groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            round(log2(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log2(col("c").cast("double")))
+                / sum(col("c")).cast("double"), 6).as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH f AS (SELECT doc_id, source, tok, count(*) AS c FROM " +
+        "(SELECT doc_id, source, unnest(string_split(text,' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, source, tok) " +
+        "SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "round(log2(sum(c)) - sum(c*log2(c))/sum(c), 6) AS entropy_bits " +
+        "FROM f GROUP BY doc_id, source ORDER BY doc_id")),
+
+    GraftQuery(
+      "q118_boilerplate_share",
+      "Per-source boilerplate token share (the C4 line-dedup signal at passage granularity): a q87-style 8-word passage occurring in >=3 DISTINCT docs is boilerplate (nav bars, license blurbs, templates), and each source is charged the token mass its boilerplate passages carry. Where q87 reports per-doc dup ratios, this is the per-SOURCE curation decision table: which crawl sources are template farms. Same linear two-shuffle shape as q87 (passage key, then source) — no self-join.",
+      (s, d) => {
+        val p = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), col("source"), explode(transform(
+            sequence(lit(0), expr("int(size(tk) div 8)") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8))))).as("pg"))
+          .select(col("doc_id"), col("source"), xxhash64(col("pg")).as("pk"))
+        val nd = p.groupBy(col("pk")).agg(countDistinct(col("doc_id")).as("nd"))
+        p.join(nd, Seq("pk"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            (count(lit(1)) * 8).as("passage_tokens"),
+            (sum(when(col("nd") >= 3, 1L).otherwise(0L)) * 8).as("bp_tokens"),
+            countDistinct(when(col("nd") >= 3, col("doc_id"))).as("n_docs_hit"))
+          .withColumn("bp_share",
+            round(col("bp_tokens").cast("double") / col("passage_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      Some("WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents), " +
+        "p AS (SELECT doc_id, source, array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS pg " +
+        "FROM tk, UNNEST(range(0, len(tk)//8)) x(i) WHERE len(tk) >= 8), " +
+        "nd AS (SELECT pg, count(DISTINCT doc_id) AS nd FROM p GROUP BY pg) " +
+        "SELECT source, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*)*8 AS BIGINT) AS passage_tokens, " +
+        "CAST(sum(CASE WHEN nd.nd >= 3 THEN 1 ELSE 0 END)*8 AS BIGINT) AS bp_tokens, " +
+        "CAST(count(DISTINCT CASE WHEN nd.nd >= 3 THEN p.doc_id END) AS BIGINT) AS n_docs_hit, " +
+        "round(sum(CASE WHEN nd.nd >= 3 THEN 1 ELSE 0 END)*8.0/(count(*)*8), 6) AS bp_share " +
+        "FROM p JOIN nd USING (pg) GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q119_shard_manifest",
+      "Output-shard manifest — the layout-planning table a 100 TB writer consults before committing a partitioning: docs hash deterministically (md5, the q68 rule — reproducible across engines and reruns) into 16 shards, and each shard reports doc count, token mass, byte mass, and its skew vs the mean shard. Skew near 1.0 everywhere proves the hash key balances; a hot shard here means repartitioning before the write, not after it fails. The mean is a broadcast 1-row aggregate inside the plan (the q69 pattern) — no window over the data, no collect.",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .select((conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+              .cast("long") % 16).cast("int").as("shard"),
+            size(toks(col("text"))).cast("long").as("tok_count"),
+            col("n_chars"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok_count")).as("tokens"),
+            sum(col("n_chars")).as("bytes"))
+        val mean = per.agg(avg(col("tokens").cast("double")).as("avg_tokens"))
+        per.crossJoin(broadcast(mean))
+          .select(col("shard"), col("n_docs"), col("tokens"), col("bytes"),
+            round(col("tokens").cast("double") / col("avg_tokens"), 6).as("skew"))
+          .orderBy(col("shard"))
+      },
+      Some("WITH s AS (SELECT (instr('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)),6,1))-1) AS shard, " +
+        "len(string_split(text,' ')) AS tok_count, n_chars FROM documents), " +
+        "per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tok_count) AS BIGINT) AS tokens, CAST(sum(n_chars) AS BIGINT) AS bytes " +
+        "FROM s GROUP BY shard), " +
+        "m AS (SELECT avg(tokens) AS avg_tokens FROM per) " +
+        "SELECT CAST(shard AS INTEGER) AS shard, n_docs, tokens, bytes, " +
+        "round(tokens/avg_tokens, 6) AS skew FROM per, m ORDER BY shard")),
+
+    GraftQuery(
+      "q120_source_containment",
+      "Cross-source shingle containment — the mirror/scrape detector: for each ordered source pair (a,b), the fraction of a's distinct 3-gram shingles that also occur in b. High containment with asymmetric sizes means a is substantially a subset of b (a mirror, a re-crawl, a laundered copy) even when doc-level dedup finds nothing. Reuses the pinned q41/q42 shingle relation; the intersection join fans out per shingle key by the number of sources sharing it (bounded by source count, never corpus size), then aggregates to a source-pair matrix — O(sources²) output rows, tiny at any corpus scale.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val srcSh = cachedShingles(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("sk")).distinct()
+        val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        srcSh.select(col("source").as("sa"), col("sk"))
+          .join(srcSh.select(col("source").as("sb"), col("sk")), Seq("sk"))
+          .filter(col("sa") =!= col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+          .select(col("sa"), col("sb"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("na"), 6).as("containment"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some("WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tk, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source), " +
+        "inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source GROUP BY sa, sb) " +
+        "SELECT sa, sb, CAST(c AS BIGINT) AS n_shared, round(c*1.0/n, 6) AS containment " +
+        "FROM inter JOIN sizes ON sizes.source = inter.sa ORDER BY sa, sb")),
+
+    GraftQuery(
+      "q121_length_mad",
+      "Per-source robust length statistics — median and median-absolute-deviation of token counts, the drift monitor a pipeline re-fits per crawl batch (mean/stddev are blown up by the exact outlier docs a curation pass cares about; median/MAD are not). The statistic is the rank-selected LOWER median (row_number = (cnt+1) div 2 over (value, doc_id)) — engines disagree on interpolated even-count medians (surfaced at sf0.1's even per-source counts), while rank selection is pure integer arithmetic, deterministic everywhere. Windows partition by source, so ranking never single-partitions the corpus.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n"))
+        val wN = Window.partitionBy(col("source")).orderBy(col("n"), col("doc_id"))
+        val med = docs
+          .withColumn("rn", row_number().over(wN))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("source"), col("n").as("med"), col("cnt"))
+        val wA = Window.partitionBy(col("source")).orderBy(col("ad"), col("doc_id"))
+        docs.join(broadcast(med), Seq("source"))
+          .select(col("source"), col("doc_id"), col("med"), col("cnt"),
+            abs(col("n") - col("med")).as("ad"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("source"), col("cnt").as("n_docs"),
+            col("med").as("median_tokens"), col("ad").as("mad_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("WITH n AS (SELECT doc_id, source, len(string_split(text,' ')) AS n FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS cnt FROM n), " +
+        "m AS (SELECT source, n AS med, cnt FROM r WHERE rn = (cnt+1)//2), " +
+        "a AS (SELECT n.source, n.doc_id, m.med, m.cnt, abs(n.n - m.med) AS ad " +
+        "FROM n JOIN m ON n.source = m.source), " +
+        "ra AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rn FROM a) " +
+        "SELECT source, CAST(cnt AS BIGINT) AS n_docs, CAST(med AS BIGINT) AS median_tokens, " +
+        "CAST(ad AS BIGINT) AS mad_tokens FROM ra WHERE rn = (cnt+1)//2 ORDER BY source")),
+
+    GraftQuery(
+      "q122_head_dedup",
+      "Head-prefix duplicate families (the RefinedWeb head-dedup pass): docs sharing an identical first-16-token prefix are one family — the same page re-crawled with a different tail, a templated article farm — which whole-text and passage dedup both under-count. Families hash on the 64-bit prefix key (8-byte shuffle, the shingleSet rationale), families of one drop out early, and each surviving family elects its keeper by (n_chars desc, doc_id) — the q110 quality-aware election. The per-family window runs over family members only, never the corpus.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 16)
+          .select(col("doc_id"), col("n_chars"),
+            xxhash64(concat_ws(" ", slice(col("tk"), 1, 16))).as("hk"))
+        val fam = docs.groupBy(col("hk")).agg(count(lit(1)).as("fam_size"))
+          .filter(col("fam_size") > 1)
+        docs.join(fam, Seq("hk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("hk"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("doc_id"), col("fam_size"), (col("rn") === 1).as("survivor"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, n_chars, string_split(text,' ') AS t FROM documents), " +
+        "h AS (SELECT doc_id, n_chars, array_to_string(t[1:16], ' ') AS head " +
+        "FROM tk WHERE len(t) >= 16), " +
+        "fam AS (SELECT head, count(*) AS fam_size FROM h GROUP BY head HAVING count(*) > 1) " +
+        "SELECT doc_id, fam_size, " +
+        "row_number() OVER (PARTITION BY head ORDER BY n_chars DESC, doc_id) = 1 AS survivor " +
+        "FROM h JOIN fam USING (head) ORDER BY doc_id"))
   )
 
   /** q107's ordered filter cascade as a reusable column — the batch
