@@ -1492,6 +1492,68 @@ object TextOps {
         "SELECT doc_id, fam_size, " +
         "row_number() OVER (PARTITION BY head ORDER BY n_chars DESC, doc_id) = 1 AS survivor " +
         "FROM h JOIN fam USING (head) ORDER BY doc_id"))
+  ,
+
+    GraftQuery(
+      "q123_lexical_semantic_pairs",
+      "Cross-modal dedup audit — every lexical near-dup pair (the q41 exact-Jaccard set) enriched with the embedding cosine of the SAME two documents (doc_id ≡ vec_id links the modalities). Disagreement is the actionable signal both directions: high Jaccard + low cosine means the embedding model misses paraphrase-level duplication (as in this fixture, whose embeddings are independent of text — exactly what the audit exists to expose); low cosine on known dups calibrates any SemDeDup threshold before it is trusted. The pair set is tiny, so it BROADCASTS into two map-side joins against the streaming embeddings scan — the corpus-side table is never shuffled; cosines fold in array order via the shared double-precision kernel.",
+      (s, d) => {
+        val p = jaccardPairs(cachedShingles(t(s, d, "documents")))
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val withA = e.select(col("vec_id").as("da"), col("embedding").as("ea"))
+          .join(broadcast(p), Seq("da"))
+        e.select(col("vec_id").as("db"), col("embedding").as("eb"))
+          .join(broadcast(withA), Seq("db"))
+          .select(col("da"), col("db"), col("jaccard"),
+            round(cosine(col("ea"), col("eb")), 6).as("cos_r"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db, round(c*1.0/(sa.n + sb.n - c), 6) AS jaccard " +
+        "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
+        "SELECT da, db, jaccard, round(list_inner_product(ea.emb, eb.emb)/" +
+        "(sqrt(list_inner_product(ea.emb, ea.emb))*sqrt(list_inner_product(eb.emb, eb.emb))), 6) AS cos_r " +
+        "FROM pr JOIN e ea ON ea.vec_id = pr.da JOIN e eb ON eb.vec_id = pr.db " +
+        "ORDER BY da, db")),
+
+    GraftQuery(
+      "q125_dup_provenance",
+      "Near-dup provenance — the q41/q42 near-dup pair set rolled up to UNORDERED source pairs (least/greatest normalization), the table that tells a crawl operator WHERE duplication comes from: a hot same-source cell means a template farm inside one crawl, a hot cross-source cell means mirrored sites or a laundered re-crawl, and the two demand different fixes (q118's boilerplate strip vs q120's source-level triage). Two broadcast joins map pair ids to sources against the streaming documents scan; the rollup shuffles O(sources²) keys.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val p = jaccardPairs(cachedShingles(docs))
+        val src = docs.select(col("doc_id"), col("source"))
+        val withA = src.select(col("doc_id").as("da"), col("source").as("src_a"))
+          .join(broadcast(p), Seq("da"))
+        src.select(col("doc_id").as("db"), col("source").as("src_b"))
+          .join(broadcast(withA), Seq("db"))
+          .select(least(col("src_a"), col("src_b")).as("sa"),
+            greatest(col("src_a"), col("src_b")).as("sb"),
+            col("da"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold) " +
+        "SELECT least(x.source, y.source) AS sa, greatest(x.source, y.source) AS sb, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM pr JOIN documents x ON x.doc_id = pr.da JOIN documents y ON y.doc_id = pr.db " +
+        "GROUP BY 1, 2 ORDER BY sa, sb"))
   )
 
   /** q107's ordered filter cascade as a reusable column — the batch

@@ -319,6 +319,41 @@ object VectorOps {
         "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
         "CAST(sum(CASE WHEN maxz >= 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
         "round(max(maxz), 4) AS max_z " +
-        "FROM z GROUP BY label ORDER BY label"))
+        "FROM z GROUP BY label ORDER BY label")),
+
+    GraftQuery(
+      "q124_label_cohesion",
+      "Per-label cluster-cohesion audit — the SemDeDup/clustered-index health check run before trusting labels as dedup or sampling cells: fit each label's centroid IN the plan (a 64·labels-row aggregate over the exploded coordinates), then score every member's cosine to its OWN centroid and roll up avg/min/max per label. Low cohesion (as in this fixture: labels are not geometric clusters) tells the pipeline its cells won't localize near-dups and an IVF re-train is needed — the audit's job. Centroid components ROUND to 6dp before any cosine so distributed-sum order in the avg can't leak into the comparison (the q104/q74 rule); member cosines fold in array order via the shared double-precision kernel, deterministic on both engines. The member pass joins a broadcast ~10-row centroid table — one corpus scan, one tiny agg, nothing collected.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+          .groupBy(col("label"), col("dim"))
+          .agg(round(avg(col("v")), 6).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+          .select(col("label"), transform(col("pairs"), p => p("c")).as("centroid"))
+        e.join(broadcast(cent), Seq("label"))
+          .select(col("label"),
+            round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("cos_c")), 6).as("avg_cos"),
+            min(col("cos_c")).as("min_cos"),
+            max(col("cos_c")).as("max_cos"))
+          .orderBy(col("label"))
+      },
+      Some("WITH d AS (SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, len(embedding)+1)) x(i)), " +
+        "cp AS (SELECT label, dim, round(avg(v), 6) AS c FROM d GROUP BY label, dim), " +
+        "cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cp GROUP BY label), " +
+        "m AS (SELECT e.label, round(list_inner_product(CAST(e.embedding AS DOUBLE[]), centroid)/" +
+        "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*" +
+        "sqrt(list_inner_product(centroid, centroid))), 6) AS cos_c " +
+        "FROM embeddings e JOIN cent ON e.label = cent.label) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, round(avg(cos_c), 6) AS avg_cos, " +
+        "min(cos_c) AS min_cos, max(cos_c) AS max_cos " +
+        "FROM m GROUP BY label ORDER BY label"))
   )
 }
