@@ -78,7 +78,17 @@ object ScaleStress {
       // the 45×-denser near-dup graph through the same label propagation
       "q109_pq_topk", "q110_dedup_survivors",
       "q111_lang_confusion", "q112_dup_rate_by_source",
-      "q113_temperature_mix", "q114_split_leakage", "q115_length_histogram")
+      "q113_temperature_mix", "q114_split_leakage", "q115_length_histogram",
+      // round-7 accounting/audit ops: the yield table and provenance
+      // rollup ride the 45×-denser near-dup graph; boilerplate and
+      // head-dedup are passage/prefix-key shuffles; containment fans
+      // out per shingle by source count; entropy/MAD/shard are
+      // token-key shuffles and per-source windows
+      "q116_net_token_yield", "q117_token_entropy",
+      "q118_boilerplate_share", "q119_shard_manifest",
+      "q120_source_containment", "q121_length_mad", "q122_head_dedup",
+      "q123_lexical_semantic_pairs", "q124_label_cohesion",
+      "q125_dup_provenance")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

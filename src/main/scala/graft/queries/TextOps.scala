@@ -103,6 +103,56 @@ object TextOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** The SCALE-PATH near-dup pair kernel (q42's body, reusable): 16-perm
+    * MinHash signatures + distinct-shingle counts in one aggregation
+    * pass, 8×2 banding for candidates (groupBy-scale, never all-pairs),
+    * exact-Jaccard verify restricted to candidates. Output ≡
+    * jaccardPairs on any corpus whose similarity distribution has the
+    * fixture's gap (dups ≥0.9, noise ≤0.1): P(miss | j≥0.9) =
+    * (1-0.9²)⁸ ≈ 2e-6. Every derived analysis (cluster resolution,
+    * provenance, yield accounting) consumes THIS kernel so its cost
+    * stays linear at 100 TB; q41 keeps the all-pairs exact kernel as
+    * the small-SF oracle/recall baseline.
+    */
+  private def lshPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    graft.functions.MinHashAgg.ensureRegistered(s)
+    // All 16 permutation minima AND the distinct-shingle count in
+    // ONE aggregation pass per doc — the native TypedImperativeAggregate
+    // shuffles 16 longs per doc instead of exploding every shingle
+    // row 16×, and folding count(*) into the same groupBy removes
+    // what used to be a separate full scan for the size table.
+    val docAgg = sh.groupBy(col("doc_id"))
+      .agg(expr(s"${graft.functions.MinHashAgg.name}(sk)").as("sig"),
+        count(lit(1)).as("n"))
+    // Band signature = the 2 minhashes of the band, ordered by perm index.
+    val bands = docAgg
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(":", element_at(col("sig"), col("band") * 2 + 1),
+          element_at(col("sig"), col("band") * 2 + 2)).as("sig"))
+    // Candidates: pairs sharing any band bucket. groupBy-scale, not O(n^2).
+    val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
+    val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
+    val cand = l.join(r, Seq("band", "sig")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    // Verify candidates with exact Jaccard (intersection via shingle join
+    // restricted to candidate docs — candidate set is tiny by construction).
+    val sizes = docAgg.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("sk")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("db", "sk"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** DuckDB twin of jaccardPairs — shared by q41 (all-pairs) and q42
     * (LSH path whose verified output must equal the exact answer).
     */
@@ -139,45 +189,7 @@ object TextOps {
     GraftQuery(
       "q42_minhash_lsh_pairs",
       "Near-dup detection, scale variant: 16-perm MinHash, 8 bands × 2 rows → candidate pairs from band-bucket groupBy (no all-pairs join), then exact-Jaccard verify on candidates only. P(miss | j>=0.9) = (1-0.9^2)^8 ≈ 2e-6, so the verified output equals the exact answer — same oracle as q41.",
-      (s, d) => {
-        graft.functions.MinHashAgg.ensureRegistered(s)
-        val sh = cachedShingles(t(s, d, "documents"))
-        // All 16 permutation minima AND the distinct-shingle count in
-        // ONE aggregation pass per doc — the native TypedImperativeAggregate
-        // shuffles 16 longs per doc instead of exploding every shingle
-        // row 16×, and folding count(*) into the same groupBy removes
-        // what used to be a separate full scan for the size table.
-        val docAgg = sh.groupBy(col("doc_id"))
-          .agg(expr(s"${graft.functions.MinHashAgg.name}(sk)").as("sig"),
-            count(lit(1)).as("n"))
-        // Band signature = the 2 minhashes of the band, ordered by perm index.
-        val bands = docAgg
-          .select(col("doc_id"), col("sig"),
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .select(col("doc_id"), col("band"),
-            concat_ws(":", element_at(col("sig"), col("band") * 2 + 1),
-              element_at(col("sig"), col("band") * 2 + 2)).as("sig"))
-        // Candidates: pairs sharing any band bucket. groupBy-scale, not O(n^2).
-        val l = bands.select(col("band"), col("sig"), col("doc_id").as("da"))
-        val r = bands.select(col("band"), col("sig"), col("doc_id").as("db"))
-        val cand = l.join(r, Seq("band", "sig")).filter(col("da") < col("db"))
-          .select(col("da"), col("db")).distinct()
-        // Verify candidates with exact Jaccard (intersection via shingle join
-        // restricted to candidate docs — candidate set is tiny by construction).
-        val sizes = docAgg.select(col("doc_id"), col("n"))
-        val inter = cand
-          .join(sh.select(col("doc_id").as("da"), col("sk")), Seq("da"))
-          .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("db", "sk"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        inter
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-          .withColumn("jaccard",
-            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
-          .filter(col("jaccard") >= JaccardThreshold)
-          .select(col("da"), col("db"), col("jaccard"))
-          .orderBy(col("da"), col("db"))
-      },
+      (s, d) => lshPairs(s, cachedShingles(t(s, d, "documents"))),
       Some(jaccardOracle)),
 
     GraftQuery(
@@ -698,7 +710,7 @@ object TextOps {
       "Near-dup cluster resolution — the survivor-selection step a dedup pipeline runs AFTER candidate pairs are found: connected components over the q41 near-dup pair graph via distributed min-label propagation (each round: one join of edges to labels + a min aggregate; the driver holds only the convergence counter). The near-dup graph's components have tiny diameters (duplicates of a duplicate are duplicates), so rounds ~= 3; at 100 TB the identical join+min building blocks run the alternating large-star/small-star algorithm for worst-case-diameter graphs. Output: every clustered doc with its canonical (min doc_id) cluster id, cluster size, and a keep flag electing one survivor per cluster.",
       (s, d) => {
         val sh = cachedShingles(t(s, d, "documents"))
-        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val p = lshPairs(s, sh).select(col("da"), col("db"))
         val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
           .toDF("src", "dst"))
         val labels = connectedLabels(edges)
@@ -1029,7 +1041,7 @@ object TextOps {
       "Quality-aware survivor election — the step real dedup pipelines run instead of q92's min-id keep flag: within each near-dup cluster (same connected components over the q41 pair graph) elect the LONGEST document (n_chars, doc_id tiebreak) as the canonical copy, since near-dup truncations should lose to the fullest version. One row_number window per cluster — partitioned by cluster id, so no global sort — plus the cluster rollup. At 100 TB the cluster ids come from the same label propagation and the election shuffles (cluster_id, doc_id, quality) triples only.",
       (s, d) => {
         val sh = cachedShingles(t(s, d, "documents"))
-        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val p = lshPairs(s, sh).select(col("da"), col("db"))
         val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
           .toDF("src", "dst"))
         val labels = connectedLabels(edges)
@@ -1119,7 +1131,7 @@ object TextOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val sh = cachedShingles(docs)
-        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val p = lshPairs(s, sh).select(col("da"), col("db"))
         val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
           .toDF("src", "dst"))
         val clustered = connectedLabels(edges).select(col("v").as("doc_id"))
@@ -1186,7 +1198,7 @@ object TextOps {
         val docs = t(s, d, "documents")
         val splits = docs.select(col("doc_id"),
           splitFor(col("doc_id")).as("split"))
-        val pairs = jaccardPairs(cachedShingles(docs))
+        val pairs = lshPairs(s, cachedShingles(docs))
           .select(col("da"), col("db"))
         pairs
           .join(splits.select(col("doc_id").as("da"), col("split").as("sa")),
@@ -1260,7 +1272,7 @@ object TextOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val sh = cachedShingles(docs)
-        val p = jaccardPairs(sh).select(col("da"), col("db"))
+        val p = lshPairs(s, sh).select(col("da"), col("db"))
         val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
           .toDF("src", "dst"))
         // non-survivors: every cluster member except the elected
@@ -1496,9 +1508,9 @@ object TextOps {
 
     GraftQuery(
       "q123_lexical_semantic_pairs",
-      "Cross-modal dedup audit — every lexical near-dup pair (the q41 exact-Jaccard set) enriched with the embedding cosine of the SAME two documents (doc_id ≡ vec_id links the modalities). Disagreement is the actionable signal both directions: high Jaccard + low cosine means the embedding model misses paraphrase-level duplication (as in this fixture, whose embeddings are independent of text — exactly what the audit exists to expose); low cosine on known dups calibrates any SemDeDup threshold before it is trusted. The pair set is tiny, so it BROADCASTS into two map-side joins against the streaming embeddings scan — the corpus-side table is never shuffled; cosines fold in array order via the shared double-precision kernel.",
+      "Cross-modal dedup audit — every lexical near-dup pair (the q42 LSH-verified set, ≡ the exact answer) enriched with the embedding cosine of the SAME two documents (doc_id ≡ vec_id links the modalities). Disagreement is the actionable signal both directions: high Jaccard + low cosine means the embedding model misses paraphrase-level duplication (as in this fixture, whose embeddings are independent of text — exactly what the audit exists to expose); low cosine on known dups calibrates any SemDeDup threshold before it is trusted. The pair set is tiny, so it BROADCASTS into two map-side joins against the streaming embeddings scan — the corpus-side table is never shuffled; cosines fold in array order via the shared double-precision kernel.",
       (s, d) => {
-        val p = jaccardPairs(cachedShingles(t(s, d, "documents")))
+        val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val withA = e.select(col("vec_id").as("da"), col("embedding").as("ea"))
           .join(broadcast(p), Seq("da"))
@@ -1528,7 +1540,7 @@ object TextOps {
       "Near-dup provenance — the q41/q42 near-dup pair set rolled up to UNORDERED source pairs (least/greatest normalization), the table that tells a crawl operator WHERE duplication comes from: a hot same-source cell means a template farm inside one crawl, a hot cross-source cell means mirrored sites or a laundered re-crawl, and the two demand different fixes (q118's boilerplate strip vs q120's source-level triage). Two broadcast joins map pair ids to sources against the streaming documents scan; the rollup shuffles O(sources²) keys.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val p = jaccardPairs(cachedShingles(docs))
+        val p = lshPairs(s, cachedShingles(docs))
         val src = docs.select(col("doc_id"), col("source"))
         val withA = src.select(col("doc_id").as("da"), col("source").as("src_a"))
           .join(broadcast(p), Seq("da"))
