@@ -1565,7 +1565,89 @@ object TextOps {
         "SELECT least(x.source, y.source) AS sa, greatest(x.source, y.source) AS sb, " +
         "CAST(count(*) AS BIGINT) AS n_pairs " +
         "FROM pr JOIN documents x ON x.doc_id = pr.da JOIN documents y ON y.doc_id = pr.db " +
-        "GROUP BY 1, 2 ORDER BY sa, sb"))
+        "GROUP BY 1, 2 ORDER BY sa, sb")),
+
+    GraftQuery(
+      "q126_incremental_dedup",
+      "Incremental-ingest dedup gate — the nightly operator a live pipeline runs on each new crawl increment (here: doc_id % 10 == 9) against the standing corpus: exact duplicates by normalized digest (the q40 kernel, a digest-key join — never text), near-duplicates by the q42 LSH pair kernel restricted to batch↔corpus pairs, verdict = exact_dup > near_dup > new. Both probes are linear: the digest join shuffles (digest, id), and the near-dup partners come from the SAME banded candidate generation every other dedup analysis rides — the increment never all-pairs-joins the corpus. At 100 TB the corpus digests and band buckets are standing materializations and the increment streams against them.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("h", md5(lower(trim(col("text")))))
+          .withColumn("is_batch", col("doc_id") % 10 === 9)
+        val batch = docs.filter(col("is_batch"))
+        val corpusDigests = docs.filter(!col("is_batch"))
+          .groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
+        val p = lshPairs(s, cachedShingles(docs)).select(col("da"), col("db"))
+        val partners = p.union(p.select(col("db"), col("da")))
+          .toDF("bid", "pid")
+          .filter(col("bid") % 10 === 9 && col("pid") % 10 =!= 9)
+          .groupBy(col("bid")).agg(count(lit(1)).as("n_near"))
+        batch.select(col("doc_id"), col("h"))
+          .join(corpusDigests, Seq("h"), "left")
+          .join(partners, col("doc_id") === col("bid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"))
+          .withColumn("verdict",
+            when(col("n_exact") > 0, "exact_dup")
+              .when(col("n_near") > 0, "near_dup")
+              .otherwise("new"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db FROM inter " +
+        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "docs AS (SELECT doc_id, md5(lower(trim(text))) AS h, doc_id % 10 = 9 AS is_batch FROM documents), " +
+        "cd AS (SELECT h, count(*) AS n_exact FROM docs WHERE NOT is_batch GROUP BY h), " +
+        "pn AS (SELECT bid, count(*) AS n_near FROM (" +
+        "SELECT da AS bid, db AS pid FROM pr UNION ALL SELECT db, da FROM pr) " +
+        "WHERE bid % 10 = 9 AND pid % 10 <> 9 GROUP BY bid) " +
+        "SELECT d.doc_id, CAST(coalesce(cd.n_exact, 0) AS BIGINT) AS n_exact, " +
+        "CAST(coalesce(pn.n_near, 0) AS BIGINT) AS n_near, " +
+        "CASE WHEN coalesce(cd.n_exact, 0) > 0 THEN 'exact_dup' " +
+        "WHEN coalesce(pn.n_near, 0) > 0 THEN 'near_dup' ELSE 'new' END AS verdict " +
+        "FROM docs d LEFT JOIN cd ON d.h = cd.h LEFT JOIN pn ON d.doc_id = pn.bid " +
+        "WHERE d.is_batch ORDER BY d.doc_id")),
+
+    GraftQuery(
+      "q127_threshold_sweep",
+      "Dedup-threshold calibration curve — pair and doc counts at Jaccard cutoffs 0.5…0.9, the table an operator reads before committing a threshold (too low merges distinct docs into one survivor cluster, too high ships duplicates to training). One pass over the q42-verified pair set crossed with 5 threshold literals; counts only, so the whole sweep costs one pair-set scan regardless of corpus size. Thresholds compare against the 6dp-ROUNDED jaccard (the standing rule), so both engines agree at exact cutpoints.",
+      (s, d) => {
+        val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
+        val ts = array((5 to 9).map(i => lit(i / 10.0)): _*)
+        val hit = p.select(col("da"), col("db"), col("jaccard"),
+            explode(ts).as("t"))
+          .filter(col("jaccard") >= col("t"))
+        val nPairs = hit.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+        val nDocs = hit.select(col("t"), explode(array(col("da"), col("db"))).as("doc"))
+          .groupBy(col("t")).agg(countDistinct(col("doc")).as("n_docs"))
+        nPairs.join(nDocs, Seq("t"))
+          .select(col("t"), col("n_pairs"), col("n_docs"))
+          .orderBy(col("t"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+        "pr AS (SELECT da, db, round(c*1.0/(sa.n + sb.n - c), 6) AS jaccard " +
+        "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+        "th AS (SELECT i/10.0 AS t FROM UNNEST(range(5, 10)) x(i)), " +
+        "hit AS (SELECT da, db, t FROM pr, th WHERE jaccard >= t), " +
+        "np AS (SELECT t, count(*) AS n_pairs FROM hit GROUP BY t), " +
+        "nd AS (SELECT t, count(DISTINCT doc) AS n_docs " +
+        "FROM (SELECT t, UNNEST([da, db]) AS doc FROM hit) GROUP BY t) " +
+        "SELECT np.t AS t, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(n_docs AS BIGINT) AS n_docs " +
+        "FROM np JOIN nd ON np.t = nd.t ORDER BY np.t"))
   )
 
   /** q107's ordered filter cascade as a reusable column — the batch
