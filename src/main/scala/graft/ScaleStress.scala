@@ -88,7 +88,10 @@ object ScaleStress {
       "q118_boilerplate_share", "q119_shard_manifest",
       "q120_source_containment", "q121_length_mad", "q122_head_dedup",
       "q123_lexical_semantic_pairs", "q124_label_cohesion",
-      "q125_dup_provenance")
+      "q125_dup_provenance",
+      // the ingest gate joins the 10× increment against 10× standing
+      // digests/bands; the sweep re-scans the 45×-denser pair set
+      "q126_incremental_dedup", "q127_threshold_sweep")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -90,6 +90,31 @@ object StreamOps {
       .drop("c_user")
   }
 
+  /** Idempotent micro-batch manifest sink — the production write path
+    * for a streaming ingest: `foreachBatch` rolls each micro-batch up
+    * to a per-source (docs, tokens) accounting table and appends it
+    * under `batch_id=<id>`. Because the path carries the batchId,
+    * a replayed batch (checkpoint recovery re-delivers the last
+    * uncommitted batch with the SAME id) overwrites its own partition
+    * instead of double-counting — the standard exactly-once recipe on
+    * top of at-least-once delivery. The rollup shuffles (source) keys
+    * only; nothing is collected to the driver.
+    */
+  def manifestSink(docs: DataFrame, outDir: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .select(col("source"), size(split(col("text"), " ")).as("n_toks"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_toks")).cast("long").as("n_tokens"))
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

@@ -213,4 +213,31 @@ class StreamingSpec extends SparkSpec {
       assert(upd.last === ((7L, 1))) // gap reset the in-session count
     } finally q.stop()
   }
+
+  test("foreachBatch manifest sink writes per-batch accounting partitions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val docs = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.manifestSink(
+      docs.toDF().withColumn("source",
+        concat(lit("src"), (col("doc_id") % 2).cast("string"))), out).start()
+    try {
+      docs.addData(
+        StreamOps.Doc(1, ts("2024-01-01 00:00:01"), "a b c"),
+        StreamOps.Doc(2, ts("2024-01-01 00:00:02"), "d e"))
+      q.processAllAvailable()
+      docs.addData(StreamOps.Doc(3, ts("2024-01-01 00:00:03"), "f g h i"))
+      q.processAllAvailable()
+      val m = spark.read.parquet(out)
+        .selectExpr("cast(batch_id as long) AS bid", "source", "n_docs", "n_tokens")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch 0: doc1→src1 (3 toks), doc2→src0 (2); batch 1: doc3→src1 (4)
+      assert(m === Set((0L, "src1", 1L, 3L), (0L, "src0", 1L, 2L),
+        (1L, "src1", 1L, 4L)))
+    } finally q.stop()
+  }
 }
