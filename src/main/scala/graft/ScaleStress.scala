@@ -91,7 +91,10 @@ object ScaleStress {
       "q125_dup_provenance",
       // the ingest gate joins the 10× increment against 10× standing
       // digests/bands; the sweep re-scans the 45×-denser pair set
-      "q126_incremental_dedup", "q127_threshold_sweep")
+      "q126_incremental_dedup", "q127_threshold_sweep",
+      // KL rides token-key groupBys; dup-depth re-shingles at 4 widths
+      // over the 10-deep duplicate corpus
+      "q128_source_kl", "q129_dup_depth")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -1647,7 +1647,78 @@ object TextOps {
         "FROM (SELECT t, UNNEST([da, db]) AS doc FROM hit) GROUP BY t) " +
         "SELECT np.t AS t, CAST(n_pairs AS BIGINT) AS n_pairs, " +
         "CAST(n_docs AS BIGINT) AS n_docs " +
-        "FROM np JOIN nd ON np.t = nd.t ORDER BY np.t"))
+        "FROM np JOIN nd ON np.t = nd.t ORDER BY np.t")),
+
+    GraftQuery(
+      "q128_source_kl",
+      "Per-source KL divergence from the corpus token distribution — the drift number behind mixture re-weighting decisions (a source whose unigram LM diverges is over/under-represented relative to the blend it feeds): KL(P_src ‖ P_corpus) over add-one-smoothed unigram LMs, both trained IN the plan (the q88/q108 posture). The summation grid is vocab × sources — built as a BROADCAST nested-loop of the tiny per-source totals against the vocab-keyed count table (never a cartesian of data), left-joined with per-(source,token) counts so absent tokens contribute their smoothed mass. Shuffles are token-key groupBys; the rollup is |sources| keys.",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("source"), explode(toks(col("text"))).as("tok"))
+        val cAll = tk.groupBy(col("tok")).agg(count(lit(1)).as("c_all"))
+        val cSrc = tk.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c_src"))
+        val nSrc = tk.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        val tot = tk.agg(count(lit(1)).cast("double").as("n_all"),
+          countDistinct(col("tok")).cast("double").as("v"))
+        cAll.crossJoin(broadcast(nSrc))
+          .join(cSrc, Seq("source", "tok"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("p",
+            (coalesce(col("c_src"), lit(0L)) + 1) / (col("n_src") + col("v")))
+          .withColumn("q", (col("c_all") + 1) / (col("n_all") + col("v")))
+          .groupBy(col("source"))
+          .agg(max(col("n_src")).as("n_tokens"),
+            round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_nats"))
+          .orderBy(col("source"))
+      },
+      Some("WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "ca AS (SELECT tok, count(*) AS c_all FROM tk GROUP BY tok), " +
+        "cs AS (SELECT source, tok, count(*) AS c_src FROM tk GROUP BY source, tok), " +
+        "ns AS (SELECT source, count(*) AS n_src FROM tk GROUP BY source), " +
+        "tt AS (SELECT count(*)*1.0 AS n_all, count(DISTINCT tok)*1.0 AS v FROM tk), " +
+        "g AS (SELECT ns.source, ca.tok, coalesce(cs.c_src, 0) AS c_src, " +
+        "ca.c_all, ns.n_src, tt.n_all, tt.v " +
+        "FROM ca CROSS JOIN ns CROSS JOIN tt " +
+        "LEFT JOIN cs ON cs.source = ns.source AND cs.tok = ca.tok) " +
+        "SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens, " +
+        "round(sum(((c_src+1)/(n_src+v)) * " +
+        "ln(((c_src+1)/(n_src+v)) / ((c_all+1)/(n_all+v)))), 6) AS kl_nats " +
+        "FROM g GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q129_dup_depth",
+      "Duplication-depth spectrum — for each document, the LONGEST sliding n-gram level (n ∈ 4/8/16/32) at which it still shares a phrase with another document; 0 = fully original. This is the variable-length complement to fixed-size passage dedup: depth 4 is common phrasing, depth 32 is wholesale copying, and the histogram of depths tells a curation pass where to set its passage length. Four shingle passes (n-grams hash to 64-bit keys; each level is one groupBy for the doc count + one semi-join back), union of marked docs, per-doc max — every stage is key-hashed and linear; nothing all-pairs.",
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
+        val marked = Seq(4, 8, 16, 32).map { n =>
+          val sh = base.filter(size(col("tk")) >= n)
+            .select(col("doc_id"),
+              explode(array_distinct(shingles(col("tk"), n))).as("g"))
+            .select(col("doc_id"), xxhash64(col("g")).as("gk"))
+          val nd = sh.groupBy(col("gk")).agg(countDistinct(col("doc_id")).as("nd"))
+          sh.join(nd, Seq("gk")).filter(col("nd") > 1)
+            .select(col("doc_id")).distinct()
+            .withColumn("lvl", lit(n))
+        }.reduce(_ unionAll _)
+        base.select(col("doc_id"))
+          .join(marked.groupBy(col("doc_id")).agg(max(col("lvl")).as("m")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("m"), lit(0)).as("max_dup_n"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        Seq(4, 8, 16, 32).map { n =>
+          s"sh$n AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS g " +
+            s"FROM tk, UNNEST(range(1, len(t)-${n - 2})) x(i) WHERE len(t) >= $n), " +
+            s"l$n AS (SELECT DISTINCT a.doc_id, $n AS lvl " +
+            s"FROM sh$n a JOIN sh$n b ON a.g = b.g AND a.doc_id <> b.doc_id)"
+        }.mkString(", ") + ", " +
+        "m AS (SELECT doc_id, max(lvl) AS m FROM " +
+        "(SELECT * FROM l4 UNION ALL SELECT * FROM l8 " +
+        "UNION ALL SELECT * FROM l16 UNION ALL SELECT * FROM l32) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(m.m, 0) AS INTEGER) AS max_dup_n " +
+        "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id"))
   )
 
   /** q107's ordered filter cascade as a reusable column — the batch
