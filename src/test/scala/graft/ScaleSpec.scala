@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 import graft.ext.SkewJoin
 
@@ -80,6 +80,23 @@ class ScaleSpec extends SparkSpec {
       }
       assert(bad.isEmpty,
         s"q89 single-partitions non-offset data:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q128's smoothing grid broadcasts its tiny sides (never a data cartesian)") {
+    // q128 builds the vocab × sources summation grid by crossing the
+    // vocab-keyed count table with the per-source totals (|sources|
+    // rows) and the 1-row corpus totals. Both tiny sides carry an
+    // explicit broadcast hint; if someone drops a hint the planner
+    // falls back to CartesianProductExec, which the registry-wide audit
+    // above rejects — this test pins the positive shape too.
+    staticPlan {
+      val plan = Registry.byName("q128_source_kl").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val bnl = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnl.size >= 2,
+        s"q128 expected >=2 broadcast nested-loop joins (per-source " +
+          s"totals, corpus totals), got ${bnl.size}")
     }
   }
 
