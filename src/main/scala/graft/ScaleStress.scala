@@ -94,7 +94,11 @@ object ScaleStress {
       "q126_incremental_dedup", "q127_threshold_sweep",
       // KL rides token-key groupBys; dup-depth re-shingles at 4 widths
       // over the 10-deep duplicate corpus
-      "q128_source_kl", "q129_dup_depth")
+      "q128_source_kl", "q129_dup_depth",
+      // calibration/coverage/recency audits: CCNet bucketing re-scores
+      // the 10× corpus through the bigram LM; OOV builds its top-1024
+      // vocab in-plan over 10× tokens; decay scans events (copied 1×)
+      "q130_ccnet_buckets", "q131_vocab_oov", "q132_decay_weights")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

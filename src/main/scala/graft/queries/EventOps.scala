@@ -230,6 +230,34 @@ object EventOps {
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "CAST(count(*) AS BIGINT) AS n_events " +
         "FROM ev JOIN fd USING (user_id), g " +
-        "GROUP BY 1, 2 ORDER BY 1, 2"))
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    GraftQuery(
+      "q132_decay_weights",
+      "Recency-decayed event mass per type — the weighting a training-data (or feature-store) pipeline applies when newer interactions should dominate: each event gets weight 2^(-age_days/30) (30-day half-life) measured against the corpus max timestamp (a broadcast 1-row aggregate, the q69 pattern), and the rollup reports raw vs effective counts and value mass. Age is floored to whole days BEFORE the exponential, so both engines exponentiate the same integer grid (sub-second ns-vs-us truncation differences cannot move a bucket), and the transcendental sums are rounded 4dp (sum order differs across engines; 60k-term double drift is ~1e-6). One scan, one shuffle on the handful of event types.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value"),
+            floor(col("ts").cast("double")).cast("long").as("sec"))
+        val mx = ev.agg(max(col("sec")).as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("age_days", floor((col("mx") - col("sec")) / 86400L))
+          .withColumn("w",
+            exp(lit(-0.6931471805599453) * col("age_days") / lit(30.0)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("w")), 4).as("eff_n"),
+            round(sum(col("w") * col("value")), 4).as("eff_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH ev AS (SELECT event_type, value, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "m AS (SELECT max(sec) AS mx FROM ev), " +
+        "w AS (SELECT event_type, value, " +
+        "exp(-0.6931471805599453 * floor((mx - sec) / 86400.0) / 30.0) AS w " +
+        "FROM ev, m) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(sum(w), 4) AS eff_n, round(sum(w * value), 4) AS eff_value " +
+        "FROM w GROUP BY event_type ORDER BY event_type"))
   )
 }

@@ -607,24 +607,7 @@ object TextOps {
     GraftQuery(
       "q88_bigram_lm",
       "Perplexity-style quality scoring (the CCNet filter): an add-one-smoothed bigram LM is trained on the corpus IN the plan — c(w1 w2) and c(w1 .) are two token-key groupBys, vocabulary size V is a broadcast 1-row aggregate (the q69 pattern) — and every doc is scored by its mean ln P(w2|w1). Training and scoring are one pass each over the exploded bigrams; nothing is collected, the model IS the two count tables, co-partitioned with the scoring join by their keys. Low scores mark gibberish for the quality gate.",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
-          .withColumn("w1", substring_index(col("bg"), " ", 1))
-        val c12 = base.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-        val c1 = base.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val vocab = docs.select(explode(toks(col("text"))).as("tok"))
-          .agg(countDistinct(col("tok")).cast("double").as("v"))
-        base.join(c12, Seq("bg")).join(c1, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log((col("c12") + 1) / (col("c1") + col("v")))), 6)
-              .as("lm_score"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => bigramLmScores(s, d).orderBy(col("doc_id")),
       Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
         "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1 " +
         "FROM tk, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2), " +
@@ -1718,8 +1701,95 @@ object TextOps {
         "(SELECT * FROM l4 UNION ALL SELECT * FROM l8 " +
         "UNION ALL SELECT * FROM l16 UNION ALL SELECT * FROM l32) GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(m.m, 0) AS INTEGER) AS max_dup_n " +
-        "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id"))
+        "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id")),
+
+    GraftQuery(
+      "q130_ccnet_buckets",
+      "CCNet-style per-language quality calibration — the canonical curation step downstream of the bigram LM (q88): each document's lm_score is percentile-ranked WITHIN its language and cut at 1/3 and 2/3 into head/middle/tail (head = the most fluent third of that language, the slice CCNet keeps; a global cut would just rank languages against each other). Reuses q88's in-plan scoring verbatim plus one doc_id-key lang join; the per-language window shuffles on lang — at corpus scale, where one language can be billions of docs in a single window task, this exact rank swaps for the per-group histogram prefix-sum shape (the q115/RangeRank posture) at the cost of quantized cutpoints. The (lm_score, doc_id) order is total, so percent_rank is tie-free, and the cuts compare against the 6dp-ROUNDED rank, so both engines bucket identically.",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("lm_score"), col("doc_id"))
+        bigramLmScores(s, d)
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("bucket",
+            when(col("pr") >= 0.666667, "head")
+              .when(col("pr") >= 0.333333, "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("lang"), col("lm_score"), col("pr"),
+            col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1 " +
+        "FROM tk, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2), " +
+        "c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT tok)*1.0 AS v FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS tok FROM documents)), " +
+        "sc AS (SELECT doc_id, round(avg(ln((c12 + 1) / (c1 + v))), 6) AS lm_score " +
+        "FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1), v GROUP BY doc_id), " +
+        "j AS (SELECT sc.doc_id, d.lang, sc.lm_score, " +
+        "round(percent_rank() OVER (PARTITION BY d.lang " +
+        "ORDER BY sc.lm_score, sc.doc_id), 6) AS pr " +
+        "FROM sc JOIN documents d ON sc.doc_id = d.doc_id) " +
+        "SELECT doc_id, lang, lm_score, pr, " +
+        "CASE WHEN pr >= 0.666667 THEN 'head' " +
+        "WHEN pr >= 0.333333 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM j ORDER BY doc_id")),
+
+    GraftQuery(
+      "q131_vocab_oov",
+      "Tokenizer-coverage audit: out-of-vocabulary token mass per source against the top-1024 corpus vocabulary — the number that says whether a fixed tokenizer vocab (or stopword table, or hash-feature space) trained on the blend actually covers each source, before a low-coverage source silently explodes into UNK/byte fallbacks. The vocab is built IN the plan by global count with a (count desc, token) total order so both engines pick the identical 1024 (orderBy+limit plans TakeOrderedAndProject — per-partition top-k then a k-row merge, never a global sort); it then broadcasts into a map-side left join against the streaming token scan. One token-key shuffle for the counts, one source-key rollup; linear end to end.",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("source"), explode(toks(col("text"))).as("tok"))
+        val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(1024)
+          .select(col("tok"), lit(1).as("inv"))
+        tk.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      Some("WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS tok " +
+        "FROM documents), " +
+        "v AS (SELECT tok, 1 AS inv FROM (SELECT tok, count(*) AS c FROM tk " +
+        "GROUP BY tok ORDER BY c DESC, tok LIMIT 1024)) " +
+        "SELECT tk.source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "round(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)*1.0/count(*), 6) " +
+        "AS oov_rate " +
+        "FROM tk LEFT JOIN v ON tk.tok = v.tok " +
+        "GROUP BY tk.source ORDER BY tk.source"))
   )
+
+  /** q88's in-plan add-one-smoothed bigram-LM doc scoring
+    * (doc_id, n_bigrams, lm_score) — shared by q88 and the CCNet-style
+    * bucketing (q130) so the score and its calibration can never
+    * drift. Docs with fewer than 2 tokens have no bigrams and are
+    * absent from the output, matching the SQL twin's inner joins.
+    */
+  private def bigramLmScores(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = base.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = base.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(toks(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    base.join(c12, Seq("bg")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1) / (col("c1") + col("v")))), 6)
+          .as("lm_score"))
+  }
 
   /** q107's ordered filter cascade as a reusable column — the batch
     * query and the streaming twin (`StreamOps.funnelStream`) share this
