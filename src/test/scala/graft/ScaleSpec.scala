@@ -100,6 +100,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q131's vocab is a top-k merge and a broadcast probe, never a global sort") {
+    // the top-1024 vocab must plan TakeOrderedAndProject (per-partition
+    // heap + k-row merge) feeding a broadcast hash probe of the token
+    // scan; a revert to sort().limit() materialized eagerly, or a
+    // dropped broadcast, would single-partition or shuffle the corpus
+    staticPlan {
+      val plan = Registry.byName("q131_vocab_oov").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val topk = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(topk.nonEmpty, "q131 lost its TakeOrderedAndProject vocab")
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, "q131's vocab probe is not a broadcast hash join")
+    }
+  }
+
   test("shuffle-partition config governs exchange width (X2)") {
     // the session builders pin spark.sql.shuffle.partitions (32 in
     // Bench/Verify, 4 here); the static plan must inherit it
