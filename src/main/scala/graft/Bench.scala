@@ -57,6 +57,12 @@ object Bench {
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":${fmt(v)}}""")
     }
+    // the qNN prefixes must stay unique or the summary map would emit
+    // duplicate JSON keys and silently drop a query's timing (last-wins
+    // on parse) — fail the run instead
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN bench keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

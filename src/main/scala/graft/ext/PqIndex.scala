@@ -31,10 +31,13 @@ import scala.collection.parallel.CollectionConverters._
 object PqIndex {
 
   /** `codebooks`: (sub int, code int, centroid array<double> of
-    * subDim). `codes`: (vec_id long, codes array<int> of m).
+    * subDim). `codes`: (vec_id long, codes array<int> of m) — persisted
+    * by `build`; call `close()` when the index is done serving.
     */
   final case class Index(codebooks: DataFrame, codes: DataFrame,
-      m: Int, k: Int, subDim: Int)
+      m: Int, k: Int, subDim: Int) {
+    def close(): Unit = codes.unpersist(blocking = false)
+  }
 
   /** Train one seeded KMeans per subspace and encode every vector.
     * `embeddings`: (vec_id long, embedding array<float> of dim);
@@ -68,6 +71,12 @@ object PqIndex {
         (s, code, c.toArray)
       }
     }
+    // materialize codes (m small ints/vector) BEFORE dropping the sub-
+    // vector cache: otherwise every later action on Index.codes would
+    // re-slice the embeddings m times per pass. Persist-then-count pins
+    // the encoded table; callers release it via Index.close().
+    codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
     withSubs.unpersist()
     Index(books.toSeq.toDF("sub", "code", "centroid"), codes, m, k, subDim)
   }

@@ -1491,14 +1491,14 @@ object TextOps {
 
     GraftQuery(
       "q123_lexical_semantic_pairs",
-      "Cross-modal dedup audit — every lexical near-dup pair (the q42 LSH-verified set, ≡ the exact answer) enriched with the embedding cosine of the SAME two documents (doc_id ≡ vec_id links the modalities). Disagreement is the actionable signal both directions: high Jaccard + low cosine means the embedding model misses paraphrase-level duplication (as in this fixture, whose embeddings are independent of text — exactly what the audit exists to expose); low cosine on known dups calibrates any SemDeDup threshold before it is trusted. The pair set is tiny, so it BROADCASTS into two map-side joins against the streaming embeddings scan — the corpus-side table is never shuffled; cosines fold in array order via the shared double-precision kernel.",
+      "Cross-modal dedup audit — every lexical near-dup pair (the q42 LSH-verified set, ≡ the exact answer) enriched with the embedding cosine of the SAME two documents (doc_id ≡ vec_id links the modalities). Disagreement is the actionable signal both directions: high Jaccard + low cosine means the embedding model misses paraphrase-level duplication (as in this fixture, whose embeddings are independent of text — exactly what the audit exists to expose); low cosine on known dups calibrates any SemDeDup threshold before it is trusted. The pair set scales with DUP DENSITY, not corpus size, so the two id-key joins carry NO forced broadcast hint: AQE broadcasts them while small and falls back to a shuffled hash join — still linear — when a dup-heavy corpus pushes the pair set past the broadcast ceiling (the 10x stress grew it 45x; a forced hint would fail outright there instead of degrading). Cosines fold in array order via the shared double-precision kernel.",
       (s, d) => {
         val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val withA = e.select(col("vec_id").as("da"), col("embedding").as("ea"))
-          .join(broadcast(p), Seq("da"))
+          .join(p, Seq("da"))
         e.select(col("vec_id").as("db"), col("embedding").as("eb"))
-          .join(broadcast(withA), Seq("db"))
+          .join(withA, Seq("db"))
           .select(col("da"), col("db"), col("jaccard"),
             round(cosine(col("ea"), col("eb")), 6).as("cos_r"))
           .orderBy(col("da"), col("db"))
@@ -1520,15 +1520,15 @@ object TextOps {
 
     GraftQuery(
       "q125_dup_provenance",
-      "Near-dup provenance — the q41/q42 near-dup pair set rolled up to UNORDERED source pairs (least/greatest normalization), the table that tells a crawl operator WHERE duplication comes from: a hot same-source cell means a template farm inside one crawl, a hot cross-source cell means mirrored sites or a laundered re-crawl, and the two demand different fixes (q118's boilerplate strip vs q120's source-level triage). Two broadcast joins map pair ids to sources against the streaming documents scan; the rollup shuffles O(sources²) keys.",
+      "Near-dup provenance — the q41/q42 near-dup pair set rolled up to UNORDERED source pairs (least/greatest normalization), the table that tells a crawl operator WHERE duplication comes from: a hot same-source cell means a template farm inside one crawl, a hot cross-source cell means mirrored sites or a laundered re-crawl, and the two demand different fixes (q118's boilerplate strip vs q120's source-level triage). Two id-key joins map pair ids to sources with NO forced broadcast hint (the pair set grows with dup density — AQE broadcasts while small, shuffles linearly past the ceiling); the rollup shuffles O(sources²) keys.",
       (s, d) => {
         val docs = t(s, d, "documents")
         val p = lshPairs(s, cachedShingles(docs))
         val src = docs.select(col("doc_id"), col("source"))
         val withA = src.select(col("doc_id").as("da"), col("source").as("src_a"))
-          .join(broadcast(p), Seq("da"))
+          .join(p, Seq("da"))
         src.select(col("doc_id").as("db"), col("source").as("src_b"))
-          .join(broadcast(withA), Seq("db"))
+          .join(withA, Seq("db"))
           .select(least(col("src_a"), col("src_b")).as("sa"),
             greatest(col("src_a"), col("src_b")).as("sb"),
             col("da"))
@@ -1816,18 +1816,35 @@ object TextOps {
   /** Distributed min-label propagation over a BIDIRECTIONAL edge set
     * (src, dst): every vertex converges to the minimum vertex id of
     * its connected component. Each round is one join of edges to the
-    * current labels plus a min aggregate; the driver holds only the
-    * convergence counter. Near-dup graphs have tiny diameters
-    * (duplicates of a duplicate are duplicates), so rounds ≈ 3; the
-    * identical join+min building blocks run large-star/small-star for
-    * worst-case-diameter graphs at 100 TB. Returns (v, lbl).
+    * current labels plus a min aggregate, then a POINTER-JUMPING
+    * compression (lbl := lbl(lbl), the shortcutting step of
+    * large-star/small-star-family CC algorithms): label distance to
+    * the component minimum better-than-halves per round, so rounds =
+    * O(log diameter) — a diameter-2^60 chain converges inside the 64
+    * cap — while near-dup graphs (tiny diameters: duplicates of a
+    * duplicate are duplicates) still finish in ~3. The driver holds
+    * only the convergence counter, and the cap FAILS LOUDLY instead of
+    * returning silently-wrong clusters. Returns (v, lbl).
+    *
+    * Compression keeps the invariant lbl(v) ∈ component(v) ∧
+    * lbl(v) ≤ v: every label IS a vertex id (so the lbl→v self-join
+    * is total), lbl(u) ≤ u monotonically, and the fixpoint — stable
+    * under neighbor-min across every bidirectional edge — forces
+    * labels constant per component, pinned at the component minimum.
     */
-  private def connectedLabels(edges: DataFrame): DataFrame = {
-    var labels = pin(edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")))
+  private[graft] def connectedLabels(edges: DataFrame): DataFrame = {
+    // each round references the previous labels THREE times (neighbor
+    // min, step, pointer jump), so lineage grows 3^rounds without
+    // truncation — the eager localCheckpoint pins each generation as
+    // plain partitions and keeps every per-round plan constant-size.
+    // (On a real cluster the same loop sets a reliable checkpoint dir
+    // for executor-loss tolerance; the shape is unchanged.)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 32) {
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       // every frame below derives from `labels`, so resolve columns
       // by RENAMED NAME, never dataset-qualified — qualified access
       // across shared lineage trips the ambiguous-self-join check
@@ -1836,10 +1853,19 @@ object TextOps {
           col("dst") === col("nv"))
         .groupBy(col("src")).agg(min(col("nlbl")).as("mn"))
         .select(col("src").as("mv"), col("mn"))
-      val next = pin(labels
+      val stepped = labels
         .join(nbrMin, col("v") === col("mv"), "left")
         .select(col("v"),
-          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl")))
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+      // pointer jumping against the previous generation: follow the
+      // stepped label to that vertex's previous label (always ≤ it,
+      // same component) — one more key-hashed join per round that
+      // turns linear-diameter convergence into logarithmic
+      val next = stepped
+        .join(labels.select(col("v").as("pv"), col("lbl").as("plbl")),
+          col("lbl") === col("pv"))
+        .select(col("v"), least(col("lbl"), col("plbl")).as("lbl"))
+        .localCheckpoint()
       changed = next.select(col("v").as("v2"), col("lbl").as("l2"))
         .join(labels.select(col("v").as("v3"), col("lbl").as("l3")),
           col("v2") === col("v3"))
@@ -1847,6 +1873,10 @@ object TextOps {
       labels = next
       rounds += 1
     }
+    require(changed == 0,
+      s"connectedLabels did not converge in $maxRounds rounds " +
+        s"($changed labels still moving) — component structure is " +
+        "pathological; refusing to return wrong clusters")
     labels
   }
 

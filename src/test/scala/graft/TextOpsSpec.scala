@@ -78,4 +78,21 @@ class TextOpsSpec extends SparkSpec {
       assert(Registry.byName(n).fn(spark, tmp).collect().toSeq === want, n)
     }
   }
+
+  test("connectedLabels converges on a long-diameter path graph") {
+    // the historical trap this pins: a fixed 32-round min-propagation
+    // cap silently returned unconverged labels on graphs of diameter
+    // >32 — the pointer-jumping step must make an 80-long chain (plus
+    // a disjoint triangle) converge, loudly, to the component minima
+    import spark.implicits._
+    val chain = (0L until 80L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val dir = (chain ++ tri).toDF("src", "dst")
+    val edges = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graft.queries.TextOps.connectedLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.TextOps.releaseCaches()
+    assert((0L until 80L).forall(labels(_) == 0L), "chain not fully labeled 0")
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L), "triangle not labeled 100")
+  }
 }

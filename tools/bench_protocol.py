@@ -33,8 +33,15 @@ for i in range(runs):
     # keys are shortened to qNN prefixes to fit the driver's tail)
     for l in out.splitlines():
         if '"query":' in l and '"sec":' in l:
-            r = json.loads(l[l.index("{"):])
-            per_query.setdefault(r["query"], []).append(r["sec"])
+            # a log line that happens to embed both tokens must not
+            # abort the whole run — skip anything that doesn't parse
+            # as the expected {"query": ..., "sec": ...} record
+            try:
+                r = json.loads(l[l.index("{"):])
+            except (ValueError, KeyError):
+                continue
+            if isinstance(r, dict) and "query" in r and "sec" in r:
+                per_query.setdefault(r["query"], []).append(r["sec"])
     print(f"run {i + 1}/{runs}: total {rec['value']:.1f} s", file=sys.stderr)
 
 print("| query | median sec | min sec |")
