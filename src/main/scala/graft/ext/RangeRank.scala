@@ -67,6 +67,61 @@ object RangeRank {
       .drop("__bucket", "__obucket", "__local_rn", "__offset")
   }
 
+  /** PER-GROUP exact global row_number — `withGlobalRowNumber`
+    * generalized so that every group (e.g. a language) gets its own
+    * independent total order, WITHOUT a per-group `Window.partitionBy
+    * (group).orderBy(...)` over the data: at corpus scale one dominant
+    * group (half the web is English) lands in a single window task
+    * sorting billions of rows. Here the data-level window partitions by
+    * (group, bucket) — the bucket dial splits the dominant group into
+    * as many tasks as needed — and the only per-group-ordered window
+    * runs over the per-(group, bucket) COUNT table (O(groups·buckets)
+    * rows, hash-partitioned by group). Adds `rnName` (1-based rank
+    * within the row's group) and `nName` (the group's total count);
+    * exact and partitioning-invariant for any total `sortCols` order.
+    * `bucket` must be monotone non-decreasing in the leading sort key,
+    * exactly as in `withGlobalRowNumber`.
+    */
+  def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      bucket: Column, sortCols: Seq[Column],
+      rnName: String = "group_rn", nName: String = "group_n"): DataFrame = {
+    val helper = groupCols.map(n => s"__g_$n")
+    val reserved = Set("__bucket", "__obucket", "__local_rn", "__offset",
+      "__bn", rnName, nName) ++ helper
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"RangeRank: input columns collide with internal/output names: ${clash.mkString(", ")}")
+
+    val gcols = groupCols.map(col)
+    val withB = df.withColumn("__bucket", bucket)
+    val wLocal = Window.partitionBy((gcols :+ col("__bucket")): _*)
+      .orderBy(sortCols: _*)
+    val local = withB.withColumn("__local_rn", row_number().over(wLocal))
+
+    // one row per (group, bucket); the per-group cumulative windows run
+    // over THIS table only — tiny, hash-partitioned on the group key
+    val counts = withB.groupBy((gcols :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .select(groupCols.map(n => col(n).as(s"__g_$n")) ++
+        Seq(col("__bucket").as("__obucket"), col("__bn")): _*)
+    val gHelper = helper.map(col)
+    val wPrev = Window.partitionBy(gHelper: _*).orderBy(col("__obucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(gHelper: _*).orderBy(col("__obucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select(gHelper ++ Seq(col("__obucket"),
+      coalesce(sum(col("__bn")).over(wPrev), lit(0L)).as("__offset"),
+      sum(col("__bn")).over(wAll).as(nName)): _*)
+
+    // null-safe on every key: null groups and null buckets must rank,
+    // not drop (Window.partitionBy keeps them)
+    val cond = (groupCols.zip(helper).map { case (n, h) => col(n) <=> col(h) } :+
+      (col("__bucket") <=> col("__obucket"))).reduce(_ && _)
+    local.join(broadcast(offsets), cond)
+      .withColumn(rnName, col("__offset") + col("__local_rn"))
+      .drop(helper ++ Seq("__bucket", "__obucket", "__local_rn", "__offset"): _*)
+  }
+
   /** The self-tuning form: derives equi-depth bucket boundaries for
     * `sortCol` from `approx_percentile` (one tiny broadcast aggregate),
     * then ranks exactly as `withGlobalRowNumber`. This is the variant

@@ -1705,14 +1705,22 @@ object TextOps {
 
     GraftQuery(
       "q130_ccnet_buckets",
-      "CCNet-style per-language quality calibration — the canonical curation step downstream of the bigram LM (q88): each document's lm_score is percentile-ranked WITHIN its language and cut at 1/3 and 2/3 into head/middle/tail (head = the most fluent third of that language, the slice CCNet keeps; a global cut would just rank languages against each other). Reuses q88's in-plan scoring verbatim plus one doc_id-key lang join; the per-language window shuffles on lang — at corpus scale, where one language can be billions of docs in a single window task, this exact rank swaps for the per-group histogram prefix-sum shape (the q115/RangeRank posture) at the cost of quantized cutpoints. The (lm_score, doc_id) order is total, so percent_rank is tie-free, and the cuts compare against the 6dp-ROUNDED rank, so both engines bucket identically.",
+      "CCNet-style per-language quality calibration — the canonical curation step downstream of the bigram LM (q88): each document's lm_score is percentile-ranked WITHIN its language and cut at 1/3 and 2/3 into head/middle/tail (head = the most fluent third of that language, the slice CCNet keeps; a global cut would just rank languages against each other). Reuses q88's in-plan scoring verbatim plus one doc_id-key lang join. The rank is EXACT but never plans a per-language window over the data — at corpus scale one dominant language (half the web is English) would sort billions of rows in a single window task — instead the grouped RangeRank two-pass runs: rank within (lang, score-range bucket) cells, then add per-cell offsets from the tiny (lang, bucket) count table; percent_rank reconstructs as (rn-1)/(n-1), identical to the window definition because the (lm_score, doc_id) order is total and equal scores always share a bucket. The cuts compare against the 6dp-ROUNDED rank, so both engines bucket identically.",
       (s, d) => {
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("lm_score"), col("doc_id"))
-        bigramLmScores(s, d)
+        val scored = bigramLmScores(s, d)
           .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
             Seq("doc_id"))
-          .withColumn("pr", round(percent_rank().over(w), 6))
+          .select(col("doc_id"), col("lang"), col("lm_score"))
+        // ~32 buckets per unit of lm_score: bucket count only dials
+        // task size (a billion-doc language splits across cells), never
+        // values — floor is monotone in the leading sort key
+        val ranked = graft.ext.RangeRank.withGroupedRowNumber(
+          scored, Seq("lang"), floor(col("lm_score") * 32),
+          Seq(col("lm_score"), col("doc_id")), rnName = "rn", nName = "n")
+        ranked
+          .withColumn("pr", round(
+            when(col("n") === 1, lit(0.0))
+              .otherwise((col("rn") - 1).cast("double") / (col("n") - 1)), 6))
           .withColumn("bucket",
             when(col("pr") >= 0.666667, "head")
               .when(col("pr") >= 0.333333, "middle")

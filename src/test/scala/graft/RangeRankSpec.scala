@@ -59,4 +59,31 @@ class RangeRankSpec extends SparkSpec {
         poisoned, floor(col("c_acctbal")), Seq(col("c_acctbal"), col("c_custkey")))
     }
   }
+
+  test("grouped ranking equals a per-group window exactly (incl. null group/key)") {
+    // group customers by nation-ish slices, null a deterministic set of
+    // both the GROUP key and the SORT key — the grouped two-pass must
+    // reproduce Window.partitionBy(group).orderBy(...) row for row,
+    // including percent_rank reconstructed from (rn, n)
+    val df = cust
+      .withColumn("g", when(col("c_custkey") % 11 === 0, lit(null))
+        .otherwise((col("c_custkey") % 5).cast("string")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+    val w = Window.partitionBy(col("g")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .select(col("c_custkey"), col("rn"), col("pr"))
+    val ranked = RangeRank.withGroupedRowNumber(
+      df, Seq("g"), floor(col("c_acctbal") / 250), Seq(col("c_acctbal"), col("c_custkey")),
+      rnName = "rn", nName = "n")
+    val got = ranked
+      .withColumn("pr", round(
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rn") - 1).cast("double") / (col("n") - 1)), 6))
+      .select(col("c_custkey"), col("rn"), col("pr"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
 }

@@ -119,6 +119,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q130's per-language rank never windows the corpus by lang alone") {
+    // the CCNet bucketing must keep the grouped-RangeRank shape: every
+    // WindowExec either ranks within (lang, __bucket) cells or cumsums
+    // the tiny (lang, bucket) count table (recognizable by __obucket).
+    // A revert to Window.partitionBy(lang).orderBy(score) — one task
+    // sorting a whole language at 100 TB — plans a window with neither
+    // helper column and fails here.
+    staticPlan {
+      val plan = Registry.byName("q130_ccnet_buckets").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "q130 lost its ranking windows entirely")
+      wins.foreach { w =>
+        val s = w.toString
+        assert(s.contains("__bucket") || s.contains("__obucket"),
+          s"q130 plans a data-level window without a range bucket:\n$s")
+      }
+    }
+  }
+
   test("shuffle-partition config governs exchange width (X2)") {
     // the session builders pin spark.sql.shuffle.partitions (32 in
     // Bench/Verify, 4 here); the static plan must inherit it
