@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Composed IVF-PQ index — the layout a production vector store
+  * actually serves from at 100 TB (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011, §V: IVFADC):
+  * KMeans cells (`AnnIndex`) bound WHICH vectors a query looks at,
+  * product-quantization codes (`PqIndex`) bound WHAT the scan reads
+  * per vector — 8 code bytes instead of 256 raw-float bytes.
+  *
+  * A search composes the two prunings multiplicatively, then repairs
+  * the quantization loss exactly:
+  *   1. probe: rank the kCells broadcast centroids per query, keep the
+  *      nProbe nearest cells — the scan now touches ~nProbe/kCells of
+  *      the corpus;
+  *   2. ADC scan: score ONLY the probed cells' PQ codes against the
+  *      query's broadcast m×k lookup table — pure array math per
+  *      candidate, no raw vectors touched;
+  *   3. exact re-rank: the per-query ADC shortlist (and nothing else)
+  *      fetches raw embeddings and re-scores with exact cosine.
+  *
+  * Scale posture: centroids (kCells rows) and codebooks (m·kCodes
+  * rows) broadcast; the code table persists PARTITIONED BY CELL so a
+  * probe prunes whole directories at file listing (IvfPqSpec proves
+  * PartitionFilters + broadcast codebooks in one plan); the only
+  * per-query joins are against broadcast sides sized by |queries|.
+  * This build encodes raw vectors, not per-cell residuals (the flat
+  * IVFADC variant) — each mechanism stays independently provable, and
+  * a residual encoder would slot into `build` without changing the
+  * search plan shape.
+  */
+object IvfPq {
+
+  /** `cells`: (vec_id long, cell int, codes array<int> of m) — the
+    * serving table; `close()` releases its build-time cache.
+    */
+  final case class Index(centroids: DataFrame, codebooks: DataFrame,
+      cells: DataFrame, kCells: Int, m: Int, kCodes: Int, subDim: Int) {
+    def close(): Unit = cells.unpersist(blocking = false)
+  }
+
+  /** L2-normalize the embedding column (norm materialized in its own
+    * projection — inlining it into the transform lambda would re-run
+    * the aggregate per element). The index serves COSINE: on unit
+    * vectors squared L2 = 2 - 2·cos, so the ADC shortlist's L2 order
+    * is monotone with the final cosine metric — without this, PQ's L2
+    * geometry and the cosine re-rank disagree and the shortlist cut
+    * silently costs recall (the standard normalize-before-PQ rule of
+    * cosine-metric IVF-PQ deployments). Cosine itself is scale
+    * invariant, so probing and re-ranking are unchanged.
+    */
+  private def unitize(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("_n", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("embedding",
+        when(col("_n") === 0.0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            x => (x.cast("double") / col("_n")).cast("float"))))
+      .drop("_n")
+
+  /** Train both quantizers on the UNIT-normalized corpus (seeded —
+    * deterministic) and join cell assignment with PQ codes into one
+    * serving table. `embeddings`: (vec_id long, embedding array<float>
+    * of dim).
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, dim: Int,
+      kCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      seed: Long = 42): Index = {
+    val unit = unitize(embeddings)
+    val ivf = AnnIndex.build(spark, unit, k = kCells, seed = seed)
+    val pq = PqIndex.build(spark, unit, dim = dim, m = m, k = kCodes,
+      seed = seed)
+    // one build-time shuffle on vec_id; the result is what persists
+    val cells = ivf.assigned.select(col("vec_id"), col("cell"))
+      .join(pq.codes, Seq("vec_id"))
+    cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    pq.close()
+    Index(ivf.centroids, pq.codebooks, cells, kCells, m, kCodes, dim / m)
+  }
+
+  /** Persist the index. `cells` lands partitioned BY CELL — the probe
+    * step's cell predicate then prunes whole directories at file
+    * listing (PartitionFilters), the same posture AnnIndex proves for
+    * raw vectors but over a 32×-smaller code table. Centroids and
+    * codebooks are O(k)-row sidecars.
+    */
+  def save(index: Index, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells.parquet")
+  }
+
+  /** Reload a saved index (counts touch only the k-row sidecars). */
+  def load(spark: SparkSession, dir: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val codebooks = spark.read.parquet(s"$dir/codebooks.parquet")
+    val cells = spark.read.parquet(s"$dir/cells.parquet")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val kCells = centroids.count().toInt
+    val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
+    val kCodes = (codebooks.count() / m).toInt
+    val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
+    Index(centroids, codebooks, cells, kCells, m, kCodes, subDim)
+  }
+
+  /** IVFADC search: probe → ADC over probed cells → exact cosine
+    * re-rank of the shortlist. `vectors` is the raw-embedding relation
+    * the index was built from (only shortlist·|queries| rows of it are
+    * ever fetched); `queries`: (q_id long, q_emb array<float>).
+    * Returns (q_id, vec_id, cos_r, rn) — q50's serving schema, so the
+    * approximate path is drop-in for the exact one.
+    */
+  def search(index: Index, vectors: DataFrame, queries: DataFrame,
+      topK: Int = 5, nProbe: Int = 8, shortlist: Int = 25): DataFrame = {
+    CosineSimilarity.ensureRegistered(queries.sparkSession)
+    val k = index.kCodes
+    // queries normalize like the index did (see unitize): the ADC
+    // table must measure L2 in the same unit-sphere geometry the codes
+    // were trained in. Probe and re-rank metrics are cosine — scale
+    // invariant — so they could take either form; they use the same
+    // normalized queries to keep one lineage.
+    val qUnit = unitize(queries
+      .withColumnRenamed("q_emb", "embedding"))
+      .withColumnRenamed("embedding", "q_emb")
+    // 1. probe: nProbe nearest cells per query, ranked on the broadcast
+    //    centroid table — |queries|·kCells rows, never corpus-sized
+    val qCells = qUnit
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    // 2. ADC scan restricted to probed cells: the broadcast probe set
+    //    carries each query's distance table, so the code scan is one
+    //    join on `cell` (partition-pruned when the index is on disk)
+    //    plus per-row array lookups
+    val dt = PqIndex.distanceTable(index.codebooks, qUnit, k, index.subDim)
+    val probes = qCells.join(dt, Seq("q_id"))
+    val short = index.cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", round(aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+          (c, s) => element_at(col("dt"), s * k + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // 3. exact re-rank: only the shortlist fetches raw vectors
+    short.join(vectors, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
+  }
+}

@@ -81,6 +81,31 @@ object PqIndex {
     Index(books.toSeq.toDF("sub", "code", "centroid"), codes, m, k, subDim)
   }
 
+  /** Per-query ADC lookup table: one ordered array per query where
+    * dt[sub·k + code] = exact squared L2 between the query's sub-slice
+    * and that codebook centroid. Built by joining the m·k-row BROADCAST
+    * codebook against the (small) query set and collecting the slots
+    * back into one array column — the "asymmetric" half of ADC. Shared
+    * by the flat PQ scan below and the IVF-composed scan in `IvfPq`.
+    */
+  private[ext] def distanceTable(codebooks: DataFrame, queries: DataFrame,
+      k: Int, subDim: Int): DataFrame = {
+    val subDist = queries
+      .crossJoin(broadcast(codebooks))
+      .withColumn("qsub", slice(col("q_emb"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .withColumn("d2",
+        aggregate(zip_with(col("qsub"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), (col("sub") * k + col("code")).as("slot"), col("d2"))
+    // one ordered array per query: dt[slot] = d2  (slot is 0-based)
+    subDist
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("d2")))).as("pairs"))
+      .select(col("q_id"), transform(col("pairs"), p => p("d2")).as("dt"))
+  }
+
   /** Approximate top-k by ADC. `queries`: (q_id long, q_emb
     * array<float>). The per-query distance table is built by joining
     * the m·k-row broadcast codebook against the (small) query set and
@@ -90,21 +115,7 @@ object PqIndex {
     */
   def search(index: Index, queries: DataFrame, topK: Int = 5): DataFrame = {
     val k = index.k
-    // exact subspace distance between the query slice and each centroid
-    val subDist = queries
-      .crossJoin(broadcast(index.codebooks))
-      .withColumn("qsub", slice(col("q_emb"), col("sub") * index.subDim + 1,
-        lit(index.subDim)))
-      .withColumn("d2",
-        aggregate(zip_with(col("qsub"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, x) => acc + x))
-      .select(col("q_id"), (col("sub") * k + col("code")).as("slot"), col("d2"))
-    // one ordered array per query: dt[slot] = d2  (slot is 0-based)
-    val dt = subDist
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(col("slot"), col("d2")))).as("pairs"))
-      .select(col("q_id"), transform(col("pairs"), p => p("d2")).as("dt"))
+    val dt = distanceTable(index.codebooks, queries, k, index.subDim)
     // candidate scan: codes only, query table broadcast
     index.codes.crossJoin(broadcast(dt))
       .filter(col("q_id") =!= col("vec_id"))

@@ -872,7 +872,7 @@ object TextOps {
 
     GraftQuery(
       "q100_bpe_pairs",
-      "BPE vocabulary-learning kernel — one merge iteration of byte-pair encoding (the tokenizer-training inner loop): every adjacent character pair inside every word, counted corpus-wide, top-30 by frequency. The pair extraction is a per-row higher-order transform (sequence + substr — codegen'd, zero shuffle), the count is one hash shuffle on the 2-char pair key with map-side combine (at most ~vocab² ≈ thousands of distinct keys, so the reduce side is tiny no matter the corpus size), and the top-30 is a bounded-heap TakeOrdered. A full BPE trainer is this query in a loop with a merge-table broadcast — each iteration stays one map + one micro-shuffle at 100 TB.",
+      "BPE vocabulary-learning kernel — one merge iteration of byte-pair encoding (the tokenizer-training inner loop): every adjacent character pair inside every word, counted corpus-wide, top-30 by frequency. The pair extraction is a per-row higher-order transform (sequence + substr — codegen'd, zero shuffle), the count is one hash shuffle on the 2-char pair key with map-side combine (at most ~vocab² ≈ thousands of distinct keys, so the reduce side is tiny no matter the corpus size), and the top-30 is a bounded-heap TakeOrdered. The full trainer that loops this kernel with a broadcast winning pair is q134_bpe_train.",
       (s, d) => {
         val words = t(s, d, "documents")
           .select(explode(toks(col("text"))).as("w"))
@@ -1772,7 +1772,64 @@ object TextOps {
         "round(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)*1.0/count(*), 6) " +
         "AS oov_rate " +
         "FROM tk LEFT JOIN v ON tk.tok = v.tok " +
-        "GROUP BY tk.source ORDER BY tk.source"))
+        "GROUP BY tk.source ORDER BY tk.source")),
+
+    GraftQuery(
+      "q134_bpe_train",
+      "Full BPE trainer — the loop q100's kernel promised: 10 merge rounds, each taking the corpus-wide most-frequent adjacent symbol pair (count desc, lexical tiebreak — a total order, so both engines pick the identical winner) and rewriting every word by greedy leftmost non-overlapping merge of that pair. The corpus is touched ONCE (word count); every round after that runs on the distinct-word table weighted by frequency — the standard Sennrich et al. 2016 working set, vocab-sized (~1e5-1e6 rows at any corpus size), so a round is one micro-shuffle on pair keys plus a broadcast of the single winning pair into a codegen'd higher-order fold (string-accumulator aggregate — merges are sequential within a word, but words are independent rows). localCheckpoint truncates lineage per round (the connectedLabels posture; a cluster deployment would checkpoint the vocab table to parquet), keeping the 10-round plan linear instead of 2^10. Frequencies sum as BIGINT — exact at any parallelism. Output: the learned merge list, the artifact a tokenizer ships.",
+      (s, d) => bpeTrain(s, d, rounds = 10),
+      Some(bpeTrainSql(10))),
+
+    GraftQuery(
+      "q135_exact_substring",
+      "Variable-length EXACT substring dedup (the suffix-array dedup of Lee et al. 2022, 'Deduplicating Training Data Makes Language Models Better', re-expressed as distributed anchor-and-extend): for every doc pair, the length in tokens of their longest shared verbatim span, plus how many distinct long spans they share — the dedup modality that catches partial plagiarism/quotation that whole-doc MinHash (q42) and fixed-k n-grams (q129) only bracket. Every 8-token anchor posts (doc, position); matching anchors across docs land on a diagonal (pa-pb), and a shared span of exactly T tokens is T-7 consecutive anchors on ONE diagonal — so gaps-and-islands over (pair, diagonal) reconstructs every maximal span EXACTLY (span = run+7), no pairwise extension step needed. Linear, never all-pairs: anchors are one row per token; an occurrence cap (df<=50, the Lee et al. boilerplate guard, identical in the oracle) bounds join fan-out on corpus-common anchors; the island window partitions by (pair, diagonal) — thousands of tiny sorts, nothing corpus-wide. Spans shorter than 16 tokens are below the reporting floor by design; anchors join on xxhash64 keys (8-byte shuffle width, collision odds ~n²/2^64 — the q41 argument).",
+      (s, d) => {
+        val tokd = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+        val anch = tokd
+          .select(col("doc_id"),
+            posexplode(shingles(col("tk"), 8)).as(Seq("p0", "a")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"),
+            xxhash64(col("a")).as("ak"))
+        val keep = anch.groupBy(col("ak")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("ak"))
+        val aa = anch.join(keep, Seq("ak"))
+        val cand = aa
+          .select(col("ak"), col("doc_id").as("da"), col("pos").as("pa"))
+          .join(aa.select(col("ak"), col("doc_id").as("db"), col("pos").as("pb")),
+            Seq("ak"))
+          .filter(col("da") < col("db"))
+        val isl = cand
+          .withColumn("diag", col("pa") - col("pb"))
+          .withColumn("grp", col("pa") - row_number().over(
+            Window.partitionBy(col("da"), col("db"), col("diag"))
+              .orderBy(col("pa"))))
+        val runs = isl
+          .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+          .agg((count(lit(1)) + 7).as("span"))
+        runs.filter(col("span") >= 16)
+          .groupBy(col("da"), col("db"))
+          .agg(max(col("span")).as("max_shared_tokens"),
+            count(lit(1)).as("n_spans"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "anch AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS a " +
+        "FROM tok, UNNEST(range(1, len(t)-6)) x(i) WHERE len(t) >= 8), " +
+        "keep AS (SELECT a FROM (SELECT a, count(*) AS df FROM anch GROUP BY a) " +
+        "WHERE df <= 50), " +
+        "aa AS (SELECT doc_id, pos, a FROM anch WHERE a IN (SELECT a FROM keep)), " +
+        "cand AS (SELECT x.doc_id AS da, x.pos AS pa, y.doc_id AS db, y.pos AS pb " +
+        "FROM aa x JOIN aa y ON x.a = y.a AND x.doc_id < y.doc_id), " +
+        "isl AS (SELECT da, db, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp " +
+        "FROM cand), " +
+        "runs AS (SELECT da, db, count(*) + 7 AS span FROM isl " +
+        "GROUP BY da, db, diag, grp) " +
+        "SELECT da, db, CAST(max(span) AS BIGINT) AS max_shared_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_spans " +
+        "FROM runs WHERE span >= 16 GROUP BY da, db ORDER BY da, db"))
   )
 
   /** q88's in-plan add-one-smoothed bigram-LM doc scoring
@@ -1797,6 +1854,113 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + 1) / (col("c1") + col("v")))), 6)
           .as("lm_score"))
+  }
+
+  /** Greedy leftmost non-overlapping merge of symbol pair (l, r) over a
+    * space-delimited symbol string — one BPE rewrite. A string-typed
+    * left fold (higher-order `aggregate`, codegen-friendly, no UDF):
+    * the accumulator is the rewritten prefix; when it ends in symbol
+    * `l` (whole-string or space-anchored — symbols never contain
+    * spaces) and the next symbol is `r`, the trailing `l` is replaced
+    * by the merged symbol. Fold order = scan order, so "a a a" under
+    * pair (a,a) yields "aa a" — the Sennrich greedy semantics — and a
+    * just-merged symbol can't re-match as `l` (l+r != l since r is
+    * non-empty). The DuckDB twin runs the IDENTICAL fold via
+    * list_reduce, so both engines rewrite every word byte-for-byte
+    * alike.
+    */
+  private def bpeMergeFold(toksStr: Column, l: Column, r: Column): Column = {
+    val chars = split(toksStr, " ")
+    val endsWithL = (acc: Column) => (acc === l) ||
+      (length(acc) > length(l) &&
+        acc.substr(length(acc) - length(l), length(l) + 1) ===
+          concat(lit(" "), l))
+    aggregate(
+      slice(chars, lit(2), size(chars) - 1),
+      element_at(chars, 1),
+      (acc, x) =>
+        when(endsWithL(acc) && (x === r),
+          concat(acc.substr(lit(1), length(acc) - length(l)), l, r))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** q134's trainer loop. One corpus scan builds the frequency-weighted
+    * distinct-word table (the BPE working set — vocab-sized no matter
+    * the corpus); each round then (a) counts adjacent symbol pairs
+    * weighted by word frequency, (b) takes the single best pair under
+    * the (n desc, lhs, rhs) total order, (c) broadcasts that 1-row
+    * winner into the merge fold over every word. localCheckpoint after
+    * every round pins the winner and truncates the vocab table's
+    * lineage — without it round R's plan would embed round R-1's twice
+    * (once via the winner, once via the rewrite) and the tree would
+    * double per round.
+    */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    var words = t(s, d, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("toks"),
+        col("freq"))
+      .localCheckpoint()
+    val bests = (1 to rounds).map { r =>
+      val pairs = words
+        .select(split(col("toks"), " ").as("c"), col("freq"))
+        .filter(size(col("c")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("c")) - 1),
+          i => struct(element_at(col("c"), i).as("lhs"),
+            element_at(col("c"), i + 1).as("rhs")))).as("p"),
+          col("freq"))
+        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("freq"))
+      val best = pairs.groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(best))
+        .withColumn("toks2", bpeMergeFold(col("toks"), col("lhs"), col("rhs")))
+        .select(col("toks2").as("toks"), col("freq"))
+        .localCheckpoint()
+      best.select(lit(r).as("merge_round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+    }
+    bests.reduce(_.unionAll(_)).orderBy(col("merge_round"))
+  }
+
+  /** DuckDB twin of `bpeTrain`: the same rounds, unrolled as a CTE
+    * chain generated here so Spark loop and SQL loop can never skew.
+    * t{r} is MATERIALIZED — it is consumed twice (pair count and
+    * rewrite of round r+1), mirroring the Spark-side checkpoint.
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val mergeCase =
+      "CASE WHEN (acc = b.lhs OR (length(acc) > length(b.lhs) " +
+        "AND substr(acc, length(acc)-length(b.lhs), length(b.lhs)+1) = ' ' || b.lhs)) " +
+        "AND x = b.rhs " +
+        "THEN substr(acc, 1, length(acc)-length(b.lhs)) || b.lhs || b.rhs " +
+        "ELSE acc || ' ' || x END"
+    val head =
+      "WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w " +
+        "WHERE length(w) >= 1 GROUP BY w), " +
+        "t0 AS (SELECT array_to_string(list_transform(range(1, length(w)+1), " +
+        "i -> substr(w, i, 1)), ' ') AS toks, freq FROM wf)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"p$r AS (SELECT c[i] AS lhs, c[i+1] AS rhs, freq FROM " +
+        s"(SELECT string_split(toks,' ') AS c, freq FROM t${r - 1}), " +
+        "UNNEST(range(1, len(c))) x(i)), " +
+        s"g$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n " +
+        s"FROM p$r GROUP BY lhs, rhs), " +
+        s"b$r AS (SELECT lhs, rhs, n FROM g$r ORDER BY n DESC, lhs, rhs LIMIT 1), " +
+        s"t$r AS MATERIALIZED (SELECT list_reduce(string_split(toks,' '), " +
+        s"(acc, x) -> $mergeCase) AS toks, freq FROM t${r - 1}, b$r b)"
+    }.mkString(", ", ", ", " ")
+    val union = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged, n FROM b$r")
+      .mkString(" UNION ALL ")
+    head + roundCtes + s"SELECT * FROM ($union) ORDER BY merge_round"
   }
 
   /** q107's ordered filter cascade as a reusable column — the batch

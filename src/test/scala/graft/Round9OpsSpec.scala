@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-6 trainer/dedup additions beyond their
+  * DuckDB oracle twins: the BPE merge list must behave like BPE
+  * (monotone counts, merges composed from live symbols), and q135's
+  * reported spans must be EXACTLY the longest shared token runs an
+  * independent in-memory recomputation finds.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  test("q134 learns 10 merges with non-increasing counts") {
+    val rows = Registry.byName("q134_bpe_train").fn(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("merge_round")).toSeq === (1 to 10))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // any pair created by a merge has count <= the count of a pair it
+    // replaced, so the winning count can never rise between rounds
+    val ns = rows.sortBy(_.getAs[Int]("merge_round")).map(_.getAs[Long]("n"))
+    ns.sliding(2).foreach { case Array(a, b) => assert(a >= b, s"$a -> $b") }
+    // later merges may stack on earlier ones: each lhs/rhs must be a
+    // single char or a previously produced merged symbol
+    val known = scala.collection.mutable.Set.empty[String]
+    rows.sortBy(_.getAs[Int]("merge_round")).foreach { r =>
+      Seq(r.getAs[String]("lhs"), r.getAs[String]("rhs")).foreach { sym =>
+        assert(sym.length === 1 || known.contains(sym),
+          s"symbol '$sym' is neither a char nor a prior merge")
+      }
+      known += r.getAs[String]("merged")
+    }
+  }
+
+  test("q135 spans equal an independent longest-common-run recomputation") {
+    val got = Registry.byName("q135_exact_substring").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        (r.getAs[Long]("max_shared_tokens"), r.getAs[Long]("n_spans"))).toMap
+    assert(got.nonEmpty, "fixture should contain long shared spans")
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .toMap
+    // independent oracle: same anchor/cap/floor semantics, computed
+    // with plain Scala collections instead of joins and windows
+    val anchors = scala.collection.mutable.Map.empty[Seq[String], List[(Long, Int)]]
+    texts.foreach { case (id, tk) =>
+      tk.sliding(8).zipWithIndex.foreach { case (a, i) =>
+        if (a.length == 8) anchors.updateWith(a.toSeq)(o => Some((id, i) :: o.getOrElse(Nil)))
+      }
+    }
+    val kept = anchors.filter(_._2.size <= 50)
+    val runs = scala.collection.mutable.Map.empty[(Long, Long, Int), List[Int]]
+    kept.values.foreach { posts =>
+      for ((da, pa) <- posts; (db, pb) <- posts if da < db)
+        runs.updateWith((da, db, pa - pb))(o => Some(pa :: o.getOrElse(Nil)))
+    }
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    runs.foreach { case ((da, db, _), pas) =>
+      var run = 1
+      val sorted = pas.sorted
+      (sorted.tail.zip(sorted.init) :+ (Int.MinValue, 0)).foreach { case (cur, prev) =>
+        if (cur == prev + 1) run += 1
+        else {
+          val span = run + 7
+          if (span >= 16) want.updateWith((da, db)) {
+            case Some((mx, n)) => Some((math.max(mx, span.toLong), n + 1))
+            case None => Some((span.toLong, 1L))
+          }
+          run = 1
+        }
+      }
+    }
+    assert(got === want.toMap)
+  }
+}

@@ -14,10 +14,12 @@ import graft.ext.SkewJoin
   */
 class ScaleSpec extends SparkSpec {
 
-  // Model-fitting queries execute Spark jobs just to CONSTRUCT their
-  // result frame — no stable static plan to audit.
+  // Model-fitting / iterative-trainer queries execute Spark jobs just
+  // to CONSTRUCT their result frame (KMeans/ALS fits, q134's per-round
+  // localCheckpoints) — no stable static plan to audit. q133/q134 get
+  // their plan/shape guards in IvfPqSpec and Round9OpsSpec instead.
   private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk",
-    "q109_pq_topk")
+    "q109_pq_topk", "q133_ivfpq_topk", "q134_bpe_train")
 
   test("no registered query plans a cartesian product") {
     staticPlan {
