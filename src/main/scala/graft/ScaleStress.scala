@@ -98,7 +98,13 @@ object ScaleStress {
       // calibration/coverage/recency audits: CCNet bucketing re-scores
       // the 10× corpus through the bigram LM; OOV builds its top-1024
       // vocab in-plan over 10× tokens; decay scans events (copied 1×)
-      "q130_ccnet_buckets", "q131_vocab_oov", "q132_decay_weights")
+      "q130_ccnet_buckets", "q131_vocab_oov", "q132_decay_weights",
+      // round-6 additions: IVF-PQ re-trains 9 KMeans on the 10× corpus
+      // (fit-bound, linear in rows); the BPE trainer's working set is
+      // the distinct-word table, which replication leaves UNCHANGED —
+      // only the one corpus scan grows; exact-substring rides 45×
+      // more same-family pairs whose runs span whole docs
+      "q133_ivfpq_topk", "q134_bpe_train", "q135_exact_substring")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -114,7 +114,23 @@ object TextOps {
     * stays linear at 100 TB; q41 keeps the all-pairs exact kernel as
     * the small-SF oracle/recall baseline.
     */
-  private def lshPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+  /** lshPairsRaw, persisted (the cachedShingles treatment): the
+    * verified pair set is consumed from multiple subtrees WITHIN single
+    * queries (q126's batch↔corpus self-union, q127's pair/doc rollups)
+    * and by nine registered analyses per session — without a cache each
+    * consumer subtree re-runs the whole signature+band+verify kernel
+    * (the 10× stress showed q126 at 4.7× its round-5 time after the
+    * forced-broadcast hint — whose exchange reuse had been hiding the
+    * double evaluation — was dropped). The pair set is dup-density-
+    * scale, far smaller than the corpus; Spark's CacheManager dedupes
+    * by canonicalized plan so all consumers of one data dir share one
+    * entry, released by releaseCaches(). At 100 TB the same role is a
+    * one-time materialization of the verified pair table to parquet.
+    */
+  private def lshPairs(s: SparkSession, sh: DataFrame): DataFrame =
+    pin(lshPairsRaw(s, sh))
+
+  private def lshPairsRaw(s: SparkSession, sh: DataFrame): DataFrame = {
     graft.functions.MinHashAgg.ensureRegistered(s)
     // All 16 permutation minima AND the distinct-shingle count in
     // ONE aggregation pass per doc — the native TypedImperativeAggregate
@@ -1554,13 +1570,18 @@ object TextOps {
       "q126_incremental_dedup",
       "Incremental-ingest dedup gate — the nightly operator a live pipeline runs on each new crawl increment (here: doc_id % 10 == 9) against the standing corpus: exact duplicates by normalized digest (the q40 kernel, a digest-key join — never text), near-duplicates by the q42 LSH pair kernel restricted to batch↔corpus pairs, verdict = exact_dup > near_dup > new. Both probes are linear: the digest join shuffles (digest, id), and the near-dup partners come from the SAME banded candidate generation every other dedup analysis rides — the increment never all-pairs-joins the corpus. At 100 TB the corpus digests and band buckets are standing materializations and the increment streams against them.",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val base = t(s, d, "documents")
+        val docs = base
           .withColumn("h", md5(lower(trim(col("text")))))
           .withColumn("is_batch", col("doc_id") % 10 === 9)
         val batch = docs.filter(col("is_batch"))
         val corpusDigests = docs.filter(!col("is_batch"))
           .groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
-        val p = lshPairs(s, cachedShingles(docs)).select(col("da"), col("db"))
+        // shingle/pair relations build from the PLAIN table — the
+        // h/is_batch projections above would fork the canonicalized
+        // plan and give this query a private cache entry instead of
+        // the session-shared shingle+pair relations
+        val p = lshPairs(s, cachedShingles(base)).select(col("da"), col("db"))
         val partners = p.union(p.select(col("db"), col("da")))
           .toDF("bid", "pid")
           .filter(col("bid") % 10 === 9 && col("pid") % 10 =!= 9)
@@ -1781,6 +1802,28 @@ object TextOps {
       Some(bpeTrainSql(10))),
 
     GraftQuery(
+      "q136_bpe_encode",
+      "Tokenizer SERVING path — encode the corpus with q134's trained merges and account the result per source: word/char/BPE-token mass plus tokens-per-char and tokens-per-word (the fertility numbers that decide whether a tokenizer suits a corpus, and the token-budget table a training run is planned against). The trained vocabulary (original word → its merged symbol string) is vocab-sized and BROADCASTS into one map-side join against the streaming token scan — encoding costs one corpus pass no matter the corpus, the same shape serving a 100 TB pretokenization pass would use. Shares bpeLoop with q134 (identical 10-round training, same localCheckpoint lineage posture); the DuckDB twin reuses the identical generated CTE chain with an encode tail, so trainer and encoder can never drift.",
+      (s, d) => {
+        val vocab = bpeLoop(s, d, rounds = 10)._2
+          .select(col("w"), size(split(col("toks"), " ")).as("n_sym"))
+        t(s, d, "documents")
+          .select(col("source"), explode(toks(col("text"))).as("w"))
+          .filter(length(col("w")) >= 1)
+          .join(broadcast(vocab), Seq("w"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w")).cast("long")).as("n_chars"),
+            sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+          .withColumn("tokens_per_char",
+            round(col("n_bpe_tokens") / col("n_chars"), 6))
+          .withColumn("tokens_per_word",
+            round(col("n_bpe_tokens") / col("n_words"), 6))
+          .orderBy(col("source"))
+      },
+      Some(bpeEncodeSql(10))),
+
+    GraftQuery(
       "q135_exact_substring",
       "Variable-length EXACT substring dedup (the suffix-array dedup of Lee et al. 2022, 'Deduplicating Training Data Makes Language Models Better', re-expressed as distributed anchor-and-extend): for every doc pair, the length in tokens of their longest shared verbatim span, plus how many distinct long spans they share — the dedup modality that catches partial plagiarism/quotation that whole-doc MinHash (q42) and fixed-k n-grams (q129) only bracket. Every 8-token anchor posts (doc, position); matching anchors across docs land on a diagonal (pa-pb), and a shared span of exactly T tokens is T-7 consecutive anchors on ONE diagonal — so gaps-and-islands over (pair, diagonal) reconstructs every maximal span EXACTLY (span = run+7), no pairwise extension step needed. Linear, never all-pairs: anchors are one row per token; an occurrence cap (df<=50, the Lee et al. boilerplate guard, identical in the oracle) bounds join fan-out on corpus-common anchors; the island window partitions by (pair, diagonal) — thousands of tiny sorts, nothing corpus-wide. Spans shorter than 16 tokens are below the reporting floor by design; anchors join on xxhash64 keys (8-byte shuffle width, collision odds ~n²/2^64 — the q41 argument).",
       (s, d) => {
@@ -1895,12 +1938,21 @@ object TextOps {
     * (once via the winner, once via the rewrite) and the tree would
     * double per round.
     */
-  private def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
+    bpeLoop(s, d, rounds)._1
+
+  /** The trainer loop shared by q134 (merge list) and q136 (encoder):
+    * returns (merge list, final vocabulary) where the vocabulary keeps
+    * the ORIGINAL word alongside its space-delimited BPE symbols — the
+    * lookup table the encode join needs.
+    */
+  private def bpeLoop(s: SparkSession, d: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     var words = t(s, d, "documents")
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(
+      .select(col("w"),
         concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1)))).as("toks"),
         col("freq"))
@@ -1921,20 +1973,21 @@ object TextOps {
         .localCheckpoint()
       words = words.crossJoin(broadcast(best))
         .withColumn("toks2", bpeMergeFold(col("toks"), col("lhs"), col("rhs")))
-        .select(col("toks2").as("toks"), col("freq"))
+        .select(col("w"), col("toks2").as("toks"), col("freq"))
         .localCheckpoint()
       best.select(lit(r).as("merge_round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("n"))
     }
-    bests.reduce(_.unionAll(_)).orderBy(col("merge_round"))
+    (bests.reduce(_.unionAll(_)).orderBy(col("merge_round")), words)
   }
 
-  /** DuckDB twin of `bpeTrain`: the same rounds, unrolled as a CTE
-    * chain generated here so Spark loop and SQL loop can never skew.
-    * t{r} is MATERIALIZED — it is consumed twice (pair count and
-    * rewrite of round r+1), mirroring the Spark-side checkpoint.
+  /** DuckDB twin of `bpeLoop`'s CTE chain: the same rounds, unrolled as
+    * generated SQL so Spark loop and SQL loop can never skew. t{r} is
+    * MATERIALIZED — it is consumed twice (pair count and rewrite of
+    * round r+1), mirroring the Spark-side checkpoint. The original word
+    * rides along so the encode twin (q136) can join it back to docs.
     */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val mergeCase =
       "CASE WHEN (acc = b.lhs OR (length(acc) > length(b.lhs) " +
         "AND substr(acc, length(acc)-length(b.lhs), length(b.lhs)+1) = ' ' || b.lhs)) " +
@@ -1945,7 +1998,7 @@ object TextOps {
       "WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), " +
         "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w " +
         "WHERE length(w) >= 1 GROUP BY w), " +
-        "t0 AS (SELECT array_to_string(list_transform(range(1, length(w)+1), " +
+        "t0 AS (SELECT w, array_to_string(list_transform(range(1, length(w)+1), " +
         "i -> substr(w, i, 1)), ' ') AS toks, freq FROM wf)"
     val roundCtes = (1 to rounds).map { r =>
       s"p$r AS (SELECT c[i] AS lhs, c[i+1] AS rhs, freq FROM " +
@@ -1954,14 +2007,29 @@ object TextOps {
         s"g$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n " +
         s"FROM p$r GROUP BY lhs, rhs), " +
         s"b$r AS (SELECT lhs, rhs, n FROM g$r ORDER BY n DESC, lhs, rhs LIMIT 1), " +
-        s"t$r AS MATERIALIZED (SELECT list_reduce(string_split(toks,' '), " +
+        s"t$r AS MATERIALIZED (SELECT w, list_reduce(string_split(toks,' '), " +
         s"(acc, x) -> $mergeCase) AS toks, freq FROM t${r - 1}, b$r b)"
     }.mkString(", ", ", ", " ")
+    head + roundCtes
+  }
+
+  private def bpeTrainSql(rounds: Int): String = {
     val union = (1 to rounds).map(r =>
       s"SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged, n FROM b$r")
       .mkString(" UNION ALL ")
-    head + roundCtes + s"SELECT * FROM ($union) ORDER BY merge_round"
+    bpeCtes(rounds) + s" SELECT * FROM ($union) ORDER BY merge_round"
   }
+
+  private def bpeEncodeSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      s", enc AS (SELECT w, len(string_split(toks,' ')) AS n_sym FROM t$rounds), " +
+      "dw AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(length(dw.w)) AS BIGINT) AS n_chars, " +
+      "CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens, " +
+      "round(sum(n_sym)*1.0/sum(length(dw.w)), 6) AS tokens_per_char, " +
+      "round(sum(n_sym)*1.0/count(*), 6) AS tokens_per_word " +
+      "FROM dw JOIN enc ON dw.w = enc.w GROUP BY source ORDER BY source"
 
   /** q107's ordered filter cascade as a reusable column — the batch
     * query and the streaming twin (`StreamOps.funnelStream`) share this

@@ -35,6 +35,24 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 encodes every word into at least 1 and at most |word| symbols") {
+    val rows = Registry.byName("q136_bpe_encode").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalWords = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_words")).sum === totalWords)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      // each BPE symbol spans >= 1 char and each word is >= 1 symbol
+      assert(t >= w && t <= c, s"tokens $t outside [$w, $c]")
+      // 10 merges on this fixture must actually compress: strictly
+      // fewer symbols than characters
+      assert(t < c)
+    }
+  }
+
   test("q135 spans equal an independent longest-common-run recomputation") {
     val got = Registry.byName("q135_exact_substring").fn(spark, sfDir)
       .collect()

@@ -19,7 +19,7 @@ class ScaleSpec extends SparkSpec {
   // localCheckpoints) — no stable static plan to audit. q133/q134 get
   // their plan/shape guards in IvfPqSpec and Round9OpsSpec instead.
   private val fitQueries = Set("q61_als_recommend", "q79_ivf_topk",
-    "q109_pq_topk", "q133_ivfpq_topk", "q134_bpe_train")
+    "q109_pq_topk", "q133_ivfpq_topk", "q134_bpe_train", "q136_bpe_encode")
 
   test("no registered query plans a cartesian product") {
     staticPlan {
