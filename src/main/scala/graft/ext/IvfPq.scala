@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity
@@ -28,10 +28,10 @@ import graft.functions.CosineSimilarity
   * probe prunes whole directories at file listing (IvfPqSpec proves
   * PartitionFilters + broadcast codebooks in one plan); the only
   * per-query joins are against broadcast sides sized by |queries|.
-  * This build encodes raw vectors, not per-cell residuals (the flat
-  * IVFADC variant) — each mechanism stays independently provable, and
-  * a residual encoder would slot into `build` without changing the
-  * search plan shape.
+  * Codes quantize PER-CELL RESIDUALS (see `build`) — the full IVFADC
+  * layout, not the flat variant — which costs nothing at search time
+  * beyond building the small ADC table per (query, probed cell)
+  * instead of per query.
   */
 object IvfPq {
 
@@ -39,7 +39,8 @@ object IvfPq {
     * serving table; `close()` releases its build-time cache.
     */
   final case class Index(centroids: DataFrame, codebooks: DataFrame,
-      cells: DataFrame, kCells: Int, m: Int, kCodes: Int, subDim: Int) {
+      cells: DataFrame, kCells: Int, m: Int, kCodes: Int, subDim: Int,
+      residual: Boolean) {
     def close(): Unit = cells.unpersist(blocking = false)
   }
 
@@ -64,25 +65,47 @@ object IvfPq {
             x => (x.cast("double") / col("_n")).cast("float"))))
       .drop("_n")
 
+  /** Element-wise float difference a - b (double intermediate, float
+    * storage — the shared promotion rule). Used for the residual a
+    * vector keeps after its cell centroid is subtracted.
+    */
+  private def minus(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+
   /** Train both quantizers on the UNIT-normalized corpus (seeded —
     * deterministic) and join cell assignment with PQ codes into one
-    * serving table. `embeddings`: (vec_id long, embedding array<float>
-    * of dim).
+    * serving table. PQ trains on PER-CELL RESIDUALS (v − centroid of
+    * v's cell) — the actual IVFADC layout: within a cell residual
+    * magnitudes are the within-cell spread, not the full corpus
+    * spread, so the same m×k codebook budget quantizes far tighter.
+    * Residual ADC still estimates the ORIGINAL distance — for q and
+    * candidate v in cell c, ‖q−v‖² = ‖(q−cᶜ)−(v−cᶜ)‖² — so scores
+    * stay comparable across probed cells. `embeddings`: (vec_id long,
+    * embedding array<float> of dim).
     */
   def build(spark: SparkSession, embeddings: DataFrame, dim: Int,
       kCells: Int = 16, m: Int = 8, kCodes: Int = 16,
-      seed: Long = 42): Index = {
+      seed: Long = 42, residual: Boolean = true): Index = {
     val unit = unitize(embeddings)
     val ivf = AnnIndex.build(spark, unit, k = kCells, seed = seed)
-    val pq = PqIndex.build(spark, unit, dim = dim, m = m, k = kCodes,
-      seed = seed)
+    val pqInput =
+      if (residual)
+        ivf.assigned
+          .join(broadcast(ivf.centroids), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            minus(col("embedding"), col("centroid")).as("embedding"))
+      else ivf.assigned.select(col("vec_id"), col("cell"), col("embedding"))
+    val pq = PqIndex.build(spark,
+      pqInput.select(col("vec_id"), col("embedding")),
+      dim = dim, m = m, k = kCodes, seed = seed)
     // one build-time shuffle on vec_id; the result is what persists
-    val cells = ivf.assigned.select(col("vec_id"), col("cell"))
+    val cells = pqInput.select(col("vec_id"), col("cell"))
       .join(pq.codes, Seq("vec_id"))
     cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cells.count()
     pq.close()
-    Index(ivf.centroids, pq.codebooks, cells, kCells, m, kCodes, dim / m)
+    Index(ivf.centroids, pq.codebooks, cells, kCells, m, kCodes, dim / m,
+      residual)
   }
 
   /** Persist the index. `cells` lands partitioned BY CELL — the probe
@@ -92,7 +115,10 @@ object IvfPq {
     * codebooks are O(k)-row sidecars.
     */
   def save(index: Index, dir: String): Unit = {
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    // the residual flag rides the k-row centroid sidecar — an index
+    // must be searched in the frame its codes were trained in
+    index.centroids.withColumn("residual", lit(index.residual))
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     index.cells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells.parquet")
@@ -100,7 +126,9 @@ object IvfPq {
 
   /** Reload a saved index (counts touch only the k-row sidecars). */
   def load(spark: SparkSession, dir: String): Index = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val cent0 = spark.read.parquet(s"$dir/centroids.parquet")
+    val residual = cent0.select(col("residual")).head().getBoolean(0)
+    val centroids = cent0.drop("residual")
     val codebooks = spark.read.parquet(s"$dir/codebooks.parquet")
     val cells = spark.read.parquet(s"$dir/cells.parquet")
       .select(col("vec_id"), col("cell"), col("codes"))
@@ -108,8 +136,59 @@ object IvfPq {
     val m = codebooks.agg(max(col("sub"))).head().getInt(0) + 1
     val kCodes = (codebooks.count() / m).toInt
     val subDim = codebooks.select(size(col("centroid"))).head().getInt(0)
-    Index(centroids, codebooks, cells, kCells, m, kCodes, subDim)
+    Index(centroids, codebooks, cells, kCells, m, kCodes, subDim, residual)
   }
+
+  /** Encode vectors through an EXISTING index's quantizers — the
+    * incremental-ingest path of a standing vector store: no refit,
+    * just nearest-cell assignment (squared-L2 argmin over the
+    * broadcast centroids, KMeans' own assignment rule) and
+    * per-subspace nearest-codebook-centroid codes, on the residual or
+    * raw vector per the index's mode. Pure declarative argmins — one
+    * pass over the new vectors, both quantizer tables broadcast — so a
+    * nightly increment costs O(increment), never a rebuild.
+    */
+  def encode(index: Index, vectors: DataFrame): DataFrame = {
+    val unit = unitize(vectors)
+    val assigned = unit
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"),
+        (if (index.residual) minus(col("embedding"), col("centroid"))
+         else col("embedding")).as("enc"))
+    assigned
+      .crossJoin(broadcast(index.codebooks))
+      .withColumn("esub", slice(col("enc"), col("sub") * index.subDim + 1,
+        lit(index.subDim)))
+      .withColumn("cd2", aggregate(
+        zip_with(col("esub"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("cd2"), col("code"))))
+      .filter(col("srn") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), col("cell"),
+        transform(col("sc"), p => p("code")).as("codes"))
+  }
+
+  /** A new Index whose serving table includes `newVectors`, encoded by
+    * `encode` against the standing quantizers. On disk this is an
+    * append of new cell-partition files; centroids/codebooks are
+    * unchanged (re-train only when drift warrants a new index
+    * generation — the standard IVF maintenance posture).
+    */
+  def append(index: Index, newVectors: DataFrame): Index =
+    index.copy(cells = index.cells.unionByName(encode(index, newVectors)))
 
   /** IVFADC search: probe → ADC over probed cells → exact cosine
     * re-rank of the shortlist. `vectors` is the raw-embedding relation
@@ -131,20 +210,39 @@ object IvfPq {
       .withColumnRenamed("q_emb", "embedding"))
       .withColumnRenamed("embedding", "q_emb")
     // 1. probe: nProbe nearest cells per query, ranked on the broadcast
-    //    centroid table — |queries|·kCells rows, never corpus-sized
+    //    centroid table — |queries|·kCells rows, never corpus-sized.
+    //    Each probe row keeps the query's RESIDUAL against that cell's
+    //    centroid: codes quantize residuals, so the ADC table must be
+    //    built per (query, probed cell) in the same residual frame.
     val qCells = qUnit
       .crossJoin(broadcast(index.centroids))
       .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
       .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("cell"))
+      .select(col("q_id"), col("cell"),
+        (if (index.residual) minus(col("q_emb"), col("centroid"))
+         else col("q_emb")).as("q_res"))
     // 2. ADC scan restricted to probed cells: the broadcast probe set
-    //    carries each query's distance table, so the code scan is one
-    //    join on `cell` (partition-pruned when the index is on disk)
-    //    plus per-row array lookups
-    val dt = PqIndex.distanceTable(index.codebooks, qUnit, k, index.subDim)
-    val probes = qCells.join(dt, Seq("q_id"))
+    //    carries one residual distance table per (query, cell) —
+    //    |queries|·nProbe·m·k subspace distances against the broadcast
+    //    codebooks, still query-scale — so the code scan is one join on
+    //    `cell` (partition-pruned when the index is on disk) plus
+    //    per-row array lookups
+    val probes = qCells
+      .crossJoin(broadcast(index.codebooks))
+      .withColumn("qsub", slice(col("q_res"), col("sub") * index.subDim + 1,
+        lit(index.subDim)))
+      .withColumn("d2",
+        aggregate(zip_with(col("qsub"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("q_id"), col("cell"),
+        (col("sub") * k + col("code")).as("slot"), col("d2"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("d2")))).as("pairs"))
+      .select(col("q_id"), col("cell"),
+        transform(col("pairs"), p => p("d2")).as("dt"))
     val short = index.cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", round(aggregate(

@@ -240,7 +240,7 @@ object VectorOps {
 
     GraftQuery(
       "q133_ivfpq_topk",
-      "Composed IVF-PQ production-ANN serving query (ext.IvfPq — the IVFADC layout of Jégou et al. 2011): q79's cell pruning AND q109's code compression in ONE search over L2-NORMALIZED vectors (unit sphere ⇒ ADC's L2 order is monotone with the cosine serving metric — the normalize-before-PQ rule; skipping it cost 12 recall points on this fixture). Each query probes its nProbe=12 of 16 nearest cells (broadcast centroid rank), scores ONLY those cells' PQ codes by asymmetric distance against a broadcast m=8×k=64 lookup table (8 code bytes per candidate, never raw vectors), and exact-cosine re-ranks the 64-deep ADC shortlist. Persisted cell-partitioned, a probe prunes index FILES (IvfPqSpec pins dynamic PartitionFilters + broadcast codebooks in one plan, recall>=0.9 vs the q50 exact baseline — observed 0.94 — and exact-equivalence at full probe). No SQL oracle — KMeans boundaries aren't SQL-expressible — so the driver records rows-only.",
+      "Composed IVF-PQ production-ANN serving query (ext.IvfPq — the full IVFADC layout of Jégou et al. 2011, per-cell RESIDUAL codes): q79's cell pruning AND q109's code compression in ONE search over L2-NORMALIZED vectors (unit sphere ⇒ ADC's L2 order is monotone with the cosine serving metric — the normalize-before-PQ rule; skipping it cost 12 recall points on this fixture). Each query probes its nProbe=12 of 16 nearest cells (broadcast centroid rank), scores ONLY those cells' PQ codes by asymmetric distance against a per-(query,cell) residual lookup table built from the broadcast m=8×k=64 codebooks (8 code bytes per candidate, never raw vectors), and exact-cosine re-ranks the 96-deep ADC shortlist. Persisted cell-partitioned, a probe prunes index FILES (IvfPqSpec pins dynamic PartitionFilters + broadcast codebooks in one plan, recall>=0.9 vs the q50 exact baseline — observed 0.92, and 0.94 for the flat non-residual mode on this deliberately isotropic fixture where residuals have no cluster structure to exploit — and exact-equivalence at full probe in BOTH modes). No SQL oracle — KMeans boundaries aren't SQL-expressible — so the driver records rows-only.",
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val index = graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16,
@@ -248,7 +248,7 @@ object VectorOps {
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val out = graft.ext.IvfPq
-          .search(index, e, q, topK = 5, nProbe = 12, shortlist = 64)
+          .search(index, e, q, topK = 5, nProbe = 12, shortlist = 96)
           .orderBy(col("q_id"), col("rn"))
         out
       },

@@ -26,16 +26,23 @@ class IvfPqSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Int]]("codes").length === index.m)
   }
 
-  test("full probe + corpus-wide shortlist reproduces q50 exactly") {
+  test("full probe + corpus-wide shortlist reproduces q50 exactly (both modes)") {
     val n = emb.count().toInt
-    val full = IvfPq.search(index, emb, queries, topK = 5,
-        nProbe = index.kCells, shortlist = n)
-      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     // exact-cosine re-rank with nothing pruned == the brute-force
-    // baseline, rank for rank — the composition adds pruning, not bias
+    // baseline, rank for rank — the composition adds pruning, not
+    // bias, whether codes quantize residuals (default) or raw vectors
+    val full = IvfPq.search(index, emb, queries, topK = 5,
+        nProbe = index.kCells, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     assert(full === exact)
+    val flat = IvfPq.build(spark, emb, dim = 64, kCells = 8, residual = false)
+    val fullFlat = IvfPq.search(flat, emb, queries, topK = 5,
+        nProbe = flat.kCells, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(fullFlat === exact)
+    flat.close()
   }
 
   test("registered q133_ivfpq_topk: 50 rows, recall >= 0.9 vs q50") {
@@ -74,6 +81,34 @@ class IvfPqSpec extends SparkSpec {
         s"no dynamic cell pruning on the code scan:\n$pf")
       assert(plan.contains("BroadcastExchange"),
         "codebook/probe sides are not broadcast")
+    }
+  }
+
+  test("encode through the standing quantizers reproduces the built codes") {
+    // re-encoding the index's own corpus without any refit must land
+    // every vector in its original cell with its original codes — the
+    // invariant that makes incremental append sound
+    val re = IvfPq.encode(index, emb).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        r.getAs[scala.collection.Seq[Int]]("codes").toList)).toMap
+    val built = index.cells.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        r.getAs[scala.collection.Seq[Int]]("codes").toList)).toMap
+    assert(re === built)
+  }
+
+  test("appended twins are found at rank 1 with cosine 1") {
+    val twins = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      col("embedding"))
+    val idx2 = IvfPq.append(index, twins)
+    val all = emb.unionByName(twins)
+    val got = IvfPq.search(idx2, all, queries, topK = 1,
+        nProbe = idx2.kCells, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 10)
+    got.foreach { case (q, v, cos) =>
+      assert(v === q + 1000000, s"query $q rank-1 neighbor $v is not its twin")
+      assert(cos === 1.0)
     }
   }
 
