@@ -104,7 +104,10 @@ object ScaleStress {
       // the distinct-word table, which replication leaves UNCHANGED —
       // only the one corpus scan grows; exact-substring rides 45×
       // more same-family pairs whose runs span whole docs
-      "q133_ivfpq_topk", "q134_bpe_train", "q135_exact_substring")
+      "q133_ivfpq_topk", "q134_bpe_train", "q135_exact_substring",
+      // the encoder joins the UNCHANGED vocab table against 10× tokens;
+      // the yield accountant explodes only covered positions
+      "q136_bpe_encode", "q137_substring_yield")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

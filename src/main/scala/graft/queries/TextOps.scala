@@ -1827,31 +1827,7 @@ object TextOps {
       "q135_exact_substring",
       "Variable-length EXACT substring dedup (the suffix-array dedup of Lee et al. 2022, 'Deduplicating Training Data Makes Language Models Better', re-expressed as distributed anchor-and-extend): for every doc pair, the length in tokens of their longest shared verbatim span, plus how many distinct long spans they share — the dedup modality that catches partial plagiarism/quotation that whole-doc MinHash (q42) and fixed-k n-grams (q129) only bracket. Every 8-token anchor posts (doc, position); matching anchors across docs land on a diagonal (pa-pb), and a shared span of exactly T tokens is T-7 consecutive anchors on ONE diagonal — so gaps-and-islands over (pair, diagonal) reconstructs every maximal span EXACTLY (span = run+7), no pairwise extension step needed. Linear, never all-pairs: anchors are one row per token; an occurrence cap (df<=50, the Lee et al. boilerplate guard, identical in the oracle) bounds join fan-out on corpus-common anchors; the island window partitions by (pair, diagonal) — thousands of tiny sorts, nothing corpus-wide. Spans shorter than 16 tokens are below the reporting floor by design; anchors join on xxhash64 keys (8-byte shuffle width, collision odds ~n²/2^64 — the q41 argument).",
       (s, d) => {
-        val tokd = t(s, d, "documents")
-          .select(col("doc_id"), toks(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-        val anch = tokd
-          .select(col("doc_id"),
-            posexplode(shingles(col("tk"), 8)).as(Seq("p0", "a")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"),
-            xxhash64(col("a")).as("ak"))
-        val keep = anch.groupBy(col("ak")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50).select(col("ak"))
-        val aa = anch.join(keep, Seq("ak"))
-        val cand = aa
-          .select(col("ak"), col("doc_id").as("da"), col("pos").as("pa"))
-          .join(aa.select(col("ak"), col("doc_id").as("db"), col("pos").as("pb")),
-            Seq("ak"))
-          .filter(col("da") < col("db"))
-        val isl = cand
-          .withColumn("diag", col("pa") - col("pb"))
-          .withColumn("grp", col("pa") - row_number().over(
-            Window.partitionBy(col("da"), col("db"), col("diag"))
-              .orderBy(col("pa"))))
-        val runs = isl
-          .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-          .agg((count(lit(1)) + 7).as("span"))
-        runs.filter(col("span") >= 16)
+        substringRuns(t(s, d, "documents"))
           .groupBy(col("da"), col("db"))
           .agg(max(col("span")).as("max_shared_tokens"),
             count(lit(1)).as("n_spans"))
@@ -1872,8 +1848,103 @@ object TextOps {
         "GROUP BY da, db, diag, grp) " +
         "SELECT da, db, CAST(max(span) AS BIGINT) AS max_shared_tokens, " +
         "CAST(count(*) AS BIGINT) AS n_spans " +
-        "FROM runs WHERE span >= 16 GROUP BY da, db ORDER BY da, db"))
+        "FROM runs WHERE span >= 16 GROUP BY da, db ORDER BY da, db")),
+
+    GraftQuery(
+      "q137_substring_yield",
+      "Exact-substring REMOVAL accounting — what Lee et al. dedup would actually do to the corpus: under keep-the-earliest-copy, every doc loses the token positions covered by qualifying shared spans (>=16 tokens) against ANY earlier doc, and this query reports the per-source yield — docs affected, tokens removed, removal rate — the numbers that decide whether span-level dedup is worth running on a crawl before training. Reuses q135's maximal runs verbatim (shared substringRuns helper, so detector and accountant can never drift); each run covers positions pb0..pb0+span-1 in the LATER doc, overlapping runs from different earlier docs union by position-distinct, and the removed-position count joins back to per-doc token totals. Cost beyond q135: one bounded position explode (covered tokens only — at most the corpus token count), a (doc, pos) distinct, and two rollups. Same linearity: nothing all-pairs, windows stay per-(pair,diagonal).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val removedPos = substringRuns(docs)
+          .select(col("db").as("doc_id"),
+            explode(sequence(col("pb0"), col("pb0") + col("span") - 1))
+              .as("pos"))
+          .distinct()
+        val removed = removedPos.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_removed"))
+        docs
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+          .join(removed, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_removed").isNotNull, 1L).otherwise(0L))
+              .as("n_docs_affected"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(coalesce(col("n_removed"), lit(0L))).as("n_tokens_removed"))
+          .withColumn("removal_rate",
+            round(col("n_tokens_removed") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "anch AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS a " +
+        "FROM tok, UNNEST(range(1, len(t)-6)) x(i) WHERE len(t) >= 8), " +
+        "keep AS (SELECT a FROM (SELECT a, count(*) AS df FROM anch GROUP BY a) " +
+        "WHERE df <= 50), " +
+        "aa AS (SELECT doc_id, pos, a FROM anch WHERE a IN (SELECT a FROM keep)), " +
+        "cand AS (SELECT x.doc_id AS da, x.pos AS pa, y.doc_id AS db, y.pos AS pb " +
+        "FROM aa x JOIN aa y ON x.a = y.a AND x.doc_id < y.doc_id), " +
+        "isl AS (SELECT da, db, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp " +
+        "FROM cand), " +
+        "runs AS (SELECT da, db, min(pa) - diag AS pb0, count(*) + 7 AS span " +
+        "FROM isl GROUP BY da, db, diag, grp), " +
+        "rp AS (SELECT DISTINCT db AS doc_id, pb0 + u.i AS pos FROM runs, " +
+        "UNNEST(range(0, span)) u(i) WHERE span >= 16), " +
+        "rm AS (SELECT doc_id, count(*) AS n_removed FROM rp GROUP BY doc_id), " +
+        "n AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN rm.n_removed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected, " +
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(coalesce(rm.n_removed, 0)) AS BIGINT) AS n_tokens_removed, " +
+        "round(sum(coalesce(rm.n_removed, 0))*1.0/sum(n_tok), 6) AS removal_rate " +
+        "FROM n LEFT JOIN rm ON n.doc_id = rm.doc_id " +
+        "GROUP BY source ORDER BY source"))
   )
+
+  /** q135/q137's maximal shared spans: (da, db, diag, pb0, span) —
+    * one row per maximal run of consecutive matching 8-token anchors
+    * on one (pair, diagonal), with span ≥ 16 tokens (span = run + 7;
+    * a shared span of exactly T tokens is T−7 consecutive anchors, so
+    * the reconstruction is EXACT). pb0 is the span's first token
+    * position in the LATER doc (db). Anchors join on xxhash64 keys; a
+    * df ≤ 50 occurrence cap bounds fan-out on corpus-common anchors
+    * (both the Lee et al. boilerplate guard and the oracle's rule).
+    * Pinned (the lshPairs treatment): the detector (q135) and the
+    * removal accountant (q137) both consume it per session, and the
+    * qualifying-runs output is tiny next to the anchor self-join that
+    * produces it.
+    */
+  private def substringRuns(docs: DataFrame): DataFrame =
+    pin(substringRunsRaw(docs))
+
+  private def substringRunsRaw(docs: DataFrame): DataFrame = {
+    val anch = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"),
+        posexplode(shingles(col("tk"), 8)).as(Seq("p0", "a")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        xxhash64(col("a")).as("ak"))
+    val keep = anch.groupBy(col("ak")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("ak"))
+    val aa = anch.join(keep, Seq("ak"))
+    val isl = aa
+      .select(col("ak"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(aa.select(col("ak"), col("doc_id").as("db"), col("pos").as("pb")),
+        Seq("ak"))
+      .filter(col("da") < col("db"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("da"), col("db"), col("diag"))
+          .orderBy(col("pa"))))
+    isl
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("pa0"), (count(lit(1)) + 7).as("span"))
+      .filter(col("span") >= 16)
+      .select(col("da"), col("db"), col("diag"),
+        (col("pa0") - col("diag")).as("pb0"), col("span"))
+  }
 
   /** q88's in-plan add-one-smoothed bigram-LM doc scoring
     * (doc_id, n_bigrams, lm_score) — shared by q88 and the CCNet-style

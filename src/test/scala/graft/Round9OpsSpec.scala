@@ -95,4 +95,56 @@ class Round9OpsSpec extends SparkSpec {
     }
     assert(got === want.toMap)
   }
+
+  test("q137 removal accounting matches an independent position-union recomputation") {
+    val got = Registry.byName("q137_substring_yield").fn(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_affected"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_removed"))).toMap
+    val docRows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1)))
+    val anchors = scala.collection.mutable.Map.empty[Seq[String], List[(Long, Int)]]
+    docRows.foreach { case (id, _, tk) =>
+      tk.sliding(8).zipWithIndex.foreach { case (a, i) =>
+        if (a.length == 8) anchors.updateWith(a.toSeq)(o => Some((id, i) :: o.getOrElse(Nil)))
+      }
+    }
+    val runs = scala.collection.mutable.Map.empty[(Long, Long, Int), List[Int]]
+    anchors.filter(_._2.size <= 50).values.foreach { posts =>
+      for ((da, pa) <- posts; (db, pb) <- posts if da < db)
+        runs.updateWith((da, db, pa - pb))(o => Some(pa :: o.getOrElse(Nil)))
+    }
+    // keep-earliest: the LATER doc of each pair loses every position a
+    // qualifying run covers; runs from different partners union
+    val covered = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Int]]
+    runs.foreach { case ((_, db, diag), pas) =>
+      val sorted = pas.sorted
+      var runStart = sorted.head
+      var prev = sorted.head
+      def flush(last: Int): Unit = {
+        val span = last - runStart + 8
+        if (span >= 16) {
+          val pb0 = runStart - diag
+          covered.getOrElseUpdate(db, scala.collection.mutable.Set.empty) ++=
+            (pb0 until pb0 + span)
+        }
+      }
+      sorted.tail.foreach { cur =>
+        if (cur != prev + 1) { flush(prev); runStart = cur }
+        prev = cur
+      }
+      flush(prev)
+    }
+    val want = docRows.groupBy(_._2).map { case (src, rows) =>
+      src -> (rows.length.toLong,
+        rows.count(r => covered.contains(r._1)).toLong,
+        rows.map(_._3.length.toLong).sum,
+        rows.map(r => covered.get(r._1).map(_.size.toLong).getOrElse(0L)).sum)
+    }
+    assert(got === want)
+    assert(got.values.map(_._4).sum > 0, "fixture should remove some tokens")
+  }
 }
