@@ -107,7 +107,11 @@ object ScaleStress {
       "q133_ivfpq_topk", "q134_bpe_train", "q135_exact_substring",
       // the encoder joins the UNCHANGED vocab table against 10× tokens;
       // the yield accountant explodes only covered positions
-      "q136_bpe_encode", "q137_substring_yield")
+      "q136_bpe_encode", "q137_substring_yield",
+      // winnowing posts ~2/(w+1)-density prints per doc (windows stay
+      // per-doc); packing's prefix sum is the grouped two-pass — both
+      // must stay linear as the 10× corpus replicates dup families
+      "q39_winnow_fingerprints", "q77_seq_packing")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -186,6 +186,67 @@ object TextOps {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q39_winnow_fingerprints",
+      "Winnowing fingerprint overlap (Schleimer et al. 2003, 'Winnowing: Local Algorithms for Document Fingerprinting' — the MOSS screening pass): hash every 4-token shingle, slide a 4-hash window, keep each window's minimum (ties → rightmost, encoded so ONE window min() is the whole selection: md5 hex concatenated with a fixed-width descending position suffix makes lexicographic min pick smallest-hash-then-rightmost), distinct the survivors, and join docs on shared fingerprints. The winnowing guarantee: any shared run of w+k-1 = 7+ tokens shares at least one fingerprint, at ~2/(w+1) the posting density of q135's every-position anchors — this is the cheap screen whose hits q135's exact reconstruction then prices. Windows partition per doc (thousands of tiny frames, never corpus-wide); the same df<=50 fingerprint cap as q135 bounds join fan-out on boilerplate; pairs need >=2 shared prints, reported with a containment estimate against the smaller doc's print count.",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 7)
+          .select(col("doc_id"), (size(col("tk")) - 3).as("m"),
+            posexplode(shingles(col("tk"), 4)).as(Seq("p0", "sgram")))
+          .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
+            concat(md5(col("sgram")),
+              lpad((lit(1048574) - col("p0")).cast("string"), 7, "0"))
+              .as("key"))
+        val sel = sh
+          .withColumn("sel", min(col("key")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+              .rowsBetween(Window.currentRow, 3)))
+          .filter(col("pos") <= col("m") - 3)
+        val fps = sel
+          .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+          .distinct()
+        val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("fp"))
+        val ff = fps.join(keep, Seq("fp"))
+        val sizes = ff.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+        ff.select(col("fp"), col("doc_id").as("da"))
+          .join(ff.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("n_shared_fp"))
+          .filter(col("n_shared_fp") >= 2)
+          .join(sizes.select(col("doc_id").as("da"), col("nfp").as("na")),
+            Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("nfp").as("nb")),
+            Seq("db"))
+          .withColumn("containment", round(col("n_shared_fp").cast("double")
+            / least(col("na"), col("nb")), 6))
+          .select(col("da"), col("db"), col("n_shared_fp"), col("containment"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, len(t)-3 AS m, i AS pos, " +
+        "md5(array_to_string(t[i:i+3],' ')) || " +
+        "lpad(CAST(1048575 - i AS VARCHAR), 7, '0') AS key " +
+        "FROM tok, UNNEST(range(1, len(t)-2)) x(i) WHERE len(t) >= 7), " +
+        "win AS (SELECT doc_id, pos, m, min(key) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM sh), " +
+        "fps AS (SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp " +
+        "FROM win WHERE pos <= m - 3), " +
+        "keep AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps " +
+        "GROUP BY fp) WHERE df <= 50), " +
+        "ff AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM keep)), " +
+        "sizes AS (SELECT doc_id, count(*) AS nfp FROM ff GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY da, db) " +
+        "SELECT da, db, CAST(c AS BIGINT) AS n_shared_fp, " +
+        "round(c*1.0/least(sa.nfp, sb.nfp), 6) AS containment " +
+        "FROM pairs JOIN sizes sa ON da = sa.doc_id " +
+        "JOIN sizes sb ON db = sb.doc_id WHERE c >= 2 ORDER BY da, db")),
+
+    GraftQuery(
       "q40_dedup_exact",
       "Exact dedup: md5 of normalized text → groupBy digest, keep min doc_id. Shuffles only (digest, id) — scale-safe at any corpus size.",
       (s, d) => t(s, d, "documents")
@@ -1264,6 +1325,57 @@ object TextOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
         "/ sum(bucket_tokens) OVER (), 6) AS cum_token_share " +
         "FROM h ORDER BY bucket_lo")),
+
+    GraftQuery(
+      "q77_seq_packing",
+      "Sequence-packing accounting — concat-and-chunk, the GPT-style batch prep that concatenates each source's docs in doc_id order and slices the stream into fixed 512-token training sequences: per source, the doc and token mass, how many sequences the stream yields, how many docs straddle a chunk boundary (and so get split across training examples — the attention-contamination number an EOD-masking decision needs), and the fill rate of the final partial chunk. Every doc's absolute stream offset is an EXACT global prefix sum, but it is never computed as a per-source data window (at corpus scale one dominant source would sort billions of rows in one window task — the q130 lesson): docs bucket into 128-doc-id cells, the cumsum windows run per (source, cell), and per-cell offsets come from ONE window over the tiny (source, cell) totals table — O(cells), never the data. All integer arithmetic except the final rounded fill rate, so both engines agree exactly.",
+      (s, d) => {
+        val L = 512
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cell", expr("doc_id div 128"))
+        val local = base.withColumn("lcum", sum(col("n_tok")).over(
+          Window.partitionBy(col("source"), col("cell")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // offsets window over the tiny (source, cell) totals, not the data
+        val offs = base.groupBy(col("source"), col("cell"))
+          .agg(sum(col("n_tok")).as("cell_tok"))
+          .withColumn("off", coalesce(sum(col("cell_tok")).over(
+            Window.partitionBy(col("source")).orderBy(col("cell"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("cell"), col("off"))
+        local.join(offs, Seq("source", "cell"))
+          .withColumn("en", col("off") + col("lcum"))
+          .withColumn("st", col("en") - col("n_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(when(expr(s"st div $L") =!= expr(s"(en - 1) div $L"), 1L)
+              .otherwise(0L)).as("n_boundary_docs"))
+          .withColumn("n_chunks", expr(s"(n_tokens + ${L - 1}) div $L"))
+          .withColumn("tail_fill",
+            round((col("n_tokens") - (col("n_chunks") - lit(1L)) * L)
+              .cast("double") / L, 6))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chunks"), col("n_boundary_docs"), col("tail_fill"))
+          .orderBy(col("source"))
+      },
+      Some("WITH n AS (SELECT doc_id, source, " +
+        "len(string_split(text,' ')) AS n_tok FROM documents), " +
+        "c AS (SELECT source, n_tok, sum(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum FROM n), " +
+        "d AS (SELECT source, n_tok, cum - n_tok AS st, cum - 1 AS en FROM c), " +
+        "a AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens, " +
+        "sum(CASE WHEN st // 512 <> en // 512 THEN 1 ELSE 0 END) " +
+        "AS n_boundary_docs FROM d GROUP BY source) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks, " +
+        "CAST(n_boundary_docs AS BIGINT) AS n_boundary_docs, " +
+        "round((n_tokens - ((n_tokens + 511) // 512 - 1) * 512) / 512.0, 6) " +
+        "AS tail_fill FROM a ORDER BY source")),
 
     GraftQuery(
       "q116_net_token_yield",

@@ -147,4 +147,66 @@ class Round9OpsSpec extends SparkSpec {
     assert(got === want)
     assert(got.values.map(_._4).sum > 0, "fixture should remove some tokens")
   }
+
+  test("q39 winnowing pairs match an in-memory reference implementation") {
+    val got = Registry.byName("q39_winnow_fingerprints").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("n_shared_fp")).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = 4; val w = 4
+    val fps = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1)))
+      .filter(_._2.length >= k + w - 1)
+      .map { case (id, tk) =>
+        val hs = tk.sliding(k).map(a => md5hex(a.mkString(" "))).toArray
+        // window min, ties to the RIGHTMOST minimal hash
+        val sel = (0 to hs.length - w).map { i =>
+          val win = hs.slice(i, i + w)
+          val mn = win.min
+          i + win.lastIndexOf(mn)
+        }.toSet
+        id -> sel.map(hs).toSet
+      }.toMap
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size <= 50).keySet
+    val capped = fps.view.mapValues(_.filter(df)).toMap
+    val want = (for {
+      (da, fa) <- capped.toSeq; (db, fb) <- capped.toSeq if da < db
+      shared = (fa & fb).size if shared >= 2
+    } yield (da, db) -> shared.toLong).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain winnowing overlaps")
+  }
+
+  test("q77 packing accounting matches a direct cumulative recomputation") {
+    val got = Registry.byName("q77_seq_packing").fn(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boundary_docs"),
+          r.getAs[Double]("tail_fill"))).toMap
+    val L = 512L
+    val want = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+      .groupBy(_._2).map { case (src, rows) =>
+        val lens = rows.sortBy(_._1).map(_._3)
+        val ends = lens.scanLeft(0L)(_ + _).tail
+        val boundary = ends.zip(lens).count { case (en, n) =>
+          (en - n) / L != (en - 1) / L }
+        val tot = lens.sum
+        val chunks = (tot + L - 1) / L
+        val tail = BigDecimal((tot - (chunks - 1) * L).toDouble / L)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        src -> (lens.length.toLong, tot, chunks, boundary.toLong, tail)
+      }
+    assert(got === want)
+    assert(want.values.exists(_._4 > 0), "fixture should split some docs")
+  }
 }
