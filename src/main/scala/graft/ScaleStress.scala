@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * scratch dir and times the headline queries there — evidence that
   * the recorded plans scale superlinearly-free beyond the fixtures.
   *
-  * Usage: runMain graft.ScaleStress [scratchDir]
+  * Usage: runMain graft.ScaleStress [scratchDir] [queryName ...] — the
+  * optional tail restricts the run to those queries (re-validating one
+  * table row without paying the full sweep).
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val out = if (args.length > 0) args(0) else "/tmp/graft_sfx"
+    val only = args.drop(1).toSet
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -117,7 +120,7 @@ object ScaleStress {
       .write.format("noop").mode("overwrite").save()
     val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
     println(s"SCALE lineitem_rows $rows")
-    headline.foreach { q =>
+    headline.filter(q => only.isEmpty || only(q)).foreach { q =>
       val t0 = System.nanoTime()
       Registry.byName(q).fn(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE $q ${(System.nanoTime() - t0) / 1e9}%.2f")

@@ -1915,14 +1915,24 @@ object TextOps {
 
     GraftQuery(
       "q136_bpe_encode",
-      "Tokenizer SERVING path — encode the corpus with q134's trained merges and account the result per source: word/char/BPE-token mass plus tokens-per-char and tokens-per-word (the fertility numbers that decide whether a tokenizer suits a corpus, and the token-budget table a training run is planned against). The trained vocabulary (original word → its merged symbol string) is vocab-sized and BROADCASTS into one map-side join against the streaming token scan — encoding costs one corpus pass no matter the corpus, the same shape serving a 100 TB pretokenization pass would use. Shares bpeLoop with q134 (identical 10-round training, same localCheckpoint lineage posture); the DuckDB twin reuses the identical generated CTE chain with an encode tail, so trainer and encoder can never drift.",
+      "Tokenizer SERVING path — encode the corpus with q134's trained merges and account the result per source: word/char/BPE-token mass plus tokens-per-char and tokens-per-word (the fertility numbers that decide whether a tokenizer suits a corpus, and the token-budget table a training run is planned against). The trained vocabulary (original word → its merged symbol string) joins under a COUNT-GATED broadcast: the word table is already checkpointed, so one O(vocab) count decides — hinted map-side join while it clearly fits (every test SF), shuffle join on the word key when a web-scale corpus pushes the distinct-word table past the ceiling (typos/URLs/numbers make it corpus-dependent, not vocab-bounded — an unconditional hint fails outright at 100 TB, the q123 lesson, while an unconditional non-hint pays the probe-side token shuffle before AQE can downgrade). Shares bpeLoop with q134 (identical 10-round training, same localCheckpoint lineage posture); the DuckDB twin reuses the identical generated CTE chain with an encode tail, so trainer and encoder can never drift.",
       (s, d) => {
         val vocab = bpeLoop(s, d, rounds = 10)._2
           .select(col("w"), size(split(col("toks"), " ")).as("n_sym"))
+        // broadcast is gated on an actual row count of the (already
+        // checkpointed, so O(vocab) to count) word table — hinted when
+        // it clearly fits, shuffle join on the word key when a
+        // web-scale corpus pushes distinct "words" (typos/URLs/
+        // numbers) past the ceiling. An unconditional hint would fail
+        // outright at 100 TB (the q123 lesson); unconditionally
+        // unhinted pays the probe-side token shuffle before AQE can
+        // downgrade the join.
+        val vjoin =
+          if (vocab.count() <= 2000000L) broadcast(vocab) else vocab
         t(s, d, "documents")
           .select(col("source"), explode(toks(col("text"))).as("w"))
           .filter(length(col("w")) >= 1)
-          .join(broadcast(vocab), Seq("w"))
+          .join(vjoin, Seq("w"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_words"),
             sum(length(col("w")).cast("long")).as("n_chars"),
