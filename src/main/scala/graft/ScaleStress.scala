@@ -114,7 +114,10 @@ object ScaleStress {
       // winnowing posts ~2/(w+1)-density prints per doc (windows stay
       // per-doc); packing's prefix sum is the grouped two-pass — both
       // must stay linear as the 10× corpus replicates dup families
-      "q39_winnow_fingerprints", "q77_seq_packing")
+      "q39_winnow_fingerprints", "q77_seq_packing",
+      // the learned quality filter is fit-bound: per-row featurization
+      // + LBFGS gradient partials, linear in training rows
+      "q138_quality_classifier")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -144,41 +144,49 @@ object IvfPq {
     * just nearest-cell assignment (squared-L2 argmin over the
     * broadcast centroids, KMeans' own assignment rule) and
     * per-subspace nearest-codebook-centroid codes, on the residual or
-    * raw vector per the index's mode. Pure declarative argmins — one
-    * pass over the new vectors, both quantizer tables broadcast — so a
-    * nightly increment costs O(increment), never a rebuild.
+    * raw vector per the index's mode. Both quantizer tables collect
+    * into ONE broadcast array row and every argmin is a per-row
+    * `array_min` over `struct(d2, id)` (lexicographic min = nearest,
+    * smallest-id tiebreak — identical to a (d2, id) sort order), so
+    * the whole encode is a codegen'd MAP over the new vectors: zero
+    * shuffles, no |new|·k intermediate ever materializes. A nightly
+    * billion-row increment costs one pass, the same shape KMeans'
+    * own transform uses — the previous form (crossJoin + per-vector
+    * row_number windows) shuffled and sorted the k-fold blow-up.
     */
   def encode(index: Index, vectors: DataFrame): DataFrame = {
-    val unit = unitize(vectors)
-    val assigned = unit
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("d2", aggregate(
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => (x.cast("double") - c.cast("double"))
-            * (x.cast("double") - c.cast("double"))),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"),
-        (if (index.residual) minus(col("embedding"), col("centroid"))
-         else col("embedding")).as("enc"))
-    assigned
-      .crossJoin(broadcast(index.codebooks))
-      .withColumn("esub", slice(col("enc"), col("sub") * index.subDim + 1,
-        lit(index.subDim)))
-      .withColumn("cd2", aggregate(
-        zip_with(col("esub"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("srn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("cd2"), col("code"))))
-      .filter(col("srn") === 1)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("vec_id"), col("cell"),
-        transform(col("sc"), p => p("code")).as("codes"))
+    val k = index.kCodes
+    // k-row / m·k-row sidecars → one array literal each, ordered by id
+    // so element_at(carr, cell+1) recovers a cell's centroid directly
+    val centArr = index.centroids
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("carr"))
+    val bookArr = index.codebooks
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("centroid")))).as("barr"))
+    val d2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, c) => (x.cast("double") - c.cast("double"))
+        * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    unitize(vectors)
+      .crossJoin(broadcast(centArr))
+      .withColumn("cell", array_min(transform(col("carr"),
+        c => struct(d2(col("embedding"), c.getField("centroid")).as("d2"),
+          c.getField("cell").as("cell")))).getField("cell"))
+      .withColumn("enc",
+        if (index.residual)
+          minus(col("embedding"),
+            element_at(col("carr"), col("cell") + 1).getField("centroid"))
+        else col("embedding"))
+      .crossJoin(broadcast(bookArr))
+      .withColumn("codes",
+        transform(sequence(lit(0), lit(index.m - 1)), s =>
+          array_min(transform(slice(col("barr"), s * k + 1, lit(k)),
+            b => struct(
+              d2(slice(col("enc"), s * index.subDim + 1, lit(index.subDim)),
+                b.getField("centroid")).as("d2"),
+              b.getField("code").as("code")))).getField("code")))
+      .select(col("vec_id"), col("cell"), col("codes"))
   }
 
   /** A new Index whose serving table includes `newVectors`, encoded by

@@ -34,6 +34,12 @@ object RecoOps {
         Recommender.recommendAll(model, 5, userLimit = Some(2000))
           .select(col("userId"), col("itemId"), col("rank"))
       },
+      None),
+
+    GraftQuery(
+      "q138_quality_classifier",
+      "Learned quality filter (the GPT-3/CCNet classifier pass): hashed-bag-of-words logistic regression distilled from the shared q107 funnelVerdict teacher, md5-deterministic 80/20 split, held-out per-source score table + global AUC. HashingTF is a stateless per-row map (no vocabulary build — the hashing trick is why this runs at crawl scale), LBFGS gradients aggregate map-side, the 32k-dim coefficient vector broadcasts, scoring is map-only. LBFGS float sums aren't bit-stable across engines — rows-only; invariants (AUC floor, probability bounds, split disjointness, source coverage) in QualityClassifierSpec.",
+      (s, d) => graft.reco.QualityClassifier.run(s, d),
       None)
   )
 }

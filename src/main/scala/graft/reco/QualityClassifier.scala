@@ -1,0 +1,100 @@
+package graft.reco
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.TextOps
+
+/** Learned quality filter — the GPT-3/CCNet-style classifier pass a
+  * large-scale curation pipeline runs alongside its rule cascade:
+  * logistic regression over cheap per-row signals (length, alphabetic
+  * ratio, stopword ratio, language flag — the same signal family the
+  * rules read) PLUS a hashed bag-of-words block (the GPT-3 hashing
+  * trick: fixed 2^12-dim sparse map, no vocabulary build; widen the
+  * space when real vocabularies collide — the dial trades coefficient
+  * size against collision noise, nothing else changes), trained to
+  * reproduce a teacher verdict — here the shared q107 `funnelVerdict`,
+  * so classifier and rule funnel can never drift apart on what "kept"
+  * means. The real-world use is distillation: the teacher is expensive
+  * or partial (human labels, an LM judge, a curated-reference contrast
+  * set) and hard-edged; the student is a per-row linear scorer cheap
+  * enough for every doc of a 100 TB crawl whose SOFT probability
+  * feeds threshold tuning and head/middle/tail bucketing (q130).
+  *
+  * Scale posture: every feature is a stateless per-row map (no
+  * vocabulary build, no shuffle); LBFGS aggregates gradients as
+  * map-side partials (treeAggregate), so a fit epoch shuffles
+  * O(numFeatures) per partition, never rows; the trained coefficient
+  * vector broadcasts and scoring is map-only. The train/test split is
+  * md5-deterministic (the q82 rule: pure function of doc_id —
+  * partition- and rerun-invariant, no seeded RNG); one explicit
+  * repartition on doc_id pins the fold layout so the fit is
+  * reproducible run to run. Rows-only by contract (LBFGS float sums
+  * aren't bit-stable across engines); QualityClassifierSpec pins the
+  * invariants that matter: held-out AUC floor, probability bounds,
+  * split disjointness, and per-source coverage.
+  */
+object QualityClassifier {
+
+  /** Train on the md5-80% split, score the held-out 20%, and report
+    * the per-source table a curation owner reads: docs scored, the
+    * teacher's kept share, the student's mean keep-probability and
+    * predicted-keep share, and the global held-out AUC (same value on
+    * every row — the one scalar that says whether the student is
+    * usable).
+    */
+  def run(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("label",
+        when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
+          .otherwise(0.0))
+      // the cheap per-row signal block (same family the rules read;
+      // continuous, so the student yields a tunable soft score)
+      .withColumn("f_ntok", size(tk).cast("double"))
+      .withColumn("f_alpha",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / greatest(length(col("text")), lit(1)))
+      .withColumn("f_stop", size(filter(tk, x =>
+        x.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        .cast("double") / greatest(size(tk), lit(1)))
+      .withColumn("f_wlen",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / greatest(size(tk), lit(1)))
+      .withColumn("f_en", when(col("lang") === "en", 1.0).otherwise(0.0))
+      .withColumn("split",
+        when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("long"), lit(10)) < 8, "train").otherwise("test"))
+      // deterministic fold layout for LBFGS's treeAggregate partials
+      .repartition(col("doc_id"))
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("words")
+        .setPattern("\\s+"),
+      new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(1 << 12),
+      new VectorAssembler()
+        .setInputCols(Array("f_ntok", "f_alpha", "f_stop", "f_wlen",
+          "f_en", "tf"))
+        .setOutputCol("features"),
+      new LogisticRegression().setMaxIter(20).setRegParam(0.01)))
+    val model = pipe.fit(docs.filter(col("split") === "train"))
+    val scored = model.transform(docs.filter(col("split") === "test"))
+      .withColumn("p_keep", element_at(vector_to_array(col("probability")), 2))
+    val auc = new BinaryClassificationEvaluator()
+      .setRawPredictionCol("rawPrediction").evaluate(scored)
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(col("label")).cast("long").as("n_kept_true"),
+        round(avg(col("p_keep")), 6).as("avg_p_keep"),
+        round(avg(when(col("p_keep") >= 0.5, 1.0).otherwise(0.0)), 6)
+          .as("share_pred_keep"))
+      .withColumn("auc_holdout", round(lit(auc), 6))
+      .orderBy(col("source"))
+  }
+}
