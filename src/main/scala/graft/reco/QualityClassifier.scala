@@ -41,22 +41,16 @@ import graft.queries.TextOps
   */
 object QualityClassifier {
 
-  /** Train on the md5-80% split, score the held-out 20%, and report
-    * the per-source table a curation owner reads: docs scored, the
-    * teacher's kept share, the student's mean keep-probability and
-    * predicted-keep share, and the global held-out AUC (same value on
-    * every row — the one scalar that says whether the student is
-    * usable).
+  /** The cheap per-row signal block (same family the rules read;
+    * continuous, so the student yields a tunable soft score). Pure
+    * column maps over `text`/`lang` — shared verbatim by the batch
+    * trainer and the streaming scorer (`StreamOps.scoreStream`), the
+    * funnelVerdict rule: one definition, so batch backfill and online
+    * gate can never featurize differently.
     */
-  def run(s: SparkSession, d: String): DataFrame = {
+  def featurize(df: DataFrame): DataFrame = {
     val tk = split(col("text"), " ")
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .withColumn("label",
-        when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
-          .otherwise(0.0))
-      // the cheap per-row signal block (same family the rules read;
-      // continuous, so the student yields a tunable soft score)
+    df
       .withColumn("f_ntok", size(tk).cast("double"))
       .withColumn("f_alpha",
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
@@ -68,9 +62,29 @@ object QualityClassifier {
         length(regexp_replace(col("text"), " ", "")).cast("double")
           / greatest(size(tk), lit(1)))
       .withColumn("f_en", when(col("lang") === "en", 1.0).otherwise(0.0))
-      .withColumn("split",
-        when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-          16, 10).cast("long"), lit(10)) < 8, "train").otherwise("test"))
+  }
+
+  /** Keep-probability of a scored row: P(label=1) out of the model's
+    * probability vector. */
+  def pKeep: org.apache.spark.sql.Column =
+    element_at(vector_to_array(col("probability")), 2)
+
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("split",
+      when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long"), lit(10)) < 8, "train").otherwise("test"))
+
+  /** Fit the student pipeline on the md5-80% train split. The returned
+    * PipelineModel is pure transformers (tokenize → hash → assemble →
+    * linear score), so it applies unchanged to a batch backfill or a
+    * streaming micro-batch. */
+  def train(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel = {
+    val docs = withSplit(featurize(
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .withColumn("label",
+        when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
+          .otherwise(0.0)))
       // deterministic fold layout for LBFGS's treeAggregate partials
       .repartition(col("doc_id"))
     val pipe = new Pipeline().setStages(Array(
@@ -83,9 +97,27 @@ object QualityClassifier {
           "f_en", "tf"))
         .setOutputCol("features"),
       new LogisticRegression().setMaxIter(20).setRegParam(0.01)))
-    val model = pipe.fit(docs.filter(col("split") === "train"))
+    pipe.fit(docs.filter(col("split") === "train"))
+  }
+
+  /** Train on the md5-80% split, score the held-out 20%, and report
+    * the per-source table a curation owner reads: docs scored, the
+    * teacher's kept share, the student's mean keep-probability and
+    * predicted-keep share, and the global held-out AUC (same value on
+    * every row — the one scalar that says whether the student is
+    * usable).
+    */
+  def run(s: SparkSession, d: String): DataFrame = {
+    val docs = withSplit(featurize(
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .withColumn("label",
+        when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
+          .otherwise(0.0)))
+      .repartition(col("doc_id"))
+    val model = train(s, d)
     val scored = model.transform(docs.filter(col("split") === "test"))
-      .withColumn("p_keep", element_at(vector_to_array(col("probability")), 2))
+      .withColumn("p_keep", pKeep)
     val auc = new BinaryClassificationEvaluator()
       .setRawPredictionCol("rawPrediction").evaluate(scored)
     scored.groupBy(col("source"))

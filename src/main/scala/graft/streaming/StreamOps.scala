@@ -52,6 +52,26 @@ object StreamOps {
     docs.withColumn("verdict",
       graft.queries.TextOps.funnelVerdict(col("text"), col("lang")))
 
+  /** Train-batch / score-stream — the online curation gate: q138's
+    * batch-trained student (a pure-transformer PipelineModel: tokenize
+    * → hash → assemble → linear score, coefficients broadcast) scores
+    * every arriving doc with a soft keep-probability plus a hard gate
+    * at `threshold`. Featurization is `QualityClassifier.featurize`
+    * VERBATIM, so a doc scores identically on the stream and in a
+    * batch backfill (the funnelVerdict sharing rule); everything is a
+    * stateless per-row map — append mode, no watermark, no state, and
+    * at 100 TB/day the model refreshes by swapping the broadcast
+    * coefficients between restarts (the enrichStream dimension rule).
+    * Input must carry `doc_id`, `lang`, `text`.
+    */
+  def scoreStream(docs: DataFrame, model: org.apache.spark.ml.PipelineModel,
+      threshold: Double = 0.5): DataFrame =
+    model.transform(graft.reco.QualityClassifier.featurize(docs))
+      .withColumn("p_keep", graft.reco.QualityClassifier.pKeep)
+      .withColumn("gate",
+        when(col("p_keep") >= threshold, "kept").otherwise("filtered"))
+      .select(col("doc_id"), col("p_keep"), col("gate"))
+
   /** Stream-static enrichment join: a continuous event feed joined to
     * a slow-changing dimension with an explicit broadcast hint, so
     * every micro-batch probes an executor-local hash map instead of

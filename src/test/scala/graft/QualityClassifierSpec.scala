@@ -54,4 +54,36 @@ class QualityClassifierSpec extends SparkSpec {
     assert(again.map(_.toString).sorted.toSeq ===
       out.map(_.toString).sorted.toSeq)
   }
+
+  test("stream scoring with the batch-trained model matches batch exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val model = graft.reco.QualityClassifier.train(spark, sfDir)
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(25).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.scoreStream(
+      input.toDF().toDF("doc_id", "lang", "text"), model)
+      .writeStream.format("memory").queryName("qc_stream")
+      .outputMode("append").start()
+    val got = try {
+      input.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("qc_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("p_keep"), r.getAs[String]("gate"))).toMap
+    } finally q.stop()
+    val want = StreamOps.scoreStream(
+      rows.toSeq.toDF("doc_id", "lang", "text"), model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("p_keep"), r.getAs[String]("gate"))).toMap
+    assert(got === want)
+    assert(got.size === 25)
+    assert(got.values.map(_._2).toSet.subsetOf(Set("kept", "filtered")))
+  }
 }
