@@ -86,4 +86,19 @@ class QualityClassifierSpec extends SparkSpec {
     assert(got.size === 25)
     assert(got.values.map(_._2).toSet.subsetOf(Set("kept", "filtered")))
   }
+
+  test("the trained model round-trips through save/load with equal scores") {
+    import graft.streaming.StreamOps
+    val model = graft.reco.QualityClassifier.train(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("qc_model").toString
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(25)
+    def scores(m: org.apache.spark.ml.PipelineModel) =
+      StreamOps.scoreStream(docs, m).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("p_keep")).toMap
+    assert(scores(reloaded) === scores(model))
+  }
 }
