@@ -63,8 +63,13 @@ object Bench {
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate qNN bench keys: ${prefixes.diff(prefixes.distinct).mkString(",")}")
+    // summary values at 2 decimals: at 138 queries the 3-decimal map
+    // came within ~100 bytes of the 2 KB tail window — the per-query
+    // lines above carry the 3-decimal record
+    def fmt2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
