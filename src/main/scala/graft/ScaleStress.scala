@@ -118,6 +118,11 @@ object ScaleStress {
       // the learned quality filter is fit-bound: per-row featurization
       // + LBFGS gradient partials, linear in training rows
       "q138_quality_classifier")
+    // a misspelled tail name would otherwise filter to an empty run
+    // that exits 0 looking like clean evidence
+    val unknown = only.diff(headline.toSet)
+    require(unknown.isEmpty,
+      s"unknown ScaleStress queries: ${unknown.mkString(",")}")
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

@@ -36,12 +36,16 @@ import graft.functions.CosineSimilarity
 object IvfPq {
 
   /** `cells`: (vec_id long, cell int, codes array<int> of m) — the
-    * serving table; `close()` releases its build-time cache.
+    * serving table; `close()` releases its build-time cache. `pinned`
+    * is the frame `build` actually persisted: `append` swaps `cells`
+    * for a union that is NOT in the cache manager, so close must keep
+    * unpersisting the original or every index generation would leak
+    * one MEMORY_AND_DISK table.
     */
   final case class Index(centroids: DataFrame, codebooks: DataFrame,
       cells: DataFrame, kCells: Int, m: Int, kCodes: Int, subDim: Int,
-      residual: Boolean) {
-    def close(): Unit = cells.unpersist(blocking = false)
+      residual: Boolean, pinned: Option[DataFrame] = None) {
+    def close(): Unit = pinned.getOrElse(cells).unpersist(blocking = false)
   }
 
   /** L2-normalize the embedding column (norm materialized in its own
@@ -105,7 +109,7 @@ object IvfPq {
     cells.count()
     pq.close()
     Index(ivf.centroids, pq.codebooks, cells, kCells, m, kCodes, dim / m,
-      residual)
+      residual, pinned = Some(cells))
   }
 
   /** Persist the index. `cells` lands partitioned BY CELL — the probe
@@ -234,23 +238,12 @@ object IvfPq {
     // 2. ADC scan restricted to probed cells: the broadcast probe set
     //    carries one residual distance table per (query, cell) —
     //    |queries|·nProbe·m·k subspace distances against the broadcast
-    //    codebooks, still query-scale — so the code scan is one join on
+    //    codebooks (PqIndex.distanceTable, keyed (q_id, cell) over the
+    //    residual), still query-scale — so the code scan is one join on
     //    `cell` (partition-pruned when the index is on disk) plus
     //    per-row array lookups
-    val probes = qCells
-      .crossJoin(broadcast(index.codebooks))
-      .withColumn("qsub", slice(col("q_res"), col("sub") * index.subDim + 1,
-        lit(index.subDim)))
-      .withColumn("d2",
-        aggregate(zip_with(col("qsub"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, x) => acc + x))
-      .select(col("q_id"), col("cell"),
-        (col("sub") * k + col("code")).as("slot"), col("d2"))
-      .groupBy(col("q_id"), col("cell"))
-      .agg(array_sort(collect_list(struct(col("slot"), col("d2")))).as("pairs"))
-      .select(col("q_id"), col("cell"),
-        transform(col("pairs"), p => p("d2")).as("dt"))
+    val probes = PqIndex.distanceTable(index.codebooks, qCells, k,
+      index.subDim, keys = Seq("q_id", "cell"), vecCol = "q_res")
     val short = index.cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", round(aggregate(

@@ -233,8 +233,13 @@ object VectorOps {
         val index = graft.ext.PqIndex.build(s, e, dim = 64)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.ext.PqIndex.searchReRanked(index, e, q, topK = 5)
-          .orderBy(col("q_id"), col("rn"))
+        // materialize the |q|·topK-row result, then release the codes
+        // cache build() pinned — each invocation builds a fresh index,
+        // so an unclosed one leaks a cached table per run
+        val out = graft.ext.PqIndex.searchReRanked(index, e, q, topK = 5)
+          .orderBy(col("q_id"), col("rn")).localCheckpoint()
+        index.close()
+        out
       },
       None),
 
@@ -247,9 +252,12 @@ object VectorOps {
           kCodes = 64)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        // materialize the |q|·topK-row result, then release the cells
+        // cache build() pinned (same lifecycle rule as q109)
         val out = graft.ext.IvfPq
           .search(index, e, q, topK = 5, nProbe = 12, shortlist = 96)
-          .orderBy(col("q_id"), col("rn"))
+          .orderBy(col("q_id"), col("rn")).localCheckpoint()
+        index.close()
         out
       },
       None),

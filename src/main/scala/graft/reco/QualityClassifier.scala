@@ -74,12 +74,12 @@ object QualityClassifier {
       when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
         16, 10).cast("long"), lit(10)) < 8, "train").otherwise("test"))
 
-  /** Fit the student pipeline on the md5-80% train split. The returned
-    * PipelineModel is pure transformers (tokenize → hash → assemble →
-    * linear score), so it applies unchanged to a batch backfill or a
-    * streaming micro-batch. */
-  def train(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel = {
-    val docs = withSplit(featurize(
+  /** The labeled, split, fold-pinned training frame — ONE definition
+    * shared by `train` and `run` so the corpus scan, featurization,
+    * teacher labeling, and split rule can never drift between them.
+    */
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    withSplit(featurize(
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")))
       .withColumn("label",
@@ -87,6 +87,17 @@ object QualityClassifier {
           .otherwise(0.0)))
       // deterministic fold layout for LBFGS's treeAggregate partials
       .repartition(col("doc_id"))
+
+  /** Fit the student pipeline on the md5-80% train split. The returned
+    * PipelineModel is pure transformers (tokenize → hash → assemble →
+    * linear score), so it applies unchanged to a batch backfill or a
+    * streaming micro-batch. */
+  def train(s: SparkSession, d: String): org.apache.spark.ml.PipelineModel =
+    train(prepared(s, d))
+
+  /** Fit on an already-`prepared` frame (run() shares its cached copy
+    * instead of re-scanning and re-featurizing the corpus). */
+  def train(docs: DataFrame): org.apache.spark.ml.PipelineModel = {
     val pipe = new Pipeline().setStages(Array(
       new RegexTokenizer().setInputCol("text").setOutputCol("words")
         .setPattern("\\s+"),
@@ -108,19 +119,22 @@ object QualityClassifier {
     * usable).
     */
   def run(s: SparkSession, d: String): DataFrame = {
-    val docs = withSplit(featurize(
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("text")))
-      .withColumn("label",
-        when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
-          .otherwise(0.0)))
-      .repartition(col("doc_id"))
-    val model = train(s, d)
+    // one prep, cached: the LBFGS fit and the held-out scoring both
+    // read it (before this, run() and train() each planned the full
+    // scan + featurize + label + repartition independently)
+    val docs = prepared(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = train(docs)
+    // scored is read twice (AUC, then the per-source rollup) — cache
+    // it so the test-side transform runs once
     val scored = model.transform(docs.filter(col("split") === "test"))
       .withColumn("p_keep", pKeep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val auc = new BinaryClassificationEvaluator()
       .setRawPredictionCol("rawPrediction").evaluate(scored)
-    scored.groupBy(col("source"))
+    // materialize the per-source table (O(sources) rows), then drop
+    // both caches — nothing leaks past the query
+    val out = scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_test_docs"),
         sum(col("label")).cast("long").as("n_kept_true"),
         round(avg(col("p_keep")), 6).as("avg_p_keep"),
@@ -128,5 +142,9 @@ object QualityClassifier {
           .as("share_pred_keep"))
       .withColumn("auc_holdout", round(lit(auc), 6))
       .orderBy(col("source"))
+      .localCheckpoint()
+    scored.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    out
   }
 }

@@ -112,6 +112,21 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("close() after append releases the build-time cells cache") {
+    // append swaps `cells` for a union frame the cache manager has
+    // never seen — close() must still unpersist the frame build()
+    // pinned, or every index generation leaks a MEMORY_AND_DISK table
+    val idx = IvfPq.build(spark, emb, dim = 64, kCells = 8)
+    val built = idx.cells
+    assert(built.storageLevel.useMemory, "build() did not pin cells")
+    val idx2 = IvfPq.append(idx,
+      emb.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+    idx2.close()
+    assert(built.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "close() on the appended index left the build-time cache pinned")
+  }
+
   test("pruned search scans only probed cells' codes") {
     // semantics, not plan: every returned neighbor must come from one
     // of the query's nProbe nearest cells
