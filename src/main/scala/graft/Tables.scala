@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loaders (TESTDATA.md): parquet stand-ins for the
   * reference's PostgreSQL tables (SURVEY.md §2.1 S2,
@@ -20,10 +21,11 @@ object Tables {
 
   /** Session conf every consumer of these fixtures should set ONCE at
     * session-build time (Bench/Verify/Plans/ScaleStress/SparkSpec do;
-    * GraftEngine sets it at construction for library users): the events
-    * fixture stores TIMESTAMP(NANOS), which Spark 4 has no native type
-    * for, so nanos are read as long and truncated to microseconds —
-    * the same ns→us truncation DuckDB applies.
+    * GraftEngine sets it at construction for library users): historical
+    * events fixtures stored TIMESTAMP(NANOS), which Spark 4 has no native
+    * type for; with this conf nanos scan as long and we truncate to
+    * microseconds — the same ns→us truncation DuckDB applies. Harmless
+    * when the fixture already stores timestamp[us].
     */
   val requiredConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -31,13 +33,24 @@ object Tables {
     if (name == "events") {
       // Defensive for externally-built sessions (the SparkEntry driver
       // contract hands us a session our builders never saw): without this
-      // conf the TIMESTAMP(NANOS) scan throws. Unlike the racy per-call
+      // conf a TIMESTAMP(NANOS) scan throws. Unlike the racy per-call
       // toggle this replaced, the set is monotonic — always "true", never
       // unset — so concurrent loads of different tables cannot observe a
       // flip; our own builders remain the primary path.
       spark.conf.set(requiredConf._1, requiredConf._2)
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // The fixture's physical `ts` encoding has changed across driver
+      // regenerations; accept every layout seen so far and normalize to
+      // session-zoned TIMESTAMP (the type every downstream query and
+      // DuckDB oracle agrees on). Schema-driven like the reference's
+      // loader (data_loader.py:122–128), not pinned to one layout.
+      df.schema("ts").dataType match {
+        case LongType => // legacy TIMESTAMP(NANOS) read as long via requiredConf
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // current fixtures: plain timestamp[us]
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // already TIMESTAMP — pass through
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

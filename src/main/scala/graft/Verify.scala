@@ -22,6 +22,11 @@ object Verify {
     // a misspelled tail name would otherwise dump nothing and exit 0
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown Verify queries: ${unknown.mkString(",")}")
+    // Failures must be driver-visible: stderr is not kept, and a query
+    // that dumps nothing is otherwise indistinguishable from one that
+    // was never registered. Collect name→message and write it as a
+    // sibling artifact the driver can fold into CORRECTNESS_r*.json.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -29,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     graft.queries.TextOps.releaseCaches()
@@ -47,6 +53,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
   }
 }
