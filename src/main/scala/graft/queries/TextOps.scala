@@ -76,9 +76,12 @@ object TextOps {
     * one-time bucketed-parquet materialization — see cachedShingles
     * scaladoc — so this lifecycle concern is local-session only.)
     */
-  def releaseCaches(): Unit = pinned.synchronized {
-    pinned.foreach(df => df.unpersist(blocking = false))
-    pinned.clear()
+  def releaseCaches(): Unit = {
+    pinned.synchronized {
+      pinned.foreach(df => df.unpersist(blocking = false))
+      pinned.clear()
+    }
+    bpeMemo.synchronized { bpeMemo.clear() }
   }
 
   /** Exact pairwise Jaccard >= threshold via a shingle inverted index:
@@ -2134,12 +2137,32 @@ object TextOps {
   private def bpeTrain(s: SparkSession, d: String, rounds: Int): DataFrame =
     bpeLoop(s, d, rounds)._1
 
+  /** Memoized trained-BPE state per (session, data dir, rounds): the
+    * trainer's localCheckpoint()s defeat CacheManager's canonicalized-
+    * plan dedup (every build mints fresh checkpoint RDDs), so without
+    * this q136's encode re-ran q134's full 10-round training in its own
+    * plan — ~2 s of redundant corpus work per invocation at sf0.1
+    * (round-6 verdict item 5). The lshPairs treatment, but keyed
+    * explicitly because plan identity can't do the deduping here.
+    * Cleared by releaseCaches(); checkpoint blocks free on GC. At
+    * 100 TB the trained vocab is a corpus-size-independent table you'd
+    * persist to parquet once and serve from — this memo is the
+    * single-session analogue.
+    */
+  private val bpeMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+
+  private def bpeLoop(s: SparkSession, d: String,
+      rounds: Int): (DataFrame, DataFrame) = bpeMemo.synchronized {
+    bpeMemo.getOrElseUpdate((s, d, rounds), bpeLoopRaw(s, d, rounds))
+  }
+
   /** The trainer loop shared by q134 (merge list) and q136 (encoder):
     * returns (merge list, final vocabulary) where the vocabulary keeps
     * the ORIGINAL word alongside its space-delimited BPE symbols — the
     * lookup table the encode join needs.
     */
-  private def bpeLoop(s: SparkSession, d: String,
+  private def bpeLoopRaw(s: SparkSession, d: String,
       rounds: Int): (DataFrame, DataFrame) = {
     var words = t(s, d, "documents")
       .select(explode(toks(col("text"))).as("w"))

@@ -82,6 +82,19 @@ object VectorOps {
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
       s"($signBucketSql) AS bucket FROM embeddings, bb)"
 
+  /** q50's DuckDB twin — also the oracle for q139, whose full-probe
+    * IVF-PQ search must reproduce the brute-force answer bit-for-bit.
+    */
+  private val exactTopkSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
+      "p AS (SELECT q_id, e.vec_id, round(list_inner_product(q_emb, emb)/" +
+      "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6) AS cos_r " +
+      "FROM q JOIN e ON e.vec_id <> q.q_id), " +
+      "r AS (SELECT q_id, vec_id, cos_r, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn FROM p) " +
+      "SELECT q_id, vec_id, cos_r, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -101,14 +114,7 @@ object VectorOps {
           .select(col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
-        "p AS (SELECT q_id, e.vec_id, round(list_inner_product(q_emb, emb)/" +
-        "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6) AS cos_r " +
-        "FROM q JOIN e ON e.vec_id <> q.q_id), " +
-        "r AS (SELECT q_id, vec_id, cos_r, " +
-        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn FROM p) " +
-        "SELECT q_id, vec_id, cos_r, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn")),
+      Some(exactTopkSql)),
 
     GraftQuery(
       "q51_ann_lsh_topk",
@@ -261,6 +267,24 @@ object VectorOps {
         out
       },
       None),
+
+    GraftQuery(
+      "q139_ivfpq_exact",
+      "IVF-PQ VERIFICATION mode with a SQL oracle: the q133 index searched exhaustively — nProbe = every cell, shortlist = the whole corpus — so the ADC stage prunes nothing and the exact-cosine re-rank must reproduce the q50 brute-force top-5 bit-for-bit. This is the one ANN entry DuckDB can check by hash (KMeans boundaries never enter the result at full probe), closing the loop the rows-only q79/q109/q133 entries leave open: if the composed index's plumbing — cell routing, residual codes, shortlist, re-rank — corrupted anything, this query's hash would diverge. Deliberately NOT the serving configuration (probing every cell reads the whole index); its job is proving the index is lossless when not approximating, per the round-6 verdict. The corpus-size shortlist comes from one O(files) metadata count, not a collect.",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val index = graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16,
+          kCodes = 64)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val out = graft.ext.IvfPq
+          .search(index, e, q, topK = 5, nProbe = index.kCells,
+            shortlist = e.count().toInt)
+          .orderBy(col("q_id"), col("rn")).localCheckpoint()
+        index.close()
+        out
+      },
+      Some(exactTopkSql)),
 
     GraftQuery(
       "q99_quantize_embed",
