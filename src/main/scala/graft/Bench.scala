@@ -44,6 +44,7 @@ object Bench {
       name -> dt
     }
     graft.queries.TextOps.releaseCaches()
+    graft.queries.VectorOps.releaseCaches()
     // Per-query lines FIRST, the parseable one-line summary LAST: the
     // driver keeps only the output tail (~2000 chars), so a total
     // printed up front gets truncated away (BENCH_r02/r03 lost their

@@ -30,6 +30,7 @@ object BenchOne {
       }
     }
     graft.queries.TextOps.releaseCaches()
+    graft.queries.VectorOps.releaseCaches()
     spark.stop()
   }
 }

@@ -19,6 +19,7 @@ trait SparkSpec extends AnyFunSuite {
     try body finally {
       spark.conf.set("spark.sql.adaptive.enabled", prev)
       graft.queries.TextOps.releaseCaches()
+      graft.queries.VectorOps.releaseCaches()
     }
   }
 }
