@@ -992,6 +992,51 @@ object TextOps {
         "ORDER BY df DESC, tok LIMIT 100")),
 
     GraftQuery(
+      "q141_bm25_topk",
+      "BM25 retrieval (Robertson/Okapi, k1=1.2 b=0.75, Lucene idf) — the lexical ranking half of a retrieval/contamination stack, over the q101 inverted-index statistics: query = the corpus's top-3 df terms (derived IN the plan, so the query is deterministic at every SF with no literal tied to one fixture), per-(doc, term) tf from one token explode, per-term idf from the df table joined back under a broadcast, per-doc length norm against the broadcast corpus avgdl, top-20 docs by rounded score. idf and the tf norm each round to 6dp BEFORE the product (the shared determinism rule: ulp differences between Spark's and DuckDB's ln/avg stay far below the rounding granularity), constants are written as identical decimal literals on both engines, and ranking sorts the rounded score with a doc_id tiebreak. Scale: tf/df are the q101 hash shuffles on term keys, the stats sides broadcast (3-row query set, 1-row avgdl), the final top-20 is a bounded TakeOrdered — no corpus-sized sort, no driver loop; the row_number window runs on the 20 surviving rows only.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+        val lens = docs.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+        val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val qterms = tf.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("df"))
+          .orderBy(col("df").desc, col("tok")).limit(3)
+        val scored = tf.join(broadcast(qterms), Seq("tok"))
+          .join(lens, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", round(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+          .withColumn("tfn", round(col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("idf") * col("tfn")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        scored.withColumn("rn", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id"), col("bm25"), col("rn"))
+          .orderBy(col("rn"))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens), " +
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM " +
+        "(SELECT doc_id, unnest(tk) AS tok FROM tk) GROUP BY doc_id, tok), " +
+        "qt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok " +
+        "ORDER BY count(*) DESC, tok LIMIT 3), " +
+        "sc AS (SELECT doc_id, round(sum(" +
+        "round(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)), 6) * " +
+        "round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)), 6) AS bm25 " +
+        "FROM tf JOIN qt USING (tok) JOIN lens USING (doc_id), st GROUP BY doc_id " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 20) " +
+        "SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn " +
+        "FROM sc ORDER BY rn")),
+
+    GraftQuery(
       "q102_ngram_novelty",
       "Per-document n-gram novelty — the fraction of a doc's distinct 3-gram shingles that appear NOWHERE else in the corpus (df = 1), the memorization/boilerplate audit run before sampling training data: low novelty ⇒ the doc is assembled from corpus-common fragments. Reuses the pinned q41/q42 shingle relation (64-bit keys, built once per dir), so the marginal cost is one groupBy on the shingle key for df plus one join back — both shuffles on the same 8-byte key. The ratio divides in double on both engines and rounds to 6dp, far above accumulation noise. At 100 TB this is the same two-pass over the materialized shingle table the dedup stack already requires.",
       (s, d) => {

@@ -113,6 +113,40 @@ object VectorOps {
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, " +
       s"($signBucketSql) AS bucket FROM embeddings, bb)"
 
+  /** q52's nearest-centroid routing, shared with q140: per-label 6dp
+    * centroids fit in-plan, every vector assigned to its squared-L2
+    * nearest (smallest-label tiebreak). Returns (vec_id, label,
+    * assigned). The centroid table is O(labels·dim) and broadcasts; the
+    * per-vector distance agg shuffles on (vec_id, c_label) — at 100 TB
+    * this is the trained-IVF `AnnIndex.build` path instead; this
+    * label-centroid form exists because it IS SQL-expressible, so the
+    * semantic-dedup built on it stays oracle-checkable.
+    */
+  private def labelCellAssign(e: DataFrame): DataFrame = {
+    val dims = e.select(col("vec_id"), col("label"),
+      posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
+    val cent = dims.groupBy(col("label").as("c_label"), col("i"))
+      .agg(round(avg(col("v")), 6).as("c"))
+    val dist = dims.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(round(sum((col("v") - col("c")) * (col("v") - col("c"))), 6).as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"))
+  }
+
+  /** DuckDB twin of `labelCellAssign` → CTE `asg(vec_id, cell)`. */
+  private val assignCteSql: String =
+    "dims AS (SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v " +
+      "FROM embeddings, UNNEST(range(1, 65)) t(i)), " +
+      "cent AS (SELECT label AS c_label, i, round(avg(v), 6) AS c FROM dims GROUP BY c_label, i), " +
+      "dist AS (SELECT vec_id, label, c_label, round(sum((v - c)*(v - c)), 6) AS d2 " +
+      "FROM dims JOIN cent USING (i) GROUP BY vec_id, label, c_label), " +
+      "rr AS (SELECT vec_id, label, c_label, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist), " +
+      "asg AS (SELECT vec_id, c_label AS cell FROM rr WHERE rn = 1)"
+
   /** q50's DuckDB twin — also the oracle for q139, whose full-probe
     * IVF-PQ search must reproduce the brute-force answer bit-for-bit.
     */
@@ -201,18 +235,9 @@ object VectorOps {
       "IVF building block: per-label centroids (rounded to 6dp to pin FP), then nearest-centroid assignment by squared L2 — the routing step of an IVF index. Centroid table is tiny and broadcasts.",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val dims = e.select(col("vec_id"), col("label"),
-          posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
-        val cent = dims.groupBy(col("label").as("c_label"), col("i"))
-          .agg(round(avg(col("v")), 6).as("c"))
-        val dist = dims.join(cent, Seq("i"))
-          .groupBy(col("vec_id"), col("label"), col("c_label"))
-          .agg(round(sum((col("v") - col("c")) * (col("v") - col("c"))), 6).as("d2"))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
-        dist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
-            (col("label") === col("c_label")).as("hit"))
+        labelCellAssign(e)
+          .select(col("vec_id"), col("label"), col("assigned"),
+            (col("label") === col("assigned")).as("hit"))
           .orderBy(col("vec_id"))
       },
       Some("WITH dims AS (SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v " +
@@ -310,6 +335,46 @@ object VectorOps {
           .orderBy(col("q_id"), col("rn"))
       },
       Some(exactTopkSql)),
+
+    GraftQuery(
+      "q140_semdedup",
+      "Semantic dedup (the SemDeDup shape, Abbas et al. 2023): route every embedding to its nearest semantic cell (q52's shared nearest-centroid assignment — the SQL-expressible stand-in for the trained IVF router, so the whole operator stays oracle-checkable), generate near-dup candidates only within (cell, adaptive-LSH-bucket) blocks — the same corpus-scaled sign-bucket as q51/q54, so candidate volume stays ~32n even though a cell is corpus/k sized and a bare within-cell self-join would be quadratic — and under keep-lowest-vec_id remove any vector with a >=0.3-cosine predecessor in its block. Output is the per-cell dedup yield (kept/removed/rate), the table a curation run reads to decide how hard semantic dedup bites per region of embedding space. At 100 TB: assignment and bucketing are broadcast-driven codegen'd maps, the block join shuffles on (cell, bucket), and the rollup is k rows.",
+      (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
+        val e0 = t(s, d, "embeddings")
+        val asg = labelCellAssign(e0).select(col("vec_id"), col("assigned").as("cell"))
+        val v = withBucket(e0.select(col("vec_id"), col("embedding")))
+          .join(asg, Seq("vec_id"))
+        val a = v.select(col("cell"), col("bucket"),
+          col("vec_id").as("da"), col("embedding").as("a_emb"))
+        val b = v.select(col("cell"), col("bucket"),
+          col("vec_id").as("db"), col("embedding").as("b_emb"))
+        val removed = a.join(b, Seq("cell", "bucket"))
+          .filter(col("da") < col("db"))
+          .filter(round(expr("cosine_sim(a_emb, b_emb)"), 6) >= 0.3)
+          .select(col("db")).distinct()
+        v.join(removed, v("vec_id") === removed("db"), "left")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("db").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("db").isNull, 1L).otherwise(0L)).as("n_kept"),
+            round(sum(when(col("db").isNotNull, 1.0).otherwise(0.0))
+              / count(lit(1)), 6).as("removal_rate"))
+          .orderBy(col("cell"))
+      },
+      Some(s"WITH $assignCteSql, $bucketCteSql, " +
+        "v AS (SELECT e.vec_id, emb, bucket, cell FROM e JOIN asg USING (vec_id)), " +
+        "rem AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b " +
+        "ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "WHERE round(list_inner_product(a.emb, b.emb)/" +
+        "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3), " +
+        "f AS (SELECT v.vec_id, v.cell, CASE WHEN rem.vec_id IS NULL THEN 0 ELSE 1 END AS removed " +
+        "FROM v LEFT JOIN rem ON v.vec_id = rem.vec_id) " +
+        "SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(removed) AS BIGINT) AS n_removed, " +
+        "CAST(count(*) - sum(removed) AS BIGINT) AS n_kept, " +
+        "round(sum(removed) * 1.0 / count(*), 6) AS removal_rate " +
+        "FROM f GROUP BY cell ORDER BY cell")),
 
     GraftQuery(
       "q99_quantize_embed",
