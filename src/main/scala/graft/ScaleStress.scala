@@ -117,7 +117,13 @@ object ScaleStress {
       "q39_winnow_fingerprints", "q77_seq_packing",
       // the learned quality filter is fit-bound: per-row featurization
       // + LBFGS gradient partials, linear in training rows
-      "q138_quality_classifier")
+      "q138_quality_classifier",
+      // round-7 additions: q139 reads the index q133 built (memoized —
+      // the build-once-serve-many posture) but its exhaustive probe scans
+      // every cell's codes; q140's (cell, bucket) blocking must keep the
+      // within-cell join candidate-linear under 10× duplicate density;
+      // BM25 is two token-key shuffles + broadcast stats
+      "q139_ivfpq_exact", "q140_semdedup", "q141_bm25_topk")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -27,6 +27,8 @@ object StreamOps {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
+
   /** Streaming exact dedup — the streaming twin of batch
     * q40_dedup_exact, for a continuous ingest feed: documents are
     * deduped on their normalized content digest, and
@@ -131,6 +133,33 @@ object StreamOps {
             .agg(count(lit(1)).as("n_docs"),
               sum(col("n_toks")).cast("long").as("n_tokens"))
             .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+
+  /** Streaming ANN-index ingest — keeping a standing IVF-PQ index fresh
+    * as new vectors arrive, the maintenance path of a production vector
+    * store: each micro-batch pushes through `IvfPq.encode` against the
+    * STANDING quantizers (no refit — centroids/codebooks are broadcast
+    * 1-row array sides, so the whole encode is a stateless codegen'd
+    * map; re-train is a separate offline index-generation decision) and
+    * appends under `batch_id=<id>/cell=<c>` — the same
+    * batchId-keyed-overwrite idempotency as `manifestSink`, composed
+    * with the cell partitioning `IvfPq.save` uses, so a replayed batch
+    * replaces itself and a probe over the ingest dir still prunes cell
+    * directories at file listing. Input must carry (vec_id, embedding);
+    * at 100 TB/day this is exactly the shape: no state store, no
+    * shuffle, each executor encodes its partition against broadcast
+    * codebooks and writes its cell files.
+    */
+  def indexIngestStream(index: graft.ext.IvfPq.Index, vectors: DataFrame,
+      outDir: String) =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.IvfPq.encode(index, batch)
+            .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$outDir/batch_id=$batchId")
         }
       }

@@ -240,4 +240,48 @@ class StreamingSpec extends SparkSpec {
         (1L, "src1", 1L, 4L)))
     } finally q.stop()
   }
+
+  test("streaming index ingest encodes like batch and replays idempotently") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.ext.IvfPq.build(spark, e, dim = 64, kCells = 4, kCodes = 8)
+    try {
+      val newVecs = e.limit(20).collect().map(r => StreamOps.Vec(
+        r.getAs[Long]("vec_id") + 1000000L,
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+      val ingest = root.resolve("ingest").toString
+      val input = MemoryStream[StreamOps.Vec]
+      val q = StreamOps.indexIngestStream(index, input.toDF(), ingest)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try {
+        input.addData(newVecs.take(10)); q.processAllAvailable()
+        input.addData(newVecs.drop(10)); q.processAllAvailable()
+      } finally q.stop()
+
+      def codesIn(path: String) = spark.read.parquet(path)
+        .select(col("vec_id"), col("cell"), col("codes")).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          r.getAs[scala.collection.Seq[Int]]("codes").toList)).toSet
+
+      // stream-encoded codes must equal a batch encode of the same rows
+      // through the same standing quantizers
+      val expect = graft.ext.IvfPq.encode(index, newVecs.toDF()).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          r.getAs[scala.collection.Seq[Int]]("codes").toList)).toSet
+      assert(codesIn(ingest) === expect)
+      assert(expect.map(_._1) === newVecs.map(_.vec_id).toSet)
+
+      // a replayed micro-batch (same batchId after checkpoint recovery)
+      // overwrites its own batch_id partition instead of double-counting
+      graft.ext.IvfPq.encode(index, newVecs.take(10).toDF())
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$ingest/batch_id=0")
+      assert(codesIn(ingest) === expect)
+    } finally index.close()
+  }
 }
