@@ -20,6 +20,13 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 n_pass = n_fail = 0
+# Verify writes per-query exceptions here; a failed query dumps no
+# parquet dir, so without this it would vanish from the report
+fail_path = f"{out}/_failures.json"
+if os.path.exists(fail_path):
+    for name, msg in sorted(json.load(open(fail_path)).items()):
+        print(f"FAIL {name}: query threw: {msg}")
+        n_fail += 1
 for name in sorted(os.listdir(out)):
     resdir = os.path.join(out, name)
     if not os.path.isdir(resdir):
