@@ -65,6 +65,26 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     val (model, _) = Recommender.train(ratings, cfg)
     Recommender.recommendAll(model, k)
   }
+
+  /** ANN serving: cosine top-k for `queries` (q_id, q_emb) against the
+    * embeddings fixture through the session's shared IVF-PQ index
+    * (built on first use, reused after — the `VectorOps` served-index
+    * posture). Returns q50's serving schema (q_id, vec_id, cos_r, rn).
+    * `nProbe`/`shortlist` are the recall/cost dials; defaults match the
+    * registered q133 serving configuration.
+    */
+  def annTopK(queries: DataFrame, topK: Int = 5, nProbe: Int = 12,
+      shortlist: Int = 96): DataFrame =
+    graft.queries.VectorOps.annTopK(spark, dataDir, queries, topK, nProbe,
+      shortlist)
+
+  /** Release session-pinned kernels and served indexes (the lifecycle
+    * hook Bench/Verify call after their sweeps).
+    */
+  def releaseCaches(): Unit = {
+    graft.queries.TextOps.releaseCaches()
+    graft.queries.VectorOps.releaseCaches()
+  }
 }
 
 private object CosineRegistration {

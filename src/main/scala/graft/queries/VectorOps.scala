@@ -57,6 +57,21 @@ object VectorOps {
     servedIndexes.clear()
   }
 
+  /** GraftEngine's ANN serving entry: arbitrary caller queries against
+    * the session's shared IVF-PQ index over the embeddings fixture.
+    * Same index the registered q133/q139 serve from (one build per
+    * session); `queries`: (q_id long, q_emb array<float>).
+    */
+  def annTopK(s: SparkSession, d: String, queries: DataFrame, topK: Int,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val index = served(s, d, "ivfpq") {
+      graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
+    }
+    graft.ext.IvfPq.search(index, e, queries, topK, nProbe, shortlist)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Adaptive sign-LSH width: the fixed 8-bit bucket of earlier rounds
     * made the within-bucket self-join ~n²/256 — quadratic in corpus
     * size. The bucket count now scales with the corpus: bits = the
@@ -306,16 +321,12 @@ object VectorOps {
       "q133_ivfpq_topk",
       "Composed IVF-PQ production-ANN serving query (ext.IvfPq — the full IVFADC layout of Jégou et al. 2011, per-cell RESIDUAL codes): q79's cell pruning AND q109's code compression in ONE search over L2-NORMALIZED vectors (unit sphere ⇒ ADC's L2 order is monotone with the cosine serving metric — the normalize-before-PQ rule; skipping it cost 12 recall points on this fixture). Each query probes its nProbe=12 of 16 nearest cells (broadcast centroid rank), scores ONLY those cells' PQ codes by asymmetric distance against a per-(query,cell) residual lookup table built from the broadcast m=8×k=64 codebooks (8 code bytes per candidate, never raw vectors), and exact-cosine re-ranks the 96-deep ADC shortlist. Persisted cell-partitioned, a probe prunes index FILES (IvfPqSpec pins dynamic PartitionFilters + broadcast codebooks in one plan, recall>=0.9 vs the q50 exact baseline — observed 0.92, and 0.94 for the flat non-residual mode on this deliberately isotropic fixture where residuals have no cluster structure to exploit — and exact-equivalence at full probe in BOTH modes). No SQL oracle — KMeans boundaries aren't SQL-expressible — so the driver records rows-only.",
       (s, d) => {
+        // the shared serving entry (memoized index, reused by q139 and
+        // GraftEngine.annTopK) at the registered serving configuration
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        // memoized and shared with q139 — one build serves both entries
-        val index = served(s, d, "ivfpq") {
-          graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
-        }
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        graft.ext.IvfPq
-          .search(index, e, q, topK = 5, nProbe = 12, shortlist = 96)
-          .orderBy(col("q_id"), col("rn"))
+        annTopK(s, d, q, topK = 5, nProbe = 12, shortlist = 96)
       },
       None),
 

@@ -37,4 +37,22 @@ class GraftEngineSpec extends SparkSpec {
       "orphan_orders" -> 0L, "orphan_lineitems" -> 0L,
       "dup_custkeys" -> 0L, "null_acctbal" -> 0L))
   }
+
+  test("annTopK serves caller queries through the shared index") {
+    import org.apache.spark.sql.functions.col
+    val q = engine.table("embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    try {
+      // exhaustive configuration must reproduce the exact baseline
+      val n = engine.table("embeddings").count().toInt
+      val viaEngine = engine.annTopK(q, topK = 5, nProbe = 16, shortlist = n)
+        .collect().toSeq
+      val exact = engine.query("q50_cosine_topk").collect().toSeq
+      assert(viaEngine === exact)
+      // the serving configuration returns a full top-5 per query
+      val served = engine.annTopK(q).collect()
+      assert(served.length === q.count().toInt * 5)
+    } finally engine.releaseCaches()
+  }
 }
