@@ -175,16 +175,25 @@ object TextOps {
   /** DuckDB twin of jaccardPairs — shared by q41 (all-pairs) and q42
     * (LSH path whose verified output must equal the exact answer).
     */
-  private val jaccardOracle: String =
-    "WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+  /** The exact verified-pair set as a reusable CTE chain ending in
+    * `jp(da, db, jaccard)` — the SQL twin of `lshPairs` (whose banded
+    * candidates verify back to exactly this set on the fixture's
+    * similarity gap). Shared by the q41/q42 oracle and every
+    * pair-graph consumer oracle (q142).
+    */
+  private val pairsCteSql: String =
+    "tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
       "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
-      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db) " +
-      "SELECT da, db, round(c*1.0/(sa.n + sb.n - c), 6) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+      "jp AS (SELECT da, db, round(c*1.0/(sa.n + sb.n - c), 6) AS jaccard " +
       "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
-      s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold ORDER BY da, db"
+      s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold)"
+
+  private val jaccardOracle: String =
+    s"WITH $pairsCteSql SELECT da, db, jaccard FROM jp ORDER BY da, db"
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -1035,6 +1044,46 @@ object TextOps {
         "ORDER BY bm25 DESC, doc_id LIMIT 20) " +
         "SELECT doc_id, bm25, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn " +
         "FROM sc ORDER BY rn")),
+
+    GraftQuery(
+      "q142_pair_pagerank",
+      "PageRank over the verified near-dup pair graph — dup-cluster centrality, the signal that elects each cluster's CANONICAL document (the copy most connected to the rest, e.g. the hub a crawl re-crawled) rather than q40's arbitrary keep-lowest-id: symmetrize the pinned pair kernel into an edge list, then 8 damped power-iterations r = 0.15 + 0.85*sum(r(u)/deg(u)) with each iteration's rank ROUNDED to 9dp (the q134 round-by-round pinning rule, so Spark's and DuckDB's float summation order can never drift across iterations; the DuckDB twin unrolls the same 8 rounds as CTEs). Per iteration: one join of the edge list against the rank table and one groupBy on the destination key — Pregel's shape in two shuffles, no driver-side loop state. The graph is dup-density-scale (nodes = docs WITH a near-dup, never the corpus), so at 100 TB the edge list is the small output of the LSH kernel and iterations cost O(edges); rank converges in O(log n) rounds on these tiny components.",
+      (s, d) => {
+        val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
+          .select(col("da"), col("db"))
+        val edges = p.unionAll(
+          p.select(col("db").as("da"), col("da").as("db")))
+        val deg = edges.groupBy(col("da"))
+          .agg(count(lit(1)).cast("double").as("deg"))
+        val withDeg = edges.join(deg, Seq("da"))
+        var rank = deg.select(col("da").as("doc_id"), lit(1.0).as("r"))
+        for (_ <- 1 to 8) {
+          rank = withDeg.join(rank, withDeg("da") === rank("doc_id"))
+            .select(col("db"), (col("r") / col("deg")).as("c"))
+            .groupBy(col("db"))
+            .agg(round(lit(0.15) + lit(0.85) * sum(col("c")), 9).as("r"))
+            .select(col("db").as("doc_id"), col("r"))
+        }
+        rank.join(deg.select(col("da").as("doc_id"), col("deg")), Seq("doc_id"))
+          .select(col("doc_id"), col("deg").cast("long").as("deg"),
+            round(col("r"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("doc_id"))
+      },
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"r$i AS (SELECT e.db AS doc_id, " +
+            "round(0.15 + 0.85 * sum(p.r / d.deg), 9) AS r " +
+            s"FROM ed e JOIN r${i - 1} p ON e.da = p.doc_id " +
+            "JOIN deg d ON e.da = d.da GROUP BY e.db)"
+        }.mkString(", ")
+        s"WITH $pairsCteSql, " +
+          "ed AS (SELECT da, db FROM jp UNION ALL SELECT db AS da, da AS db FROM jp), " +
+          "deg AS (SELECT da, CAST(count(*) AS DOUBLE) AS deg FROM ed GROUP BY da), " +
+          "r0 AS (SELECT da AS doc_id, 1.0 AS r FROM deg), " +
+          iters + " " +
+          "SELECT r8.doc_id, CAST(deg.deg AS BIGINT) AS deg, round(r8.r, 6) AS pr " +
+          "FROM r8 JOIN deg ON r8.doc_id = deg.da ORDER BY pr DESC, doc_id"
+      }),
 
     GraftQuery(
       "q102_ngram_novelty",

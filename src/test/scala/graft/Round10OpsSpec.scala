@@ -101,6 +101,32 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("q142 equals an independent PageRank recomputation over q41's pairs") {
+    val pairs = Registry.byName("q41_jaccard_pairs").fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var rank = deg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val contrib = edges.groupBy(_._2).view.mapValues { es =>
+        es.sortBy(_._1).map { case (u, _) => rank(u) / deg(u) }.sum
+      }.toMap
+      rank = deg.keys.map(v =>
+        v -> BigDecimal(0.15 + 0.85 * contrib(v))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val expect = rank.map { case (v, r) =>
+      v -> (deg(v).toLong, r6(r))
+    }
+    val got = Registry.byName("q142_pair_pagerank").fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Double]("pr"))).toMap
+    assert(got === expect)
+    // every rank is at least the damping floor; hubs beat leaves
+    assert(got.values.forall(_._2 >= 0.15))
+    graft.queries.TextOps.releaseCaches()
+  }
+
   test("q139 through the memoized index still equals the q50 exact baseline") {
     val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir).collect().toSeq
     val viaIndex = Registry.byName("q139_ivfpq_exact").fn(spark, sfDir).collect().toSeq
