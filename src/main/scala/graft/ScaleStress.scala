@@ -123,7 +123,10 @@ object ScaleStress {
       // every cell's codes; q140's (cell, bucket) blocking must keep the
       // within-cell join candidate-linear under 10× duplicate density;
       // BM25 is two token-key shuffles + broadcast stats
-      "q139_ivfpq_exact", "q140_semdedup", "q141_bm25_topk")
+      "q139_ivfpq_exact", "q140_semdedup", "q141_bm25_topk",
+      // pair-graph PageRank: 8 edge-joins over the pinned pair kernel —
+      // edge volume is dup-density-scale, 45x denser under replication
+      "q142_pair_pagerank")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
