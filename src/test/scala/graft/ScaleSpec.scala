@@ -219,6 +219,48 @@ class ScaleSpec extends SparkSpec {
     assert(q.agg(sum("n")).collect().head.getLong(0) === expected)
   }
 
+  test("q140's candidate join blocks on (cell, bucket), never cell alone") {
+    // the SemDeDup shape is only linear because candidates pair within
+    // (cell, adaptive-LSH-bucket) blocks; a revert to cell-only pairing
+    // makes the self-join n²/k — at 10 labels that's quadratic. Every
+    // self-join of the bucketed corpus must key on BOTH columns.
+    staticPlan {
+      val plan = Registry.byName("q140_semdedup").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val keyJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys.map(_.toString)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys.map(_.toString)
+      }
+      val onCell = keyJoins.filter(_.exists(_.contains("cell")))
+      assert(onCell.nonEmpty, "q140 lost its cell-blocked candidate join")
+      onCell.foreach { ks =>
+        assert(ks.exists(_.contains("bucket")),
+          s"q140 pairs candidates on cell WITHOUT the bucket block: $ks")
+      }
+    }
+  }
+
+  test("q141's scoring sides broadcast and the top-k is a bounded heap") {
+    // query terms (3 rows) and corpus stats (1 row) must reach the tf
+    // scan as broadcasts — a shuffled join would re-exchange the token
+    // table per side — and the final top-20 must plan
+    // TakeOrderedAndProject, never a global sort of all scored docs
+    staticPlan {
+      val plan = Registry.byName("q141_bm25_topk").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, "q141's query-term join is not broadcast")
+      val topk = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(topk.nonEmpty, "q141's top-20 is not a bounded TakeOrdered")
+    }
+  }
+
   test("salted skew join equals the plain join") {
     val l = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_partkey").as("k"), col("l_quantity"))
