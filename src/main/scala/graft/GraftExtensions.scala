@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.functions.{CosineSimilarity, HllAgg, MinHashAgg}
+import graft.functions.{CosineSimilarity, DeflateSize, HllAgg, MinHashAgg}
 
 /** Session-extension entry point: registers the engine's native
   * expressions into the Catalyst function registry at session build.
@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashAgg.info, MinHashAgg.builder))
     ext.injectFunction((FunctionIdentifier(HllAgg.name),
       HllAgg.info, HllAgg.builder))
+    ext.injectFunction((FunctionIdentifier(DeflateSize.name),
+      DeflateSize.info, DeflateSize.builder))
   }
 }

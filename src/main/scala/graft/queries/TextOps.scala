@@ -1086,6 +1086,26 @@ object TextOps {
       }),
 
     GraftQuery(
+      "q143_compression_quality",
+      "Compression-ratio quality audit — the cheap repetitiveness signal large-corpus curation runs beside the heuristic filters (machine-generated/boilerplate text DEFLATEs far tighter than prose, so compressed/raw size separates them at one CPU pass, no model): per-doc ratio = deflate_size(text)/raw bytes via the native codegen'd `deflate_size` expression (functions/DeflateSize — fixed level, one zlib implementation, so the ratio is deterministic across reruns and partitionings), rolled up per source with the share of docs under the 0.35 highly-repetitive floor and the ratio spread. A pure narrow map over the corpus — the only shuffle is the ~20-key source rollup; at 100 TB this is exactly one streaming pass. No DuckDB twin exists (no deflate scalar in the oracle engine) so the driver records rows-only; Round10OpsSpec pins every per-doc size against a direct java.util.zip recomputation and the rollup against an independent fold.",
+      (s, d) => {
+        graft.functions.DeflateSize.ensureRegistered(s)
+        t(s, d, "documents")
+          .withColumn("raw_bytes", octet_length(col("text")))
+          .withColumn("ratio",
+            round(expr("deflate_size(text)").cast("double")
+              / col("raw_bytes"), 6))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("ratio")), 6).as("avg_ratio"),
+            min(col("ratio")).as("min_ratio"),
+            max(col("ratio")).as("max_ratio"),
+            sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+          .orderBy(col("source"))
+      },
+      None),
+
+    GraftQuery(
       "q102_ngram_novelty",
       "Per-document n-gram novelty — the fraction of a doc's distinct 3-gram shingles that appear NOWHERE else in the corpus (df = 1), the memorization/boilerplate audit run before sampling training data: low novelty ⇒ the doc is assembled from corpus-common fragments. Reuses the pinned q41/q42 shingle relation (64-bit keys, built once per dir), so the marginal cost is one groupBy on the shingle key for df plus one join back — both shuffles on the same 8-byte key. The ratio divides in double on both engines and rounds to 6dp, far above accumulation noise. At 100 TB this is the same two-pass over the materialized shingle table the dedup stack already requires.",
       (s, d) => {

@@ -127,6 +127,49 @@ class Round10OpsSpec extends SparkSpec {
     graft.queries.TextOps.releaseCaches()
   }
 
+  test("q143 equals a direct java.util.zip recomputation") {
+    import java.util.zip.Deflater
+    def deflateSize(text: String): Int = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+      try {
+        d.setInput(text.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val ratios = ds.map { case (_, t) =>
+        r6(deflateSize(t).toDouble / t.getBytes("UTF-8").length)
+      }
+      (ds.length.toLong, r6(ratios.sum / ratios.length), ratios.min,
+        ratios.max, ratios.count(_ < 0.35).toLong)
+    }.toMap
+    val got = Registry.byName("q143_compression_quality").fn(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_ratio"),
+          r.getAs[Double]("min_ratio"), r.getAs[Double]("max_ratio"),
+          r.getAs[Long]("n_repetitive"))).toMap
+    // n_docs, min, max, n_repetitive are exact; avg is rounded from a
+    // distributed sum, so compare it at the shared 6dp granularity
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (src, (n, avg, mn, mx, rep)) =>
+      val (en, eavg, emn, emx, erep) = expect(src)
+      assert((n, mn, mx, rep) === ((en, emn, emx, erep)), src)
+      assert(math.abs(avg - eavg) < 2e-6, s"$src avg $avg vs $eavg")
+    }
+    // the expression itself must be exactly the zip library's answer
+    val one = spark.sql(
+      "SELECT deflate_size('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS s")
+      .head().getInt(0)
+    assert(one === deflateSize("a" * 30))
+  }
+
   test("q139 through the memoized index still equals the q50 exact baseline") {
     val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir).collect().toSeq
     val viaIndex = Registry.byName("q139_ivfpq_exact").fn(spark, sfDir).collect().toSeq
