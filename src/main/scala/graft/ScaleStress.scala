@@ -126,7 +126,10 @@ object ScaleStress {
       "q139_ivfpq_exact", "q140_semdedup", "q141_bm25_topk",
       // pair-graph PageRank: 8 edge-joins over the pinned pair kernel —
       // edge volume is dup-density-scale, 45x denser under replication
-      "q142_pair_pagerank")
+      "q142_pair_pagerank",
+      // compression audit: one deflate pass per doc, narrow map + a
+      // ~20-key rollup — must stay byte-linear
+      "q143_compression_quality")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
