@@ -170,6 +170,31 @@ class Round10OpsSpec extends SparkSpec {
     assert(one === deflateSize("a" * 30))
   }
 
+  test("round-7 oracle queries are shuffle-partitioning invariant") {
+    // the determinism discipline (6dp rounding before ranking, unique-id
+    // tiebreaks, per-iteration 9dp pinning) must make results identical
+    // under a different exchange width — the local stand-in for "same
+    // answer on a 1000-executor cluster"
+    val names = Seq("q140_semdedup", "q141_bm25_topk", "q142_pair_pagerank")
+    def runAll() =
+      names.map(n => n -> Registry.byName(n).fn(spark, sfDir).collect().toSeq).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val base = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      // pinned kernels/indexes were materialized at the old width —
+      // drop them so the rerun rebuilds everything at the new width
+      graft.queries.TextOps.releaseCaches()
+      graft.queries.VectorOps.releaseCaches()
+      val re = runAll()
+      names.foreach(n => assert(re(n) === base(n), s"$n drifted"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.queries.TextOps.releaseCaches()
+      graft.queries.VectorOps.releaseCaches()
+    }
+  }
+
   test("q139 through the memoized index still equals the q50 exact baseline") {
     val exact = Registry.byName("q50_cosine_topk").fn(spark, sfDir).collect().toSeq
     val viaIndex = Registry.byName("q139_ivfpq_exact").fn(spark, sfDir).collect().toSeq
