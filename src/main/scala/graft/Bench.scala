@@ -26,6 +26,25 @@ object Bench {
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
 
+    // Session-shared one-time builds (pinned pair kernel, served ANN
+    // indexes, trained BPE state) run as NAMED setup steps, timed and
+    // reported separately, so no alphabetically-first consumer absorbs
+    // a build into its row — per-query rows are deterministically
+    // serving-only regardless of sweep order. The build seconds are
+    // still added to the reported total: they are real per-session
+    // work, just accounted where it happens.
+    val builds = Seq[(String, () => Unit)](
+      "pair_kernel" -> (() => graft.queries.TextOps.warmPairKernel(spark, sfDir)),
+      "ann_indexes" -> (() => graft.queries.VectorOps.warmIndexes(spark, sfDir)),
+      "bpe_trainer" -> (() => graft.queries.TextOps.warmBpe(spark, sfDir))
+    ).map { case (name, run) =>
+      val t0 = System.nanoTime()
+      try run() catch { case e: Throwable =>
+        System.err.println(s"[bench] build $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
     // min of two runs per query: this box shows extreme host-CPU-steal
     // variance (identical runs observed 6s vs 53s), and the minimum is
     // the stable steady-state estimator a plan comparison needs.
@@ -55,6 +74,9 @@ object Bench {
     // the per-query lines above): ~1.5 KB, inside the tail window.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    builds.foreach { case (k, v) =>
+      println(s"""{"build":"$k","sec":${fmt(v)}}""")
+    }
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":${fmt(v)}}""")
     }
@@ -72,8 +94,9 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val buildSec = builds.map(_._2).sum
+    val total = buildSec + results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build":${fmt2(buildSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

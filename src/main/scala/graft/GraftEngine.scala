@@ -15,6 +15,13 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   // it at session build) — never per-table-load, which would be a racy
   // global side effect buried in a loader.
   spark.conf.set(Tables.requiredConf._1, Tables.requiredConf._2)
+  // Pin the session timezone: the events loader's TimestampNTZ branch
+  // (Tables.load) casts wall-clock values through the SESSION zone, so
+  // an externally-built session in a non-UTC zone would read TZ-shifted
+  // instants vs the epoch-based legacy encoding and the DuckDB oracle.
+  // Bench/Verify pin UTC at session build; the facade is the one entry
+  // point whose session the engine doesn't construct, so pin it here.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
   // Deep-iteration ALS (Recommender.referenceConfig) requires a
   // checkpoint dir for lineage truncation; respect one already set.
   if (spark.sparkContext.getCheckpointDir.isEmpty) {

@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * scratch dir and times the headline queries there — evidence that
   * the recorded plans scale superlinearly-free beyond the fixtures.
   *
-  * Usage: runMain graft.ScaleStress [scratchDir] [queryName ...] — the
-  * optional tail restricts the run to those queries (re-validating one
-  * table row without paying the full sweep).
+  * Usage: runMain graft.ScaleStress [--shingle-store] [scratchDir]
+  * [queryName ...] — the optional name tail restricts the run to those
+  * queries (re-validating one table row without paying the full
+  * sweep). With --shingle-store the pair kernel is materialized ONCE
+  * to a bucketed parquet table (ext.ShingleStore) and every dedup/
+  * graph query serves from disk — the documented 100 TB swap for the
+  * in-memory shingle cache, demonstrated end-to-end.
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
-    val out = if (args.length > 0) args(0) else "/tmp/graft_sfx"
-    val only = args.drop(1).toSet
+    val (flagArgs, posArgs) = args.partition(_.startsWith("--"))
+    val useStore = flagArgs.contains("--shingle-store")
+    val out = posArgs.headOption.getOrElse("/tmp/graft_sfx")
+    val only = posArgs.drop(1).toSet
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -24,6 +30,7 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.requiredConf._1, Tables.requiredConf._2)
+      .config("spark.sql.warehouse.dir", s"$out/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -129,7 +136,10 @@ object ScaleStress {
       "q142_pair_pagerank",
       // compression audit: one deflate pass per doc, narrow map + a
       // ~20-key rollup — must stay byte-linear
-      "q143_compression_quality")
+      "q143_compression_quality",
+      // Gopher battery: pure per-row string/array ops, zero shuffle —
+      // the stress row only proves the narrow map stays row-linear
+      "q144_gopher_rules")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
@@ -138,6 +148,16 @@ object ScaleStress {
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
+    if (useStore) {
+      // build the disk-backed pair kernel once (timed as its own row);
+      // every shingle consumer below then reads the bucketed table
+      val t0 = System.nanoTime()
+      graft.ext.ShingleStore.materialize(
+        Tables.load(spark, out, "documents"), "shingles_scale", buckets = 32)
+      graft.queries.TextOps.installShingleStore(
+        graft.ext.ShingleStore.load(spark, "shingles_scale"))
+      println(f"SCALE shingle_store_build ${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
     println(s"SCALE lineitem_rows $rows")
     headline.filter(q => only.isEmpty || only(q)).foreach { q =>

@@ -35,6 +35,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        // a partial parquet dir from the failed write (or a stale one
+        // from a prior Verify into the same outDir) must not survive:
+        // the checker would compare it as if it were current output
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
       }
     }
     graft.queries.TextOps.releaseCaches()

@@ -26,8 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Codegen calls the same static helper `nullSafeEval` uses — the
   * expression stays inside whole-stage codegen (no UDF dispatch, no
-  * Row boxing); the per-call Deflater is short-lived and `end()`ed so
-  * no native memory outlives the call.
+  * Row boxing). The Deflater is a per-task-thread ThreadLocal
+  * `reset()` between rows: allocating and `end()`ing a fresh native
+  * zlib stream per row dominated cost on the one-pass-over-the-corpus
+  * workload this expression exists for, and `reset()` restores the
+  * exact initial stream state (same implementation, same level), so
+  * output bytes are unchanged. One lingering native stream per
+  * executor thread is bounded and reclaimed by Deflater's cleaner at
+  * thread death.
   */
 case class DeflateSize(child: Expression) extends UnaryExpression {
 
@@ -54,20 +60,29 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 object DeflateSize {
   val name = "deflate_size"
 
+  /** One reusable native stream per task thread — see class doc. */
+  private val localDeflater: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(Deflater.DEFAULT_COMPRESSION))
+
+  /** Scratch output buffer, also per-thread: deflate only needs the
+    * byte COUNT, so one 8 KiB window is repeatedly overwritten.
+    */
+  private val localBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
   /** Deterministic DEFLATE(level 6) output size of the UTF-8 bytes.
     * Static so generated code and interpreted eval share one body.
     */
   def compressedSize(s: UTF8String): Int = {
     val bytes = s.getBytes
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = localBuf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   val info = new ExpressionInfo(classOf[DeflateSize].getName, name)

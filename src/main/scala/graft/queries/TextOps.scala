@@ -57,7 +57,23 @@ object TextOps {
     */
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  private def cachedShingles(docs: DataFrame): DataFrame = pin(shingleSet(docs))
+  private def cachedShingles(docs: DataFrame): DataFrame =
+    shingleStore.getOrElse(pin(shingleSet(docs)))
+
+  /** Disk-backed swap for the in-session shingle cache — the 100 TB
+    * posture `cachedShingles`' scaladoc documents, wired end-to-end:
+    * when installed (ScaleStress --shingle-store; a production corpus
+    * snapshot), every pair-kernel consumer reads the bucketed
+    * ShingleStore relation instead of recomputing + persisting the
+    * tokenize/shingle/hash subtree, and doc_id-keyed sides of the
+    * verify joins arrive pre-partitioned. SINGLE-CORPUS sessions only:
+    * the override intentionally ignores the incoming docs frame, so a
+    * session mixing data dirs must not install it (ShingleStoreSpec
+    * pins value-equality of the swapped kernel on q110/q127).
+    */
+  @volatile private var shingleStore: Option[DataFrame] = None
+  def installShingleStore(df: DataFrame): Unit = { shingleStore = Some(df) }
+  def clearShingleStore(): Unit = { shingleStore = None }
 
   /** Persist a frame for reuse across jobs within one query build and
     * register it for `releaseCaches()` — shared by the shingle cache
@@ -81,7 +97,30 @@ object TextOps {
       pinned.foreach(df => df.unpersist(blocking = false))
       pinned.clear()
     }
-    bpeMemo.synchronized { bpeMemo.clear() }
+    bpeMemo.clear()
+  }
+
+  /** Explicit bench/session setup: build and MATERIALIZE the pinned
+    * shingle+LSH pair kernel that the dedup/cluster/graph queries all
+    * read. Without a named setup step, whichever consumer runs FIRST
+    * in a sweep absorbs the one-time build into its timing row —
+    * alphabetical bench order charged it to q142 while BASELINE.md's
+    * accounting assigned it to q42 — so Bench calls this up front and
+    * reports the build as its own line, making every per-query row
+    * deterministically serving-only regardless of sweep order.
+    * Idempotent: consumers hit the same CacheManager entries.
+    */
+  def warmPairKernel(s: SparkSession, d: String): Unit =
+    lshPairs(s, cachedShingles(t(s, d, "documents")))
+      .write.format("noop").mode("overwrite").save()
+
+  /** Explicit setup for the trained-BPE memo shared by q134/q136 (and
+    * GraftEngine callers): runs the 10-round trainer once — its eager
+    * per-round localCheckpoints materialize all state at call time, so
+    * nothing further needs forcing.
+    */
+  def warmBpe(s: SparkSession, d: String): Unit = {
+    bpeLoop(s, d, rounds = 10); ()
   }
 
   /** Exact pairwise Jaccard >= threshold via a shingle inverted index:
@@ -1047,7 +1086,7 @@ object TextOps {
 
     GraftQuery(
       "q142_pair_pagerank",
-      "PageRank over the verified near-dup pair graph — dup-cluster centrality, the signal that elects each cluster's CANONICAL document (the copy most connected to the rest, e.g. the hub a crawl re-crawled) rather than q40's arbitrary keep-lowest-id: symmetrize the pinned pair kernel into an edge list, then 8 damped power-iterations r = 0.15 + 0.85*sum(r(u)/deg(u)) with each iteration's rank ROUNDED to 9dp (the q134 round-by-round pinning rule, so Spark's and DuckDB's float summation order can never drift across iterations; the DuckDB twin unrolls the same 8 rounds as CTEs). Per iteration: one join of the edge list against the rank table and one groupBy on the destination key — Pregel's shape in two shuffles, no driver-side loop state. The graph is dup-density-scale (nodes = docs WITH a near-dup, never the corpus), so at 100 TB the edge list is the small output of the LSH kernel and iterations cost O(edges); rank converges in O(log n) rounds on these tiny components.",
+      "PageRank over the verified near-dup pair graph — dup-cluster centrality, the signal that elects each cluster's CANONICAL document (the copy most connected to the rest, e.g. the hub a crawl re-crawled) rather than q40's arbitrary keep-lowest-id: symmetrize the pinned pair kernel into an edge list, then 8 damped power-iterations r = 0.15 + 0.85*sum(r(u)/deg(u)) with each iteration's rank ROUNDED to 9dp (the q134 round-by-round pinning rule, so Spark's and DuckDB's float summation order can never drift across iterations; the DuckDB twin unrolls the same 8 rounds as CTEs). Per iteration: one join of the edge list against the rank table and one groupBy on the destination key — Pregel's shape in two shuffles, no driver-side rank state — with each generation localCheckpoint'ed (the bpeLoop/connectedLabels posture) so the plan stays constant-size instead of nesting 8 rounds deep. The oracle path runs the pinned fixed 8 rounds; a residual-tolerance early exit exists as the non-oracle serving option (pageRankRanks tol — PageRankSpec pins its agreement with the fixed loop). The graph is dup-density-scale (nodes = docs WITH a near-dup, never the corpus), so at 100 TB the edge list is the small output of the LSH kernel and iterations cost O(edges); rank converges in O(log n) rounds on these tiny components.",
       (s, d) => {
         val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
           .select(col("da"), col("db"))
@@ -1055,15 +1094,8 @@ object TextOps {
           p.select(col("db").as("da"), col("da").as("db")))
         val deg = edges.groupBy(col("da"))
           .agg(count(lit(1)).cast("double").as("deg"))
-        val withDeg = edges.join(deg, Seq("da"))
-        var rank = deg.select(col("da").as("doc_id"), lit(1.0).as("r"))
-        for (_ <- 1 to 8) {
-          rank = withDeg.join(rank, withDeg("da") === rank("doc_id"))
-            .select(col("db"), (col("r") / col("deg")).as("c"))
-            .groupBy(col("db"))
-            .agg(round(lit(0.15) + lit(0.85) * sum(col("c")), 9).as("r"))
-            .select(col("db").as("doc_id"), col("r"))
-        }
+        val rank = pageRankRanks(edges.join(deg, Seq("da")), deg,
+          rounds = 8, tol = None)
         rank.join(deg.select(col("da").as("doc_id"), col("deg")), Seq("doc_id"))
           .select(col("doc_id"), col("deg").cast("long").as("deg"),
             round(col("r"), 6).as("pr"))
@@ -1104,6 +1136,68 @@ object TextOps {
           .orderBy(col("source"))
       },
       None),
+
+    GraftQuery(
+      "q144_gopher_rules",
+      "Gopher-style rule battery (the public Rae et al. 2021 repetition/format filters, completing the quality-filter surface beside q46 heuristics / q107 C4 funnel / q130 CCNet buckets / q143 compression): per-document word-count bounds [50, 100000], mean word length in [3, 10], symbol-to-word ratio (# and ... marks) <= 0.1, >= 80% of words containing an alphabetic character, >= 2 distinct stopwords (Gopher's published 8-word list swapped for the engine's q46 stand-in list — the synthetic fixture vocabulary contains only 'the'/'a'/'is' of Gopher's; the rule SHAPE and arity are what's exercised), bullet-prefixed line share <= 0.9, ellipsis-terminated line share <= 0.3, and duplicate-line fraction <= 0.3, plus the duplicate-word fraction as a reported (non-gating) repetition signal; gopher_pass is the conjunction, evaluated on the 6dp-ROUNDED ratios so both engines gate identically at threshold boundaries. Every rule is a per-row codegen'd string/array op — the whole battery is ONE narrow map over the corpus, zero shuffles, zero UDFs; at 100 TB it composes into the same single streaming pass as q107 (QualityFunnelSpec pins the conjunction against an independent recomputation and the composition with the C4 funnel).",
+      (s, d) => {
+        val tk = toks(col("text"))
+        val lines = split(col("text"), "\n")
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val m = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(tk).as("n_words"),
+            round(length(translate(col("text"), " ", "")).cast("double")
+              / size(tk), 6).as("mean_word_len"),
+            round((length(col("text"))
+              - length(translate(col("text"), "#", ""))
+              + regexp_count(col("text"), lit("\\.\\.\\."))).cast("double")
+              / size(tk), 6).as("symbol_ratio"),
+            round(size(filter(tk, w => w.rlike("[a-z]"))).cast("double")
+              / size(tk), 6).as("alpha_word_ratio"),
+            size(filter(array_distinct(tk), t => t.isin(stop: _*)))
+              .as("stop_hits"),
+            round(size(filter(lines, l =>
+              substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double")
+              / size(lines), 6).as("bullet_share"),
+            round(size(filter(lines, l =>
+              rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+              .cast("double") / size(lines), 6).as("ellipsis_share"),
+            round((size(lines) - size(array_distinct(lines))).cast("double")
+              / size(lines), 6).as("dup_line_frac"),
+            round((size(tk) - size(array_distinct(tk))).cast("double")
+              / size(tk), 6).as("dup_word_frac"))
+        m.withColumn("gopher_pass",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("alpha_word_ratio") >= 0.8 &&
+            col("stop_hits") >= 2 &&
+            col("bullet_share") <= 0.9 &&
+            col("ellipsis_share") <= 0.3 &&
+            col("dup_line_frac") <= 0.3)
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH s AS (SELECT doc_id, text, string_split(text,' ') AS sp, " +
+        "string_split(text, chr(10)) AS ln FROM documents), " +
+        "m AS (SELECT doc_id, " +
+        "CAST(len(sp) AS INTEGER) AS n_words, " +
+        "round(len(replace(text,' ',''))*1.0/len(sp), 6) AS mean_word_len, " +
+        "round((len(text)-len(replace(text,'#','')) + len(regexp_extract_all(text,'\\.\\.\\.')))*1.0/len(sp), 6) AS symbol_ratio, " +
+        "round(len(list_filter(sp, w -> regexp_matches(w,'[a-z]')))*1.0/len(sp), 6) AS alpha_word_ratio, " +
+        "CAST(len(list_filter(list_distinct(sp), t -> t IN ('the','a','of','and','to','in','is','it'))) AS INTEGER) AS stop_hits, " +
+        "round(len(list_filter(ln, l -> substr(ltrim(l),1,1) IN ('-','*','•')))*1.0/len(ln), 6) AS bullet_share, " +
+        "round(len(list_filter(ln, l -> (rtrim(l) LIKE '%...') OR (rtrim(l) LIKE '%…')))*1.0/len(ln), 6) AS ellipsis_share, " +
+        "round((len(ln)-len(list_distinct(ln)))*1.0/len(ln), 6) AS dup_line_frac, " +
+        "round((len(sp)-len(list_distinct(sp)))*1.0/len(sp), 6) AS dup_word_frac " +
+        "FROM s) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, " +
+        "stop_hits, bullet_share, ellipsis_share, dup_line_frac, dup_word_frac, " +
+        "(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 " +
+        "AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND stop_hits >= 2 " +
+        "AND bullet_share <= 0.9 AND ellipsis_share <= 0.3 " +
+        "AND dup_line_frac <= 0.3) AS gopher_pass " +
+        "FROM m ORDER BY doc_id")),
 
     GraftQuery(
       "q102_ngram_novelty",
@@ -2264,12 +2358,11 @@ object TextOps {
     * single-session analogue.
     */
   private val bpeMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+    new graft.KeyedMemo[(SparkSession, String, Int), (DataFrame, DataFrame)]
 
   private def bpeLoop(s: SparkSession, d: String,
-      rounds: Int): (DataFrame, DataFrame) = bpeMemo.synchronized {
-    bpeMemo.getOrElseUpdate((s, d, rounds), bpeLoopRaw(s, d, rounds))
-  }
+      rounds: Int): (DataFrame, DataFrame) =
+    bpeMemo.getOrBuild((s, d, rounds))(bpeLoopRaw(s, d, rounds))
 
   /** The trainer loop shared by q134 (merge list) and q136 (encoder):
     * returns (merge list, final vocabulary) where the vocabulary keeps
@@ -2448,6 +2541,85 @@ object TextOps {
         s"($changed labels still moving) — component structure is " +
         "pathological; refusing to return wrong clusters")
     labels
+  }
+
+  /** Damped PageRank power iteration over a symmetrized edge list —
+    * the q142 kernel, factored out so PageRankSpec can pin the
+    * early-exit contract. `withDeg` is (da, db, deg) — the edge list
+    * pre-joined with source out-degree; `deg` is (da, deg). Each round
+    * is one key-hashed join of the edge list against the previous rank
+    * table plus one groupBy on the destination key — Pregel's shape in
+    * two shuffles, no driver-side rank state — and every round's ranks
+    * are ROUNDED to 9dp (the q134 round-by-round pinning rule) so
+    * Spark's and DuckDB's float summation order can never drift across
+    * rounds.
+    *
+    * Lineage: each round references the previous rank frame, so an
+    * un-truncated loop nests all `rounds` joins into one final plan
+    * (with the edge subtree repeated per round), leaning on exchange
+    * reuse and re-analysis of an O(2^rounds)-node tree — the
+    * scale-killer the repo's other iterative kernels already solve.
+    * The eager localCheckpoint pins each generation as plain
+    * partitions (the bpeLoop/connectedLabels posture; a cluster
+    * deployment would use a reliable checkpoint dir for executor-loss
+    * tolerance), keeping every per-round plan constant-size at any
+    * round count. The edge list is checkpointed ONCE up front — it is
+    * the small output of the LSH kernel (dup-density-scale, never the
+    * corpus), consumed by all rounds.
+    *
+    * Early exit (`tol`): when set, each round also computes
+    * max |r_next − r_prev| (one small agg over the rank table, the
+    * connectedLabels per-round-count posture) and stops once the
+    * residual is ≤ tol. tol = 0.0 is the EXACT 9dp fixpoint test — a
+    * round that reproduces the previous table bit-for-bit is a
+    * fixpoint of the rounded deterministic iteration, so by induction
+    * exiting early returns exactly the fixed-`rounds` result; on
+    * degree-regular components (every copy pasted everywhere — the
+    * common heavy dup shape) that fixpoint lands after ONE round.
+    * Irregular components contract at the damping factor 0.85/round,
+    * so a 9dp fixpoint needs ~130 rounds — which is why the ORACLE
+    * path (q142) runs the fixed 8 rounds with tol = None and the
+    * tolerance exit is the non-oracle serving option: callers that
+    * only need the published 6dp output can pass a loose tol and an
+    * adequate round budget, trading pinned round count for
+    * convergence-bound cost. PageRankSpec pins both contracts:
+    * tol 0.0 ≡ fixed-rounds bit-for-bit (and fires on a regular
+    * graph), loose-tol ≡ fixed-rounds at the 6dp output rounding.
+    */
+  private[graft] def pageRankRanks(withDeg: DataFrame, deg: DataFrame,
+      rounds: Int, tol: Option[Double]): DataFrame =
+    pageRankRanksCounted(withDeg, deg, rounds, tol)._1
+
+  /** pageRankRanks plus the number of rounds actually executed —
+    * PageRankSpec uses the count to prove the early exit FIRES on a
+    * convergent graph (not just that it happens to agree).
+    */
+  private[graft] def pageRankRanksCounted(withDeg: DataFrame,
+      deg: DataFrame, rounds: Int, tol: Option[Double]): (DataFrame, Int) = {
+    val edges = withDeg.localCheckpoint()
+    var rank = deg.select(col("da").as("doc_id"), lit(1.0).as("r"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
+      val next = edges.join(rank, edges("da") === rank("doc_id"))
+        .select(col("db"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("db"))
+        .agg(round(lit(0.15) + lit(0.85) * sum(col("c")), 9).as("r"))
+        .select(col("db").as("doc_id"), col("r"))
+        .localCheckpoint()
+      tol.foreach { t =>
+        val resid = next.select(col("doc_id").as("nid"), col("r").as("nr"))
+          .join(rank.select(col("doc_id").as("pid"), col("r").as("pr")),
+            col("nid") === col("pid"))
+          .agg(coalesce(max(abs(col("nr") - col("pr"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = resid <= t
+      }
+      rank = next
+      it += 1
+    }
+    (rank, it)
   }
 
   /** Deterministic 0–99 bucket from the md5 of a key — the q68 trick

@@ -40,21 +40,41 @@ object VectorOps {
     * single-session stand-in.
     */
   private val servedIndexes =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), AnyRef]
+    new graft.KeyedMemo[(SparkSession, String, String), AnyRef]
 
   private def served[T <: AnyRef](s: SparkSession, d: String, kind: String)(
-      build: => T): T = servedIndexes.synchronized {
-    servedIndexes.getOrElseUpdate((s, d, kind), build).asInstanceOf[T]
-  }
+      build: => T): T =
+    servedIndexes.getOrBuild((s, d, kind))(build).asInstanceOf[T]
 
-  /** Close every memoized index (unpersists their build-time caches). */
-  def releaseCaches(): Unit = servedIndexes.synchronized {
-    servedIndexes.values.foreach {
+  /** Close every memoized index (unpersists their build-time caches).
+    * Only indexes whose build completed are closed — KeyedMemo keeps
+    * the release from blocking on (or forcing) an in-flight build.
+    */
+  def releaseCaches(): Unit = {
+    servedIndexes.builtValues.foreach {
       case i: graft.ext.IvfPq.Index => i.close()
       case i: graft.ext.PqIndex.Index => i.close()
       case _ => () // AnnIndex pins no cache
     }
     servedIndexes.clear()
+  }
+
+  /** Explicit bench/session setup: build every served ANN index (IVF,
+    * PQ, composed IVF-PQ) with the exact parameters the registered
+    * queries use, so the sweep's per-query rows are serving-only and
+    * the one-time builds are reported as their own bench line instead
+    * of landing in whichever consumer happens to run first (the
+    * TextOps.warmPairKernel rationale). Seeded fits make the warmed
+    * index identical to a lazily-built one.
+    */
+  def warmIndexes(s: SparkSession, d: String): Unit = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    served(s, d, "ivfpq") {
+      graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
+    }
+    served(s, d, "ivf") { graft.ext.AnnIndex.build(s, e, k = 16) }
+    served(s, d, "pq") { graft.ext.PqIndex.build(s, e, dim = 64) }
+    ()
   }
 
   /** GraftEngine's ANN serving entry: arbitrary caller queries against
@@ -332,7 +352,7 @@ object VectorOps {
 
     GraftQuery(
       "q139_ivfpq_exact",
-      "IVF-PQ VERIFICATION mode with a SQL oracle: the q133 index searched exhaustively — nProbe = every cell, shortlist = the whole corpus — so the ADC stage prunes nothing and the exact-cosine re-rank must reproduce the q50 brute-force top-5 bit-for-bit. This is the one ANN entry DuckDB can check by hash (KMeans boundaries never enter the result at full probe), closing the loop the rows-only q79/q109/q133 entries leave open: if the composed index's plumbing — cell routing, residual codes, shortlist, re-rank — corrupted anything, this query's hash would diverge. Deliberately NOT the serving configuration (probing every cell reads the whole index); its job is proving the index is lossless when not approximating, per the round-6 verdict. The corpus-size shortlist comes from one O(files) metadata count, not a collect.",
+      "IVF-PQ VERIFICATION mode with a SQL oracle: the q133 index searched exhaustively — nProbe = every cell, shortlist = the whole corpus — so the ADC stage prunes nothing and the exact-cosine re-rank must reproduce the q50 brute-force top-5 bit-for-bit. This is the one ANN entry DuckDB can check by hash (KMeans boundaries never enter the result at full probe), closing the loop the rows-only q79/q109/q133 entries leave open: if the composed index's plumbing — cell routing, residual codes, shortlist, re-rank — corrupted anything, this query's hash would diverge. Deliberately NOT the serving configuration (probing every cell reads the whole index); its job is proving the index is lossless when not approximating, per the round-6 verdict. The exhaustive shortlist is Int.MaxValue — shortlist is only an upper rank bound, so no count of the corpus is ever taken and the builder stays action-free.",
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val index = served(s, d, "ivfpq") {
@@ -340,9 +360,13 @@ object VectorOps {
         }
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        // exhaustive shortlist: `srn <= shortlist` only needs an upper
+        // bound, so Int.MaxValue covers any corpus without the eager
+        // count() job (and without the Long→Int overflow past 2^31
+        // rows) the previous corpus-count approach paid per call
         graft.ext.IvfPq
           .search(index, e, q, topK = 5, nProbe = index.kCells,
-            shortlist = e.count().toInt)
+            shortlist = Int.MaxValue)
           .orderBy(col("q_id"), col("rn"))
       },
       Some(exactTopkSql)),

@@ -41,4 +41,27 @@ class ShingleStoreSpec extends SparkSpec {
       assert(sizes.exceptAll(live).count() === 0)
     } finally spark.sql("DROP TABLE IF EXISTS shingles_b2")
   }
+
+  test("q110/q127 are value-identical when the kernel serves from the store") {
+    // the ScaleStress --shingle-store contract: swapping the in-memory
+    // shingle cache for the bucketed parquet table changes NOTHING
+    // downstream of the pair kernel — survivor election and the
+    // threshold sweep are the two longest derivation chains over it
+    def run(name: String) =
+      Registry.byName(name).fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    val live110 = run("q110_dedup_survivors")
+    val live127 = run("q127_threshold_sweep")
+    TextOps.releaseCaches()
+    val docs = Tables.load(spark, sfDir, "documents")
+    ShingleStore.materialize(docs, "shingles_swap", buckets = 4)
+    try {
+      TextOps.installShingleStore(ShingleStore.load(spark, "shingles_swap"))
+      assert(run("q110_dedup_survivors") === live110)
+      assert(run("q127_threshold_sweep") === live127)
+    } finally {
+      TextOps.clearShingleStore()
+      TextOps.releaseCaches()
+      spark.sql("DROP TABLE IF EXISTS shingles_swap")
+    }
+  }
 }

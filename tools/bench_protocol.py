@@ -20,6 +20,7 @@ runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
 totals = []
 per_query = {}
+per_build = {}
 for i in range(runs):
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
@@ -42,11 +43,25 @@ for i in range(runs):
                 continue
             if isinstance(r, dict) and "query" in r and "sec" in r:
                 per_query.setdefault(r["query"], []).append(r["sec"])
+        # named one-time setup steps (pair kernel, ANN indexes, BPE
+        # trainer) report as {"build": ..., "sec": ...} lines
+        if '"build":' in l and '"sec":' in l:
+            try:
+                r = json.loads(l[l.index("{"):])
+            except (ValueError, KeyError):
+                continue
+            if isinstance(r, dict) and "build" in r and "sec" in r:
+                per_build.setdefault(r["build"], []).append(r["sec"])
     print(f"run {i + 1}/{runs}: total {rec['value']:.1f} s", file=sys.stderr)
 
 print("| query | median sec | min sec |")
 print("|---|---|---|")
 med_sum = min_sum = 0.0
+for b in sorted(per_build):
+    med, mn = statistics.median(per_build[b]), min(per_build[b])
+    med_sum += med
+    min_sum += mn
+    print(f"| build:{b} | {med:.2f} | {mn:.2f} |")
 for q in sorted(per_query):
     med, mn = statistics.median(per_query[q]), min(per_query[q])
     med_sum += med

@@ -23,11 +23,18 @@ n_pass = n_fail = 0
 # Verify writes per-query exceptions here; a failed query dumps no
 # parquet dir, so without this it would vanish from the report
 fail_path = f"{out}/_failures.json"
+failed = set()
 if os.path.exists(fail_path):
     for name, msg in sorted(json.load(open(fail_path)).items()):
         print(f"FAIL {name}: query threw: {msg}")
         n_fail += 1
+        failed.add(name)
 for name in sorted(os.listdir(out)):
+    if name in failed:
+        # already counted above; any dir of that name is a partial
+        # write (or stale from a prior Verify into the same outDir) —
+        # comparing it would double-count and muddy the report
+        continue
     resdir = os.path.join(out, name)
     if not os.path.isdir(resdir):
         continue
