@@ -139,7 +139,11 @@ object ScaleStress {
       "q143_compression_quality",
       // Gopher battery: pure per-row string/array ops, zero shuffle —
       // the stress row only proves the narrow map stays row-linear
-      "q144_gopher_rules")
+      "q144_gopher_rules",
+      // duplicate-n-gram rules: three token-key explode+count passes —
+      // gram volume is token-linear, and the 10x dup corpus leaves
+      // per-doc gram distributions unchanged
+      "q145_ngram_repetition")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -48,7 +48,15 @@ object Tables {
         case LongType => // legacy TIMESTAMP(NANOS) read as long via requiredConf
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType => // current fixtures: plain timestamp[us]
-          df.withColumn("ts", col("ts").cast(TimestampType))
+          // epoch-based, session-TZ-INDEPENDENT: a bare cast to
+          // TimestampType reinterprets the wall clock through the
+          // session zone, so a non-UTC caller session would read
+          // shifted instants vs both the legacy ns-as-long path
+          // (epoch-based) and the DuckDB oracle (which treats naive
+          // parquet timestamps as UTC). Diffing against the NTZ epoch
+          // literal yields true epoch micros whatever the session zone.
+          df.withColumn("ts", timestamp_micros(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
         case _ => df // already TIMESTAMP — pass through
       }
     } else {

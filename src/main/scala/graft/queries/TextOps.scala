@@ -1200,6 +1200,59 @@ object TextOps {
         "FROM m ORDER BY doc_id")),
 
     GraftQuery(
+      "q145_ngram_repetition",
+      "Gopher duplicate-n-gram repetition rules — the shuffle-based half of the battery q144's per-row rules can't see (Rae et al. 2021 table A1: a document whose most frequent word 2/3/4-gram accounts for too much of its text is template/boilerplate spam even when every per-row format check passes): per doc and per n in {2,3,4}, top_n_frac = the largest character mass any single n-gram accounts for (occurrences x non-space gram chars) over the doc's non-space chars, gated at Gopher's published <= 0.20 / 0.18 / 0.16. Deterministic by construction — the metric is a pure MAX of integer products (no 'which gram was most frequent' tie-break ever surfaces), divided once and rounded to 6dp, so both engines agree at the thresholds. Plan shape: one explode + count per n on the (doc_id, gram) key — the q101/q95 token-key shuffle posture, never an all-pairs; docs shorter than n words contribute frac 0 via the left join from the corpus spine. At 100 TB each n-pass is candidate-volume-linear in total tokens and the three passes share one tokenized projection.",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"),
+            length(translate(col("text"), " ", ""))
+              .cast("double").as("chars"))
+        def top(n: Int) =
+          base.filter(size(col("tk")) >= n)
+            .select(col("doc_id"), col("chars"),
+              explode(shingles(col("tk"), n)).as("g"))
+            .groupBy(col("doc_id"), col("chars"), col("g"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("doc_id"))
+            .agg(round(
+              max(col("c") * (length(col("g")) - lit(n - 1))).cast("double")
+                / max(col("chars")), 6).as(s"top${n}_frac"))
+        base.select(col("doc_id"))
+          .join(top(2), Seq("doc_id"), "left")
+          .join(top(3), Seq("doc_id"), "left")
+          .join(top(4), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+            coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+            coalesce(col("top4_frac"), lit(0.0)).as("top4_frac"))
+          .withColumn("rep_pass",
+            col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+              col("top4_frac") <= 0.16)
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS sp, " +
+        "len(replace(text,' ','')) AS chars FROM documents), " +
+        "g2 AS (SELECT doc_id, round(max(c*glen)*1.0/max(chars), 6) AS top2_frac FROM " +
+        "(SELECT doc_id, chars, g, count(*) AS c, len(replace(g,' ','')) AS glen FROM " +
+        "(SELECT doc_id, chars, sp[i] || ' ' || sp[i+1] AS g FROM tok, " +
+        "UNNEST(range(1, len(sp))) t(i) WHERE len(sp) >= 2) GROUP BY doc_id, chars, g) GROUP BY doc_id), " +
+        "g3 AS (SELECT doc_id, round(max(c*glen)*1.0/max(chars), 6) AS top3_frac FROM " +
+        "(SELECT doc_id, chars, g, count(*) AS c, len(replace(g,' ','')) AS glen FROM " +
+        "(SELECT doc_id, chars, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] AS g FROM tok, " +
+        "UNNEST(range(1, len(sp)-1)) t(i) WHERE len(sp) >= 3) GROUP BY doc_id, chars, g) GROUP BY doc_id), " +
+        "g4 AS (SELECT doc_id, round(max(c*glen)*1.0/max(chars), 6) AS top4_frac FROM " +
+        "(SELECT doc_id, chars, g, count(*) AS c, len(replace(g,' ','')) AS glen FROM " +
+        "(SELECT doc_id, chars, sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] AS g FROM tok, " +
+        "UNNEST(range(1, len(sp)-2)) t(i) WHERE len(sp) >= 4) GROUP BY doc_id, chars, g) GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(top2_frac, 0.0) AS top2_frac, " +
+        "coalesce(top3_frac, 0.0) AS top3_frac, coalesce(top4_frac, 0.0) AS top4_frac, " +
+        "(coalesce(top2_frac, 0.0) <= 0.20 AND coalesce(top3_frac, 0.0) <= 0.18 " +
+        "AND coalesce(top4_frac, 0.0) <= 0.16) AS rep_pass " +
+        "FROM tok t LEFT JOIN g2 ON t.doc_id = g2.doc_id " +
+        "LEFT JOIN g3 ON t.doc_id = g3.doc_id LEFT JOIN g4 ON t.doc_id = g4.doc_id " +
+        "ORDER BY t.doc_id")),
+
+    GraftQuery(
       "q102_ngram_novelty",
       "Per-document n-gram novelty — the fraction of a doc's distinct 3-gram shingles that appear NOWHERE else in the corpus (df = 1), the memorization/boilerplate audit run before sampling training data: low novelty ⇒ the doc is assembled from corpus-common fragments. Reuses the pinned q41/q42 shingle relation (64-bit keys, built once per dir), so the marginal cost is one groupBy on the shingle key for df plus one join back — both shuffles on the same 8-byte key. The ratio divides in double on both engines and rounds to 6dp, far above accumulation noise. At 100 TB this is the same two-pass over the materialized shingle table the dedup stack already requires.",
       (s, d) => {

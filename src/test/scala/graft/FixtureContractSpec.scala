@@ -80,5 +80,20 @@ class FixtureContractSpec extends SparkSpec {
       val years = df.select(year(col("ts"))).as[Int].collect().toSet
       assert(years == Set(2024), s"$enc: ts values corrupted: $years")
     }
+
+    // the NTZ branch must be SESSION-TZ-INDEPENDENT: the same parquet
+    // read under any session zone yields the same epoch instants (a
+    // bare NTZ→TIMESTAMP cast would shift them — the exact drift an
+    // externally-built non-UTC session would feed every epoch-BIGINT
+    // comparison and hour window)
+    def epochs() = Tables.load(spark, s"$tmp/ntz", "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().toMap
+    val utc = epochs()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(epochs() === utc, "NTZ normalization depends on session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }

@@ -55,4 +55,21 @@ class GraftEngineSpec extends SparkSpec {
       assert(served.length === q.count().toInt * 5)
     } finally engine.releaseCaches()
   }
+
+  test("engine construction pins the session timezone to UTC") {
+    // the events loader's TimestampNTZ branch casts through the
+    // SESSION zone; an externally-built non-UTC session would read
+    // TZ-shifted instants vs the DuckDB oracle. The facade is the one
+    // entry point whose session the engine doesn't build itself, so
+    // construction must repair the zone — and the repair must make
+    // the epoch-compared events queries match their UTC values.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val utcRows = engine.query("q17_recent_events").collect().toSeq
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e2 = new GraftEngine(spark, sfDir)
+      assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+      assert(e2.query("q17_recent_events").collect().toSeq === utcRows)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

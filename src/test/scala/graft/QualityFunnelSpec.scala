@@ -83,4 +83,38 @@ class QualityFunnelSpec extends SparkSpec {
     val nEither = composed.filter(col("c4_kept") || col("gopher_pass")).count()
     assert(nEither === nC4 + nGopher - nBoth)
   }
+
+  test("q145 top-n-gram fractions match a plain-JVM recomputation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(25).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def topFrac(text: String, n: Int): Double = {
+      val words = text.split(" ", -1)
+      if (words.length < n) return 0.0
+      val chars = words.map(_.length).sum.toDouble
+      // sliding over an Array yields Array windows, which compare by
+      // reference — convert to List so groupBy counts equal grams
+      val top = words.sliding(n).map(_.toList).toSeq
+        .groupBy(identity).values
+        .map(g => g.size.toLong * g.head.map(_.length).sum).max
+      BigDecimal(top / chars)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = Registry.byName("q145_ngram_repetition").fn(spark, sfDir).collect()
+    val got = all.filter(r => docs.contains(r.getAs[Long]("doc_id")))
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val (t2, t3, t4) = (topFrac(text, 2), topFrac(text, 3), topFrac(text, 4))
+      assert(r.getAs[Double]("top2_frac") === t2)
+      assert(r.getAs[Double]("top3_frac") === t3)
+      assert(r.getAs[Double]("top4_frac") === t4)
+      assert(r.getAs[Boolean]("rep_pass") ===
+        (t2 <= 0.20 && t3 <= 0.18 && t4 <= 0.16))
+    }
+    // the rule must bite on the fixture, not rubber-stamp it
+    val nFail = all.count(!_.getAs[Boolean]("rep_pass"))
+    assert(nFail > 0 && nFail < all.length,
+      s"repetition gate should be discriminative ($nFail/${all.length})")
+  }
 }
