@@ -727,6 +727,54 @@ object Relational {
       Some("SELECT s_name, CAST(count(*) AS BIGINT) AS n_items, " +
         "CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
-        "GROUP BY s_name ORDER BY s_name"))
+        "GROUP BY s_name ORDER BY s_name")),
+
+    GraftQuery(
+      "q148_zorder_layout",
+      "Z-order (Morton-curve) layout audit — the multi-dimensional clustering decision behind Delta/Iceberg OPTIMIZE ZORDER BY, expressed as a measurable query: quantize o_totalprice (exact cents) and o_orderdate (epoch days) to 16-bit ranks by integer min-max scaling (min/max are a broadcast 1-row agg IN the plan — no driver action), interleave the 32 bits into a Morton code, and compare two file layouts — bucketing by the TOP 4 MORTON BITS versus bucketing by the top 4 bits of the date rank alone (the 1-D sort a naive pipeline ships). The per-bucket min/max SPAN of each dimension is exactly the parquet zone-map a scan would prune on: the z-order rows bound BOTH spans at ~a quarter of each range, while the date-sort rows leave price_span at ~full range — the audit shows, in one result table, why a 2-predicate scan skips ~16× more data under z-order. Everything is 64-bit integer arithmetic (quantize = div, interleave = shift/and/or, bucket = shift), so Spark and DuckDB cannot disagree anywhere; the only shuffle is the 32-key rollup. At 100 TB this is the exact decision procedure before an OPTIMIZE: one narrow pass + a tiny agg, and writing `.repartitionByRange(zval)` ships the winning layout.",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)").as("dd"))
+        val mm = o.agg(min(col("pc")).as("pmin"), max(col("pc")).as("pmax"),
+          min(col("dd")).as("dmin"), max(col("dd")).as("dmax"))
+        val q = o.crossJoin(broadcast(mm))
+          .withColumn("pq", expr("(pc - pmin) * 65535 div (pmax - pmin)"))
+          .withColumn("dq", expr("(dd - dmin) * 65535 div (dmax - dmin)"))
+        val morton = (0 until 16).map { j =>
+          s"shiftleft(shiftright(pq, $j) & 1, ${2 * j}) + " +
+            s"shiftleft(shiftright(dq, $j) & 1, ${2 * j + 1})"
+        }.mkString(" + ")
+        val z = q.withColumn("z", expr(morton))
+        val zorder = z.select(lit("zorder").as("layout"),
+          expr("shiftright(z, 28)").as("bucket"), col("pq"), col("dq"))
+        val datesort = z.select(lit("datesort").as("layout"),
+          expr("shiftright(dq, 12)").as("bucket"), col("pq"), col("dq"))
+        zorder.unionAll(datesort)
+          .groupBy(col("layout"), col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            (max(col("pq")) - min(col("pq"))).as("price_span"),
+            (max(col("dq")) - min(col("dq"))).as("date_span"))
+          .orderBy(col("layout"), col("bucket"))
+      },
+      Some {
+        val morton = (0 until 16).map { j =>
+          s"(((pq >> $j) & 1) << ${2 * j}) + (((dq >> $j) & 1) << ${2 * j + 1})"
+        }.mkString(" + ")
+        "WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc, " +
+          "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd FROM orders), " +
+          "mm AS (SELECT min(pc) AS pmin, max(pc) AS pmax, " +
+          "min(dd) AS dmin, max(dd) AS dmax FROM o), " +
+          "q AS (SELECT (pc - pmin) * 65535 // (pmax - pmin) AS pq, " +
+          "(dd - dmin) * 65535 // (dmax - dmin) AS dq FROM o, mm), " +
+          s"z AS (SELECT pq, dq, $morton AS z FROM q), " +
+          "u AS (SELECT 'zorder' AS layout, z >> 28 AS bucket, pq, dq FROM z " +
+          "UNION ALL SELECT 'datesort' AS layout, dq >> 12 AS bucket, pq, dq FROM z) " +
+          "SELECT layout, CAST(bucket AS BIGINT) AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(max(pq) - min(pq) AS BIGINT) AS price_span, " +
+          "CAST(max(dq) - min(dq) AS BIGINT) AS date_span " +
+          "FROM u GROUP BY layout, bucket ORDER BY layout, bucket"
+      })
   )
 }

@@ -1253,6 +1253,51 @@ object TextOps {
         "ORDER BY t.doc_id")),
 
     GraftQuery(
+      "q146_pair_triangles",
+      "Triangle count + local clustering coefficient over the verified near-dup pair graph — the third graph lens beside q92's components (WHICH docs cluster) and q142's PageRank (which doc is central): triangles measure how CLIQUE-LIKE each dup cluster is. A high-lcc node sits in a mutual-copy clique (one source re-published verbatim — safe to keep one survivor); a high-degree low-lcc node is a hub stitching otherwise-unrelated docs together (a template/boilerplate shell whose 'cluster' is an artifact — the case where min-id survivor election would wrongly collapse distinct content). Enumeration is the standard ordered-triple join on the a<b<c orientation of the pair list: each triangle is produced exactly once as (a,b)(b,c)(a,c), so the count needs no /6 correction and no symmetrized blow-up; lcc = 2*tri/(deg*(deg-1)) on the symmetric degree. The pair graph is dup-density-scale (edges = the LSH kernel's verified output, NOT corpus-scale), and the two joins key on edge endpoints — at 100 TB this is the wedge-check join over a table that fits the q142 budget; nothing touches raw text. All-integer until the final lcc division (rounded 6dp), so both engines agree exactly.",
+      (s, d) => {
+        val p = lshPairs(s, cachedShingles(t(s, d, "documents")))
+          .select(col("da"), col("db"))
+        // Ordered-triple enumeration: edges are already oriented da<db,
+        // so (a,b)⋈(b,c)⋈(a,c) yields each triangle exactly once.
+        val e1 = p.select(col("da").as("a"), col("db").as("b"))
+        val e2 = p.select(col("da").as("b2"), col("db").as("c"))
+        val e3 = p.select(col("da").as("a3"), col("db").as("c3"))
+        val tri = e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        val triPerNode = tri.select(col("a").as("v"))
+          .unionAll(tri.select(col("b").as("v")))
+          .unionAll(tri.select(col("c").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+        val deg = p.select(col("da").as("v"))
+          .unionAll(p.select(col("db").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        deg.join(triPerNode, Seq("v"), "left")
+          .select(col("v").as("doc_id"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"),
+            round(when(col("deg") >= 2,
+              lit(2.0) * coalesce(col("tri"), lit(0L))
+                / (col("deg") * (col("deg") - 1)))
+              .otherwise(lit(0.0)), 6).as("lcc"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $pairsCteSql, " +
+        "ed AS (SELECT da, db FROM jp), " +
+        "tr AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c FROM ed e1 " +
+        "JOIN ed e2 ON e1.db = e2.da " +
+        "JOIN ed e3 ON e3.da = e1.da AND e3.db = e2.db), " +
+        "tn AS (SELECT v, count(*) AS tri FROM (SELECT a AS v FROM tr " +
+        "UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr) GROUP BY v), " +
+        "deg AS (SELECT v, count(*) AS deg FROM (SELECT da AS v FROM ed " +
+        "UNION ALL SELECT db FROM ed) GROUP BY v) " +
+        "SELECT deg.v AS doc_id, CAST(deg.deg AS BIGINT) AS deg, " +
+        "CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri, " +
+        "round(CASE WHEN deg.deg >= 2 THEN 2.0 * coalesce(tn.tri, 0) " +
+        "/ (deg.deg * (deg.deg - 1)) ELSE 0.0 END, 6) AS lcc " +
+        "FROM deg LEFT JOIN tn ON deg.v = tn.v ORDER BY doc_id")),
+
+    GraftQuery(
       "q102_ngram_novelty",
       "Per-document n-gram novelty — the fraction of a doc's distinct 3-gram shingles that appear NOWHERE else in the corpus (df = 1), the memorization/boilerplate audit run before sampling training data: low novelty ⇒ the doc is assembled from corpus-common fragments. Reuses the pinned q41/q42 shingle relation (64-bit keys, built once per dir), so the marginal cost is one groupBy on the shingle key for df plus one join back — both shuffles on the same 8-byte key. The ratio divides in double on both engines and rounds to 6dp, far above accumulation noise. At 100 TB this is the same two-pass over the materialized shingle table the dedup stack already requires.",
       (s, d) => {

@@ -157,16 +157,24 @@ object VectorOps {
     * label-centroid form exists because it IS SQL-expressible, so the
     * semantic-dedup built on it stays oracle-checkable.
     */
-  private def labelCellAssign(e: DataFrame): DataFrame = {
+  /** The full (vec_id, label, c_label, d2) distance table behind
+    * `labelCellAssign`, exposed because the silhouette audit (q149)
+    * needs BOTH the assigned-cell distance and the runner-up distances
+    * that the rn=1 filter discards.
+    */
+  private def labelCellDist(e: DataFrame): DataFrame = {
     val dims = e.select(col("vec_id"), col("label"),
       posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
     val cent = dims.groupBy(col("label").as("c_label"), col("i"))
       .agg(round(avg(col("v")), 6).as("c"))
-    val dist = dims.join(broadcast(cent), Seq("i"))
+    dims.join(broadcast(cent), Seq("i"))
       .groupBy(col("vec_id"), col("label"), col("c_label"))
       .agg(round(sum((col("v") - col("c")) * (col("v") - col("c"))), 6).as("d2"))
+  }
+
+  private def labelCellAssign(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
-    dist.withColumn("rn", row_number().over(w))
+    labelCellDist(e).withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("c_label").as("assigned"))
   }
@@ -264,6 +272,109 @@ object VectorOps {
         "WHERE round(list_inner_product(a.emb, b.emb)/" +
         "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3 " +
         "ORDER BY da, db")),
+
+    GraftQuery(
+      "q147_ann_recall",
+      "Measured recall@3 of the two SINGLE-PROBE ANN arms against the exact answer — the calibration table every ANN deployment reads before trading accuracy for speed: for each query vector (vec_id < 10), the exact cosine top-3 (q50's kernel) is compared against (a) the top-3 among SAME-SIGN-BUCKET candidates (q51's LSH arm) and (b) the top-3 among SAME-IVF-CELL candidates (q52's nearest-centroid routing arm), recall = |exact ∩ candidates| / 3 per (method, query). Both rankings round cosine to 6dp and tiebreak on vec_id, so rank boundaries are deterministic on both engines — recall is an exact integer count, not a float estimate. The honest measured result on this deliberately ISOTROPIC fixture is that BOTH single-probe arms recall poorly — which is precisely the number that justifies q133's production design (nProbe=12-of-16 multi-probe + exact re-rank, recall>=0.9 pinned in IvfPqSpec): this query puts that engineering decision on a dashboard instead of in a doc comment. Scale shape: the query set broadcasts to all three arms; the exact arm is ONE corpus pass (the price of calibration, amortized over recalibrations on a sampled query set), the LSH/IVF arms prune to the queries' buckets/cells; nothing is all-pairs.",
+      (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
+        val e0 = t(s, d, "embeddings")
+        val e = withBucket(e0.select(col("vec_id"), col("embedding")))
+          .join(labelCellAssign(e0)
+            .select(col("vec_id"), col("assigned").as("cell")), Seq("vec_id"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket").as("q_bucket"), col("cell").as("q_cell"))
+        def top3(cand: DataFrame) = {
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cos_r").desc, col("vec_id"))
+          cand.withColumn("cos_r",
+              round(expr("cosine_sim(q_emb, embedding)"), 6))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3)
+            .select(col("q_id"), col("vec_id"))
+        }
+        val exact = top3(e.join(broadcast(q), col("q_id") =!= col("vec_id")))
+        def arm(name: String, cand: DataFrame) =
+          exact.join(top3(cand).withColumn("hit", lit(1)),
+              Seq("q_id", "vec_id"), "left")
+            .select(lit(name).as("method"), col("q_id"),
+              coalesce(col("hit"), lit(0)).as("hit"))
+        val lsh = arm("lsh_bucket", e.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("q_id") =!= col("vec_id")))
+        val ivf = arm("ivf_cell", e.join(broadcast(q),
+          col("cell") === col("q_cell") && col("q_id") =!= col("vec_id")))
+        lsh.unionAll(ivf)
+          .groupBy(col("method"), col("q_id"))
+          .agg(sum(col("hit")).cast("long").as("n_hit"),
+            round(sum(col("hit")).cast("double") / count(lit(1)), 6).as("recall"))
+          .orderBy(col("method"), col("q_id"))
+      },
+      Some {
+        val cos = "round(list_inner_product(q_emb, emb)/" +
+          "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6)"
+        s"WITH $bucketCteSql, $assignCteSql, " +
+          "ee AS (SELECT e.vec_id, emb, bucket, cell FROM e JOIN asg ON e.vec_id = asg.vec_id), " +
+          "q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket, cell AS q_cell " +
+          "FROM ee WHERE vec_id < 10), " +
+          s"exp AS (SELECT q_id, ee.vec_id, $cos AS cos_r FROM q JOIN ee ON ee.vec_id <> q.q_id), " +
+          "ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn " +
+          "FROM exp) WHERE rn <= 3), " +
+          s"lsp AS (SELECT q_id, ee.vec_id, $cos AS cos_r FROM q JOIN ee " +
+          "ON ee.bucket = q.q_bucket AND ee.vec_id <> q.q_id), " +
+          "ls AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn " +
+          "FROM lsp) WHERE rn <= 3), " +
+          s"ivp AS (SELECT q_id, ee.vec_id, $cos AS cos_r FROM q JOIN ee " +
+          "ON ee.cell = q.q_cell AND ee.vec_id <> q.q_id), " +
+          "iv AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn " +
+          "FROM ivp) WHERE rn <= 3), " +
+          "u AS (SELECT 'lsh_bucket' AS method, ex.q_id, " +
+          "CASE WHEN ls.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+          "FROM ex LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id " +
+          "UNION ALL SELECT 'ivf_cell' AS method, ex.q_id, " +
+          "CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+          "FROM ex LEFT JOIN iv ON ex.q_id = iv.q_id AND ex.vec_id = iv.vec_id) " +
+          "SELECT method, q_id, CAST(sum(hit) AS BIGINT) AS n_hit, " +
+          "round(sum(hit)*1.0/count(*), 6) AS recall " +
+          "FROM u GROUP BY method, q_id ORDER BY method, q_id"
+      }),
+
+    GraftQuery(
+      "q149_cell_silhouette",
+      "Simplified-silhouette audit of the IVF cell layout (the centroid-distance silhouette of Hruschka et al. — the O(n·k) variant production clustering evaluates instead of the O(n²) pairwise original): for each vector, a = distance to its ASSIGNED cell centroid, b = distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]; rolled up per cell. This is the health check behind every IVF/SemDeDup decision the engine serves (q52 routing, q140's cells, q79/q133 probes): cells with low avg silhouette have blurry boundaries — their vectors sit near a competing centroid, exactly where nProbe=1 recall collapses and where SemDeDup's within-cell blocking leaks cross-cell near-dups. Reuses labelCellDist's (vec_id × centroid) distance table: a and b fall out of ONE row_number window over it (rank 1 = assigned, min of the rest = runner-up), so the audit costs one window + one ~k-row rollup beyond what q52 already computes. Distances round to 6dp before sqrt (identical IEEE doubles on both engines), the ratio rounds to 6dp. At 100 TB: k centroids broadcast, the distance table shuffles (vec_id, cell) keys — linear in corpus × k, never pairwise.",
+      (s, d) => {
+        val dist = labelCellDist(t(s, d, "embeddings"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+        val r = dist.withColumn("dd", sqrt(col("d2")))
+          .withColumn("rn", row_number().over(w))
+        val ab = r.groupBy(col("vec_id"))
+          .agg(max(when(col("rn") === 1, col("dd"))).as("a"),
+            min(when(col("rn") > 1, col("dd"))).as("b"),
+            max(when(col("rn") === 1, col("c_label"))).as("cell"))
+        val sil = ab.withColumn("s",
+          round(when(greatest(col("a"), col("b")) === 0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))), 6))
+        sil.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("s")), 6).as("avg_sil"),
+            min(col("s")).as("min_sil"),
+            max(col("s")).as("max_sil"))
+          .orderBy(col("cell"))
+      },
+      Some(s"WITH $assignCteSql, " +
+        "rr2 AS (SELECT vec_id, c_label, sqrt(d2) AS dd, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist), " +
+        "ab AS (SELECT vec_id, max(CASE WHEN rn = 1 THEN dd END) AS a, " +
+        "min(CASE WHEN rn > 1 THEN dd END) AS b, " +
+        "max(CASE WHEN rn = 1 THEN c_label END) AS cell FROM rr2 GROUP BY vec_id), " +
+        "sil AS (SELECT cell, round(CASE WHEN greatest(a, b) = 0 THEN 0.0 " +
+        "ELSE (b - a)/greatest(a, b) END, 6) AS s FROM ab) " +
+        "SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(avg(s), 6) AS avg_sil, min(s) AS min_sil, max(s) AS max_sil " +
+        "FROM sil GROUP BY cell ORDER BY cell")),
 
     GraftQuery(
       "q52_ivf_assign",
