@@ -1140,44 +1140,10 @@ object TextOps {
     GraftQuery(
       "q144_gopher_rules",
       "Gopher-style rule battery (the public Rae et al. 2021 repetition/format filters, completing the quality-filter surface beside q46 heuristics / q107 C4 funnel / q130 CCNet buckets / q143 compression): per-document word-count bounds [50, 100000], mean word length in [3, 10], symbol-to-word ratio (# and ... marks) <= 0.1, >= 80% of words containing an alphabetic character, >= 2 distinct stopwords (Gopher's published 8-word list swapped for the engine's q46 stand-in list — the synthetic fixture vocabulary contains only 'the'/'a'/'is' of Gopher's; the rule SHAPE and arity are what's exercised), bullet-prefixed line share <= 0.9, ellipsis-terminated line share <= 0.3, and duplicate-line fraction <= 0.3, plus the duplicate-word fraction as a reported (non-gating) repetition signal; gopher_pass is the conjunction, evaluated on the 6dp-ROUNDED ratios so both engines gate identically at threshold boundaries. Every rule is a per-row codegen'd string/array op — the whole battery is ONE narrow map over the corpus, zero shuffles, zero UDFs; at 100 TB it composes into the same single streaming pass as q107 (QualityFunnelSpec pins the conjunction against an independent recomputation and the composition with the C4 funnel).",
-      (s, d) => {
-        val tk = toks(col("text"))
-        val lines = split(col("text"), "\n")
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-        val m = t(s, d, "documents")
-          .select(col("doc_id"),
-            size(tk).as("n_words"),
-            round(length(translate(col("text"), " ", "")).cast("double")
-              / size(tk), 6).as("mean_word_len"),
-            round((length(col("text"))
-              - length(translate(col("text"), "#", ""))
-              + regexp_count(col("text"), lit("\\.\\.\\."))).cast("double")
-              / size(tk), 6).as("symbol_ratio"),
-            round(size(filter(tk, w => w.rlike("[a-z]"))).cast("double")
-              / size(tk), 6).as("alpha_word_ratio"),
-            size(filter(array_distinct(tk), t => t.isin(stop: _*)))
-              .as("stop_hits"),
-            round(size(filter(lines, l =>
-              substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double")
-              / size(lines), 6).as("bullet_share"),
-            round(size(filter(lines, l =>
-              rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
-              .cast("double") / size(lines), 6).as("ellipsis_share"),
-            round((size(lines) - size(array_distinct(lines))).cast("double")
-              / size(lines), 6).as("dup_line_frac"),
-            round((size(tk) - size(array_distinct(tk))).cast("double")
-              / size(tk), 6).as("dup_word_frac"))
-        m.withColumn("gopher_pass",
-          col("n_words").between(50, 100000) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            col("symbol_ratio") <= 0.1 &&
-            col("alpha_word_ratio") >= 0.8 &&
-            col("stop_hits") >= 2 &&
-            col("bullet_share") <= 0.9 &&
-            col("ellipsis_share") <= 0.3 &&
-            col("dup_line_frac") <= 0.3)
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id") +: gopherMetrics(col("text")): _*)
+        .withColumn("gopher_pass", gopherPass)
+        .orderBy(col("doc_id")),
       Some("WITH s AS (SELECT doc_id, text, string_split(text,' ') AS sp, " +
         "string_split(text, chr(10)) AS ln FROM documents), " +
         "m AS (SELECT doc_id, " +
@@ -2573,6 +2539,53 @@ object TextOps {
       .when(lang =!= "en", "non_english")
       .otherwise("kept")
   }
+
+  /** q144's Gopher metric battery as a reusable projection — the batch
+    * query and the streaming gate (`StreamOps.gopherGateStream`) share
+    * these single definitions (the funnelVerdict sharing rule), so a
+    * document's rule metrics can never differ between a live feed and
+    * a backfill. Every metric is a per-row codegen'd string/array op:
+    * stateless, watermark-free, 6dp-rounded ratios so thresholds gate
+    * identically everywhere.
+    */
+  def gopherMetrics(text: Column): Seq[Column] = {
+    val tk = toks(text)
+    val lines = split(text, "\n")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Seq(
+      size(tk).as("n_words"),
+      round(length(translate(text, " ", "")).cast("double")
+        / size(tk), 6).as("mean_word_len"),
+      round((length(text)
+        - length(translate(text, "#", ""))
+        + regexp_count(text, lit("\\.\\.\\."))).cast("double")
+        / size(tk), 6).as("symbol_ratio"),
+      round(size(filter(tk, w => w.rlike("[a-z]"))).cast("double")
+        / size(tk), 6).as("alpha_word_ratio"),
+      size(filter(array_distinct(tk), x => x.isin(stop: _*)))
+        .as("stop_hits"),
+      round(size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double")
+        / size(lines), 6).as("bullet_share"),
+      round(size(filter(lines, l =>
+        rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast("double") / size(lines), 6).as("ellipsis_share"),
+      round((size(lines) - size(array_distinct(lines))).cast("double")
+        / size(lines), 6).as("dup_line_frac"),
+      round((size(tk) - size(array_distinct(tk))).cast("double")
+        / size(tk), 6).as("dup_word_frac"))
+  }
+
+  /** The q144 gate conjunction over `gopherMetrics` column names. */
+  def gopherPass: Column =
+    col("n_words").between(50, 100000) &&
+      col("mean_word_len").between(3.0, 10.0) &&
+      col("symbol_ratio") <= 0.1 &&
+      col("alpha_word_ratio") >= 0.8 &&
+      col("stop_hits") >= 2 &&
+      col("bullet_share") <= 0.9 &&
+      col("ellipsis_share") <= 0.3 &&
+      col("dup_line_frac") <= 0.3
 
   /** Distributed min-label propagation over a BIDIRECTIONAL edge set
     * (src, dst): every vertex converges to the minimum vertex id of

@@ -377,6 +377,39 @@ object VectorOps {
         "FROM sil GROUP BY cell ORDER BY cell")),
 
     GraftQuery(
+      "q150_dim_variance",
+      "Embedding variance spectrum — per-dimension mean/variance across the corpus, ranked by variance with the cumulative share of total variance: the diagnostic read before EVERY quantization decision this engine serves (how many PQ sub-space bits the corpus can actually use, which dims q99's scalar quantizer should keep, how many sign-LSH bits carry signal — the 24-bit cap in q51's bucketing is exactly a claim about this table). A flat spectrum says the embedding is isotropic (PQ codebooks get equal work; this fixture); a cliff says train the codebooks on the head dims and truncate the tail. One exploded pass → a 64-row moment table (count/mean/E[x²] per dim, 6dp-rounded before the variance subtraction so both engines agree exactly); the ranking window runs over those 64 ROWS ONLY (the q89 offset-table posture — O(dims), never corpus-scale), with the total-variance broadcast as a 1-row agg. At 100 TB: the moment pass is map-side-combined on 64 keys; everything after is constant-size.",
+      (s, d) => {
+        val dims = t(s, d, "embeddings")
+          .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
+        val st = dims.groupBy(col("i"))
+          .agg(round(avg(col("v")), 6).as("mu"),
+            round(avg(col("v") * col("v")), 6).as("m2"))
+          .withColumn("variance", round(col("m2") - col("mu") * col("mu"), 6))
+        val total = st.agg(sum(col("variance")).as("total"))
+        val w = Window.orderBy(col("variance").desc, col("i"))
+        st.crossJoin(broadcast(total))
+          .withColumn("vrank", row_number().over(w))
+          .withColumn("cum", sum(col("variance")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("vrank"), col("i").as("dim"), col("mu"), col("variance"),
+            round(col("cum") / col("total"), 6).as("cum_share"))
+          .orderBy(col("vrank"))
+      },
+      Some("WITH dims AS (SELECT i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, 65)) t(i)), " +
+        "st AS (SELECT i, round(avg(v), 6) AS mu, round(avg(v*v), 6) AS m2 " +
+        "FROM dims GROUP BY i), " +
+        "vv AS (SELECT i, mu, round(m2 - mu*mu, 6) AS variance FROM st), " +
+        "tt AS (SELECT sum(variance) AS total FROM vv), " +
+        "r AS (SELECT i, mu, variance, " +
+        "CAST(row_number() OVER (ORDER BY variance DESC, i) AS INTEGER) AS vrank, " +
+        "sum(variance) OVER (ORDER BY variance DESC, i ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM vv) " +
+        "SELECT vrank, i AS dim, mu, variance, round(cum/total, 6) AS cum_share " +
+        "FROM r, tt ORDER BY vrank")),
+
+    GraftQuery(
       "q52_ivf_assign",
       "IVF building block: per-label centroids (rounded to 6dp to pin FP), then nearest-centroid assignment by squared L2 — the routing step of an IVF index. Centroid table is tiny and broadcasts.",
       (s, d) => {

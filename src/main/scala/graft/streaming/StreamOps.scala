@@ -54,6 +54,21 @@ object StreamOps {
     docs.withColumn("verdict",
       graft.queries.TextOps.funnelVerdict(col("text"), col("lang")))
 
+  /** Streaming Gopher gate — the stateless streaming twin of batch
+    * q144_gopher_rules, sharing `TextOps.gopherMetrics`/`gopherPass`
+    * verbatim (the funnelVerdict sharing rule) so a document's rule
+    * verdict is identical on the live feed and in a batch backfill.
+    * Emits the full metric battery plus the gate, not just the
+    * boolean: a production sink keeps the metrics so threshold sweeps
+    * can re-gate HISTORY without re-reading text. Pure per-row map —
+    * append mode, no watermark, no state.
+    * Input must carry `doc_id` and `text`.
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id") +: graft.queries.TextOps.gopherMetrics(col("text")): _*)
+      .withColumn("gopher_pass", graft.queries.TextOps.gopherPass)
+
   /** Train-batch / score-stream — the online curation gate: q138's
     * batch-trained student (a pure-transformer PipelineModel: tokenize
     * → hash → assemble → linear score, coefficients broadcast) scores

@@ -186,4 +186,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, avg, mn, mx) =>
       mn >= -1.0 && mx <= 1.0 && avg >= mn && avg <= mx })
   }
+
+  test("q150 equals an independent variance-spectrum recomputation") {
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val nd = vecs.head.length
+    val spectrum = (0 until nd).map { i =>
+      val xs = vecs.map(_(i))
+      val mu = r6(xs.sum / xs.length)
+      val m2 = r6(xs.map(x => x * x).sum / xs.length)
+      (i, mu, r6(m2 - mu * mu))
+    }
+    val total = spectrum.map(_._3).sum
+    val ranked = spectrum.sortBy { case (i, _, v) => (-v, i) }
+    val cums = ranked.scanLeft(0.0)(_ + _._3).tail
+    val expect = ranked.zipWithIndex.map { case ((i, mu, v), k) =>
+      (k + 1) -> (i, mu, v, r6(cums(k) / total))
+    }.toMap
+
+    val got = Registry.byName("q150_dim_variance").fn(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("vrank") ->
+        ((r.getAs[Int]("dim"), r.getAs[Double]("mu"),
+          r.getAs[Double]("variance"), r.getAs[Double]("cum_share")))).toMap
+    assert(got === expect)
+    assert(got.size === nd)
+    // cumulative share is monotone and ends at 1
+    assert(got(nd)._4 === 1.0)
+    assert((1 until nd).forall(k => got(k)._4 <= got(k + 1)._4))
+  }
 }

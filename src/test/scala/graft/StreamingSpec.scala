@@ -97,6 +97,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Gopher gate matches the batch q144 battery exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // real fixture documents, so the equality covers the full metric
+    // battery (bullet/ellipsis lines, dup fractions), not toy strings
+    val fixture = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.gopherGateStream(input.toDF())
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      val docs = fixture.map { case (id, text) =>
+        StreamOps.Doc(id, ts("2024-01-01 00:00:00"), text)
+      }
+      input.addData(docs.take(25).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(25).toIndexedSeq: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> r.toSeq.drop(1)
+      val streamed = spark.table("gopher_stream").collect().map(key).toMap
+      // batch twin = the registered q144 projection on the same docs
+      val batch = Registry.byName("q144_gopher_rules").fn(spark, sfDir)
+        .filter(col("doc_id").isin(fixture.map(_._1).toSeq: _*))
+        .collect().map(key).toMap
+      assert(streamed === batch)
+      assert(streamed.size === 50)
+      // the gate must discriminate on real data in both modes
+      val gates = streamed.values.map(_.last).toSet
+      assert(gates === Set(true, false))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
