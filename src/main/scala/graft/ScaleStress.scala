@@ -143,7 +143,16 @@ object ScaleStress {
       // duplicate-n-gram rules: three token-key explode+count passes —
       // gram volume is token-linear, and the 10x dup corpus leaves
       // per-doc gram distributions unchanged
-      "q145_ngram_repetition")
+      "q145_ngram_repetition",
+      // round-8 additions: triangles ride the 45×-denser pair graph
+      // through two endpoint-keyed joins (wedge volume, not corpus);
+      // the recall calibration's exact arm is 10 broadcast queries ×
+      // the 10× corpus (linear) and its LSH/IVF arms prune to
+      // buckets/cells; the Morton audit and variance spectrum are
+      // narrow integer/moment passes with constant-size rollups; the
+      // silhouette is the 10× corpus × k centroid-distance table
+      "q146_pair_triangles", "q147_ann_recall", "q148_zorder_layout",
+      "q149_cell_silhouette", "q150_dim_variance")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
