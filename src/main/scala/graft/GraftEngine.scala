@@ -85,6 +85,35 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.queries.VectorOps.annTopK(spark, dataDir, queries, topK, nProbe,
       shortlist)
 
+  /** Batch Gopher quality gate on ANY docs frame carrying `doc_id` and
+    * `text` — q144's shared metric battery + gate (the same definitions
+    * the streaming gate applies), for corpora outside the fixture dirs.
+    */
+  def gopherGate(docs: DataFrame): DataFrame =
+    docs.select(org.apache.spark.sql.functions.col("doc_id") +:
+        graft.queries.TextOps.gopherMetrics(
+          org.apache.spark.sql.functions.col("text")): _*)
+      .withColumn("gopher_pass", graft.queries.TextOps.gopherPass)
+
+  /** Morton-clustered parquet write (ext.ZOrder) — the OPTIMIZE
+    * ZORDER BY surface; `dims` are integral-castable expressions
+    * (cents, epoch days — the q148 discipline).
+    */
+  def zorderWrite(df: DataFrame, dims: Seq[org.apache.spark.sql.Column],
+      path: String, files: Int = 16): Unit =
+    graft.ext.ZOrder.zorderWrite(df, dims, path, files)
+
+  /** Lossless export/import through ORC/JSON/CSV (ingest.FormatIo):
+    * binary and nested columns ride encoded where the format lacks
+    * the type and decode back under the original schema.
+    */
+  def export(df: DataFrame, path: String, format: String): Unit =
+    graft.ingest.FormatIo.write(df, path, format)
+
+  def importAs(path: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.ingest.FormatIo.read(spark, path, format, schema)
+
   /** Release session-pinned kernels and served indexes (the lifecycle
     * hook Bench/Verify call after their sweeps).
     */

@@ -775,6 +775,36 @@ object Relational {
           "CAST(max(pq) - min(pq) AS BIGINT) AS price_span, " +
           "CAST(max(dq) - min(dq) AS BIGINT) AS date_span " +
           "FROM u GROUP BY layout, bucket ORDER BY layout, bucket"
+      }),
+
+    GraftQuery(
+      "q151_data_profile",
+      "Table profiler (the Deequ/Glue-crawler-style column-statistics pass every pipeline runs before trusting a new feed): one row per column of `documents` with row count, null count, exact distinct count, lexicographic min/max (cast to string for a uniform report schema), and mean rendered length. Architecture is one SMALL AGGREGATE PER COLUMN unioned — deliberately not a single wide pass: the exact-distinct forces a per-column shuffle of that column's values anyway, and per-column branches mean each parquet scan PRUNES to exactly its one column (ReadSchema carries a single field per branch), so a 200-column 100 TB table profiles as 200 independent single-column jobs that schedule in parallel and never read each other's bytes. A sketch-based variant would swap countDistinct for the engine's HLL (q85) and drop the shuffles entirely; this query is the exact-oracle form. Min/max on the text column are whole-document strings — the hash compare prices that honestly.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        docs.schema.fields.toSeq.map { f =>
+          val c = col(f.name)
+          docs.agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(c)).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(c).cast("string").as("min_val"),
+            max(c).cast("string").as("max_val"),
+            round(avg(length(c.cast("string"))), 4).as("avg_len"))
+            .select(lit(f.name).as("col_name"), col("*"))
+        }.reduce(_ unionAll _).orderBy(col("col_name"))
+      },
+      Some {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        cols.map { c =>
+          s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"CAST(min($c) AS VARCHAR) AS min_val, " +
+            s"CAST(max($c) AS VARCHAR) AS max_val, " +
+            s"round(avg(length(CAST($c AS VARCHAR))), 4) AS avg_len " +
+            "FROM documents"
+        }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
       })
   )
 }

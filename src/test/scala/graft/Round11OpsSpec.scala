@@ -214,4 +214,47 @@ class Round11OpsSpec extends SparkSpec {
     assert(got(nd)._4 === 1.0)
     assert((1 until nd).forall(k => got(k)._4 <= got(k + 1)._4))
   }
+
+  test("q151 equals an independent profile and scans ONE column per branch") {
+    val docs = Tables.load(spark, sfDir, "documents").collect()
+    val byCol: Map[String, Seq[Any]] =
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        c -> docs.toSeq.map(_.getAs[Any](c))
+      }.toMap
+    val expect = byCol.map { case (c, vs) =>
+      val typed = vs.filter(_ != null)
+      // min/max are TYPED (numeric for longs) before the string cast —
+      // lexicographic "99" > "499" must not leak into the expectation
+      val (mn, mx) = typed.head match {
+        case _: Long =>
+          val l = typed.map(_.asInstanceOf[Long]); (l.min.toString, l.max.toString)
+        case _ =>
+          val t = typed.map(_.toString); (t.min, t.max)
+      }
+      val present = typed.map(String.valueOf(_))
+      c -> (vs.length.toLong, vs.count(_ == null).toLong,
+        present.distinct.length.toLong, mn, mx,
+        BigDecimal(present.map(_.length.toDouble).sum / present.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    val df = Registry.byName("q151_data_profile").fn(spark, sfDir)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getDouble(6))).toMap
+    assert(got === expect)
+    // the scale claim: each union branch's parquet scan must prune to
+    // exactly its own column, never the full row
+    staticPlan {
+      val txt = Registry.byName("q151_data_profile").fn(spark, sfDir)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val reads = txt.linesIterator
+        .filter(_.trim.startsWith("ReadSchema:")).toSeq
+      assert(reads.nonEmpty)
+      // one field per scan = no comma inside the struct<...>
+      assert(reads.forall(l => !l.substring(l.indexOf("struct<")).contains(",")),
+        s"a profile branch reads more than its column:\n${reads.mkString("\n")}")
+    }
+  }
 }
