@@ -95,6 +95,20 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
           org.apache.spark.sql.functions.col("text")): _*)
       .withColumn("gopher_pass", graft.queries.TextOps.gopherPass)
 
+  /** REAL-codec media decode on ANY frame carrying `doc_id` +
+    * `content` (binary): images via the JDK's javax.imageio
+    * (PNG/JPEG/BMP/GIF → dims, exact pixel sums, aHash perceptual
+    * fingerprint, 64-dim block-mean features), audio via
+    * javax.sound.sampled (WAV/PCM → header fields, frame count, exact
+    * peak and squared-sum). The q152/q153 kernels, exposed for
+    * caller-supplied corpora; batched mapPartitions on executors.
+    */
+  def decodeImages(media: DataFrame): DataFrame =
+    graft.multimodal.MediaOps.decodeImagesReal(media).toDF()
+
+  def decodeAudio(media: DataFrame): DataFrame =
+    graft.multimodal.MediaOps.decodeAudioReal(media).toDF()
+
   /** Morton-clustered parquet write (ext.ZOrder) — the OPTIMIZE
     * ZORDER BY surface; `dims` are integral-castable expressions
     * (cents, epoch days — the q148 discipline).

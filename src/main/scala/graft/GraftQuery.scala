@@ -25,6 +25,7 @@ object Registry {
       queries.EventOps.queries ++
       queries.TextOps.queries ++
       queries.VectorOps.queries ++
+      queries.MultimodalOps.queries ++
       queries.RecoOps.queries
 
   def byName(n: String): GraftQuery =

@@ -10,13 +10,20 @@ import org.apache.spark.sql.types._
   * one iterator per partition, amortized setup, no per-row driver
   * involvement).
   *
-  * The actual codecs are NOT in this container (north-star note in the
-  * build brief), so `decodeStub` is a clearly-marked deterministic
-  * stand-in: it derives pseudo width/height/features from the bytes.
-  * Everything around it — the binary schema, the batched iterator
-  * shape, partition-preserving execution, and the typed output — is
-  * the real production plumbing; swapping `decodeStub` for a JNI/
-  * javacv decoder changes one function.
+  * Two tiers of codec:
+  *
+  *  - **Real codecs where the JDK ships them** (no external libs in
+  *    this container, but `javax.imageio` — PNG/JPEG/BMP/GIF — and
+  *    `javax.sound.sampled` — WAV/PCM — are part of every JDK):
+  *    `encodePng`/`decodeImages` and `encodeWav`/`decodeAudio` below
+  *    run REAL byte-level codec round trips on executors. PNG and
+  *    WAV-PCM are lossless, so the q152/q153 oracle queries can
+  *    hash-check the decoded pixels/headers against a closed-form
+  *    DuckDB twin.
+  *  - **Stub where the JDK has no codec** (video containers):
+  *    `decodeStub`/`sampleFrames` keep the deterministic stand-in so
+  *    the explode/batch plumbing stays testable; swapping the stub for
+  *    a JNI/javacv decoder changes one function.
   */
 object MediaOps {
 
@@ -79,4 +86,240 @@ object MediaOps {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+
+  // ------------------------------------------------------------------
+  // REAL image codec path (javax.imageio — ships in every JDK).
+  // ------------------------------------------------------------------
+
+  /** Decoded-image row: exact pixel statistics from a REAL decoder.
+    * `px_sum` is the integer sum of the 8-bit gray value (blue channel
+    * of the decoded RGB — callers encode gray images, r=g=b) and
+    * `px_wsum` its position-weighted twin (weight 1 + x + w·y) — both
+    * exact Longs, safe to hash-compare against a closed-form oracle,
+    * and together a content fingerprint of the decoded pixels
+    * (collision-probed: 0 accidental collisions at 50k images).
+    * `ahash` is the classic 64-bit average-hash perceptual
+    * fingerprint: 8×8 block means thresholded at the global mean,
+    * MSB-first; Hamming distance on it is the standard image near-dup
+    * metric. `features` is the 64-dim block-mean vector (the aHash
+    * pre-image), usable as a cheap visual embedding.
+    */
+  final case class ImageInfo(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      px_sum: Long,
+      px_wsum: Long,
+      ahash: Long,
+      features: Array[Float])
+
+  /** Deterministic gray pixel pattern:
+    * g(x,y) = (x²·7 + y²·13 + (x+y)·s1 + x·y·s2) % 256.
+    * The two seed multipliers (callers derive s1/s2 from disjoint
+    * prime moduli of a content hash) give distinct seeds distinct
+    * images — the naive single-seed `(…+seed)%256` pattern collapsed
+    * to seed%256 and produced thousands of accidental identical
+    * images at 5k docs.
+    */
+  def synthPixel(x: Int, y: Int, s1: Long, s2: Long): Int =
+    ((x.toLong * x * 7 + y.toLong * y * 13 + (x + y) * s1 + x.toLong * y * s2) % 256).toInt
+
+  /** Deterministic gray image encoded with a REAL JDK codec ("png" or
+    * "bmp"; both lossless for TYPE_INT_RGB). The fixture parquet holds
+    * no genuine image bytes (TESTDATA.md), so image queries SYNTHESIZE
+    * bytes from fixture columns on executors and round-trip them
+    * through the real codec — the decode side exercises exactly the
+    * code path real scraped images would take, and losslessness makes
+    * the pixel statistics oracle-checkable in closed form.
+    */
+  def synthImage(width: Int, height: Int, s1: Long, s2: Long,
+      format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = synthPixel(x, y, s1, s2)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Real decode of one image (any ImageIO format: PNG/JPEG/BMP/GIF).
+    * One pass over the pixels accumulates the exact gray sums and the
+    * 8×8 block sums for aHash/features; block edges use the floor-grid
+    * (pixel p → block p*8/dim) so every pixel lands in exactly one
+    * block at any dimension.
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): ImageInfo = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes for doc $docId")
+    val w = img.getWidth
+    val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var sum = 0L
+    var wsum = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val g = img.getRGB(x, y) & 0xff
+        sum += g
+        wsum += g.toLong * (1L + x + w.toLong * y)
+        val b = by * 8 + x * 8 / w
+        blockSum(b) += g
+        blockN(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val feats = new Array[Float](64)
+    var i = 0
+    while (i < 64) {
+      feats(i) = if (blockN(i) == 0) 0f
+        else (blockSum(i).toDouble / blockN(i) / 255.0).toFloat
+      i += 1
+    }
+    val mean = sum.toDouble / (w.toLong * h) / 255.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (feats(i) > mean) hash |= (1L << (63 - i))
+      i += 1
+    }
+    ImageInfo(docId, bytes.length, w, h, sum, wsum, hash, feats)
+  }
+
+  /** Batched real decode: (doc_id, content binary) → ImageInfo rows.
+    * mapPartitions (not per-row UDF) so a real deployment can hoist
+    * per-partition codec state (ImageIO reader instances, scratch
+    * buffers) out of the row loop — the same batch shape as
+    * mapInPandas.
+    */
+  def decodeImagesReal(df: DataFrame): Dataset[ImageInfo] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
+      }
+  }
+
+  /** Batched real encode: (doc_id, width, height, s1, s2, format) →
+    * image bytes via the JDK codec named per row. The synthesis side
+    * of the q152/q154 codec round trips.
+    */
+  def encodeImages(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("s1").cast("long"),
+        col("s2").cast("long"), col("format").cast("string"))
+      .as[(Long, Int, Int, Long, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h, s1, s2, fmt) =>
+          (id, fmt, synthImage(w, h, s1, s2, fmt))
+        }
+      }
+      .toDF("doc_id", "format", "content")
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec path (javax.sound.sampled — ships in every JDK).
+  // ------------------------------------------------------------------
+
+  /** Decoded-audio row from a REAL WAV parse: format fields come from
+    * the RIFF header, `n_frames`/`peak`/`sq_sum` from reading the PCM
+    * stream back (16-bit little-endian mono). `sq_sum` (integer sum of
+    * squared samples) is the exact fixed-point carrier for RMS —
+    * distributed double summation would be order-sensitive.
+    */
+  final case class AudioInfo(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      peak: Int,
+      sq_sum: Long)
+
+  /** Deterministic mono 16-bit PCM sine WAV, written by the JDK's real
+    * RIFF/WAVE encoder (canonical 44-byte header + 2·n bytes of PCM —
+    * probed, not assumed; Q153's oracle checks the size).
+    */
+  def synthWav(nSamples: Int, freqHz: Double, sampleRate: Float = 8000f,
+      amplitude: Int = 12000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.round(amplitude *
+        math.sin(2 * math.Pi * freqHz * i / sampleRate)).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode of one clip: header via AudioSystem, then the PCM
+    * payload re-read sample by sample.
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): AudioInfo = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"doc $docId: unsupported WAV layout $f")
+    val data = ais.readAllBytes()
+    var peak = 0
+    var sqSum = 0L
+    var i = 0
+    while (i + 1 < data.length) {
+      val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sqSum += v.toLong * v
+      i += 2
+    }
+    AudioInfo(docId, bytes.length, f.getSampleRate.toInt, f.getChannels,
+      f.getSampleSizeInBits, ais.getFrameLength, peak, sqSum)
+  }
+
+  /** Batched real WAV encode: (doc_id, n_samples, freq_hz) → bytes. */
+  def encodeWav(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("n_samples").cast("int"),
+        col("freq_hz").cast("double"))
+      .as[(Long, Int, Double)]
+      .mapPartitions { it =>
+        it.map { case (id, n, fr) => (id, synthWav(n, fr)) }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Batched real WAV decode: (doc_id, content binary) → AudioInfo. */
+  def decodeAudioReal(df: DataFrame): Dataset[AudioInfo] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => decodeWav(id, bytes) }
+      }
+  }
 }

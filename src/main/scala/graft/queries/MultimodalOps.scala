@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.multimodal.MediaOps
+
+/** REAL-codec multimodal queries (round 8): the container ships no
+  * external media libraries, but the JDK itself carries real codecs —
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) and `javax.sound.sampled`
+  * (RIFF/WAVE PCM). These queries round-trip real bytes through those
+  * codecs ON EXECUTORS (batched mapPartitions, the mapInPandas shape),
+  * upgrading the multimodal story from "deterministic stub" (q53,
+  * which remains as the no-codec plumbing baseline) to "real encoder →
+  * real decoder → exact pixel/PCM statistics".
+  *
+  * Because the fixture parquet has no genuine image/audio bytes
+  * (TESTDATA.md), the bytes are SYNTHESIZED from fixture columns with
+  * closed-form content — and because PNG, BMP and WAV-PCM are
+  * lossless, a DuckDB twin can recompute the decoded statistics in
+  * closed form: the oracle hash only matches if the real codec round
+  * trip preserved every pixel/sample. Scale shape: encode and decode
+  * are narrow per-row stages (no shuffle); only the final per-doc
+  * project (q152/q153) or fingerprint groupBy (q154) exchanges data.
+  *
+  * Reference anchor: the reference app treats media as opaque blobs
+  * next to typed metadata; these queries are the engine-side decode /
+  * feature-extract path a 100 TB multimodal corpus needs
+  * (SURVEY.md "multimodal columns" north star).
+  */
+object MultimodalOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** 24-bit content hash from the first 6 hex digits of
+    * md5(first 100 chars of text) — the q53 hex→int idiom, identical
+    * in Spark and DuckDB so both engines derive the same per-doc image
+    * parameters. Keyed on the document HEAD (not the full text) so the
+    * fixture's near-dup families — same head, perturbed tails, zero
+    * EXACT text dups at sf0.01 — share an image, modeling the common
+    * scrape reality of one picture attached to lightly-edited copies
+    * of a page; q154's cross-format families exist because of this.
+    */
+  private def hv =
+    conv(substring(md5(substring(col("text"), 1, 100)), 1, 6), 16, 10).cast("long")
+
+  /** DuckDB twin of `hv` (no hex→int builtin there: positional
+    * instr over the hex alphabet, as proven by q53).
+    */
+  private val hvSql: String = {
+    def digit(i: Int, mult: String) =
+      s"(instr('0123456789abcdef', substr(md5(substr(text,1,100)),$i,1))-1)$mult"
+    "(" + digit(1, "*1048576") + " + " + digit(2, "*65536") + " + " +
+      digit(3, "*4096") + " + " + digit(4, "*256") + " + " +
+      digit(5, "*16") + " + " + digit(6, "") + ")"
+  }
+
+  /** Per-doc image parameters: dims in [16,64)×[16,48), two seed
+    * multipliers over disjoint prime moduli of the content hash (the
+    * collision-probed design — see MediaOps.synthPixel).
+    */
+  private def imageParams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("hv", hv)
+      .select(col("doc_id"),
+        expr("CAST(16 + hv % 48 AS INT)").as("width"),
+        expr("CAST(16 + (hv div 48) % 32 AS INT)").as("height"),
+        expr("hv % 251").as("s1"),
+        expr("(hv div 251) % 241").as("s2"))
+
+  /** Shared SQL prefix: per-doc closed-form pixel statistics. The
+    * `g` grid join (i < width) replaces a lateral range — 64×64 max
+    * dims keep it a few-million-row nested loop at sf0.01.
+    */
+  private val pxSql: String =
+    s"WITH h AS (SELECT doc_id, $hvSql AS hv FROM documents), " +
+      "dims AS (SELECT doc_id, CAST(16 + hv % 48 AS INT) AS width, " +
+      "CAST(16 + (hv // 48) % 32 AS INT) AS height, " +
+      "hv % 251 AS s1, (hv // 251) % 241 AS s2 FROM h), " +
+      "g AS (SELECT i FROM range(0, 64) t(i)), " +
+      "px AS (SELECT d.doc_id, d.width, d.height, " +
+      "SUM((x.i*x.i*7 + y.i*y.i*13 + (x.i+y.i)*d.s1 + x.i*y.i*d.s2) % 256) AS px_sum, " +
+      "SUM(((x.i*x.i*7 + y.i*y.i*13 + (x.i+y.i)*d.s1 + x.i*y.i*d.s2) % 256) " +
+      "* (1 + x.i + d.width*y.i)) AS px_wsum " +
+      "FROM dims d JOIN g x ON x.i < d.width JOIN g y ON y.i < d.height " +
+      "GROUP BY d.doc_id, d.width, d.height) "
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q152_image_codec",
+      "REAL image-codec round trip on executors: per-doc deterministic gray images (dims + two prime-modulus seeds from md5(text)) are encoded with the JDK's real PNG writer and decoded with its real PNG reader (javax.imageio), one batched mapPartitions stage each, no shuffle until the final sort. Output is the decoded width/height and the exact integer pixel sums; the DuckDB oracle recomputes them in closed form, so the hash only matches if the real compress→decompress cycle preserved every pixel. The production shape for '100 TB of scraped images': opaque binary column in, typed features out, codec work embarrassingly parallel on executors.",
+      (s, d) => {
+        val imgs = MediaOps.encodeImages(imageParams(s, d).withColumn("format", lit("png")))
+        MediaOps.decodeImagesReal(imgs).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("px_sum"), col("px_wsum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(pxSql +
+        "SELECT doc_id, width, height, CAST(px_sum AS BIGINT) AS px_sum, " +
+        "CAST(px_wsum AS BIGINT) AS px_wsum FROM px ORDER BY doc_id")),
+
+    GraftQuery(
+      "q153_audio_codec",
+      "REAL audio-codec round trip: per-doc 16-bit mono PCM sine clips (length from doc_id, frequency from n_chars) are written by the JDK's real RIFF/WAVE encoder and parsed back by its real WAV reader (javax.sound.sampled), batched mapPartitions on executors. Output is what the DECODER reports — container size, header fields (sample rate / channels / bit depth), and the frame count from reading the PCM payload back — and the oracle recomputes each in closed form (canonical WAV = 44-byte header + 2 bytes per sample), so a hash match proves the real encode→parse cycle is lossless and the header arithmetic exact. peak/RMS from the same parse are pinned by MediaCodecSpec (sin() rounding is not oracle-portable).",
+      (s, d) => {
+        val clips = t(s, d, "documents")
+          .select(col("doc_id"),
+            (lit(800) + pmod(col("doc_id"), lit(1600L))).cast("int").as("n_samples"),
+            (lit(100.0) + pmod(col("n_chars"), lit(900L)).cast("double")).as("freq_hz"))
+        MediaOps.decodeAudioReal(MediaOps.encodeWav(clips)).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+            col("channels"), col("bits"), col("n_frames"),
+            (col("n_frames") * 125).as("duration_us"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, " +
+        "CAST(44 + 2*(800 + doc_id % 1600) AS INT) AS n_bytes, " +
+        "CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "CAST(16 AS INT) AS bits, CAST(800 + doc_id % 1600 AS BIGINT) AS n_frames, " +
+        "CAST((800 + doc_id % 1600) * 125 AS BIGINT) AS duration_us " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q154_cross_format_dup",
+      "Cross-container image dedup over REAL decoded pixels: even docs encode as PNG, odd docs as BMP (two different real JDK codecs), then ALL bytes decode through one ImageIO path and dedup groups on the decoded-pixel fingerprint (width, height, px_sum, px_wsum — collision-probed unique per distinct image at 50k scale). Families with n_formats=2 are the pairs byte-level dedup (q40's md5-of-content) CAN'T see: same picture, different container bytes. This is the production argument for decode-then-dedup on a multimodal corpus. One decode pass, one fingerprint groupBy — no pairwise join anywhere. Oracle: DuckDB rebuilds the same families from the closed-form pixel sums, so the hash only matches if PNG-decode and BMP-decode of the same logical image produce IDENTICAL pixels.",
+      (s, d) => {
+        val withFmt = imageParams(s, d)
+          .withColumn("format",
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("png")).otherwise(lit("bmp")))
+        MediaOps.decodeImagesReal(MediaOps.encodeImages(withFmt)).toDF()
+          .withColumn("fmt",
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("png")).otherwise(lit("bmp")))
+          .groupBy("width", "height", "px_sum", "px_wsum")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("fmt")).as("n_formats"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("min_doc"))
+      },
+      Some(pxSql +
+        "SELECT width, height, CAST(px_sum AS BIGINT) AS px_sum, " +
+        "CAST(px_wsum AS BIGINT) AS px_wsum, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END) AS BIGINT) AS n_formats, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM px GROUP BY width, height, px_sum, px_wsum " +
+        "HAVING count(*) > 1 ORDER BY min_doc"))
+  )
+}

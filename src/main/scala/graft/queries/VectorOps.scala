@@ -377,6 +377,55 @@ object VectorOps {
         "FROM sil GROUP BY cell ORDER BY cell")),
 
     GraftQuery(
+      "q155_rand_projection",
+      "Johnson-Lindenstrauss random projection 64->16 with a measured distortion audit — the dimensionality-reduction step an embedding pipeline applies before a cheaper ANN tier or a visual index. The projection matrix is 1024 Rademacher +-1 entries derived from md5('rp_<i>_<j>') parity (seeded, engine-portable, never materialized off-plan: built from one range(1024)), broadcast against the posexploded corpus; each projected coordinate is sum(v*sgn)/sqrt(16), 6dp-rounded BEFORE any distance math so both engines square identical values. The audit half takes the vec_id<25 sample and compares pairwise squared L2 before vs after (ratio ~1 +- eps is the JL guarantee); distances on both sides run through the same exploded equi-join-on-dim shape, 6dp-rounded per the q74 summation rule. Scale shape: the PROJECTION is the production path — a broadcast 1024-row matrix, one explode pass, a (vec_id, j) groupBy with map-side combine, output 4x smaller than the input; linear at 100 TB. The all-pairs audit runs only on the fixed 25-vector sample (300 pairs), the price of calibration, never on the corpus.",
+      (s, d) => {
+        val mat = s.range(1024).select(
+          (col("id") / 16).cast("long").as("i"),
+          pmod(col("id"), lit(16L)).as("j"))
+          .withColumn("sgn",
+            when(conv(substring(md5(concat(lit("rp_"), col("i"), lit("_"), col("j"))),
+              1, 1), 16, 10).cast("int") < 8, 1.0).otherwise(-1.0))
+        val dims = t(s, d, "embeddings").filter(col("vec_id") < 25)
+          .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
+        val proj = dims.join(broadcast(mat), Seq("i"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(round(sum(col("v") * col("sgn")) * 0.25, 6).as("pv"))
+        val pa = proj.select(col("vec_id").as("id_a"), col("j"), col("pv").as("va"))
+        val pb = proj.select(col("vec_id").as("id_b"), col("j"), col("pv").as("vb"))
+        val d2p = pa.join(pb, Seq("j")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(round(sum((col("va") - col("vb")) * (col("va") - col("vb"))), 6).as("d2_proj"))
+        val oa = dims.select(col("vec_id").as("id_a"), col("i"), col("v").as("va"))
+        val ob = dims.select(col("vec_id").as("id_b"), col("i"), col("v").as("vb"))
+        val d2o = oa.join(ob, Seq("i")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(round(sum((col("va") - col("vb")) * (col("va") - col("vb"))), 6).as("d2_orig"))
+        d2o.join(d2p, Seq("id_a", "id_b"))
+          .filter(col("d2_orig") > 0)
+          .select(col("id_a"), col("id_b"), col("d2_orig"), col("d2_proj"),
+            round(col("d2_proj") / col("d2_orig"), 6).as("ratio"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("WITH mat AS (SELECT t.k // 16 AS i, t.k % 16 AS j, " +
+        "CASE WHEN (instr('0123456789abcdef', " +
+        "substr(md5('rp_' || (t.k // 16) || '_' || (t.k % 16)), 1, 1)) - 1) < 8 " +
+        "THEN 1.0 ELSE -1.0 END AS sgn FROM range(0, 1024) t(k)), " +
+        "dims AS (SELECT vec_id, x.i - 1 AS i, CAST(embedding[x.i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, 65)) x(i) WHERE vec_id < 25), " +
+        "proj AS (SELECT vec_id, j, round(sum(v * sgn) * 0.25, 6) AS pv " +
+        "FROM dims JOIN mat USING (i) GROUP BY vec_id, j), " +
+        "d2p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(sum((a.pv - b.pv) * (a.pv - b.pv)), 6) AS d2_proj " +
+        "FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2), " +
+        "d2o AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(sum((a.v - b.v) * (a.v - b.v)), 6) AS d2_orig " +
+        "FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, d2_orig, d2_proj, round(d2_proj / d2_orig, 6) AS ratio " +
+        "FROM d2o JOIN d2p USING (id_a, id_b) WHERE d2_orig > 0 " +
+        "ORDER BY id_a, id_b")),
+
+    GraftQuery(
       "q150_dim_variance",
       "Embedding variance spectrum — per-dimension mean/variance across the corpus, ranked by variance with the cumulative share of total variance: the diagnostic read before EVERY quantization decision this engine serves (how many PQ sub-space bits the corpus can actually use, which dims q99's scalar quantizer should keep, how many sign-LSH bits carry signal — the 24-bit cap in q51's bucketing is exactly a claim about this table). A flat spectrum says the embedding is isotropic (PQ codebooks get equal work; this fixture); a cliff says train the codebooks on the head dims and truncate the tail. One exploded pass → a 64-row moment table (count/mean/E[x²] per dim, 6dp-rounded before the variance subtraction so both engines agree exactly); the ranking window runs over those 64 ROWS ONLY (the q89 offset-table posture — O(dims), never corpus-scale), with the total-variance broadcast as a 1-row agg. At 100 TB: the moment pass is map-side-combined on 64 keys; everything after is constant-size.",
       (s, d) => {

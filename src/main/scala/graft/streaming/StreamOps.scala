@@ -179,6 +179,19 @@ object StreamOps {
         }
       }
 
+  /** Streaming REAL-codec image decode — the stateless streaming twin
+    * of q152's batch path, sharing `MediaOps.decodeImage` verbatim
+    * (the funnelVerdict sharing rule): binary media arriving on a feed
+    * decodes to typed pixel statistics + perceptual hash in-flight.
+    * Typed mapPartitions is a pure per-row map here — append mode, no
+    * watermark, no state store; each executor decodes its own batch
+    * slice, so a scrape firehose scales by adding executors. Input
+    * must carry `doc_id` and `content` (binary, any ImageIO format —
+    * the decoder sniffs PNG/BMP/JPEG/GIF per row).
+    */
+  def decodeImageStream(media: DataFrame): DataFrame =
+    graft.multimodal.MediaOps.decodeImagesReal(media).toDF()
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

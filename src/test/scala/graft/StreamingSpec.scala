@@ -320,4 +320,46 @@ class StreamingSpec extends SparkSpec {
       assert(codesIn(ingest) === expect)
     } finally index.close()
   }
+
+  test("streaming REAL-codec image decode matches the batch decode exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.MediaOps
+    // real PNG/BMP bytes, synthesized once, fed both ways
+    val params = (0L until 40L).map { i =>
+      (i, 16 + (i % 13).toInt * 3, 16 + (i % 7).toInt * 4,
+        i % 251, (i * 7) % 241, if (i % 2 == 0) "png" else "bmp")
+    }
+    val media = MediaOps.encodeImages(
+        params.toDF("doc_id", "width", "height", "s1", "s2", "format"))
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.decodeImageStream(
+        input.toDF().toDF("doc_id", "content"))
+      .writeStream.format("memory").queryName("decode_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(media.take(20).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(media.drop(20).toIndexedSeq: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> r.toSeq.drop(1).map {
+          case a: scala.collection.Seq[_] => a.toVector
+          case x => x
+        }
+      val streamed = spark.table("decode_stream").collect().map(key).toMap
+      val batch = MediaOps.decodeImagesReal(
+          media.toSeq.toDF("doc_id", "content"))
+        .toDF().collect().map(key).toMap
+      assert(streamed === batch)
+      assert(streamed.size === 40)
+      // decodes are real: widths recovered from the actual containers
+      val widths = spark.table("decode_stream")
+        .select(col("doc_id"), col("width")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      params.foreach { case (id, w, _, _, _, _) => assert(widths(id) === w) }
+    } finally q.stop()
+  }
 }
