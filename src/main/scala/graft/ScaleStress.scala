@@ -152,7 +152,14 @@ object ScaleStress {
       // narrow integer/moment passes with constant-size rollups; the
       // silhouette is the 10× corpus × k centroid-distance table
       "q146_pair_triangles", "q147_ann_recall", "q148_zorder_layout",
-      "q149_cell_silhouette", "q150_dim_variance")
+      "q149_cell_silhouette", "q150_dim_variance",
+      // real-codec multimodal: encode+decode are narrow per-row codec
+      // work (must stay byte-linear under 10× docs); q154 adds one
+      // fingerprint groupBy whose family count scales with dup density;
+      // q155's corpus side is pruned to the fixed 25-vector sample by
+      // pushdown, so its row proves the audit cost is scale-INVARIANT
+      "q152_image_codec", "q153_audio_codec", "q154_cross_format_dup",
+      "q155_rand_projection")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

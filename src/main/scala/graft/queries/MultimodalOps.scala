@@ -31,6 +31,9 @@ import graft.multimodal.MediaOps
 object MultimodalOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   /** 24-bit content hash from the first 6 hex digits of
     * md5(first 100 chars of text) — the q53 hex→int idiom, identical
     * in Spark and DuckDB so both engines derive the same per-doc image
@@ -90,11 +93,24 @@ object MultimodalOps {
       "q152_image_codec",
       "REAL image-codec round trip on executors: per-doc deterministic gray images (dims + two prime-modulus seeds from md5(text)) are encoded with the JDK's real PNG writer and decoded with its real PNG reader (javax.imageio), one batched mapPartitions stage each, no shuffle until the final sort. Output is the decoded width/height and the exact integer pixel sums; the DuckDB oracle recomputes them in closed form, so the hash only matches if the real compress→decompress cycle preserved every pixel. The production shape for '100 TB of scraped images': opaque binary column in, typed features out, codec work embarrassingly parallel on executors.",
       (s, d) => {
-        val imgs = MediaOps.encodeImages(imageParams(s, d).withColumn("format", lit("png")))
-        MediaOps.decodeImagesReal(imgs).toDF()
+        // range-partition on doc_id BEFORE the codec stage, then sort
+        // within partitions: a final .orderBy would put the range
+        // exchange ABOVE the narrow codec chain, and its sampling pass
+        // re-executes that whole chain (no intermediate exchange to
+        // resume from) — every image would be encoded+decoded TWICE.
+        // This way the sampler scans only the cheap params and the
+        // codecs run once; range partitions + in-partition sort is the
+        // same total order. The partition count is EXPLICIT: the
+        // params shuffle is a few bytes/row, so AQE would coalesce it
+        // to ~1 partition and serialize the expensive codec stage
+        // behind it (the cheap-bytes/expensive-compute trap; measured
+        // 3x slower at 10x) — an explicit count pins the parallelism.
+        val parts = imageParams(s, d).withColumn("format", lit("png"))
+          .repartitionByRange(shufflePartitions(s), col("doc_id"))
+        MediaOps.decodeImagesReal(MediaOps.encodeImages(parts)).toDF()
           .select(col("doc_id"), col("width"), col("height"),
             col("px_sum"), col("px_wsum"))
-          .orderBy(col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
       },
       Some(pxSql +
         "SELECT doc_id, width, height, CAST(px_sum AS BIGINT) AS px_sum, " +
@@ -104,15 +120,19 @@ object MultimodalOps {
       "q153_audio_codec",
       "REAL audio-codec round trip: per-doc 16-bit mono PCM sine clips (length from doc_id, frequency from n_chars) are written by the JDK's real RIFF/WAVE encoder and parsed back by its real WAV reader (javax.sound.sampled), batched mapPartitions on executors. Output is what the DECODER reports — container size, header fields (sample rate / channels / bit depth), and the frame count from reading the PCM payload back — and the oracle recomputes each in closed form (canonical WAV = 44-byte header + 2 bytes per sample), so a hash match proves the real encode→parse cycle is lossless and the header arithmetic exact. peak/RMS from the same parse are pinned by MediaCodecSpec (sin() rounding is not oracle-portable).",
       (s, d) => {
+        // pre-codec range partition (explicit width — see q152's AQE
+        // note) + in-partition sort: a post-codec orderBy's sampling
+        // pass would synthesize and parse every WAV twice
         val clips = t(s, d, "documents")
           .select(col("doc_id"),
             (lit(800) + pmod(col("doc_id"), lit(1600L))).cast("int").as("n_samples"),
             (lit(100.0) + pmod(col("n_chars"), lit(900L)).cast("double")).as("freq_hz"))
+          .repartitionByRange(shufflePartitions(s), col("doc_id"))
         MediaOps.decodeAudioReal(MediaOps.encodeWav(clips)).toDF()
           .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
             col("channels"), col("bits"), col("n_frames"),
             (col("n_frames") * 125).as("duration_us"))
-          .orderBy(col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
       },
       Some("SELECT doc_id, " +
         "CAST(44 + 2*(800 + doc_id % 1600) AS INT) AS n_bytes, " +
@@ -128,12 +148,16 @@ object MultimodalOps {
         val withFmt = imageParams(s, d)
           .withColumn("format",
             when(pmod(col("doc_id"), lit(2)) === 0, lit("png")).otherwise(lit("bmp")))
+        // n_formats as max(has_png)+max(has_bmp), not count_distinct:
+        // the distinct-aggregate plan would add a second full shuffle
+        // of the fingerprint table (expand + regroup) for a 2-value
+        // domain — one hash exchange is the 100 TB shape, and
+        // MediaCodecSpec pins it
         MediaOps.decodeImagesReal(MediaOps.encodeImages(withFmt)).toDF()
-          .withColumn("fmt",
-            when(pmod(col("doc_id"), lit(2)) === 0, lit("png")).otherwise(lit("bmp")))
           .groupBy("width", "height", "px_sum", "px_wsum")
           .agg(count(lit(1)).as("n_docs"),
-            count_distinct(col("fmt")).as("n_formats"),
+            (max(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)) +
+              max(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L))).as("n_formats"),
             min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
           .filter(col("n_docs") > 1)
           .orderBy(col("min_doc"))

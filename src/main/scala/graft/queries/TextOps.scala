@@ -1085,6 +1085,80 @@ object TextOps {
         "FROM sc ORDER BY rn")),
 
     GraftQuery(
+      "q156_hybrid_rrf",
+      "Hybrid retrieval fusion — reciprocal-rank fusion (RRF, Cormack et al. 2009, the k=60 constant every production hybrid search uses) of a LEXICAL ranking and a DENSE ranking for the same query set, the modern two-tower retrieval shape: query docs (doc_id < 5; doc_id = vec_id links the modalities, the q123 convention) rank the corpus (a) lexically by summed Lucene idf over shared distinct tokens (the q141 statistics on set-semantics tokens) and (b) densely by embedding cosine (the q50 kernel), each arm keeping its top-10 (self excluded, rounded scores, doc_id tiebreak); fusion full-outer-joins the two lists per query and scores 1/(60+rank) per arm (0 for an arm that missed the doc — reported as rank 0, so the output also audits ARM DISAGREEMENT, which on this fixture is total: embeddings are independent of text, exactly what q123 exposes). Determinism: idf terms round at 6dp before summing, cosines at 6dp, RRF scores at 6dp from exact integer ranks. Scale: the lexical arm is token-key shuffles with the 5-doc query side joined through a broadcast df table; the dense arm broadcasts 5 query vectors over one corpus pass; fusion joins two <=10-row-per-query lists — linear everywhere, the corpus is never pairwise.",
+      (s, d) => {
+        graft.functions.CosineSimilarity.ensureRegistered(s)
+        val docs = t(s, d, "documents")
+        val dtok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .distinct()
+        val dfT = dtok.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val qtok = dtok.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("tok"))
+        val lex = qtok.join(dtok, Seq("tok"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .join(broadcast(dfT), Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("idf", round(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(round(sum(col("idf")), 6).as("s"))
+        val lexTop = lex.withColumn("lex_rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))))
+          .filter(col("lex_rn") <= 10)
+          .select(col("q_id"), col("doc_id"), col("lex_rn"))
+        val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val denTop = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+          .withColumn("dense_rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .filter(col("dense_rn") <= 10)
+          .select(col("q_id"), col("vec_id").as("doc_id"), col("dense_rn"))
+        lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
+          .select(col("q_id"), col("doc_id"),
+            coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
+            coalesce(col("dense_rn"), lit(0)).as("dense_rn"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dense_rn")), lit(0.0)), 6).as("rrf"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, tok FROM tk), " +
+        "dfT AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY tok), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), " +
+        "qt AS (SELECT doc_id AS q_id, tok FROM dt WHERE doc_id < 5), " +
+        "lex AS (SELECT q_id, d.doc_id, round(sum(" +
+        "round(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)), 6)), 6) AS s " +
+        "FROM qt JOIN dt d USING (tok) JOIN dfT USING (tok), n " +
+        "WHERE d.doc_id <> q_id GROUP BY q_id, d.doc_id), " +
+        "lt AS (SELECT q_id, doc_id, lex_rn FROM (SELECT q_id, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, doc_id) AS INTEGER) AS lex_rn " +
+        "FROM lex) WHERE lex_rn <= 10), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5), " +
+        "den AS (SELECT q_id, e.vec_id AS doc_id, " +
+        "round(list_inner_product(q_emb, emb)/" +
+        "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6) AS cos_r " +
+        "FROM q JOIN e ON e.vec_id <> q.q_id), " +
+        "dn AS (SELECT q_id, doc_id, dense_rn FROM (SELECT q_id, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, doc_id) AS INTEGER) AS dense_rn " +
+        "FROM den) WHERE dense_rn <= 10), " +
+        "f AS (SELECT coalesce(lt.q_id, dn.q_id) AS q_id, " +
+        "coalesce(lt.doc_id, dn.doc_id) AS doc_id, " +
+        "coalesce(lex_rn, 0) AS lex_rn, coalesce(dense_rn, 0) AS dense_rn, " +
+        "round(coalesce(1.0/(60 + lex_rn), 0) + coalesce(1.0/(60 + dense_rn), 0), 6) AS rrf " +
+        "FROM lt FULL OUTER JOIN dn ON lt.q_id = dn.q_id AND lt.doc_id = dn.doc_id) " +
+        "SELECT q_id, doc_id, lex_rn, dense_rn, rrf, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn " +
+        "FROM f ORDER BY q_id, rn")),
+
+    GraftQuery(
       "q142_pair_pagerank",
       "PageRank over the verified near-dup pair graph — dup-cluster centrality, the signal that elects each cluster's CANONICAL document (the copy most connected to the rest, e.g. the hub a crawl re-crawled) rather than q40's arbitrary keep-lowest-id: symmetrize the pinned pair kernel into an edge list, then 8 damped power-iterations r = 0.15 + 0.85*sum(r(u)/deg(u)) with each iteration's rank ROUNDED to 9dp (the q134 round-by-round pinning rule, so Spark's and DuckDB's float summation order can never drift across iterations; the DuckDB twin unrolls the same 8 rounds as CTEs). Per iteration: one join of the edge list against the rank table and one groupBy on the destination key — Pregel's shape in two shuffles, no driver-side rank state — with each generation localCheckpoint'ed (the bpeLoop/connectedLabels posture) so the plan stays constant-size instead of nesting 8 rounds deep. The oracle path runs the pinned fixed 8 rounds; a residual-tolerance early exit exists as the non-oracle serving option (pageRankRanks tol — PageRankSpec pins its agreement with the fixed loop). The graph is dup-density-scale (nodes = docs WITH a near-dup, never the corpus), so at 100 TB the edge list is the small output of the LSH kernel and iterations cost O(edges); rank converges in O(log n) rounds on these tiny components.",
       (s, d) => {

@@ -377,6 +377,58 @@ object VectorOps {
         "FROM sil GROUP BY cell ORDER BY cell")),
 
     GraftQuery(
+      "q157_ann_ndcg",
+      "nDCG@10 of the exact dense ranking, relevance = label match — the graded-ranking quality metric (beside q147's flat recall) every retrieval deployment reports: for each query vector (vec_id < 10), the corpus ranks by 6dp-rounded cosine (the q50 kernel, self excluded), top-10 kept, rel(d) = 1 iff label(d) = label(q); DCG discounts by log2(rank+1); the IDEAL DCG uses the query's true relevant-set size (same-label corpus count minus self, from a broadcast label rollup) capped at the cutoff, so a query with only 3 relevant docs is not punished for 7 unfillable slots. Each 1/log2 term rounds at 6dp before summing (the shared ln/log2-ulp rule) and ranks are exact integers, so ndcg hashes bit-stable. The honest number on this isotropic fixture is near-zero — the same calibration story q147 tells for recall, now in the graded metric a dashboard actually plots. Scale: one broadcast-query corpus pass + a 10-key window for the ranking, a label-key rollup for the relevant-set sizes, and a 10-row grid join for IDCG — nothing beyond the q50 shapes.",
+      (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+        val labelN = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val top = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+        val dcg = top
+          .withColumn("rel", when(col("label") === col("q_label"), 1.0).otherwise(0.0))
+          .groupBy(col("q_id"), col("q_label"))
+          .agg(round(sum(round(col("rel") / log2(col("rn") + 1), 6)), 6).as("dcg"))
+        val withR = dcg.join(broadcast(
+            labelN.select(col("label").as("q_label"), col("n_label"))), Seq("q_label"))
+          .withColumn("n_rel", (col("n_label") - 1).cast("long"))
+        val grid = s.range(1, 11).select(col("id").as("i"))
+        withR.join(broadcast(grid), col("i") <= least(lit(10L), col("n_rel")))
+          .groupBy(col("q_id"), col("q_label"), col("dcg"), col("n_rel"))
+          .agg(round(sum(round(lit(1.0) / log2(col("i") + 1), 6)), 6).as("idcg"))
+          .select(col("q_id"), col("q_label").as("label"), col("n_rel"),
+            col("dcg"), col("idcg"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
+          .orderBy(col("q_id"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "lc AS (SELECT label, count(*) AS n_label FROM e GROUP BY label), " +
+        "q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e WHERE vec_id < 10), " +
+        "p AS (SELECT q_id, q_label, e.vec_id, e.label, " +
+        "round(list_inner_product(q_emb, emb)/" +
+        "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6) AS cos_r " +
+        "FROM q JOIN e ON e.vec_id <> q.q_id), " +
+        "r AS (SELECT q_id, q_label, label, " +
+        "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn FROM p), " +
+        "t AS (SELECT * FROM r WHERE rn <= 10), " +
+        "dcg AS (SELECT q_id, q_label, round(sum(round(" +
+        "(CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END) / log2(rn + 1), 6)), 6) AS dcg " +
+        "FROM t GROUP BY q_id, q_label), " +
+        "wr AS (SELECT q_id, q_label, dcg, CAST(n_label - 1 AS BIGINT) AS n_rel " +
+        "FROM dcg JOIN lc ON lc.label = dcg.q_label), " +
+        "g AS (SELECT i FROM range(1, 11) t(i)), " +
+        "idcg AS (SELECT q_id, q_label, dcg, n_rel, " +
+        "round(sum(round(1.0/log2(i + 1), 6)), 6) AS idcg " +
+        "FROM wr JOIN g ON g.i <= least(10, n_rel) GROUP BY q_id, q_label, dcg, n_rel) " +
+        "SELECT q_id, q_label AS label, n_rel, dcg, idcg, round(dcg/idcg, 6) AS ndcg " +
+        "FROM idcg ORDER BY q_id")),
+
+    GraftQuery(
       "q155_rand_projection",
       "Johnson-Lindenstrauss random projection 64->16 with a measured distortion audit — the dimensionality-reduction step an embedding pipeline applies before a cheaper ANN tier or a visual index. The projection matrix is 1024 Rademacher +-1 entries derived from md5('rp_<i>_<j>') parity (seeded, engine-portable, never materialized off-plan: built from one range(1024)), broadcast against the posexploded corpus; each projected coordinate is sum(v*sgn)/sqrt(16), 6dp-rounded BEFORE any distance math so both engines square identical values. The audit half takes the vec_id<25 sample and compares pairwise squared L2 before vs after (ratio ~1 +- eps is the JL guarantee); distances on both sides run through the same exploded equi-join-on-dim shape, 6dp-rounded per the q74 summation rule. Scale shape: the PROJECTION is the production path — a broadcast 1024-row matrix, one explode pass, a (vec_id, j) groupBy with map-side combine, output 4x smaller than the input; linear at 100 TB. The all-pairs audit runs only on the fixed 25-vector sample (300 pairs), the price of calibration, never on the corpus.",
       (s, d) => {

@@ -87,6 +87,37 @@ class MediaCodecSpec extends SparkSpec {
     assert(math.abs(rms - 12000 / math.sqrt(2)) < 120)
   }
 
+  test("plan shapes: codec stages are narrow; q154 shuffles once; q155 broadcasts its matrix") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    staticPlan {
+      // q152: synth -> encode -> decode -> project is one narrow chain;
+      // the ONLY exchange is the final ORDER BY's range partitioning
+      val p152 = Registry.byName("q152_image_codec").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val ex152 = p152.collect { case e: ShuffleExchangeExec => e }
+      assert(ex152.length === 1 &&
+        ex152.head.outputPartitioning.isInstanceOf[RangePartitioning],
+        s"q152 expected exactly one range exchange, got: $ex152")
+      // q154: decode chain + ONE hash shuffle (fingerprint groupBy) +
+      // the final sort — never a pairwise join
+      val p154 = Registry.byName("q154_cross_format_dup").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val ex154 = p154.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+      assert(ex154.count(_.isInstanceOf[HashPartitioning]) === 1 &&
+        ex154.count(_.isInstanceOf[RangePartitioning]) === 1,
+        s"q154 expected one hash + one range exchange, got: $ex154")
+      // q155: the 1024-row Rademacher matrix joins the exploded corpus
+      // as a BROADCAST hash join — the matrix must never shuffle the
+      // corpus side
+      val p155 = Registry.byName("q155_rand_projection").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(p155.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "q155's projection-matrix join is not broadcast")
+    }
+  }
+
   test("q154 finds the fixture's cross-format families; q152/q153 dims are in contract") {
     val fam = Registry.byName("q154_cross_format_dup").fn(spark, sfDir).cache()
     try {
