@@ -7,11 +7,35 @@ import org.apache.spark.sql.SparkSession
   * write so the *full* physical plan executes (a bare .count() lets
   * Catalyst prune the projections being measured). A failed query is
   * reported as -1 so a regression can't masquerade as a speedup.
+  *
+  * == Steal-robust protocol ==
+  * This box shows multi-minute host-CPU-steal bursts (two rounds of
+  * driver records were invalidated by them: identical plans observed
+  * 0.4s clean vs 28s stolen). A back-to-back min-of-2 per query does
+  * NOT survive that, because both attempts sit inside the same noise
+  * window. So the protocol is K full *interleaved* sweeps
+  * (sweep 1: build + all queries; sweep 2: rebuild + all queries; ...)
+  * with the per-query and per-build MIN taken ACROSS sweeps — a steal
+  * burst long enough to contaminate a query in every sweep would have
+  * to span the entire bench, minutes apart per sweep, which is the
+  * contamination the canary exists to expose. Caches are released
+  * between sweeps so the build rows re-measure real work, not memo
+  * hits.
+  *
+  * == Canary ==
+  * A fixed-shape probe (range→groupBy→sum, constant size) is timed
+  * between query neighborhoods in every sweep. Its dispersion is
+  * printed in the artifact: canary max >> min means some window of
+  * this run was contaminated and per-query rows from a single sweep
+  * would have been unreliable — the cross-sweep minima remain the
+  * defensible record, and a reader can see the host weather that
+  * justified them instead of taking "the box was noisy" on faith.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +50,22 @@ object Bench {
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
 
+    def timed(run: () => Unit, what: String): Double = {
+      val t0 = System.nanoTime()
+      try { run(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $what failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    // The canary: constant work, constant shape, no data dependence —
+    // its runtime varies only with host weather.
+    def canaryOnce(): Double = timed(() =>
+      spark.range(4L << 20).selectExpr("id % 101 as k").groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("k"))
+        .write.format("noop").mode("overwrite").save(), "canary")
+
     // Session-shared one-time builds (pinned pair kernel, served ANN
     // indexes, trained BPE state) run as NAMED setup steps, timed and
     // reported separately, so no alphabetically-first consumer absorbs
@@ -33,37 +73,56 @@ object Bench {
     // serving-only regardless of sweep order. The build seconds are
     // still added to the reported total: they are real per-session
     // work, just accounted where it happens.
-    val builds = Seq[(String, () => Unit)](
+    val buildSteps = Seq[(String, () => Unit)](
       "pair_kernel" -> (() => graft.queries.TextOps.warmPairKernel(spark, sfDir)),
       "ann_indexes" -> (() => graft.queries.VectorOps.warmIndexes(spark, sfDir)),
-      "bpe_trainer" -> (() => graft.queries.TextOps.warmBpe(spark, sfDir))
-    ).map { case (name, run) =>
-      val t0 = System.nanoTime()
-      try run() catch { case e: Throwable =>
-        System.err.println(s"[bench] build $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      "bpe_trainer" -> (() => graft.queries.TextOps.warmBpe(spark, sfDir)),
+      "lex_stats" -> (() => graft.queries.TextOps.warmLexStats(spark, sfDir))
+    )
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+    val canaryEvery = 25 // one probe per ~25-query neighborhood
+
+    val buildMins = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    val queryMins = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sweepSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    def mergeMin(m: scala.collection.mutable.LinkedHashMap[String, Double],
+                 k: String, v: Double): Unit = {
+      val prev = m.getOrElse(k, -1.0)
+      // -1 (failure) never overrides a success; otherwise keep the min
+      m(k) = if (v < 0) prev else if (prev < 0) v else math.min(prev, v)
     }
 
-    // min of two runs per query: this box shows extreme host-CPU-steal
-    // variance (identical runs observed 6s vs 53s), and the minimum is
-    // the stable steady-state estimator a plan comparison needs.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    (1 to sweeps).foreach { sweep =>
+      val s0 = System.nanoTime()
+      if (sweep > 1) {
+        // drop memoized kernels/indexes/vocab so the build rows of this
+        // sweep measure a real rebuild, not a memo hit
+        graft.queries.TextOps.releaseCaches()
+        graft.queries.VectorOps.releaseCaches()
       }
-      val a = once()
-      val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
-      name -> dt
+      canaries += canaryOnce()
+      buildSteps.foreach { case (name, run) =>
+        mergeMin(buildMins, name, timed(run, s"build $name"))
+      }
+      queryList.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % canaryEvery == 0) canaries += canaryOnce()
+        mergeMin(queryMins, name, timed(() =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
+          name))
+      }
+      canaries += canaryOnce()
+      sweepSecs += (System.nanoTime() - s0) / 1e9
     }
     graft.queries.TextOps.releaseCaches()
     graft.queries.VectorOps.releaseCaches()
+
+    val builds = buildSteps.map { case (n, _) => n -> buildMins(n) }
+    val results = queryList.map { case (n, _) => n -> queryMins(n) }
+
     // Per-query lines FIRST, the parseable one-line summary LAST: the
     // driver keeps only the output tail (~2000 chars), so a total
     // printed up front gets truncated away (BENCH_r02/r03 lost their
@@ -91,10 +150,18 @@ object Bench {
     // lines above carry the 3-decimal record
     def fmt2(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // the host-weather record: tight canary spread = clean run;
+    // max >> min = a contaminated window existed and the cross-sweep
+    // minima were load-bearing
+    val cs = canaries.filter(_ >= 0).sorted
+    if (cs.nonEmpty) {
+      val med = cs((cs.size - 1) / 2)
+      println(s"""{"canary_n":${cs.size},"canary_min":${fmt(cs.head)},"canary_med":${fmt(med)},"canary_max":${fmt(cs.last)},"sweeps":$sweeps,"sweep_sec":[${sweepSecs.map(fmt2).mkString(",")}]}""")
+    }
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
-    val buildSec = builds.map(_._2).sum
+    val buildSec = builds.map(_._2).filter(_ >= 0).sum
     val total = buildSec + results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build":${fmt2(buildSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -85,6 +85,22 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.queries.VectorOps.annTopK(spark, dataDir, queries, topK, nProbe,
       shortlist)
 
+  /** Hybrid retrieval serving: reciprocal-rank fusion (k=60) of the
+    * q156 lexical idf arm — served from memoized corpus token/df
+    * statistics (built once per session, like the ANN indexes) — and
+    * a dense arm served from the session's shared IVF-PQ index.
+    * `queries`: (q_id long, q_text string, q_emb array<float>); each
+    * arm keeps its top-`topK`, fusion reports per-arm ranks (0 = arm
+    * missed the doc) and the fused rn. Defaults are the q133 serving
+    * configuration; at nProbe = 16 (all cells) and shortlist =
+    * Int.MaxValue the dense arm is exact and the result reproduces
+    * registered q156 bit-for-bit (GraftEngineSpec).
+    */
+  def hybridTopK(queries: DataFrame, topK: Int = 10, nProbe: Int = 12,
+      shortlist: Int = 96): DataFrame =
+    graft.queries.TextOps.hybridTopK(spark, dataDir, queries, topK, nProbe,
+      shortlist)
+
   /** Batch Gopher quality gate on ANY docs frame carrying `doc_id` and
     * `text` — q144's shared metric battery + gate (the same definitions
     * the streaming gate applies), for corpora outside the fixture dirs.

@@ -26,6 +26,7 @@ object Registry {
       queries.TextOps.queries ++
       queries.VectorOps.queries ++
       queries.MultimodalOps.queries ++
+      queries.MultimodalOps.queriesRound9 ++
       queries.RecoOps.queries
 
   def byName(n: String): GraftQuery =

@@ -92,8 +92,11 @@ object MediaOps {
   // ------------------------------------------------------------------
 
   /** Decoded-image row: exact pixel statistics from a REAL decoder.
-    * `px_sum` is the integer sum of the 8-bit gray value (blue channel
-    * of the decoded RGB — callers encode gray images, r=g=b) and
+    * `px_sum` is the integer sum of the 8-bit luminance
+    * ((r + 2g + b) / 4, the power-of-two luma approximation — EXACTLY
+    * the gray value when r = g = b, so the closed-form gray-fixture
+    * oracles hold bit-for-bit, while a real color image fed through
+    * the facade gets a genuine luma instead of one channel) and
     * `px_wsum` its position-weighted twin (weight 1 + x + w·y) — both
     * exact Longs, safe to hash-compare against a closed-form oracle,
     * and together a content fingerprint of the decoded pixels
@@ -125,6 +128,23 @@ object MediaOps {
   def synthPixel(x: Int, y: Int, s1: Long, s2: Long): Int =
     ((x.toLong * x * 7 + y.toLong * y * 13 + (x + y) * s1 + x.toLong * y * s2) % 256).toInt
 
+  /** Within-block x-reflection on the aHash floor grid (pixel x →
+    * block x*8/w; span [xs, xe]): maps x to xs + xe - x. A PERCEPTUAL
+    * perturbation with an exact algebraic property: every 8×8 block
+    * keeps its pixel MULTISET (reflection permutes within the span),
+    * so block means, the global mean, `px_sum`, and therefore the
+    * whole aHash are preserved BIT-FOR-BIT — while pixel POSITIONS
+    * change, so `px_wsum` and the exact decoded-pixel fingerprint
+    * (q154) diverge. The planted near-identical twin q159 needs:
+    * invisible to exact dedup, Hamming-0 to the perceptual hash.
+    */
+  def mirrorX(x: Int, w: Int): Int = {
+    val bx = x * 8 / w
+    val xs = (bx * w + 7) / 8
+    val xe = ((bx + 1) * w + 7) / 8 - 1
+    xs + xe - x
+  }
+
   /** Deterministic gray image encoded with a REAL JDK codec ("png" or
     * "bmp"; both lossless for TYPE_INT_RGB). The fixture parquet holds
     * no genuine image bytes (TESTDATA.md), so image queries SYNTHESIZE
@@ -134,14 +154,24 @@ object MediaOps {
     * the pixel statistics oracle-checkable in closed form.
     */
   def synthImage(width: Int, height: Int, s1: Long, s2: Long,
-      format: String): Array[Byte] = {
+      format: String): Array[Byte] =
+    synthImage(width, height, s1, s2, format, mirror = false)
+
+  /** `mirror = true` samples the pattern at the block-reflected x
+    * (`mirrorX`) — the q159 planted near-identical twin: same blocks,
+    * different pixel layout, then through the REAL codec like any
+    * other image.
+    */
+  def synthImage(width: Int, height: Int, s1: Long, s2: Long,
+      format: String, mirror: Boolean): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val g = synthPixel(x, y, s1, s2)
+        val sx = if (mirror) mirrorX(x, width) else x
+        val g = synthPixel(sx, y, s1, s2)
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -173,7 +203,10 @@ object MediaOps {
       val by = y * 8 / h
       var x = 0
       while (x < w) {
-        val g = img.getRGB(x, y) & 0xff
+        val rgb = img.getRGB(x, y)
+        // luma (r + 2g + b) / 4: = gray for r=g=b inputs (oracle-exact),
+        // a real weighted luminance for color inputs
+        val g = (((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) + (rgb & 0xff)) >> 2
         sum += g
         wsum += g.toLong * (1L + x + w.toLong * y)
         val b = by * 8 + x * 8 / w
@@ -228,6 +261,25 @@ object MediaOps {
       .mapPartitions { it =>
         it.map { case (id, w, h, s1, s2, fmt) =>
           (id, fmt, synthImage(w, h, s1, s2, fmt))
+        }
+      }
+      .toDF("doc_id", "format", "content")
+  }
+
+  /** encodeImages with a per-row `mirror` flag (boolean column): the
+    * q159 synthesis side — mirrored rows carry the block-reflected
+    * twin of the same pattern.
+    */
+  def encodeImagesFlagged(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("s1").cast("long"),
+        col("s2").cast("long"), col("format").cast("string"),
+        col("mirror").cast("boolean"))
+      .as[(Long, Int, Int, Long, Long, String, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h, s1, s2, fmt, mir) =>
+          (id, fmt, synthImage(w, h, s1, s2, fmt, mir))
         }
       }
       .toDF("doc_id", "format", "content")

@@ -171,4 +171,97 @@ object MultimodalOps {
         "FROM px GROUP BY width, height, px_sum, px_wsum " +
         "HAVING count(*) > 1 ORDER BY min_doc"))
   )
+
+  val queriesRound9: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q159_phash_neardup",
+      "PERCEPTUAL image near-dup over the decoder's 64-bit aHash — the pairs q154's exact-pixel fingerprint CANNOT see: odd docs synthesize the within-block x-MIRRORED twin of their pattern (MediaOps.mirrorX — every 8x8 aHash block keeps its pixel multiset, so block means, global mean and therefore the aHash are preserved bit-for-bit while pixel positions, px_wsum and the exact fingerprint all diverge), everything round-trips the REAL PNG codec, and near-dups are found by the q42 LSH posture transplanted to image space: the 64-bit aHash splits into 4x16-bit bands, docs sharing ANY band become candidates (groupBy-scale, never all-pairs), and candidates verify on full Hamming distance <= 3 — a threshold the banding makes LOSSLESS by pigeonhole (3 differing bits touch at most 3 of 4 bands, so one band always matches exactly). Output pairs carry the Hamming distance and a same_pixels flag separating exact dups from the perceptual-only pairs that motivate the query. Oracle: DuckDB rebuilds pixels, block means, float-cast aHash bands, the band join and the Hamming verify in closed form — a hash match proves the real codec round trip, the JVM's float block arithmetic, and the band algebra all agree with the twin. Scale: one codec pass, band-key shuffles, candidate-volume-linear verify.",
+      (s, d) => {
+        val parts = imageParams(s, d)
+          .withColumn("format", lit("png"))
+          .withColumn("mirror", pmod(col("doc_id"), lit(2)) === 1)
+          .repartitionByRange(shufflePartitions(s), col("doc_id"))
+        val info = MediaOps
+          .decodeImagesReal(MediaOps.encodeImagesFlagged(parts)).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("px_sum"), col("px_wsum"), col("ahash"))
+        val bands = info.select(col("doc_id"), col("width"), col("height"),
+          col("px_sum"), col("px_wsum"), col("ahash"),
+          explode(array((0 until 4).map { k =>
+            struct(lit(k).as("band_idx"),
+              shiftrightunsigned(col("ahash"), 48 - 16 * k)
+                .bitwiseAND(lit(0xffffL)).as("band"))
+          }: _*)).as("bd"))
+          .select(col("doc_id"), col("width"), col("height"), col("px_sum"),
+            col("px_wsum"), col("ahash"), col("bd.band_idx"), col("bd.band"))
+        val a = bands.select(col("band_idx"), col("band"),
+          col("doc_id").as("da"), col("ahash").as("ah_a"),
+          col("px_sum").as("ps_a"), col("px_wsum").as("pw_a"),
+          col("width").as("w_a"), col("height").as("h_a"))
+        val b = bands.select(col("band_idx"), col("band"),
+          col("doc_id").as("db"), col("ahash").as("ah_b"),
+          col("px_sum").as("ps_b"), col("px_wsum").as("pw_b"),
+          col("width").as("w_b"), col("height").as("h_b"))
+        a.join(b, Seq("band_idx", "band")).filter(col("da") < col("db"))
+          .select(col("da"), col("db"), col("ah_a"), col("ah_b"),
+            col("ps_a"), col("ps_b"), col("pw_a"), col("pw_b"),
+            col("w_a"), col("w_b"), col("h_a"), col("h_b"))
+          .distinct() // a pair sharing 2+ bands collapses to one row
+          .withColumn("hamming",
+            expr("CAST(bit_count(ah_a ^ ah_b) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select(col("da"), col("db"), col("hamming"),
+            when(col("ps_a") === col("ps_b") && col("pw_a") === col("pw_b")
+              && col("w_a") === col("w_b") && col("h_a") === col("h_b"),
+              1).otherwise(0).as("same_pixels"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"WITH h AS (SELECT doc_id, $hvSql AS hv FROM documents), " +
+        "dims AS (SELECT doc_id, CAST(16 + hv % 48 AS INT) AS width, " +
+        "CAST(16 + (hv // 48) % 32 AS INT) AS height, " +
+        "hv % 251 AS s1, (hv // 251) % 241 AS s2 FROM h), " +
+        "g AS (SELECT i FROM range(0, 64) t(i)), " +
+        // bx/xs/xe: the aHash floor-grid block of pixel x and its span;
+        // odd docs sample the pattern at the reflected sx = xs + xe - x
+        "p0 AS (SELECT d.doc_id, d.width, d.height, d.s1, d.s2, " +
+        "x.i AS x, y.i AS y, x.i*8//d.width AS bx " +
+        "FROM dims d JOIN g x ON x.i < d.width JOIN g y ON y.i < d.height), " +
+        "p1 AS (SELECT doc_id, width, height, s1, s2, x, y, " +
+        "CASE WHEN doc_id % 2 = 1 THEN " +
+        "((bx*width + 7)//8) + (((bx+1)*width + 7)//8 - 1) - x " +
+        "ELSE x END AS sx FROM p0), " +
+        "v AS (SELECT doc_id, width, height, x, y, " +
+        "(sx*sx*7 + y*y*13 + (sx+y)*s1 + sx*y*s2) % 256 AS v FROM p1), " +
+        "agg AS (SELECT doc_id, width, height, SUM(v) AS px_sum, " +
+        "SUM(v*(1 + x + width*y)) AS px_wsum " +
+        "FROM v GROUP BY doc_id, width, height), " +
+        "blk AS (SELECT doc_id, (y*8//height)*8 + (x*8//width) AS bi, " +
+        "SUM(v) AS bs, COUNT(*) AS bn FROM v GROUP BY doc_id, bi), " +
+        // float-cast block mean vs double global mean — the JVM's
+        // exact comparison (feats are Float, the mean a Double)
+        "fm AS (SELECT b.doc_id, b.bi, " +
+        "CAST(b.bs/b.bn/255.0 AS FLOAT) AS feat, " +
+        "a.px_sum/(a.width*a.height)/255.0 AS mean " +
+        "FROM blk b JOIN agg a USING (doc_id)), " +
+        "bits AS (SELECT doc_id, bi//16 AS band_idx, " +
+        "CAST(SUM(CASE WHEN feat > mean THEN (1 << (15 - (bi % 16))) " +
+        "ELSE 0 END) AS BIGINT) AS band FROM fm GROUP BY doc_id, bi//16), " +
+        "pd AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db " +
+        "FROM bits a JOIN bits b ON a.band_idx = b.band_idx " +
+        "AND a.band = b.band AND a.doc_id < b.doc_id), " +
+        "hm AS (SELECT pd.da, pd.db, " +
+        "CAST(SUM(bit_count(xor(ba.band, bb.band))) AS INT) AS hamming " +
+        "FROM pd JOIN bits ba ON ba.doc_id = pd.da " +
+        "JOIN bits bb ON bb.doc_id = pd.db AND bb.band_idx = ba.band_idx " +
+        "GROUP BY pd.da, pd.db), " +
+        "sp AS (SELECT pd.da, pd.db, " +
+        "CASE WHEN aa.px_sum = ab.px_sum AND aa.px_wsum = ab.px_wsum " +
+        "AND aa.width = ab.width AND aa.height = ab.height " +
+        "THEN 1 ELSE 0 END AS same_pixels " +
+        "FROM pd JOIN agg aa ON aa.doc_id = pd.da " +
+        "JOIN agg ab ON ab.doc_id = pd.db) " +
+        "SELECT h.da, h.db, h.hamming, s.same_pixels " +
+        "FROM hm h JOIN sp s ON s.da = h.da AND s.db = h.db " +
+        "WHERE h.hamming <= 3 ORDER BY h.da, h.db"))
+  )
 }

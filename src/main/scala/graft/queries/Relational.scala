@@ -805,6 +805,40 @@ object Relational {
             s"round(avg(length(CAST($c AS VARCHAR))), 4) AS avg_len " +
             "FROM documents"
         }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
-      })
+      }),
+
+    GraftQuery(
+      "q158_profile_approx",
+      "Sketch-mode table profiler — the 100 TB form q151's scaladoc promises: the SAME per-column report (row count, null count, distinct count, stringified min/max, mean rendered length) computed in ONE wide aggregate over ONE corpus scan, with the exact countDistinct swapped for the engine's native HLL (the q85 hll_distinct TypedImperativeAggregate over null-skipped xxhash64 keys). Where q151 runs a per-column shuffle of that column's VALUES (exact distinct needs them), this pass ships a fixed 4 KiB register array per column per partition and merges by elementwise max — a 200-column 100 TB table profiles in one scan whose exchanged state is 200×4 KiB per partition, independent of cardinality. The wide one-row aggregate then unpivots driver-free (explode of a struct array over the single row) into the q151 report shape. Rows-only by contract: HLL register layouts aren't portable across engines (the q85 rule); ProfileApproxSpec pins every column's estimate within the sketch's error bound of q151's exact count and plan-asserts the single scan.",
+      (s, d) => {
+        graft.functions.HllAgg.ensureRegistered(s)
+        val docs = t(s, d, "documents")
+        val names = docs.schema.fields.map(_.name).toSeq
+        val aggs: Seq[org.apache.spark.sql.Column] =
+          count(lit(1)).as("n_rows") +: names.flatMap { n =>
+            val c = col(n)
+            Seq(
+              (count(lit(1)) - count(c)).as(s"${n}__nnull"),
+              // null-skipped hash key: HllAgg ignores null inputs, so
+              // the estimate targets exactly countDistinct's domain
+              expr(s"hll_distinct(CASE WHEN `$n` IS NULL THEN NULL " +
+                s"ELSE xxhash64(`$n`) END)").as(s"${n}__nd"),
+              min(c).cast("string").as(s"${n}__min"),
+              max(c).cast("string").as(s"${n}__max"),
+              round(avg(length(c.cast("string"))), 4).as(s"${n}__len"))
+          }
+        docs.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(names.map { n =>
+            struct(lit(n).as("col_name"), col("n_rows"),
+              col(s"${n}__nnull").as("n_null"),
+              col(s"${n}__nd").as("approx_distinct"),
+              col(s"${n}__min").as("min_val"),
+              col(s"${n}__max").as("max_val"),
+              col(s"${n}__len").as("avg_len"))
+          }: _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy(col("col_name"))
+      },
+      None)
   )
 }

@@ -98,6 +98,7 @@ object TextOps {
       pinned.clear()
     }
     bpeMemo.clear()
+    lexMemo.clear()
   }
 
   /** Explicit bench/session setup: build and MATERIALIZE the pinned
@@ -121,6 +122,102 @@ object TextOps {
     */
   def warmBpe(s: SparkSession, d: String): Unit = {
     bpeLoop(s, d, rounds = 10); ()
+  }
+
+  /** Memoized lexical-retrieval statistics, keyed (session, dir): the
+    * per-corpus (doc_id, token) postings and token document
+    * frequencies every lexical arm reads. A production hybrid-search
+    * deployment builds its inverted-index statistics ONCE and serves
+    * every query from them (the servedIndexes posture on the dense
+    * side); recomputing the corpus tokenization per hybridTopK call
+    * priced the stats build into every serving row. Pinned via `pin`
+    * (released by releaseCaches); `n_docs` stays a lazy 1-row
+    * aggregate — broadcast into plans, never a driver action.
+    */
+  private val lexMemo =
+    new graft.KeyedMemo[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
+  def lexStats(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    lexMemo.getOrBuild((s, d)) {
+      val docs = t(s, d, "documents")
+      val dtok = pin(docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .distinct())
+      val dfT = pin(dtok.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("double").as("df")))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      (dtok, dfT, nDocs)
+    }
+
+  /** Explicit setup: materialize the memoized lexical stats so bench
+    * rows for their consumers (q156, facade hybridTopK) are
+    * serving-only and the build is its own accounted line.
+    */
+  def warmLexStats(s: SparkSession, d: String): Unit = {
+    val (dtok, dfT, _) = lexStats(s, d)
+    dtok.write.format("noop").mode("overwrite").save()
+    dfT.write.format("noop").mode("overwrite").save()
+  }
+
+  /** The lexical retrieval arm shared by q156 and GraftEngine
+    * .hybridTopK: score corpus docs against per-query token sets
+    * (`qtok`: q_id, tok) by summed Lucene idf over shared distinct
+    * tokens, keep each query's top-`k` (6dp-rounded score, doc_id
+    * tiebreak). Token-key shuffles against the memoized postings; the
+    * df table broadcasts.
+    */
+  def lexicalTopK(s: SparkSession, d: String, qtok: DataFrame, k: Int): DataFrame = {
+    val (dtok, dfT, nDocs) = lexStats(s, d)
+    qtok.join(dtok, Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("idf")), 6).as("s"))
+      .withColumn("lex_rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("lex_rn") <= k)
+      .select(col("q_id"), col("doc_id"), col("lex_rn"))
+  }
+
+  /** Reciprocal-rank fusion (k=60) of a lexical and a dense top-k list
+    * (q_id, doc_id, lex_rn / dense_rn) — the q156 fusion, shared with
+    * the facade. A doc missing from one arm reports rank 0 there and
+    * contributes 0 to the fused score.
+    */
+  def rrfFuse(lexTop: DataFrame, denTop: DataFrame): DataFrame =
+    lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
+        coalesce(col("dense_rn"), lit(0)).as("dense_rn"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rn")), lit(0.0)), 6).as("rrf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))))
+      .orderBy(col("q_id"), col("rn"))
+
+  /** GraftEngine's hybrid serving entry: RRF fusion of the lexical arm
+    * (memoized corpus stats, caller query text) and the dense arm
+    * served from the session's shared IVF-PQ index (VectorOps
+    * .annTopK). `queries`: (q_id long, q_text string, q_emb
+    * array<float>). At full probe (nProbe = kCells, shortlist =
+    * Int.MaxValue) the dense arm is exact (the q139 losslessness
+    * proof), so the result reproduces q156 bit-for-bit —
+    * GraftEngineSpec pins that; the defaults passed by the facade are
+    * the q133 serving configuration.
+    */
+  def hybridTopK(s: SparkSession, d: String, queries: DataFrame, k: Int,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    val qtok = queries.select(col("q_id"),
+      explode(array_distinct(toks(col("q_text")))).as("tok"))
+    val lexTop = lexicalTopK(s, d, qtok, k)
+    val denTop = VectorOps.annTopK(s, d,
+        queries.select(col("q_id"), col("q_emb")), k, nProbe, shortlist)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rn").as("dense_rn"))
+    rrfFuse(lexTop, denTop)
   }
 
   /** Exact pairwise Jaccard >= threshold via a shingle inverted index:
@@ -1089,26 +1186,15 @@ object TextOps {
       "Hybrid retrieval fusion — reciprocal-rank fusion (RRF, Cormack et al. 2009, the k=60 constant every production hybrid search uses) of a LEXICAL ranking and a DENSE ranking for the same query set, the modern two-tower retrieval shape: query docs (doc_id < 5; doc_id = vec_id links the modalities, the q123 convention) rank the corpus (a) lexically by summed Lucene idf over shared distinct tokens (the q141 statistics on set-semantics tokens) and (b) densely by embedding cosine (the q50 kernel), each arm keeping its top-10 (self excluded, rounded scores, doc_id tiebreak); fusion full-outer-joins the two lists per query and scores 1/(60+rank) per arm (0 for an arm that missed the doc — reported as rank 0, so the output also audits ARM DISAGREEMENT, which on this fixture is total: embeddings are independent of text, exactly what q123 exposes). Determinism: idf terms round at 6dp before summing, cosines at 6dp, RRF scores at 6dp from exact integer ranks. Scale: the lexical arm is token-key shuffles with the 5-doc query side joined through a broadcast df table; the dense arm broadcasts 5 query vectors over one corpus pass; fusion joins two <=10-row-per-query lists — linear everywhere, the corpus is never pairwise.",
       (s, d) => {
         graft.functions.CosineSimilarity.ensureRegistered(s)
-        val docs = t(s, d, "documents")
-        val dtok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-          .distinct()
-        val dfT = dtok.groupBy(col("tok"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        // lexical arm through the MEMOIZED corpus stats + the shared
+        // lexicalTopK/rrfFuse kernels — the same definitions
+        // GraftEngine.hybridTopK serves from, so the registered query
+        // and the facade can never drift (and the bench row is
+        // serving-only once warmLexStats has run)
+        val (dtok, _, _) = lexStats(s, d)
         val qtok = dtok.filter(col("doc_id") < 5)
           .select(col("doc_id").as("q_id"), col("tok"))
-        val lex = qtok.join(dtok, Seq("tok"))
-          .filter(col("doc_id") =!= col("q_id"))
-          .join(broadcast(dfT), Seq("tok"))
-          .crossJoin(broadcast(nDocs))
-          .withColumn("idf", round(log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
-          .groupBy(col("q_id"), col("doc_id"))
-          .agg(round(sum(col("idf")), 6).as("s"))
-        val lexTop = lex.withColumn("lex_rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("doc_id"))))
-          .filter(col("lex_rn") <= 10)
-          .select(col("q_id"), col("doc_id"), col("lex_rn"))
+        val lexTop = lexicalTopK(s, d, qtok, 10)
         val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1118,15 +1204,7 @@ object TextOps {
             Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
           .filter(col("dense_rn") <= 10)
           .select(col("q_id"), col("vec_id").as("doc_id"), col("dense_rn"))
-        lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
-          .select(col("q_id"), col("doc_id"),
-            coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
-            coalesce(col("dense_rn"), lit(0)).as("dense_rn"),
-            round(coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("dense_rn")), lit(0.0)), 6).as("rrf"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))))
-          .orderBy(col("q_id"), col("rn"))
+        rrfFuse(lexTop, denTop)
       },
       Some("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "dt AS (SELECT DISTINCT doc_id, tok FROM tk), " +
@@ -1151,10 +1229,14 @@ object TextOps {
         "FROM den) WHERE dense_rn <= 10), " +
         "f AS (SELECT coalesce(lt.q_id, dn.q_id) AS q_id, " +
         "coalesce(lt.doc_id, dn.doc_id) AS doc_id, " +
-        "coalesce(lex_rn, 0) AS lex_rn, coalesce(dense_rn, 0) AS dense_rn, " +
+        // the coalesced outputs get DISTINCT aliases (lex_rn0) so the rrf
+        // expression in the same SELECT list unambiguously reads the raw
+        // nullable join columns — a missed arm must score 0, never 1/60,
+        // regardless of how the engine resolves lateral aliases
+        "coalesce(lex_rn, 0) AS lex_rn0, coalesce(dense_rn, 0) AS dense_rn0, " +
         "round(coalesce(1.0/(60 + lex_rn), 0) + coalesce(1.0/(60 + dense_rn), 0), 6) AS rrf " +
         "FROM lt FULL OUTER JOIN dn ON lt.q_id = dn.q_id AND lt.doc_id = dn.doc_id) " +
-        "SELECT q_id, doc_id, lex_rn, dense_rn, rrf, " +
+        "SELECT q_id, doc_id, lex_rn0 AS lex_rn, dense_rn0 AS dense_rn, rrf, " +
         "CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn " +
         "FROM f ORDER BY q_id, rn")),
 

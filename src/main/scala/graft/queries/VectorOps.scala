@@ -399,11 +399,17 @@ object VectorOps {
             labelN.select(col("label").as("q_label"), col("n_label"))), Seq("q_label"))
           .withColumn("n_rel", (col("n_label") - 1).cast("long"))
         val grid = s.range(1, 11).select(col("id").as("i"))
-        withR.join(broadcast(grid), col("i") <= least(lit(10L), col("n_rel")))
+        // LEFT join: a query whose label is unique in the corpus
+        // (n_rel = 0) matches no grid row — it must still appear, with
+        // idcg = 0 and ndcg = 0, not silently vanish from the report
+        withR.join(broadcast(grid), col("i") <= least(lit(10L), col("n_rel")), "left")
           .groupBy(col("q_id"), col("q_label"), col("dcg"), col("n_rel"))
-          .agg(round(sum(round(lit(1.0) / log2(col("i") + 1), 6)), 6).as("idcg"))
+          .agg(coalesce(round(sum(round(lit(1.0) / log2(col("i") + 1), 6)), 6),
+            lit(0.0)).as("idcg"))
           .select(col("q_id"), col("q_label").as("label"), col("n_rel"),
-            col("dcg"), col("idcg"), round(col("dcg") / col("idcg"), 6).as("ndcg"))
+            col("dcg"), col("idcg"),
+            round(when(col("idcg") > 0, col("dcg") / col("idcg"))
+              .otherwise(lit(0.0)), 6).as("ndcg"))
           .orderBy(col("q_id"))
       },
       Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
@@ -422,10 +428,13 @@ object VectorOps {
         "wr AS (SELECT q_id, q_label, dcg, CAST(n_label - 1 AS BIGINT) AS n_rel " +
         "FROM dcg JOIN lc ON lc.label = dcg.q_label), " +
         "g AS (SELECT i FROM range(1, 11) t(i)), " +
+        // LEFT JOIN + coalesce mirror the Spark side: an n_rel = 0
+        // query emits idcg = 0 / ndcg = 0 instead of vanishing
         "idcg AS (SELECT q_id, q_label, dcg, n_rel, " +
-        "round(sum(round(1.0/log2(i + 1), 6)), 6) AS idcg " +
-        "FROM wr JOIN g ON g.i <= least(10, n_rel) GROUP BY q_id, q_label, dcg, n_rel) " +
-        "SELECT q_id, q_label AS label, n_rel, dcg, idcg, round(dcg/idcg, 6) AS ndcg " +
+        "coalesce(round(sum(round(1.0/log2(i + 1), 6)), 6), 0.0) AS idcg " +
+        "FROM wr LEFT JOIN g ON g.i <= least(10, n_rel) GROUP BY q_id, q_label, dcg, n_rel) " +
+        "SELECT q_id, q_label AS label, n_rel, dcg, idcg, " +
+        "round(CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0.0 END, 6) AS ndcg " +
         "FROM idcg ORDER BY q_id")),
 
     GraftQuery(

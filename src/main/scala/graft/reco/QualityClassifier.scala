@@ -77,8 +77,20 @@ object QualityClassifier {
   /** The labeled, split, fold-pinned training frame — ONE definition
     * shared by `train` and `run` so the corpus scan, featurization,
     * teacher labeling, and split rule can never drift between them.
+    *
+    * Partition count is data-proportional, not the session shuffle
+    * default: LBFGS runs a treeAggregate per iteration, so a 60k-row
+    * sf0.1 corpus split across 32 near-empty partitions pays 20×32
+    * task launches of pure overhead (measured: 8.7 s on 32 cores vs
+    * 3.3 s on 8 for the SAME fit). ~20k rows/partition keeps each
+    * gradient partial worth its task; at real scale rows/20k exceeds
+    * the configured shuffle width and the cap takes over, so the fix
+    * costs nothing at 100 TB.
     */
-  private def prepared(s: SparkSession, d: String): DataFrame =
+  private def prepared(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.load(s, d, "documents").count() // parquet metadata count
+    val parts = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong, rows / 20000L + 1L)).toInt
     withSplit(featurize(
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")))
@@ -86,7 +98,8 @@ object QualityClassifier {
         when(TextOps.funnelVerdict(col("text"), col("lang")) === "kept", 1.0)
           .otherwise(0.0)))
       // deterministic fold layout for LBFGS's treeAggregate partials
-      .repartition(col("doc_id"))
+      .repartition(parts, col("doc_id"))
+  }
 
   /** Fit the student pipeline on the md5-80% train split. The returned
     * PipelineModel is pure transformers (tokenize → hash → assemble →

@@ -56,6 +56,31 @@ class GraftEngineSpec extends SparkSpec {
     } finally engine.releaseCaches()
   }
 
+  test("hybridTopK at full probe reproduces registered q156 bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // caller-shaped queries: (q_id, q_text, q_emb) — the same five
+    // docs q156 ranks (doc_id = vec_id links the modalities)
+    val q = engine.table("documents").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      .join(engine.table("embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        Seq("q_id"))
+    try {
+      // full probe + unbounded shortlist: the dense arm is exact (the
+      // q139 losslessness property), so the fused output must equal
+      // the registered query's exact-cosine arm bit-for-bit
+      val viaEngine = engine.hybridTopK(q, topK = 10, nProbe = 16,
+        shortlist = Int.MaxValue).collect().toSeq
+      val registered = engine.query("q156_hybrid_rrf").collect().toSeq
+      assert(viaEngine === registered)
+      // the serving configuration (single-digit probe) still fuses a
+      // per-query candidate list with ranks from both arms
+      val served = engine.hybridTopK(q).collect()
+      assert(served.nonEmpty)
+      assert(served.forall(r => r.getAs[Int]("rn") >= 1))
+    } finally engine.releaseCaches()
+  }
+
   test("engine construction pins the session timezone to UTC") {
     // the events loader's TimestampNTZ branch casts through the
     // SESSION zone; an externally-built non-UTC session would read

@@ -134,4 +134,31 @@ class MediaCodecSpec extends SparkSpec {
       assert(au.filter(col("n_bytes") !== lit(44) + col("n_frames") * 2).count() === 0)
     } finally fam.unpersist()
   }
+
+  test("q159: planted block-mirror twin — aHash preserved bit-for-bit, exact fingerprint broken, bands find it") {
+    // codec-level check of the perturbation's algebra: the mirrored
+    // twin keeps every 8×8 block's pixel MULTISET, so px_sum and the
+    // whole aHash survive exactly, while px_wsum (pixel positions —
+    // the q154 exact fingerprint) diverges
+    val a = MediaOps.decodeImage(1L, MediaOps.synthImage(37, 23, 17L, 29L, "png"))
+    val b = MediaOps.decodeImage(2L,
+      MediaOps.synthImage(37, 23, 17L, 29L, "png", mirror = true))
+    assert(a.ahash === b.ahash)
+    assert(a.px_sum === b.px_sum)
+    assert(a.px_wsum !== b.px_wsum)
+    assert(a.features.toSeq === b.features.toSeq)
+    // end-to-end: the fixture's cross-parity family members (even =
+    // base, odd = mirrored twin) surface as PERCEPTUAL-ONLY pairs —
+    // hamming 0, same_pixels 0 — exactly the pairs q154's exact
+    // fingerprint groupBy is blind to; same-parity members stay exact
+    val pairs = Registry.byName("q159_phash_neardup").fn(spark, sfDir).cache()
+    try {
+      assert(pairs.filter(col("same_pixels") === 0 && col("hamming") === 0)
+        .count() > 0, "no perceptual-only planted pair found")
+      assert(pairs.filter(col("same_pixels") === 1).count() > 0)
+      // the banding guarantee: every emitted pair is within threshold
+      // (<= 3 differing bits always leave one of 4 bands exact)
+      assert(pairs.filter(col("hamming") > 3).count() === 0)
+    } finally pairs.unpersist()
+  }
 }
