@@ -159,7 +159,17 @@ object ScaleStress {
       // q155's corpus side is pruned to the fixed 25-vector sample by
       // pushdown, so its row proves the audit cost is scale-INVARIANT
       "q152_image_codec", "q153_audio_codec", "q154_cross_format_dup",
-      "q155_rand_projection")
+      "q155_rand_projection",
+      // round-9 additions: the exact profiler pays one value shuffle
+      // per column (its 10× row is the cost q158's single-scan sketch
+      // form exists to remove — record them side by side); hybrid RRF
+      // is token-key shuffles + a broadcast dense arm over ≤10-row
+      // fusion lists; nDCG is the q50 broadcast-query shape + a
+      // label-key rollup; the perceptual near-dup rides one codec pass
+      // into band-key shuffles whose candidate volume scales with dup
+      // density (45× denser families), like q42 in image space
+      "q151_data_profile", "q156_hybrid_rrf", "q157_ann_ndcg",
+      "q158_profile_approx", "q159_phash_neardup")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
