@@ -125,6 +125,60 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def decodeAudio(media: DataFrame): DataFrame =
     graft.multimodal.MediaOps.decodeAudioReal(media).toDF()
 
+  /** Real nearest-neighbor k×k thumbnails (q160's kernel) on ANY
+    * frame carrying `doc_id` + `content` (binary image bytes): decode
+    * and floor-grid downsample in ONE mapPartitions pass.
+    */
+  def thumbnails(media: DataFrame, k: Int = 8): DataFrame =
+    graft.multimodal.MediaOps.decodeThumbs(media, k).toDF()
+
+  /** Windowed audio features (q161's kernel) on ANY frame carrying
+    * `doc_id` + `content` (WAV bytes): one real parse per clip
+    * emitting fixed `win`-sample frames with exact integer
+    * energy/peak — the loudness/VAD grid for silence trimming.
+    */
+  def audioWindows(media: DataFrame, win: Int = 256): DataFrame =
+    graft.multimodal.MediaOps.decodeAudioWindows(media, win).toDF()
+
+  /** Digest-level snapshot diff (q162's kernel) between two
+    * caller-supplied snapshots of a keyed corpus: returns the
+    * (key, status) rows — added / removed / changed — an incremental
+    * pipeline uses as its invalidation list. Digests compute
+    * scan-side; the single full-outer join exchanges 16 bytes per key.
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame,
+      keyCol: String = "doc_id", contentCol: String = "text"): DataFrame =
+    graft.queries.TextOps.snapshotDiff(snapA, snapB, keyCol, contentCol)
+
+  /** Population Stability Index drift (q163's kernel) between a
+    * reference and a current frame: `bucket` must be a FIXED-grid
+    * integer expression in [0, nBuckets) — engine-computed quantile
+    * edges would make the comparison self-referential. Returns per
+    * `group` the smoothed PSI and the standard verdict
+    * (>0.1 watch, >0.25 act).
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, group: String,
+      bucket: org.apache.spark.sql.Column, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tag = (df: DataFrame, isRef: Boolean) =>
+      df.select(col(group).as("grp"), lit(isRef).as("is_ref"),
+        bucket.cast("int").as("bkt"))
+    graft.queries.EventOps.psiByGroup(
+      tag(ref, true).unionByName(tag(cur, false)), nBuckets)
+      .withColumnRenamed("grp", group)
+  }
+
+  /** Bucketed interval-containment join (q167's kernel): `rows` with
+    * an integer-seconds `secCol` against `intervals(lo, hi)`, joined
+    * on key equality + containment via the bucket-expansion equi-join
+    * decomposition. Pick `bucketSec` near the typical interval width.
+    */
+  def intervalJoin(rows: DataFrame, intervals: DataFrame,
+      rowKey: String, intervalKey: String, secCol: String,
+      bucketSec: Long = 3600L, broadcastIntervals: Boolean = true): DataFrame =
+    graft.queries.EventOps.intervalJoin(rows, intervals, rowKey,
+      intervalKey, secCol, bucketSec, broadcastIntervals)
+
   /** Morton-clustered parquet write (ext.ZOrder) — the OPTIMIZE
     * ZORDER BY surface; `dims` are integral-castable expressions
     * (cents, epoch days — the q148 discipline).

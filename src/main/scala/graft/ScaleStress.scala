@@ -169,7 +169,21 @@ object ScaleStress {
       // into band-key shuffles whose candidate volume scales with dup
       // density (45× denser families), like q42 in image space
       "q151_data_profile", "q156_hybrid_rrf", "q157_ann_ndcg",
-      "q158_profile_approx", "q159_phash_neardup")
+      "q158_profile_approx", "q159_phash_neardup",
+      // round-9 second wave: q160/q161 ride the codec pass (row-linear,
+      // no shuffle before the final sort); q162 is one digest-key
+      // full-outer join; q163 a two-level rollup; q164's candidate
+      // volume tracks dup density via rare-shingle prefixes; q165 is
+      // block-pair-linear; q166 one grouped sketch pass; q167
+      // interval-bucket equi-join
+      "q160_image_thumbs", "q161_audio_energy", "q162_snapshot_diff",
+      "q163_psi_drift", "q164_setsim_prefix", "q165_fuzzy_tail_dedup",
+      "q166_quantile_sketch", "q167_incident_join",
+      // wave 3: q168 rides per-user windows (partition-local); q169's
+      // exact all-pairs is the documented oracle baseline (the q41
+      // stance — its 10x row prices the screen-then-price contract);
+      // q170 is three in-scan predicates + one broadcast semi-join
+      "q168_scd2_tiers", "q169_containment_dedup", "q170_purge_cascade")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

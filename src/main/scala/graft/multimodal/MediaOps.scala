@@ -374,4 +374,155 @@ object MediaOps {
         it.map { case (id, bytes) => decodeWav(id, bytes) }
       }
   }
+
+  // ------------------------------------------------------------------
+  // Round 9: integer-exact audio (windowed energy) + real pixel resize.
+  // ------------------------------------------------------------------
+
+  /** Deterministic sawtooth sample: v(i) = ((i·k) mod 2048) − 1024.
+    * Pure integer arithmetic — unlike the sine synth (whose
+    * round(sin·A) is not oracle-portable across libm implementations,
+    * the q153 lesson), every sample and therefore every windowed
+    * energy is recomputable EXACTLY by a SQL twin.
+    */
+  def sawSample(i: Long, k: Long): Int = ((i * k) % 2048 - 1024).toInt
+
+  /** Deterministic mono 16-bit PCM sawtooth WAV through the real JDK
+    * RIFF/WAVE encoder — the integer-exact sibling of `synthWav`.
+    */
+  def synthWavSaw(nSamples: Int, k: Long,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = sawSample(i.toLong, k).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched real sawtooth-WAV encode: (doc_id, n_samples, k) → bytes. */
+  def encodeWavSaw(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("n_samples").cast("int"),
+        col("k").cast("long"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, n, k) => (id, synthWavSaw(n, k)) }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Per-window audio features from a REAL WAV parse: the PCM stream
+    * splits into fixed `win`-sample frames (last window ragged) and
+    * each accumulates an exact integer energy (sum of squared
+    * samples) and peak — the frame-level feature extraction (VAD,
+    * loudness contours, silence trimming) a 100 TB audio corpus runs.
+    * All Longs: no float summation anywhere, so a SQL twin can
+    * recompute every window bit-for-bit from the synth formula.
+    */
+  final case class AudioWindow(
+      doc_id: Long,
+      win_idx: Int,
+      n_samples: Int,
+      energy: Long,
+      peak: Int)
+
+  /** Batched real WAV decode → exploded per-window rows. One codec
+    * parse per clip; windows emit from the same pass (an iterator
+    * flatMap — no second read of the bytes).
+    */
+  def decodeAudioWindows(df: DataFrame, win: Int): Dataset[AudioWindow] = {
+    import df.sparkSession.implicits._
+    require(win > 0, "window must be positive")
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+            !f.isBigEndian, s"doc $id: unsupported WAV layout $f")
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+          var w = 0
+          while (w * win < n) {
+            val lo = w * win
+            val hi = math.min(lo + win, n)
+            var energy = 0L
+            var peak = 0
+            var i = lo
+            while (i < hi) {
+              val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              energy += v.toLong * v
+              i += 1
+            }
+            out += AudioWindow(id, w, hi - lo, energy, peak)
+            w += 1
+          }
+          out
+        }
+      }
+  }
+
+  /** Real-decode + nearest-neighbor k×k thumbnail in one pass: the
+    * floor-grid sample maps thumb cell (i, j) to source pixel
+    * (i·w/k, j·h/k) — the classic NN downsample, fully deterministic
+    * (no filtering kernel, no float resample), so a closed-form twin
+    * can reproduce the thumbnail bytes exactly. `t_sum`/`t_wsum` are
+    * the thumbnail's exact luma checksums (the q152 fingerprint idiom
+    * applied to the k×k grid).
+    */
+  final case class ThumbInfo(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      t_sum: Long,
+      t_wsum: Long)
+
+  def decodeThumbs(df: DataFrame, k: Int): Dataset[ThumbInfo] = {
+    import df.sparkSession.implicits._
+    require(k > 0, "thumbnail size must be positive")
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image bytes for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          var tSum = 0L
+          var tWsum = 0L
+          var j = 0
+          while (j < k) {
+            val sy = j * h / k
+            var i = 0
+            while (i < k) {
+              val sx = i * w / k
+              val rgb = img.getRGB(sx, sy)
+              val g = (((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) >> 2
+              tSum += g
+              tWsum += g.toLong * (1L + i + k.toLong * j)
+              i += 1
+            }
+            j += 1
+          }
+          ThumbInfo(id, w, h, tSum, tWsum)
+        }
+      }
+  }
 }

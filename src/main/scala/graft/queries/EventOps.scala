@@ -15,6 +15,69 @@ import graft.Fns._
 object EventOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** PSI kernel shared by q163 and `GraftEngine.psiDrift` (the
+    * funnelVerdict sharing rule): input is ANY tagged frame of
+    * (grp, is_ref boolean, bkt int in [0, nBuckets)); output per grp
+    * is the Laplace-smoothed Population Stability Index over the fixed
+    * bucket grid plus the industry verdict (>0.1 watch, >0.25 act)
+    * gated on the ROUNDED psi. The (grp × bucket) spine guarantees
+    * empty bins exist on both sides; per-grp totals are a WINDOW over
+    * the tiny grid (nBuckets rows per grp), never a second pass over
+    * the input.
+    */
+  def psiByGroup(tagged: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val counts = tagged.groupBy(col("grp"), col("bkt"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cb"))
+    val spine = tagged.select(col("grp")).distinct()
+      .crossJoin(broadcast(tagged.sparkSession
+        .range(0, nBuckets).select(col("id").cast("int").as("bkt"))))
+    val grid = spine.join(counts, Seq("grp", "bkt"), "left")
+      .select(col("grp"), col("bkt"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wt = Window.partitionBy(col("grp"))
+    val half = nBuckets / 2.0
+    grid
+      .withColumn("na", sum(col("ca")).over(wt))
+      .withColumn("nb", sum(col("cb")).over(wt))
+      .withColumn("pa", (col("ca") + 0.5) / (col("na") + half))
+      .withColumn("pb", (col("cb") + 0.5) / (col("nb") + half))
+      .groupBy(col("grp"))
+      .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+        round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+          .as("psi"))
+      .withColumn("verdict",
+        when(col("psi") > 0.25, "act").when(col("psi") > 0.1, "watch")
+          .otherwise("stable"))
+  }
+
+  /** Bucketed interval-containment join shared by q167 and
+    * `GraftEngine.intervalJoin`: `rows` carry an integer-seconds
+    * column `secCol` and a join key `rowKey`; `intervals` carry
+    * (`intervalKey`, lo, hi) in the same units. Each interval explodes
+    * into the `bucketSec`-wide buckets it overlaps and the containment
+    * join runs as an EQUI-join on (key, bucket) with the exact BETWEEN
+    * as a residual — the standard range-join decomposition: pick
+    * bucketSec ≈ the typical interval width and each interval lands in
+    * ≤2 buckets, hash-partitionable at any interval-table size.
+    * `broadcastIntervals` pins the small-dim plan (default; pass false
+    * when the interval table is itself corpus-scale).
+    */
+  def intervalJoin(rows: DataFrame, intervals: DataFrame,
+      rowKey: String, intervalKey: String, secCol: String,
+      bucketSec: Long = 3600L, broadcastIntervals: Boolean = true): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(expr(s"lo div $bucketSec"), expr(s"hi div $bucketSec"))))
+    val ivb = if (broadcastIntervals) broadcast(iv) else iv
+    rows.withColumn("__ebkt", expr(s"$secCol div $bucketSec"))
+      .join(ivb, col(rowKey) === col(intervalKey)
+        && col("__ebkt") === col("__bkt")
+        && col(secCol).between(col("lo"), col("hi")))
+      .drop("__ebkt", "__bkt")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -259,5 +322,110 @@ object EventOps {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         "round(sum(w), 4) AS eff_n, round(sum(w * value), 4) AS eff_value " +
         "FROM w GROUP BY event_type ORDER BY event_type"))
+  ,
+
+    GraftQuery(
+      "q163_psi_drift",
+      "Population Stability Index drift monitor — the distribution-shift gate a continuously-ingesting pipeline runs between a reference window and the current one before letting new data into a training mix: events split at a fixed boundary (Jan 16) into period A/B, each period's value distribution buckets onto a FIXED grid (floor(value/50), capped at 9 — fixed-width bins, not engine-computed quantile edges, so both engines bucket identically), and per event_type PSI = sum over buckets of (pa-pb)*ln(pa/pb) with Laplace smoothing (+0.5 per bucket) so empty bins never produce ln(0). The (type x bucket) spine builds from a distinct-types cross join with a 10-row bucket grid — zero-count buckets exist on BOTH sides of the subtraction. The industry-standard reading is flagged from the ROUNDED psi (>0.1 watch, >0.25 act) so the verdict is engine-exact. One scan, one (type,bucket,period) rollup, a 10-bucket-per-type reduce: at 100 TB this is a map-side-combined two-level aggregation, no sort anywhere.",
+      (s, d) => {
+        val tagged = t(s, d, "events")
+          .select(col("event_type").as("grp"),
+            (floor(col("ts").cast("double")).cast("long") < 1705363200L)
+              .as("is_ref"),
+            least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("bkt"))
+        psiByGroup(tagged, 10)
+          .withColumnRenamed("grp", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("WITH ev AS (SELECT event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) < 1705363200 AS is_a, " +
+        "CAST(least(floor(value / 50.0), 9.0) AS INT) AS bkt FROM events), " +
+        "counts AS (SELECT event_type, bkt, " +
+        "SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb " +
+        "FROM ev GROUP BY event_type, bkt), " +
+        "spine AS (SELECT DISTINCT event_type, g.i AS bkt FROM ev, " +
+        "(SELECT CAST(range AS INT) AS i FROM range(0, 10)) g), " +
+        "grid AS (SELECT s.event_type, s.bkt, coalesce(c.ca, 0) AS ca, " +
+        "coalesce(c.cb, 0) AS cb FROM spine s LEFT JOIN counts c " +
+        "ON c.event_type = s.event_type AND c.bkt = s.bkt), " +
+        "tots AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb " +
+        "FROM grid GROUP BY event_type), " +
+        "p AS (SELECT g.event_type, (g.ca + 0.5) / (t.na + 5.0) AS pa, " +
+        "(g.cb + 0.5) / (t.nb + 5.0) AS pb, t.na, t.nb " +
+        "FROM grid g JOIN tots t ON t.event_type = g.event_type) " +
+        "SELECT event_type, CAST(max(na) AS BIGINT) AS n_ref, " +
+        "CAST(max(nb) AS BIGINT) AS n_cur, " +
+        "round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi, " +
+        "CASE WHEN round(SUM((pa - pb) * ln(pa / pb)), 6) > 0.25 THEN 'act' " +
+        "WHEN round(SUM((pa - pb) * ln(pa / pb)), 6) > 0.1 THEN 'watch' " +
+        "ELSE 'stable' END AS verdict " +
+        "FROM p GROUP BY event_type ORDER BY event_type")),
+
+    GraftQuery(
+      "q167_incident_join",
+      "Batch INTERVAL join via bucket expansion — the missing sibling of q38's as-of (most-recent-prior) and the streaming interval join: an interval table (here the top-20 highest-value events, each spawning a [ts-30min, ts+30min] same-type incident window; any external interval table slots in) joins against the event stream on CONTAINMENT, not equality. The naive `t BETWEEN lo AND hi` join is a nested-loop cartesian at scale; instead each interval EXPLODES into the hour buckets it overlaps (<=2 for a 1-hour window) and the join runs as an EQUI-join on (event_type, hour_bucket) with the exact containment predicate as a residual filter — the standard bucketed range-join decomposition, shuffle-keyed and hash-joinable at any interval-table size (broadcast here: 20 intervals). All time arithmetic on integer epoch seconds, so bucket edges and containment gate identically in both engines. Per incident: matched events, value mass (integer cents), distinct users.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            floor(col("ts").cast("double")).cast("long").as("sec"))
+        val incidents = ev
+          .orderBy(col("value").desc, col("event_id")).limit(20)
+          .select(col("event_id").as("incident_id"),
+            col("event_type").as("itype"),
+            (col("sec") - 1800L).as("lo"), (col("sec") + 1800L).as("hi"))
+        intervalJoin(ev, incidents, "event_type", "itype", "sec")
+          .groupBy(col("incident_id"), col("itype"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("value_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("incident_id"))
+      },
+      Some("WITH ev AS (SELECT event_id, user_id, event_type, value, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "inc AS (SELECT event_id AS incident_id, event_type AS itype, " +
+        "sec - 1800 AS lo, sec + 1800 AS hi FROM ev " +
+        "ORDER BY value DESC, event_id LIMIT 20) " +
+        "SELECT i.incident_id, i.itype, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM inc i JOIN ev e ON e.event_type = i.itype " +
+        "AND e.sec BETWEEN i.lo AND i.hi " +
+        "GROUP BY i.incident_id, i.itype ORDER BY i.incident_id"))
+  ,
+
+    GraftQuery(
+      "q168_scd2_tiers",
+      "Slowly-changing-dimension TYPE-2 build — the dimension-versioning op every warehouse (and every feature store that must answer 'what did we believe about this user at training time?') runs: each user's event stream maps to a value tier (low/mid/high), CONSECUTIVE equal tiers collapse, and each surviving change point becomes a versioned row with [valid_from, valid_to) — valid_to = the next change's start − 1, NULL for the current version (the classic open-ended row). Pure gaps-and-islands: one lag to find change points, one lead over the survivors to close intervals — two window passes over per-USER partitions (thousands of tiny frames, never a global sort; the q33 sessionization posture). The (sec, event_id) compound order makes the row sequence total, so both engines collapse identical runs; tier boundaries compare raw doubles, identical IEEE semantics in both engines. Training-time correctness consumer: join fact rows on user_id AND event-time BETWEEN valid_from AND valid_to (q167's bucketed decomposition at scale) to reconstruct point-in-time features without leakage.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            floor(col("ts").cast("double")).cast("long").as("sec"),
+            when(col("value") < 50, "low").when(col("value") < 200, "mid")
+              .otherwise("high").as("tier"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val changes = ev
+          .withColumn("prev", lag(col("tier"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("tier"))
+        changes
+          .withColumn("valid_to", lead(col("sec"), 1).over(w) - 1L)
+          .select(col("user_id"), col("tier"),
+            col("sec").as("valid_from"), col("valid_to"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' " +
+        "ELSE 'high' END AS tier FROM events), " +
+        "ch AS (SELECT user_id, event_id, sec, tier, " +
+        "lag(tier) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev " +
+        "FROM ev), " +
+        "cp AS (SELECT user_id, event_id, sec, tier FROM ch " +
+        "WHERE prev IS NULL OR prev <> tier) " +
+        "SELECT user_id, tier, sec AS valid_from, " +
+        "lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - 1 AS valid_to " +
+        "FROM cp ORDER BY user_id, valid_from"))
   )
 }

@@ -262,6 +262,60 @@ object MultimodalOps {
         "JOIN agg ab ON ab.doc_id = pd.db) " +
         "SELECT h.da, h.db, h.hamming, s.same_pixels " +
         "FROM hm h JOIN sp s ON s.da = h.da AND s.db = h.db " +
-        "WHERE h.hamming <= 3 ORDER BY h.da, h.db"))
+        "WHERE h.hamming <= 3 ORDER BY h.da, h.db")),
+
+    GraftQuery(
+      "q160_image_thumbs",
+      "REAL pixel resize — the thumbnailing pass a 100 TB image corpus runs before any vision model sees it: every doc's PNG round-trips the real JDK codec and a nearest-neighbor 8x8 downsample samples the DECODED pixels on the floor grid (thumb cell (i,j) <- source pixel (i*w/8, j*h/8)) in the same mapPartitions pass as the decode — one codec read per image, no second pass over the bytes, no shuffle until the final per-doc project. NN (not bilinear) is chosen deliberately: it selects exact source pixels, so the thumbnail is closed-form recomputable and the oracle hash proves the real decode -> resample chain end-to-end, where a float filter kernel would be codec-exact but oracle-opaque. Output is each thumbnail's exact luma checksums (the q152 fingerprint idiom on the 8x8 grid) — collision-grade evidence the resize read the right 64 pixels of every image.",
+      (s, d) => {
+        // pre-codec explicit-width range partition + in-partition sort:
+        // same double trap as q152 (orderBy resamples the codec chain;
+        // AQE would coalesce the cheap params exchange to ~1 partition)
+        val parts = imageParams(s, d).withColumn("format", lit("png"))
+          .repartitionByRange(shufflePartitions(s), col("doc_id"))
+        MediaOps.decodeThumbs(MediaOps.encodeImages(parts), 8).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("t_sum"), col("t_wsum"))
+          .sortWithinPartitions(col("doc_id"))
+      },
+      Some(s"WITH h AS (SELECT doc_id, $hvSql AS hv FROM documents), " +
+        "dims AS (SELECT doc_id, CAST(16 + hv % 48 AS INT) AS width, " +
+        "CAST(16 + (hv // 48) % 32 AS INT) AS height, " +
+        "hv % 251 AS s1, (hv // 251) % 241 AS s2 FROM h), " +
+        "g AS (SELECT i FROM range(0, 8) t(i)), " +
+        "tp AS (SELECT d.doc_id, d.width, d.height, ti.i AS ti, tj.i AS tj, " +
+        "ti.i*d.width//8 AS sx, tj.i*d.height//8 AS sy, d.s1, d.s2 " +
+        "FROM dims d CROSS JOIN g ti CROSS JOIN g tj) " +
+        "SELECT doc_id, width, height, " +
+        "CAST(SUM((sx*sx*7 + sy*sy*13 + (sx+sy)*s1 + sx*sy*s2) % 256) AS BIGINT) AS t_sum, " +
+        "CAST(SUM(((sx*sx*7 + sy*sy*13 + (sx+sy)*s1 + sx*sy*s2) % 256) " +
+        "* (1 + ti + 8*tj)) AS BIGINT) AS t_wsum " +
+        "FROM tp GROUP BY doc_id, width, height ORDER BY doc_id")),
+
+    GraftQuery(
+      "q161_audio_energy",
+      "Frame-level audio feature extraction through the REAL codec: per-doc sawtooth PCM clips (v(i) = ((i*k) mod 2048) - 1024 — pure integer arithmetic, the q153 lesson applied: round(sin) is not oracle-portable across libm implementations, integer waveforms are) are written by the real JDK RIFF/WAVE encoder, parsed back by the real WAV reader, and ONE pass over the decoded PCM emits fixed 256-sample windows each carrying an exact integer energy (sum of squared samples) and peak — the loudness/VAD feature grid an audio corpus computes before silence trimming or segment selection. All-integer accumulators make every window bit-for-bit recomputable by the closed-form twin, so a hash match proves the real encode -> parse -> window chain exactly. Scale: codec + windowing are one narrow flatMap (rows fan out ~10x into windows, no shuffle); only the final sort exchanges data.",
+      (s, d) => {
+        val clips = t(s, d, "documents")
+          .select(col("doc_id"),
+            (lit(800) + pmod(col("doc_id"), lit(1600L))).cast("int").as("n_samples"),
+            (lit(3) + pmod(col("doc_id"), lit(97L))).cast("long").as("k"))
+          .repartitionByRange(shufflePartitions(s), col("doc_id"))
+        MediaOps.decodeAudioWindows(MediaOps.encodeWavSaw(clips), 256).toDF()
+          .select(col("doc_id"), col("win_idx"), col("n_samples"),
+            col("energy"), col("peak"))
+          .sortWithinPartitions(col("doc_id"), col("win_idx"))
+      },
+      Some("WITH c AS (SELECT doc_id, " +
+        "CAST(800 + doc_id % 1600 AS INT) AS n_samples, " +
+        "3 + doc_id % 97 AS k FROM documents), " +
+        "s AS (SELECT c.doc_id, i.range AS i, " +
+        "CAST((i.range * c.k) % 2048 - 1024 AS INT) AS v, " +
+        "CAST(i.range // 256 AS INT) AS win_idx " +
+        "FROM c, range(0, 2400) i WHERE i.range < c.n_samples) " +
+        "SELECT doc_id, win_idx, CAST(count(*) AS INT) AS n_samples, " +
+        "CAST(SUM(CAST(v AS BIGINT)*v) AS BIGINT) AS energy, " +
+        "CAST(MAX(abs(v)) AS INT) AS peak " +
+        "FROM s GROUP BY doc_id, win_idx ORDER BY doc_id, win_idx"))
   )
 }

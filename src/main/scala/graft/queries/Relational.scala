@@ -839,6 +839,77 @@ object Relational {
           .select(col("r.*"))
           .orderBy(col("col_name"))
       },
-      None)
+      None),
+
+    GraftQuery(
+      "q166_quantile_sketch",
+      "Distributed quantile SKETCH beside its exact twin — the q151/q158 calibration pattern applied to percentiles: one grouped aggregation computes BOTH the exact interpolated percentile (which at scale must shuffle and sort every value of the group) and the Greenwald-Khanna approx_percentile sketch (fixed-size mergeable summary, one pass, the ONLY form that survives 100 TB groups) at p50/p90/p99, then unpivots to a per-(group, quantile) report with the absolute relative error. The sketch's published guarantee is rank error <= n/accuracy (accuracy 10000 here); ApproxQuantileSpec pins the measured rank error inside that bound, the honest-calibration posture of q147/q158. Rows-only by contract: the GK summary's merge order is partition-dependent and no SQL engine reproduces it — the exact columns ARE oracle-covered through q28's quantile_cont agreement, and the spec owns the sketch bound.",
+      (s, d) => {
+        val probs = "array(0.5D, 0.9D, 0.99D)"
+        val labels = array(lit("p50"), lit("p90"), lit("p99"))
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            expr(s"percentile(o_totalprice, $probs)").as("ex"),
+            expr(s"approx_percentile(o_totalprice, $probs, 10000)").as("ap"))
+          .select(col("o_orderpriority"), col("n"),
+            posexplode(arrays_zip(labels.as("q"), col("ex"), col("ap")))
+              .as(Seq("i", "z")))
+          .select(col("o_orderpriority"), col("n"),
+            col("z.q").as("quantile"),
+            round(col("z.ex"), 4).as("exact"),
+            round(col("z.ap"), 4).as("approx"),
+            round(abs(col("z.ap") - col("z.ex")) /
+              greatest(col("z.ex"), lit(1e-9)), 6).as("rel_err"))
+          .orderBy(col("o_orderpriority"), col("quantile"))
+      },
+      None),
+
+    GraftQuery(
+      "q170_purge_cascade",
+      "Right-to-be-forgotten purge audit — the multi-table deletion-impact report a data platform produces BEFORE executing a GDPR erasure batch: a deterministic delete-list (key % 97 = 13 stands in for the uploaded id set) marks users and customers, the mark CASCADES through referential children (orders via o_custkey, lineitem via SEMI-join against the purged orderkeys — lineitem carries no customer key, so the cascade is a genuine join, not a predicate), and one row per table reports total/purged/kept and the purge rate. Scan shapes: events/customer/orders purge marks are pure predicates evaluated in-scan (zero shuffles); lineitem's cascade joins against the BROADCAST purged-orderkey list (1/97th of orders — always the small side); the four one-row aggregates union into the report. At 100 TB this is the audit's exact plan: deletes land as anti-join rewrites of the same predicates, and the broadcast orderkey list is the standard fan-out for child-table erasure.",
+      (s, d) => {
+        def mark(df: DataFrame, name: String, purged: org.apache.spark.sql.Column): DataFrame =
+          df.agg(count(lit(1)).as("n_total"),
+              sum(when(purged, 1L).otherwise(0L)).as("n_purged"))
+            .select(lit(name).as("tbl"), col("n_total"), col("n_purged"))
+        val ords = t(s, d, "orders")
+        val purgedOrders = ords
+          .filter(pmod(col("o_custkey"), lit(97L)) === 13)
+          .select(col("o_orderkey"), lit(1).as("p"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(purgedOrders),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purged"))
+          .select(lit("lineitem").as("tbl"), col("n_total"), col("n_purged"))
+        mark(t(s, d, "events"), "events", pmod(col("user_id"), lit(97L)) === 13)
+          .unionByName(mark(t(s, d, "customer"), "customer",
+            pmod(col("c_custkey"), lit(97L)) === 13))
+          .unionByName(mark(ords, "orders",
+            pmod(col("o_custkey"), lit(97L)) === 13))
+          .unionByName(li)
+          .withColumn("n_kept", col("n_total") - col("n_purged"))
+          .withColumn("purge_rate",
+            round(col("n_purged").cast("double") / col("n_total"), 6))
+          .orderBy(col("tbl"))
+      },
+      Some("WITH po AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 13), " +
+        "e AS (SELECT 'events' AS tbl, count(*) AS n_total, " +
+        "SUM(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END) AS n_purged FROM events), " +
+        "c AS (SELECT 'customer', count(*), " +
+        "SUM(CASE WHEN c_custkey % 97 = 13 THEN 1 ELSE 0 END) FROM customer), " +
+        "o AS (SELECT 'orders', count(*), " +
+        "SUM(CASE WHEN o_custkey % 97 = 13 THEN 1 ELSE 0 END) FROM orders), " +
+        "l AS (SELECT 'lineitem', count(*), " +
+        "SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po) THEN 1 ELSE 0 END) " +
+        "FROM lineitem), " +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM c " +
+        "UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l) " +
+        "SELECT tbl, CAST(n_total AS BIGINT) AS n_total, " +
+        "CAST(n_purged AS BIGINT) AS n_purged, " +
+        "CAST(n_total - n_purged AS BIGINT) AS n_kept, " +
+        "round(n_purged*1.0/n_total, 6) AS purge_rate " +
+        "FROM u ORDER BY tbl"))
   )
 }

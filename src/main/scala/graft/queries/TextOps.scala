@@ -60,6 +60,28 @@ object TextOps {
   private def cachedShingles(docs: DataFrame): DataFrame =
     shingleStore.getOrElse(pin(shingleSet(docs)))
 
+  /** Snapshot-diff kernel shared by q162 and `GraftEngine.snapshotDiff`
+    * (the funnelVerdict sharing rule — query and facade can't drift):
+    * two snapshots of ANY keyed corpus compare by scan-side content
+    * digest, so the single full-outer hash join exchanges 16-byte
+    * digests, never payloads. Returns only the (key, status) rows a
+    * consumer acts on — added / removed / changed; at 100 TB with both
+    * snapshots bucketed on the key this is a zero-shuffle sort-merge.
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    val a = snapA.select(col(keyCol), md5(col(contentCol).cast("string")).as("__ha"))
+    val b = snapB.select(col(keyCol), md5(col(contentCol).cast("string")).as("__hb"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__hb").isNull, "removed")
+          .when(col("__ha").isNull, "added")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col(keyCol), col("status"))
+  }
+
   /** Disk-backed swap for the in-session shingle cache — the 100 TB
     * posture `cachedShingles`' scaladoc documents, wired end-to-end:
     * when installed (ScaleStress --shingle-store; a production corpus
@@ -2452,7 +2474,128 @@ object TextOps {
         "CAST(sum(coalesce(rm.n_removed, 0)) AS BIGINT) AS n_tokens_removed, " +
         "round(sum(coalesce(rm.n_removed, 0))*1.0/sum(n_tok), 6) AS removal_rate " +
         "FROM n LEFT JOIN rm ON n.doc_id = rm.doc_id " +
-        "GROUP BY source ORDER BY source"))
+        "GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q162_snapshot_diff",
+      "Corpus snapshot diff — the versioning pass a continuously-recrawled training corpus runs before every publish: two snapshots compare by content DIGEST on the snapshot key (a deterministic snapshot B derives in-plan from the fixture: every 7th doc dropped, another 7th edited, another 7th re-keyed as an addition), and a single digest-level full-outer hash join classifies every key as added / removed / changed — the md5 computes scan-side, so the join exchanges 16-byte digests, never document text. At 100 TB both snapshots live doc_id-bucketed on disk (the ShingleStore layout), making this diff a zero-shuffle sort-merge over co-located buckets; the changed/removed keys are exactly the invalidation list every derived artifact (shingle tables, ANN indexes, BM25 stats) consumes to update incrementally instead of rebuilding.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val snapB = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7L)) === 5,
+              concat(col("text"), lit(" edited"))).otherwise(col("text"))
+              .as("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 1)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(col("text"), lit(" new")).as("text")))
+        snapshotDiff(docs, snapB, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents), " +
+        "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 5 " +
+        "THEN text || ' edited' ELSE text END) AS hb " +
+        "FROM documents WHERE doc_id % 7 <> 3 " +
+        "UNION ALL SELECT doc_id + 10000000, md5(text || ' new') " +
+        "FROM documents WHERE doc_id % 7 = 1) " +
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN b.hb IS NULL THEN 'removed' " +
+        "WHEN a.ha IS NULL THEN 'added' " +
+        "WHEN a.ha <> b.hb THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id " +
+        "WHERE (CASE WHEN b.hb IS NULL THEN 'removed' " +
+        "WHEN a.ha IS NULL THEN 'added' " +
+        "WHEN a.ha <> b.hb THEN 'changed' ELSE 'unchanged' END) <> 'unchanged' " +
+        "ORDER BY doc_id")),
+
+    GraftQuery(
+      "q164_setsim_prefix",
+      "Exact set-similarity join by PREFIX FILTERING (Bayardo/Ma/Srikant 2007 'Scaling Up All Pairs Similarity Search' / Chaudhuri 2006 SSJoin) — the third arm of the near-dup triangle beside q41 (all-pairs exact, the oracle baseline) and q42 (MinHash-LSH, probabilistically lossless): order every doc's shingle set by ascending global document frequency (rarest first, ties by key), keep only the first floor(n/2)+1 shingles as the doc's PREFIX, and generate candidates from prefix-key collisions alone — by the prefix pigeonhole, two sets with Jaccard >= 0.5 MUST collide on some prefix shingle (if all o common shingles hid in A's suffix of ceil(n/2)-1 slots, o < ceil(n/2) would contradict o >= J*|union| >= n/2; the 6dp-rounded gate weakens J's floor by 5e-7, negligible below a million shingles per doc). Candidates then verify with the exact rounded-Jaccard tail q41 uses, so the output is IDENTICAL to q41/q42 (shared oracle) while being deterministically lossless — no banding probability — and candidate-volume-scaled: the df ordering makes prefixes collide on RARE shingles, so boilerplate n-grams never drive the join. One df rollup + per-doc windows (tiny frames) + a prefix-key shuffle; the 100 TB posture for exact-guarantee dedup compliance audits where q42's 2e-6 miss probability is not a contract.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val dfreq = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+        val pref = sh.join(dfreq, Seq("sk"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("df"), col("sk"))))
+          .join(sizes, Seq("doc_id"))
+          .filter(col("pos") <= expr("n div 2 + 1"))
+          .select(col("doc_id"), col("sk"))
+        val cand = pref.select(col("doc_id").as("da"), col("sk"))
+          .join(pref.select(col("doc_id").as("db"), col("sk")), Seq("sk"))
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db")).distinct()
+        val inter = cand
+          .join(sh.select(col("doc_id").as("da"), col("sk")), Seq("da"))
+          .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("db", "sk"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("jaccard",
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select(col("da"), col("db"), col("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(jaccardOracle)),
+
+    GraftQuery(
+      "q165_fuzzy_tail_dedup",
+      "Blocked EDIT-DISTANCE near-dup verify — the classic record-linkage posture (Levenshtein on a bounded field inside equality blocks) that catches what both exact dedup and set-based Jaccard frame differently: documents sharing an exact (lang, 8-char head) block — the fixture's near-dup families share heads by construction, the common one-picture-many-page-edits crawl reality — compare their TAILS (last 40 chars, where the perturbations live) by exact Levenshtein distance, keeping pairs within edit distance 16. Blocking makes it scale: candidates are per-block pairs (block sizes are family-sized, never corpus-sized), and the DP edit distance runs on 40-char strings only — O(1600) per candidate, bounded by construction, the reason the field is windowed rather than whole-doc. The distance is an integer, so both engines gate identically; the standard blocking tradeoff (a pair whose heads differ is never compared) is the documented contract, not a bug — q41/q42 cover head-divergent similarity by token sets.",
+      (s, d) => {
+        val dd = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            substring(col("text"), 1, 8).as("hd"),
+            expr("right(text, 40)").as("tl"))
+        val a = dd.select(col("lang"), col("hd"),
+          col("doc_id").as("da"), col("tl").as("ta"))
+        val b = dd.select(col("lang"), col("hd"),
+          col("doc_id").as("db"), col("tl").as("tb"))
+        a.join(b, Seq("lang", "hd")).filter(col("da") < col("db"))
+          .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+          .filter(col("edit_dist") <= 16)
+          .select(col("da"), col("db"), col("edit_dist"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH d AS (SELECT doc_id, lang, substr(text,1,8) AS hd, " +
+        "right(text,40) AS tl FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(levenshtein(a.tl, b.tl) AS INT) AS edit_dist " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.hd = b.hd " +
+        "AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.tl, b.tl) <= 16 ORDER BY da, db")),
+
+    GraftQuery(
+      "q169_containment_dedup",
+      "ASYMMETRIC containment dedup (Broder's containment, C(A,B) = |A∩B|/|A|) — the sub-document detector resemblance-based dedup is structurally blind to: a small doc pasted inside a much larger one has low Jaccard (the union is dominated by the container) but containment ~1, exactly the quote-farm / scraped-aggregator shape. Emits (contained, container) pairs with C >= 0.8 and |A| < |B| over the shared shingle kernel; the 6dp-rounded gate keeps both engines' thresholds identical. Like q41 this registers the EXACT all-pairs form as the oracle baseline; the scale path is the same screen-then-price pairing the substring family uses — q39's winnowing containment ESTIMATE (df-capped fingerprints) nominates candidates and this exact kernel prices them, so the corpus-wide cost stays candidate-linear while the semantics stay exact.",
+      (s, d) => {
+        val sh = cachedShingles(t(s, d, "documents"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("da"), col("sk"))
+          .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("sk"))
+          .filter(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("containment", round(col("c").cast("double") / col("na"), 6))
+          .filter(col("containment") >= 0.8 && col("na") < col("nb"))
+          .select(col("da"), col("db"), col("na"), col("nb"), col("containment"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY da, db) " +
+        "SELECT da, db, sa.n AS na, sb.n AS nb, " +
+        "round(c*1.0/sa.n, 6) AS containment " +
+        "FROM inter JOIN sizes sa ON da = sa.doc_id " +
+        "JOIN sizes sb ON db = sb.doc_id " +
+        "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db"))
   )
 
   /** q135/q137's maximal shared spans: (da, db, diag, pb0, span) —

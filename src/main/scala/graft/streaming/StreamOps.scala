@@ -192,6 +192,15 @@ object StreamOps {
   def decodeImageStream(media: DataFrame): DataFrame =
     graft.multimodal.MediaOps.decodeImagesReal(media).toDF()
 
+  /** Streaming windowed audio features — the stateless streaming twin
+    * of q161's batch path, sharing `MediaOps.decodeAudioWindows`
+    * verbatim: WAV clips arriving on a feed parse once and fan out
+    * into fixed-width frames with exact integer energies in-flight.
+    * Append mode, no watermark, no state store.
+    */
+  def audioWindowStream(media: DataFrame, win: Int = 256): DataFrame =
+    graft.multimodal.MediaOps.decodeAudioWindows(media, win).toDF()
+
   /** Event-time tumbling-window counts with a watermark: the
     * streaming twin of batch q32_tumbling_hour. Late data beyond the
     * watermark is dropped; state for closed windows is evicted.

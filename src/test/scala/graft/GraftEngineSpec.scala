@@ -97,4 +97,44 @@ class GraftEngineSpec extends SparkSpec {
       assert(e2.query("q17_recent_events").collect().toSeq === utcRows)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("snapshotDiff facade on q162's construction reproduces the registered diff") {
+    import org.apache.spark.sql.functions._
+    val docs = engine.table("documents")
+    val snapB = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 5,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+    val viaEngine = engine.snapshotDiff(docs, snapB)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val registered = engine.query("q162_snapshot_diff")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaEngine === registered)
+    // identical snapshots diff to NOTHING — the incremental no-op case
+    assert(engine.snapshotDiff(docs, docs).count() === 0)
+  }
+
+  test("psiDrift facade on the q163 split reproduces the registered PSI") {
+    import org.apache.spark.sql.functions._
+    val ev = engine.table("events")
+      .select(col("event_type"),
+        floor(col("ts").cast("double")).cast("long").as("sec"),
+        least(floor(col("value") / 50.0), lit(9.0)).as("bkt"))
+    val viaEngine = engine.psiDrift(
+        ev.filter(col("sec") < 1705363200L),
+        ev.filter(col("sec") >= 1705363200L),
+        "event_type", col("bkt"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("psi"))).toMap
+    val registered = engine.query("q163_psi_drift")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("psi"))).toMap
+    assert(viaEngine === registered)
+    // a frame against itself has zero drift in every group
+    val self = engine.psiDrift(ev, ev, "event_type", col("bkt")).collect()
+    assert(self.forall(_.getDouble(self.head.fieldIndex("psi")) === 0.0))
+  }
 }

@@ -161,4 +161,44 @@ class MediaCodecSpec extends SparkSpec {
       assert(pairs.filter(col("hamming") > 3).count() === 0)
     } finally pairs.unpersist()
   }
+
+  test("q160: NN thumbnail samples exactly the floor-grid source pixels") {
+    val w = 37; val h = 29; val s1 = 117L; val s2 = 203L
+    val bytes = MediaOps.synthImage(w, h, s1, s2, "png")
+    val ti = MediaOps.decodeThumbs(
+      spark.createDataFrame(Seq((7L, bytes))).toDF("doc_id", "content"), 8)
+      .collect().head
+    var tSum = 0L; var tWsum = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val g = MediaOps.synthPixel(i * w / 8, j * h / 8, s1, s2)
+      tSum += g; tWsum += g.toLong * (1L + i + 8L * j)
+    }
+    assert(ti.width === w && ti.height === h)
+    assert(ti.t_sum === tSum && ti.t_wsum === tWsum)
+    // thumbnails of the SAME image are identical across containers —
+    // the resize sees decoded pixels, not bytes
+    val bmp = MediaOps.decodeThumbs(
+      spark.createDataFrame(Seq((8L, MediaOps.synthImage(w, h, s1, s2, "bmp"))))
+        .toDF("doc_id", "content"), 8).collect().head
+    assert(bmp.t_sum === ti.t_sum && bmp.t_wsum === ti.t_wsum)
+  }
+
+  test("q161: audio windows PARTITION the clip — energies sum to the clip's sq_sum") {
+    val n = 1000; val k = 37L
+    val bytes = MediaOps.synthWavSaw(n, k)
+    val whole = MediaOps.decodeWav(5L, bytes)
+    val wins = MediaOps.decodeAudioWindows(
+      spark.createDataFrame(Seq((5L, bytes))).toDF("doc_id", "content"), 256)
+      .collect().sortBy(_.win_idx)
+    assert(wins.length === (n + 255) / 256)
+    assert(wins.map(_.energy).sum === whole.sq_sum)
+    assert(wins.map(_.n_samples).sum === n)
+    assert(wins.map(_.peak).max === whole.peak)
+    // sawtooth samples are integer-exact: window 0's energy equals the
+    // closed form the q161 oracle recomputes
+    val e0 = (0 until 256).map { i =>
+      val v = ((i * k) % 2048 - 1024); v * v
+    }.sum
+    assert(wins.head.energy === e0)
+  }
 }

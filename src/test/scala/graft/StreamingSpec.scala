@@ -362,4 +362,35 @@ class StreamingSpec extends SparkSpec {
       params.foreach { case (id, w, _, _, _, _) => assert(widths(id) === w) }
     } finally q.stop()
   }
+
+  test("streaming windowed audio energy matches the batch windows exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.MediaOps
+    // real WAV bytes (integer sawtooth — q161's waveform), fed both ways
+    val params = (0L until 30L).map(i => (i, 300 + (i % 11).toInt * 90, 3 + i % 97))
+    val media = MediaOps.encodeWavSaw(
+        params.toDF("doc_id", "n_samples", "k"))
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.audioWindowStream(
+        input.toDF().toDF("doc_id", "content"), 256)
+      .writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(media.take(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(media.drop(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3), r.getInt(4))
+      val streamed = spark.table("audio_stream").collect().map(key).toMap
+      val batch = MediaOps.decodeAudioWindows(
+          media.toSeq.toDF("doc_id", "content"), 256)
+        .toDF().collect().map(key).toMap
+      assert(streamed === batch)
+      // window fan-out happened: more windows than clips
+      assert(streamed.size > 30)
+    } finally q.stop()
+  }
 }
