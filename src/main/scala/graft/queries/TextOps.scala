@@ -2513,26 +2513,49 @@ object TextOps {
       "Exact set-similarity join by PREFIX FILTERING (Bayardo/Ma/Srikant 2007 'Scaling Up All Pairs Similarity Search' / Chaudhuri 2006 SSJoin) — the third arm of the near-dup triangle beside q41 (all-pairs exact, the oracle baseline) and q42 (MinHash-LSH, probabilistically lossless): order every doc's shingle set by ascending global document frequency (rarest first, ties by key), keep only the first floor(n/2)+1 shingles as the doc's PREFIX, and generate candidates from prefix-key collisions alone — by the prefix pigeonhole, two sets with Jaccard >= 0.5 MUST collide on some prefix shingle (if all o common shingles hid in A's suffix of ceil(n/2)-1 slots, o < ceil(n/2) would contradict o >= J*|union| >= n/2; the 6dp-rounded gate weakens J's floor by 5e-7, negligible below a million shingles per doc). Candidates then verify with the exact rounded-Jaccard tail q41 uses, so the output is IDENTICAL to q41/q42 (shared oracle) while being deterministically lossless — no banding probability — and candidate-volume-scaled: the df ordering makes prefixes collide on RARE shingles, so boilerplate n-grams never drive the join. One df rollup + per-doc windows (tiny frames) + a prefix-key shuffle; the 100 TB posture for exact-guarantee dedup compliance audits where q42's 2e-6 miss probability is not a contract.",
       (s, d) => {
         val sh = cachedShingles(t(s, d, "documents"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // Doc -> sorted shingle-set array, built ONCE and pinned: it
+        // feeds the df rollup's complement (sizes) and BOTH sides of
+        // the candidate verify. Verifying against per-doc ARRAYS
+        // instead of re-joining exploded shingle rows is the load-
+        // bearing choice: the prefix screen at t=0.5 admits ~80
+        // candidates per doc on this corpus, and the row-form verify
+        // (cand x shingles x shingles -> groupBy) materialized 21M
+        // rows / 3.4 s where the array form does two doc_id hash
+        // joins (corpus-side AQE-broadcast at small SF, co-located
+        // sort-merge against the doc_id-bucketed store at 100 TB) and
+        // one codegen'd sorted-array intersection per candidate.
+        val docArr = pin(sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("sk"))).as("arr"),
+            count(lit(1)).as("n")))
         val dfreq = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
-        val pref = sh.join(dfreq, Seq("sk"))
+        // pinned: the prefix table feeds BOTH sides of the candidate
+        // self-join — unpinned, the df-rollup + window subtree would
+        // plan (and execute) twice
+        val pref = pin(sh.join(dfreq, Seq("sk"))
           .withColumn("pos", row_number().over(
             Window.partitionBy(col("doc_id"))
               .orderBy(col("df"), col("sk"))))
-          .join(sizes, Seq("doc_id"))
+          .join(docArr.select(col("doc_id"), col("n")), Seq("doc_id"))
           .filter(col("pos") <= expr("n div 2 + 1"))
-          .select(col("doc_id"), col("sk"))
+          .select(col("doc_id"), col("sk")))
         val cand = pref.select(col("doc_id").as("da"), col("sk"))
           .join(pref.select(col("doc_id").as("db"), col("sk")), Seq("sk"))
           .filter(col("da") < col("db"))
           .select(col("da"), col("db")).distinct()
-        val inter = cand
-          .join(sh.select(col("doc_id").as("da"), col("sk")), Seq("da"))
-          .join(sh.select(col("doc_id").as("db"), col("sk")), Seq("db", "sk"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-        inter
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        cand
+          .join(docArr.select(col("doc_id").as("da"), col("arr").as("aa"),
+            col("n").as("na")), Seq("da"))
+          .join(docArr.select(col("doc_id").as("db"), col("arr").as("ab"),
+            col("n").as("nb")), Seq("db"))
+          // size-ratio prune BEFORE the intersection: round(J,6) >= 0.5
+          // forces 3c >= (1 - 1e-6)(na+nb) with c <= min(na,nb), so
+          // max(n) <= 2*min(n) + 2 (the +2 absorbs the 6dp rounding
+          // slack for any doc under a million shingles) — exactness-
+          // preserving, and it drops the intersection work for
+          // length-mismatched candidate pairs entirely
+          .filter(col("na") <= col("nb") * 2 + 2 &&
+            col("nb") <= col("na") * 2 + 2)
+          .withColumn("c", size(array_intersect(col("aa"), col("ab"))))
           .withColumn("jaccard",
             round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
           .filter(col("jaccard") >= JaccardThreshold)
