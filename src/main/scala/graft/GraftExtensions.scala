@@ -21,5 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HllAgg.info, HllAgg.builder))
     ext.injectFunction((FunctionIdentifier(DeflateSize.name),
       DeflateSize.info, DeflateSize.builder))
+    // Whole-operator tier: the native as-of join plan node (guide
+    // preference (c)). AsOfJoinApi.asof also self-registers through
+    // spark.experimental.extraStrategies for driver-built sessions
+    // that never saw this extension class.
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // Rule tier: flag-gated COUNT(DISTINCT) -> HLL-sketch rewrite
+    // (no-op unless spark.graft.approx.countDistinct=true).
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -22,9 +22,12 @@ final case class GraftQuery(
 object Registry {
   lazy val all: Seq[GraftQuery] =
     queries.Relational.queries ++
+      queries.Relational.queriesSnapshot ++
+      queries.Relational.queriesApprox ++
       queries.EventOps.queries ++
       queries.TextOps.queries ++
       queries.VectorOps.queries ++
+      queries.VectorOps.queriesRound13 ++
       queries.MultimodalOps.queries ++
       queries.MultimodalOps.queriesRound9 ++
       queries.RecoOps.queries

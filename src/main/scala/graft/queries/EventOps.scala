@@ -81,6 +81,35 @@ object EventOps {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q171_asof_native",
+      "TWO-TABLE as-of join through the native plan node (guide preference (c): custom LogicalPlan + SparkStrategy + SparkPlan, registered via SparkSessionExtensions / experimental.extraStrategies): for each purchase, the same user's most recent click within a 1-hour tolerance — purchases and clicks as SEPARATE relations, where q38's same-table union+window trick would force both through one union-wide shuffle carrying the union schema. AsOfJoinExec instead clusters each side on user_id through its OWN exchange (EnsureRequirements co-partitions them exactly like a sort-merge join), sorts within partitions by (key, time[, event_id tiebreak]), and resolves every probe in ONE forward merge pass with two-row state: O(n_l + n_r) per partition, no window buffering, no per-row lookback. Ties on click time break to the highest click_id (the explicit tiebreak column); clicks older than the tolerance leave nulls — LEFT OUTER as-of. Integer epoch-second time on both engines.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_timestamp(col("ts")).as("c_ts"))
+        org.apache.spark.sql.graft.AsOfJoinApi.asof(
+            purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+            rightTiebreakCols = Seq("click_id"), toleranceSec = Some(3600L))
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            (col("p_ts") - col("c_ts")).as("gap_s"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("WITH p AS (SELECT user_id, event_id AS purchase_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS p_ts FROM events WHERE event_type='purchase'), " +
+        "c AS (SELECT user_id, event_id AS click_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS c_ts FROM events WHERE event_type='click') " +
+        "SELECT p.user_id, p.purchase_id, x.click_id, x.gap_s " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.click_id, p.p_ts - c.c_ts AS gap_s FROM c " +
+        "WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts AND p.p_ts - c.c_ts <= 3600 " +
+        "ORDER BY c.c_ts DESC, c.click_id DESC LIMIT 1) x ON TRUE " +
+        "ORDER BY purchase_id")),
+
+    GraftQuery(
       "q30_case_tiers",
       "F6's tier mapping as a deterministic when-chain over event value (reference imb_rating.py:116–124 tier table).",
       (s, d) => t(s, d, "events")

@@ -912,4 +912,83 @@ object Relational {
         "round(n_purged*1.0/n_total, 6) AS purge_rate " +
         "FROM u ORDER BY tbl"))
   )
+
+  /** q173 + SnapshotLogSpec share these fixed snapshot cutoffs
+    * (fixture orders span 1995-01-01 .. 2001-08-01, all SFs).
+    */
+  private[graft] val snapCut1 = "1997-01-01"
+  private[graft] val snapCut2 = "1999-01-01"
+
+  /** Builds the 3-commit orders snapshot log q173 and the spec read;
+    * returns the log dir. Rebuilt from scratch per call — three small
+    * segment writes — so the query is self-contained in any session.
+    */
+  private[graft] def buildOrdersLog(s: SparkSession, d: String): String = {
+    import graft.ext.SnapshotLog
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-snaplog-" + Integer.toHexString(d.hashCode)).toString
+    SnapshotLog.reset(dir)
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val ts = unix_timestamp(col("o_orderdate"))
+    val c1 = lit(snapCut1).cast("timestamp")
+    val c2 = lit(snapCut2).cast("timestamp")
+    SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+    SnapshotLog.append(
+      o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2), dir, ts)
+    SnapshotLog.append(o.filter(col("o_orderdate") >= c2), dir, ts)
+    dir
+  }
+
+  /** Versioned-table queries (ext/SnapshotLog) — registered separately
+    * so the main relational sweep stays declarative-only.
+    */
+  val queriesSnapshot: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q173_time_travel",
+      "Lakehouse time travel over ext/SnapshotLog — the versioned-manifest pattern incremental pipelines replay: orders lands in three date-ranged commits (an immutable parquet segment + an atomic full-list manifest with a per-segment zone map each), then every historical snapshot is read back AS OF its version and profiled. A snapshot read costs one tiny manifest plus plain pruned parquet scans of exactly the segments that existed then — no log replay, no copy-on-write of untouched segments; the same read path prunes segments by zone-map overlap for predicate reads (SnapshotLogSpec measures that skip). Oracle: version v must contain exactly the orders rows dated before cutoff v — byte-equality of count and exact-cents mass per version.",
+      (s, d) => {
+        val dir = buildOrdersLog(s, d)
+        (0 to 2).map { v =>
+          graft.ext.SnapshotLog.readAsOf(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(v).as("version"), col("n_rows"), col("price_cents"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("WITH b AS (SELECT CASE " +
+        s"WHEN o_orderdate < TIMESTAMP '$snapCut1' THEN 0 " +
+        s"WHEN o_orderdate < TIMESTAMP '$snapCut2' THEN 1 " +
+        "ELSE 2 END AS seg, o_totalprice FROM orders) " +
+        "SELECT v.version, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents " +
+        "FROM (VALUES (0), (1), (2)) v(version) JOIN b ON b.seg <= v.version " +
+        "GROUP BY v.version ORDER BY v.version"))
+  )
+
+  /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).
+    * Rows-only by contract: the output carries HLL estimates, which no
+    * other engine reproduces bit-for-bit; ApproxRewriteSpec pins the
+    * ≤5% error bound against the exact twin and the plan rewrite
+    * itself.
+    */
+  val queriesApprox: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q175_approx_autorewrite",
+      "Transparent approximate COUNT(DISTINCT): the query below is written with plain countDistinct — no sketch in sight — and runs in a cloned session with spark.graft.approx.countDistinct=true, so the injected Catalyst rule (plans/ApproxDistinctRewrite) rewrites the distinct count to the fixed-state HLL aggregate DURING optimization. Same query text, two physical economies: exact mode ships every distinct partkey value through a double aggregate whose partial state is the value set; approx mode ships 4 KiB of registers per group. The session clone scopes the flag — nothing else in the suite sees approximate semantics. (One distinct aggregate per query on the runtime-injection path: extraOptimizations run after Spark's RewriteDistinctAggregates, which only leaves single-group distincts intact; the extension-injected form rewrites ahead of it and has no such limit.) Output: per return-flag distinct-part estimates beside exact row counts.",
+      (s, d) => {
+        val sc = s.newSession()
+        graft.plans.ApproxDistinctRewrite.ensureInjected(sc)
+        sc.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+        Tables.load(sc, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("approx_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
+  )
 }

@@ -2618,7 +2618,61 @@ object TextOps {
         "round(c*1.0/sa.n, 6) AS containment " +
         "FROM inter JOIN sizes sa ON da = sa.doc_id " +
         "JOIN sizes sb ON db = sb.doc_id " +
-        "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db"))
+        "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db")),
+
+    GraftQuery(
+      "q172_unimax_mix",
+      "UniMax mixture allocation (Chung 2023) — the epoch-capped alternative to q113's temperature sampling: spread a total token budget (here half the corpus) as UNIFORMLY as possible across sources, but never ask any source for more than N=4 epochs of its own data. Exact waterfill in one pass over the k-row source table: sources sorted by capacity ascending, the binding prefix takes its full cap, everyone else the water level theta = (budget - sum of binding caps) / (remaining sources) — found with a window over k rows plus two broadcast 1-row aggregates, never a second corpus scan; the only corpus-sized work is the per-source token count (map-side combined). All inputs to theta are exact integers, so the level is the same IEEE double on both engines. Output per source: tokens, cap, allocation, realized epochs.",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+          .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
+        val caps = toks.withColumn("cap", col("tokens") * lit(4L))
+        val tot = caps.agg(
+          (floor(sum(col("tokens")) / 2)).cast("long").as("budget"),
+          count(lit(1)).as("k"))
+        val w = Window.orderBy(col("cap"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // k-row table: the single-partition window is over sources
+        // (O(k)), never data — the RangeRank rule.
+        val th = caps
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cap"), col("source"))))
+          .withColumn("cum_prev", coalesce(sum(col("cap")).over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("theta",
+            (col("budget") - col("cum_prev")).cast("double") /
+              (col("k") - col("rn") + 1))
+        val star = th.filter(col("theta") <= col("cap"))
+          .agg(min(col("rn")).as("rn_star"))
+        val tstar = th.join(broadcast(star), col("rn") === col("rn_star"))
+          .select(col("rn_star"), col("theta").as("theta_star"))
+        th.crossJoin(broadcast(tstar))
+          .select(col("source"), col("tokens"), col("cap"),
+            round(when(col("rn") < col("rn_star"), col("cap").cast("double"))
+              .otherwise(col("theta_star")), 4).as("alloc"))
+          .withColumn("epochs", round(col("alloc") / col("tokens"), 6))
+          .orderBy(col("source"))
+      },
+      Some("WITH toks AS (SELECT source, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY source), " +
+        "caps AS (SELECT source, tokens, tokens*4 AS cap FROM toks), " +
+        "tot AS (SELECT CAST(floor(sum(tokens)/2) AS BIGINT) AS budget, " +
+        "count(*) AS k FROM caps), " +
+        "th AS (SELECT c.*, t.budget, t.k, " +
+        "row_number() OVER (ORDER BY cap, source) AS rn, " +
+        "coalesce(sum(cap) OVER (ORDER BY cap, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev " +
+        "FROM caps c, tot t), " +
+        "th2 AS (SELECT *, (budget - cum_prev)*1.0/(k - rn + 1) AS theta FROM th), " +
+        "star AS (SELECT min(rn) AS rn_star FROM th2 WHERE theta <= cap), " +
+        "tstar AS (SELECT s.rn_star, t.theta AS theta_star " +
+        "FROM th2 t, star s WHERE t.rn = s.rn_star) " +
+        "SELECT source, tokens, cap, " +
+        "round(CASE WHEN rn < rn_star THEN cap*1.0 ELSE theta_star END, 4) AS alloc, " +
+        "round(round(CASE WHEN rn < rn_star THEN cap*1.0 ELSE theta_star END, 4) / tokens, 6) AS epochs " +
+        "FROM th2, tstar ORDER BY source"))
   )
 
   /** q135/q137's maximal shared spans: (da, db, diag, pb0, span) —

@@ -783,4 +783,55 @@ object VectorOps {
         "min(cos_c) AS min_cos, max(cos_c) AS max_cos " +
         "FROM m GROUP BY label ORDER BY label"))
   )
+
+  /** Round-13 vector curation surface. */
+  val queriesRound13: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q174_difficulty_prune",
+      "Prototypicality-based data pruning (Sorscher 2022, 'Beyond neural scaling laws': with abundant data, drop the EASIEST — most prototypical — examples): score every vector's cosine to its own label centroid (the q124 cohesion kernel: centroid fitted in-plan, 6dp-rounded, broadcast back), rank within label on (rounded cos desc, vec_id tiebreak), and prune the top 20%. Per label: sizes, the pruning-boundary cosine, and the mean cosine of what survives — the curation report a self-supervised pruning pass emits before training. The corpus makes two passes (centroid fit, scoring); ranking runs in per-label windows, so labels are the unit of parallelism — a pathologically skewed label would take RangeRank's bucketed two-pass form, same values.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+          .groupBy(col("label"), col("dim"))
+          .agg(round(avg(col("v")), 6).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+          .select(col("label"), transform(col("pairs"), p => p("c")).as("centroid"))
+        val scored = e.join(broadcast(cent), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+        val ranked = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("cos_c").desc, col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+          .withColumn("pruned", col("rn") <= expr("n * 20 div 100"))
+        ranked.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+            min(when(col("pruned"), col("cos_c"))).as("cut_cos"),
+            round(avg(when(!col("pruned"), col("cos_c"))), 6).as("avg_kept_cos"))
+          .orderBy(col("label"))
+      },
+      Some("WITH d AS (SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v " +
+        "FROM embeddings, UNNEST(range(1, len(embedding)+1)) x(i)), " +
+        "cp AS (SELECT label, dim, round(avg(v), 6) AS c FROM d GROUP BY label, dim), " +
+        "cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cp GROUP BY label), " +
+        "m AS (SELECT e.vec_id, e.label, " +
+        "round(list_inner_product(CAST(e.embedding AS DOUBLE[]), centroid)/" +
+        "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*" +
+        "sqrt(list_inner_product(centroid, centroid))), 6) AS cos_c " +
+        "FROM embeddings e JOIN cent ON e.label = cent.label), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_c DESC, vec_id) AS rn, " +
+        "count(*) OVER (PARTITION BY label) AS n FROM m), " +
+        "f AS (SELECT *, rn <= (n*20)//100 AS pruned FROM r) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned, " +
+        "min(CASE WHEN pruned THEN cos_c END) AS cut_cos, " +
+        "round(avg(CASE WHEN NOT pruned THEN cos_c END), 6) AS avg_kept_cos " +
+        "FROM f GROUP BY label ORDER BY label"))
+  )
 }

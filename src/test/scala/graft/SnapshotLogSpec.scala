@@ -1,0 +1,69 @@
+package graft
+
+import java.time.Instant
+import org.apache.spark.sql.functions._
+import graft.ext.SnapshotLog
+import graft.queries.Relational
+
+/** ext/SnapshotLog: versioned reads return exactly the committed
+  * history, the zone map actually skips segments, and commits never
+  * rewrite prior state.
+  */
+class SnapshotLogSpec extends SparkSpec {
+
+  private def sec(iso: String): Long =
+    Instant.parse(iso + "T00:00:00Z").getEpochSecond
+
+  test("each version reads back exactly the rows committed up to it") {
+    val dir = Relational.buildOrdersLog(spark, sfDir)
+    val o = Tables.load(spark, sfDir, "orders")
+    val c1 = lit(Relational.snapCut1).cast("timestamp")
+    val keys0 = o.filter(col("o_orderdate") < c1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val got0 = SnapshotLog.readAsOf(spark, dir, 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(got0 === keys0)
+    assert(got0.nonEmpty)
+    assert(SnapshotLog.readAsOf(spark, dir, 2).count() === o.count())
+    assert(SnapshotLog.version(dir) === 2)
+  }
+
+  test("zone-map pruning opens only overlapping segments, same answer") {
+    val dir = Relational.buildOrdersLog(spark, sfDir)
+    val ts = unix_timestamp(col("o_orderdate"))
+    val (lo, hi) = (sec("1995-06-01"), sec("1995-12-31"))
+    val (pruned, scanned, total) =
+      SnapshotLog.readAsOfFiltered(spark, dir, 2, ts, lo, hi)
+    assert(total === 3)
+    assert(scanned === 1) // the range sits entirely inside segment 0
+    val full = SnapshotLog.readAsOf(spark, dir, 2)
+      .filter(ts >= lo && ts <= hi)
+    assert(pruned.count() === full.count())
+    assert(pruned.count() > 0)
+    // Disjoint range: nothing scanned, empty-but-well-typed result.
+    val (none, s2, _) = SnapshotLog.readAsOfFiltered(spark, dir, 2, ts,
+      sec("2050-01-01"), sec("2050-12-31"))
+    assert(s2 === 0 && none.count() === 0)
+  }
+
+  test("commits are append-only: v0's manifest never changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-imm").toString
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"), dir, col("t"))
+    val m0 = SnapshotLog.segments(dir, 0)
+    SnapshotLog.append(Seq((3L, 30L)).toDF("id", "t"), dir, col("t"))
+    assert(SnapshotLog.segments(dir, 0) === m0)
+    assert(SnapshotLog.segments(dir, 1).size === 2)
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 2)
+    assert(SnapshotLog.readAsOf(spark, dir, 1).count() === 3)
+    assert(m0.head.min === 10L && m0.head.max === 20L)
+  }
+
+  test("fresh log reports version -1") {
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-empty").toString
+    assert(SnapshotLog.version(dir) === -1)
+    SnapshotLog.reset(dir)
+    assert(SnapshotLog.version(dir) === -1)
+  }
+}
