@@ -77,7 +77,8 @@ object Bench {
       "pair_kernel" -> (() => graft.queries.TextOps.warmPairKernel(spark, sfDir)),
       "ann_indexes" -> (() => graft.queries.VectorOps.warmIndexes(spark, sfDir)),
       "bpe_trainer" -> (() => graft.queries.TextOps.warmBpe(spark, sfDir)),
-      "lex_stats" -> (() => graft.queries.TextOps.warmLexStats(spark, sfDir))
+      "lex_stats" -> (() => graft.queries.TextOps.warmLexStats(spark, sfDir)),
+      "substring_runs" -> (() => graft.queries.TextOps.warmSubstringRuns(spark, sfDir))
     )
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryEvery = 25 // one probe per ~25-query neighborhood

@@ -183,7 +183,16 @@ object ScaleStress {
       // exact all-pairs is the documented oracle baseline (the q41
       // stance — its 10x row prices the screen-then-price contract);
       // q170 is three in-scan predicates + one broadcast semi-join
-      "q168_scd2_tiers", "q169_containment_dedup", "q170_purge_cascade")
+      "q168_scd2_tiers", "q169_containment_dedup", "q170_purge_cascade",
+      // round-9 third wave: the native as-of merge must stay
+      // O(n_l+n_r) per partition under 10× events (events copy 1×, so
+      // its row prices protocol overhead, not growth); UniMax's corpus
+      // work is one token-count agg; time travel re-commits 10× orders
+      // into 3 segments and reads each snapshot back; pruning rides
+      // the 10× centroid-score pass through per-label windows; the
+      // approx rewrite's row prices the HLL plan vs q13's exact
+      "q171_asof_native", "q172_unimax_mix", "q173_time_travel",
+      "q174_difficulty_prune", "q175_approx_autorewrite")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -181,6 +181,17 @@ object TextOps {
     dfT.write.format("noop").mode("overwrite").save()
   }
 
+  /** Explicit setup for q135/q137's pinned maximal-run table: the
+    * anchor self-join that produces it is the expensive part of both
+    * consumers, and under the interleaved-sweep protocol (caches
+    * released between sweeps) it would otherwise be re-priced into
+    * whichever query ran first each sweep. Named build line instead —
+    * the warmPairKernel accounting rule.
+    */
+  def warmSubstringRuns(s: SparkSession, d: String): Unit =
+    substringRuns(t(s, d, "documents"))
+      .write.format("noop").mode("overwrite").save()
+
   /** The lexical retrieval arm shared by q156 and GraftEngine
     * .hybridTopK: score corpus docs against per-query token sets
     * (`qtok`: q_id, tok) by summed Lucene idf over shared distinct
