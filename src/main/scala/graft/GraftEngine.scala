@@ -198,6 +198,65 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     graft.ingest.FormatIo.read(spark, path, format, schema)
 
+  /** Native AS-OF join (q171's operator on caller frames): for every
+    * left row, the right row with equal keys and the largest
+    * `rightTimeCol` ≤ `leftTimeCol` (LongType epoch values; ties break
+    * to the last `rightTiebreakCols` ascending), LEFT OUTER, optional
+    * staleness tolerance. Plans as AsOfJoinExec — each side clusters
+    * on its own keys, one forward merge per partition.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      rightTiebreakCols: Seq[String] = Nil,
+      toleranceSec: Option[Long] = None): DataFrame =
+    org.apache.spark.sql.graft.AsOfJoinApi.asof(left, right, keys,
+      leftTimeCol, rightTimeCol, rightTiebreakCols, toleranceSec)
+
+  /** Snapshot-log surface (q173's ext/SnapshotLog on caller data):
+    * append-commit a frame as a new immutable segment (zone map over
+    * `statsCol`, must be LongType), read any historical version, or
+    * ask the latest version.
+    */
+  def snapshotAppend(df: DataFrame, dir: String,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.append(df, dir, statsCol)
+
+  def snapshotRead(dir: String, version: Int): DataFrame =
+    graft.ext.SnapshotLog.readAsOf(spark, dir, version)
+
+  def snapshotVersion(dir: String): Int = graft.ext.SnapshotLog.version(dir)
+
+  /** UniMax epoch-capped mixture allocation (q172's kernel on a
+    * caller-supplied (source, tokens) frame): spread `budget` tokens
+    * as uniformly as possible, never asking a source for more than
+    * `epochCap` passes of its own data. Returns (source, tokens, cap,
+    * alloc, epochs). `budget` must be < epochCap × the total.
+    */
+  def unimaxMix(counts: DataFrame, budget: Long, epochCap: Int = 4): DataFrame =
+    graft.queries.TextOps.unimaxAllocate(counts, epochCap,
+      _ => org.apache.spark.sql.functions.lit(budget))
+
+  /** Prototypicality pruning verdicts (q174's kernel on a caller
+    * (vec_id, label, embedding) frame): per vector, cosine to its
+    * own-label centroid, within-label rank, and the pruned flag for
+    * the top `prunePct`% most prototypical.
+    */
+  def prunePrototypical(embeddings: DataFrame, prunePct: Int = 20): DataFrame =
+    graft.queries.VectorOps.prototypicalityRank(embeddings, prunePct)
+
+  /** A conf-scoped session clone in approximate-query mode: plain
+    * countDistinct written against it optimizes to the HLL sketch
+    * (plans/ApproxDistinctRewrite) — flip whole dashboards to ±1.6%
+    * estimates without touching query code. The shared session is
+    * untouched.
+    */
+  def approxDistinctSession(): SparkSession = {
+    val sc = spark.newSession()
+    graft.plans.ApproxDistinctRewrite.ensureInjected(sc)
+    sc.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+    sc
+  }
+
   /** Release session-pinned kernels and served indexes (the lifecycle
     * hook Bench/Verify call after their sweeps).
     */

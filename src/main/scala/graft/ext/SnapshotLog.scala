@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotLog {
 
-  final case class Segment(relPath: String, min: Long, max: Long)
+  final case class Segment(relPath: String, min: Long, max: Long,
+      tag: Option[Long] = None)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -64,9 +65,21 @@ object SnapshotLog {
     require(Files.exists(mf), s"no snapshot v$v in $dir")
     Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(p, mn, mx) = line.split('\t')
-        Segment(p, mn.toLong, mx.toLong)
+        line.split('\t') match {
+          case Array(p, mn, mx) => Segment(p, mn.toLong, mx.toLong)
+          case Array(p, mn, mx, tag) =>
+            Segment(p, mn.toLong, mx.toLong, Some(tag.toLong))
+        }
       }
+  }
+
+  /** Writer tags already committed (streaming idempotency: a replayed
+    * micro-batch checks its batchId against the LOG, not local state —
+    * correct across restarts). Empty log → empty set.
+    */
+  def committedBatches(dir: String): Set[Long] = {
+    val v = version(dir)
+    if (v < 0) Set.empty else segments(dir, v).flatMap(_.tag).toSet
   }
 
   /** Commits `df` as a new immutable segment; the new snapshot is the
@@ -75,7 +88,8 @@ object SnapshotLog {
     * metadata-sized 1-row aggregate; the only driver action).
     * Returns the new version number.
     */
-  def append(df: DataFrame, dir: String, statsCol: Column): Int = {
+  def append(df: DataFrame, dir: String, statsCol: Column,
+      batchTag: Option[Long] = None): Int = {
     Files.createDirectories(logDir(dir))
     val prev = version(dir)
     val v = prev + 1
@@ -87,8 +101,9 @@ object SnapshotLog {
       else (stats.getLong(0), stats.getLong(1))
     df.write.mode("overwrite").parquet(Paths.get(dir, rel).toString)
     val carried = if (prev < 0) Nil else segments(dir, prev)
-    val lines = (carried :+ Segment(rel, mn, mx))
-      .map(s => s"${s.relPath}\t${s.min}\t${s.max}").mkString("\n")
+    val lines = (carried :+ Segment(rel, mn, mx, batchTag))
+      .map(s => (Seq(s.relPath, s.min.toString, s.max.toString) ++
+        s.tag.map(_.toString)).mkString("\t")).mkString("\n")
     val tmp = logDir(dir).resolve(s".v$v.manifest.tmp")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, logDir(dir).resolve(s"v$v.manifest"),

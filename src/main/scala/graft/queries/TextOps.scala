@@ -181,6 +181,47 @@ object TextOps {
     dfT.write.format("noop").mode("overwrite").save()
   }
 
+  /** UniMax waterfill kernel shared by q172 and
+    * `GraftEngine.unimaxMix` (the funnelVerdict sharing rule): input
+    * is ANY (source, tokens) frame; output adds (cap, alloc, epochs)
+    * under the epoch-capped uniform allocation — budget spread as
+    * evenly as possible, no source asked for more than `epochCap`
+    * passes of its own data. Exact closed form: sources sorted by
+    * capacity ascending, the binding prefix takes its full cap, the
+    * rest the water level θ = (budget − Σ binding caps)/(remaining).
+    * All k-row work: one window over sources (O(k), never data — the
+    * RangeRank rule) plus two broadcast 1-row aggregates. Requires
+    * budget < Σ caps (true for any budget ≤ the corpus itself);
+    * integer inputs make θ the same IEEE double everywhere.
+    */
+  private[graft] def unimaxAllocate(counts: DataFrame, epochCap: Int,
+      budgetFromTotal: Column => Column): DataFrame = {
+    val caps = counts.withColumn("cap",
+      col("tokens") * lit(epochCap.toLong))
+    val tot = caps.agg(
+      budgetFromTotal(sum(col("tokens"))).as("budget"),
+      count(lit(1)).as("k"))
+    val w = Window.orderBy(col("cap"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val th = caps
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cap"), col("source"))))
+      .withColumn("cum_prev", coalesce(sum(col("cap")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("theta",
+        (col("budget") - col("cum_prev")).cast("double") /
+          (col("k") - col("rn") + 1))
+    val star = th.filter(col("theta") <= col("cap"))
+      .agg(min(col("rn")).as("rn_star"))
+    val tstar = th.join(broadcast(star), col("rn") === col("rn_star"))
+      .select(col("rn_star"), col("theta").as("theta_star"))
+    th.crossJoin(broadcast(tstar))
+      .select(col("source"), col("tokens"), col("cap"),
+        round(when(col("rn") < col("rn_star"), col("cap").cast("double"))
+          .otherwise(col("theta_star")), 4).as("alloc"))
+      .withColumn("epochs", round(col("alloc") / col("tokens"), 6))
+  }
+
   /** Explicit setup for q135/q137's pinned maximal-run table: the
     * anchor self-join that produces it is the expensive part of both
     * consumers, and under the interleaved-sweep protocol (caches
@@ -2638,31 +2679,8 @@ object TextOps {
         val toks = t(s, d, "documents")
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
           .groupBy(col("source")).agg(sum(col("tk")).as("tokens"))
-        val caps = toks.withColumn("cap", col("tokens") * lit(4L))
-        val tot = caps.agg(
-          (floor(sum(col("tokens")) / 2)).cast("long").as("budget"),
-          count(lit(1)).as("k"))
-        val w = Window.orderBy(col("cap"), col("source"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        // k-row table: the single-partition window is over sources
-        // (O(k)), never data — the RangeRank rule.
-        val th = caps
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("cap"), col("source"))))
-          .withColumn("cum_prev", coalesce(sum(col("cap")).over(w), lit(0L)))
-          .crossJoin(broadcast(tot))
-          .withColumn("theta",
-            (col("budget") - col("cum_prev")).cast("double") /
-              (col("k") - col("rn") + 1))
-        val star = th.filter(col("theta") <= col("cap"))
-          .agg(min(col("rn")).as("rn_star"))
-        val tstar = th.join(broadcast(star), col("rn") === col("rn_star"))
-          .select(col("rn_star"), col("theta").as("theta_star"))
-        th.crossJoin(broadcast(tstar))
-          .select(col("source"), col("tokens"), col("cap"),
-            round(when(col("rn") < col("rn_star"), col("cap").cast("double"))
-              .otherwise(col("theta_star")), 4).as("alloc"))
-          .withColumn("epochs", round(col("alloc") / col("tokens"), 6))
+        unimaxAllocate(toks, epochCap = 4,
+          budgetFromTotal = tot => floor(tot / 2).cast("long"))
           .orderBy(col("source"))
       },
       Some("WITH toks AS (SELECT source, " +

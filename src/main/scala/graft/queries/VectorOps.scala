@@ -784,6 +784,36 @@ object VectorOps {
         "FROM m GROUP BY label ORDER BY label"))
   )
 
+  /** Prototypicality ranking shared by q174 and
+    * `GraftEngine.prunePrototypical` (the funnelVerdict sharing rule):
+    * input is ANY (vec_id, label, embedding) frame; output per vector
+    * adds (cos_c, rn, n, pruned) — cosine to the in-plan fitted own-
+    * label centroid (6dp-rounded components, broadcast back), rank
+    * within label on (rounded cos desc, vec_id), pruned = top
+    * `prunePct`% most prototypical (Sorscher 2022's abundant-data
+    * policy). Two corpus passes; per-label rank windows — labels are
+    * the parallelism unit.
+    */
+  private[graft] def prototypicalityRank(e: DataFrame,
+      prunePct: Int): DataFrame = {
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p("c")).as("centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("cos_c").desc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .withColumn("pruned", col("rn") <= expr(s"n * $prunePct div 100"))
+  }
+
   /** Round-13 vector curation surface. */
   val queriesRound13: Seq[GraftQuery] = Seq(
 
@@ -791,25 +821,8 @@ object VectorOps {
       "q174_difficulty_prune",
       "Prototypicality-based data pruning (Sorscher 2022, 'Beyond neural scaling laws': with abundant data, drop the EASIEST — most prototypical — examples): score every vector's cosine to its own label centroid (the q124 cohesion kernel: centroid fitted in-plan, 6dp-rounded, broadcast back), rank within label on (rounded cos desc, vec_id tiebreak), and prune the top 20%. Per label: sizes, the pruning-boundary cosine, and the mean cosine of what survives — the curation report a self-supervised pruning pass emits before training. The corpus makes two passes (centroid fit, scoring); ranking runs in per-label windows, so labels are the unit of parallelism — a pathologically skewed label would take RangeRank's bucketed two-pass form, same values.",
       (s, d) => {
-        val e = t(s, d, "embeddings")
-        val cent = e
-          .select(col("label"), posexplode(col("embedding")))
-          .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
-          .groupBy(col("label"), col("dim"))
-          .agg(round(avg(col("v")), 6).as("c"))
+        prototypicalityRank(t(s, d, "embeddings"), prunePct = 20)
           .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-          .select(col("label"), transform(col("pairs"), p => p("c")).as("centroid"))
-        val scored = e.join(broadcast(cent), Seq("label"))
-          .select(col("vec_id"), col("label"),
-            round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
-        val ranked = scored
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("label"))
-              .orderBy(col("cos_c").desc, col("vec_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
-          .withColumn("pruned", col("rn") <= expr("n * 20 div 100"))
-        ranked.groupBy(col("label"))
           .agg(count(lit(1)).as("n_vecs"),
             sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
             min(when(col("pruned"), col("cos_c"))).as("cut_cos"),

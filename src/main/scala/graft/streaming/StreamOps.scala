@@ -152,6 +152,40 @@ object StreamOps {
         }
       }
 
+  /** Streaming snapshot-log ingest — a stream landing in the
+    * versioned table q173 time-travels over: each micro-batch commits
+    * through `ext/SnapshotLog.append` as one immutable segment (zone
+    * map over `statsCol`) with the batchId stamped into the manifest
+    * line, so history accumulates one readable snapshot per batch and
+    * ANY past version replays exactly. Idempotency differs from the
+    * batchId-path sinks: an atomic manifest rename publishes each
+    * commit, and a replayed batch whose batchId already appears in the
+    * latest manifest is SKIPPED (checked against the log, not local
+    * state — correct across restarts). Single-writer per log dir, the
+    * SnapshotLog contract.
+    */
+  def snapshotSinkStream(rows: DataFrame, logDir: String,
+      statsCol: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snapshotCommitBatch(batch, logDir, statsCol, batchId)
+      }
+
+  /** The sink's per-batch body, factored so StreamingSpec can replay a
+    * batchId through the REAL gate: append unless this batchId is
+    * already in the latest manifest.
+    */
+  private[graft] def snapshotCommitBatch(batch: DataFrame, logDir: String,
+      statsCol: String, batchId: Long): Unit = {
+    val committed = graft.ext.SnapshotLog.committedBatches(logDir)
+    if (!committed.contains(batchId) && !batch.isEmpty) {
+      graft.ext.SnapshotLog.append(batch, logDir, col(statsCol),
+        batchTag = Some(batchId))
+      ()
+    }
+  }
+
   /** Streaming ANN-index ingest — keeping a standing IVF-PQ index fresh
     * as new vectors arrive, the maintenance path of a production vector
     * store: each micro-batch pushes through `IvfPq.encode` against the

@@ -117,6 +117,71 @@ class GraftEngineSpec extends SparkSpec {
     assert(engine.snapshotDiff(docs, docs).count() === 0)
   }
 
+  test("asofJoin facade reproduces registered q171 through the native exec") {
+    val ev = engine.table("events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts")).as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_timestamp(col("ts")).as("c_ts"))
+    val viaEngine = engine.asofJoin(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", rightTiebreakCols = Seq("click_id"),
+        toleranceSec = Some(3600L))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_ts") - col("c_ts")).as("gap_s"))
+      .collect().map(_.toSeq).toSet
+    val registered = engine.query("q171_asof_native")
+      .collect().map(_.toSeq).toSet
+    assert(viaEngine === registered)
+  }
+
+  test("snapshot facade: append, version, and historical reads compose") {
+    val dir = java.nio.file.Files.createTempDirectory("facade-snap").toString
+    graft.ext.SnapshotLog.reset(dir)
+    val o = engine.table("orders")
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("t"))
+    engine.snapshotAppend(o.filter(col("o_orderkey") % 2 === 0), dir, col("t"))
+    engine.snapshotAppend(o.filter(col("o_orderkey") % 2 === 1), dir, col("t"))
+    assert(engine.snapshotVersion(dir) === 1)
+    assert(engine.snapshotRead(dir, 1).count() === o.count())
+    assert(engine.snapshotRead(dir, 0).count() <
+      engine.snapshotRead(dir, 1).count())
+  }
+
+  test("unimaxMix facade allocation sums to the requested budget") {
+    import spark.implicits._
+    val counts = Seq(("a", 100L), ("b", 1000L), ("c", 10000L))
+      .toDF("source", "tokens")
+    val got = engine.unimaxMix(counts, budget = 2000L, epochCap = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // a caps at 400; b and c share the remaining 1600 at theta = 800
+    assert(got("a") === 400.0)
+    assert(got("b") === 800.0)
+    assert(got("c") === 800.0)
+  }
+
+  test("prunePrototypical facade agrees with q174's rollup") {
+    val verdicts = engine.prunePrototypical(engine.table("embeddings"))
+    val viaEngine = verdicts.groupBy(col("label"))
+      .agg(sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val registered = engine.query("q174_difficulty_prune")
+      .collect().map(r => r.get(0) -> r.getLong(2)).toMap
+    assert(viaEngine === registered)
+  }
+
+  test("approxDistinctSession estimates without touching the engine session") {
+    val ap = engine.approxDistinctSession()
+    val est = Tables.load(ap, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("d")).head().getLong(0)
+    val exact = engine.table("lineitem")
+      .agg(countDistinct(col("l_partkey")).as("d")).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05)
+    assert(spark.conf.getOption(
+      graft.plans.ApproxDistinctRewrite.Flag).forall(_ != "true"))
+  }
+
   test("psiDrift facade on the q163 split reproduces the registered PSI") {
     import org.apache.spark.sql.functions._
     val ev = engine.table("events")

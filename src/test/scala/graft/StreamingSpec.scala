@@ -393,4 +393,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size > 30)
     } finally q.stop()
   }
+
+  test("streaming snapshot sink commits one version per batch, replays skip") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.SnapshotLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapstream").toString
+    SnapshotLog.reset(dir)
+    val input = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.snapshotSinkStream(
+      input.toDF().withColumn("t", org.apache.spark.sql.functions.col("doc_id")),
+      dir, "t").start()
+    try {
+      input.addData(
+        StreamOps.Doc(1, ts("2024-01-01 00:00:01"), "a"),
+        StreamOps.Doc(2, ts("2024-01-01 00:00:02"), "b"))
+      q.processAllAvailable()
+      input.addData(StreamOps.Doc(3, ts("2024-01-01 00:00:03"), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one snapshot per micro-batch, each historically readable
+    assert(SnapshotLog.version(dir) === 1)
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 2)
+    assert(SnapshotLog.readAsOf(spark, dir, 1).count() === 3)
+    assert(SnapshotLog.committedBatches(dir) === Set(0L, 1L))
+    // checkpoint-recovery replay: the SAME batchId through the REAL
+    // gate must not commit a duplicate snapshot
+    val replay = Seq(StreamOps.Doc(3, ts("2024-01-01 00:00:03"), "c"))
+      .toDF().withColumn("t", org.apache.spark.sql.functions.col("doc_id"))
+    StreamOps.snapshotCommitBatch(replay, dir, "t", batchId = 1L)
+    assert(SnapshotLog.version(dir) === 1)
+    // a genuinely new batch still lands
+    StreamOps.snapshotCommitBatch(replay, dir, "t", batchId = 2L)
+    assert(SnapshotLog.version(dir) === 2)
+    assert(SnapshotLog.readAsOf(spark, dir, 2).count() === 4)
+  }
 }
