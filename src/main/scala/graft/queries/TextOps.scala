@@ -196,8 +196,15 @@ object TextOps {
     */
   private[graft] def unimaxAllocate(counts: DataFrame, epochCap: Int,
       budgetFromTotal: Column => Column): DataFrame = {
+    // The k-row capacity table feeds FOUR consumers (total, window,
+    // binding-prefix probe, final projection); left lazy, each one
+    // re-derives the corpus-sized token count — 6 scans in the plan
+    // dump. Eager localCheckpoint materializes the one corpus pass and
+    // every consumer reads k checkpointed rows (the bpeLoop posture;
+    // eager, so the allocation frame executes its input once at
+    // construction).
     val caps = counts.withColumn("cap",
-      col("tokens") * lit(epochCap.toLong))
+      col("tokens") * lit(epochCap.toLong)).localCheckpoint()
     val tot = caps.agg(
       budgetFromTotal(sum(col("tokens"))).as("budget"),
       count(lit(1)).as("k"))
