@@ -118,6 +118,76 @@ object SnapshotLog {
     spark.read.parquet(segs.map(s => Paths.get(dir, s.relPath).toString): _*)
   }
 
+  /** Change-data feed: the rows ADDED in versions (fromV, toV] — the
+    * segments in toV's manifest absent from fromV's (append-only log,
+    * so segment-set difference IS the row delta; fromV = -1 means
+    * everything). An incremental consumer reads exactly the new
+    * segments — never a diff of the full table (q162's content-diff
+    * is for when no log exists). Empty delta → empty frame with toV's
+    * schema.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val before = if (fromV < 0) Set.empty[String]
+      else segments(dir, fromV).map(_.relPath).toSet
+    val delta = segments(dir, toV).filterNot(s => before(s.relPath))
+    if (delta.isEmpty) readAsOf(spark, dir, toV).limit(0)
+    else spark.read.parquet(
+      delta.map(s => Paths.get(dir, s.relPath).toString): _*)
+  }
+
+  /** Compaction: commit a NEW version whose manifest lists ONE
+    * rewritten segment holding the current snapshot — the small-file
+    * fix for long append histories. Old versions still read their old
+    * segments (nothing is deleted; `vacuum` reclaims). Returns the new
+    * version.
+    */
+  def compact(spark: SparkSession, dir: String, statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to compact in $dir")
+    val v = prev + 1
+    val rel = s"seg-$v"
+    val snap = readAsOf(spark, dir, prev)
+    val stats = snap.agg(min(statsCol).cast("long").as("mn"),
+      max(statsCol).cast("long").as("mx")).head()
+    val (mn, mx) =
+      if (stats.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (stats.getLong(0), stats.getLong(1))
+    snap.write.mode("overwrite").parquet(Paths.get(dir, rel).toString)
+    val line = s"$rel\t$mn\t$mx"
+    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir(dir).resolve(s"v$v.manifest"),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Retention enforcement: drop manifests BELOW `horizon` and delete
+    * every segment directory no manifest ≥ horizon references. Time
+    * travel to versions before the horizon is gone afterwards — the
+    * documented retention trade every production log makes. Returns
+    * (segment dirs deleted, manifests dropped).
+    */
+  def vacuum(dir: String, horizon: Int): (Int, Int) = {
+    val latest = version(dir)
+    require(horizon >= 0 && horizon <= latest,
+      s"horizon $horizon outside [0, $latest]")
+    val keep = (horizon to latest)
+      .flatMap(v => segments(dir, v).map(_.relPath)).toSet
+    val root = Paths.get(dir)
+    val segDirs = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("seg-")).toSeq
+    val doomedSegs = segDirs.filterNot(p => keep(p.getFileName.toString))
+    doomedSegs.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val doomedMfs = (0 until horizon)
+      .map(v => logDir(dir).resolve(s"v$v.manifest"))
+      .filter(Files.exists(_))
+    doomedMfs.foreach(Files.delete(_))
+    (doomedSegs.size, doomedMfs.size)
+  }
+
   /** Zone-map-pruned read: only segments whose [min, max] overlaps
     * [lo, hi] are opened; the exact predicate is re-applied as a
     * residual so the answer is independent of segment layout. Returns

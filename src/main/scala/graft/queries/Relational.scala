@@ -930,7 +930,8 @@ object Relational {
       "graft-snaplog-" + Integer.toHexString(d.hashCode)).toString
     SnapshotLog.reset(dir)
     val o = t(s, d, "orders")
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderstatus"))
     val ts = unix_timestamp(col("o_orderdate"))
     val c1 = lit(snapCut1).cast("timestamp")
     val c2 = lit(snapCut2).cast("timestamp")
@@ -965,7 +966,45 @@ object Relational {
         "SELECT v.version, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents " +
         "FROM (VALUES (0), (1), (2)) v(version) JOIN b ON b.seg <= v.version " +
-        "GROUP BY v.version ORDER BY v.version"))
+        "GROUP BY v.version ORDER BY v.version")),
+
+    GraftQuery(
+      "q176_snapshot_changes",
+      "Change-data feed over ext/SnapshotLog — what an incremental pipeline consumes instead of re-diffing the table: the rows added in versions (0, 2] are, by the append-only manifest algebra, exactly the segments v2 lists that v0 doesn't, so the reader opens ONLY the delta segments (two of three here) and never scans standing history — at 100 TB a day's increment reads a day's segments, however deep the log. Per order-status count + exact-cents mass of the delta; the oracle rebuilds the same delta from the cutoff dates the commits encoded.",
+      (s, d) => {
+        val dir = buildOrdersLog(s, d)
+        graft.ext.SnapshotLog.readChanges(s, dir, 0, 2)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("price_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents " +
+        s"FROM orders WHERE o_orderdate >= TIMESTAMP '$snapCut1' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    GraftQuery(
+      "q177_snapshot_compact",
+      "Log compaction — the small-file fix for long append histories: `SnapshotLog.compact` commits a NEW version whose manifest lists ONE rewritten segment holding the whole current snapshot, while every older version still reads its original segments (nothing deleted; vacuum reclaims separately — SnapshotLogSpec covers it). Output proves the contract the oracle can check: the pre-compaction version reads 3 segments and the post-compaction version 1, with IDENTICAL row count and exact-cents mass — compaction changes layout, never data.",
+      (s, d) => {
+        val dir = buildOrdersLog(s, d)
+        val v3 = graft.ext.SnapshotLog.compact(s, dir,
+          unix_timestamp(col("o_orderdate")))
+        Seq(2, v3).map { v =>
+          val nSegs = graft.ext.SnapshotLog.segments(dir, v).size
+          graft.ext.SnapshotLog.readAsOf(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(v).as("version"), lit(nSegs).as("n_segments"),
+              col("n_rows"), col("price_cents"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents " +
+        "FROM orders) " +
+        "SELECT 2 AS version, 3 AS n_segments, n_rows, price_cents FROM t " +
+        "UNION ALL SELECT 3, 1, n_rows, price_cents FROM t ORDER BY version"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -2708,7 +2708,53 @@ object TextOps {
         "SELECT source, tokens, cap, " +
         "round(CASE WHEN rn < rn_star THEN cap*1.0 ELSE theta_star END, 4) AS alloc, " +
         "round(round(CASE WHEN rn < rn_star THEN cap*1.0 ELSE theta_star END, 4) / tokens, 6) AS epochs " +
-        "FROM th2, tstar ORDER BY source"))
+        "FROM th2, tstar ORDER BY source")),
+
+    GraftQuery(
+      "q178_pareto_frontier",
+      "Pareto-frontier (skyline) selection over two curation objectives — token count and lexical diversity (distinct-token ratio): a doc survives iff nothing dominates it (>= on both axes, > on at least one). The naive skyline is an all-pairs dominance join; this is the RangeRank decomposition applied to a running max: bucket the sort axis (floor(tok/64) — bucket b+1's every token count strictly exceeds bucket b's), (1) per-(bucket, tok) group max of diversity, (2) within-bucket strict-greater running max via a ROWS window over the DISTINCT-tok groups (rows, not range — frame semantics identical on every engine), (3) cross-bucket prefix max over the TINY bucket table, broadcast back. survive = div == own-tok group max AND div > max(all strictly-greater-tok divs). One corpus pass + (bucket, tok)-key aggregates; no window ever holds raw data corpus-wide — the q83/RangeRank posture for global order statistics.",
+      (s, d) => {
+        val m = t(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          round(size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " ")), 6).as("div"))
+          .withColumn("bucket", floor(col("tok") / 64))
+        val g = m.groupBy(col("bucket"), col("tok"))
+          .agg(max(col("div")).as("gmax"))
+        val wg = Window.partitionBy(col("bucket")).orderBy(col("tok").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val g2 = g.withColumn("inmax", max(col("gmax")).over(wg))
+        val bmax = g.groupBy(col("bucket")).agg(max(col("gmax")).as("bdivmax"))
+        val wb = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = bmax.withColumn("pmax", max(col("bdivmax")).over(wb))
+          .select(col("bucket"), col("pmax"))
+        val stats = g2.join(broadcast(pre), Seq("bucket"))
+          .select(col("bucket"), col("tok"), col("gmax"),
+            greatest(coalesce(col("inmax"), lit(-1.0)),
+              coalesce(col("pmax"), lit(-1.0))).as("rmax"))
+        m.join(broadcast(stats), Seq("bucket", "tok"))
+          .filter(col("div") === col("gmax") && col("div") > col("rmax"))
+          .select(col("doc_id"), col("tok"), col("div"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH m AS (SELECT doc_id, len(string_split(text,' ')) AS tok, " +
+        "round(len(list_distinct(string_split(text,' ')))*1.0/" +
+        "len(string_split(text,' ')), 6) AS div, " +
+        "CAST(floor(len(string_split(text,' '))/64) AS BIGINT) AS bucket " +
+        "FROM documents), " +
+        "g AS (SELECT bucket, tok, max(div) AS gmax FROM m GROUP BY bucket, tok), " +
+        "g2 AS (SELECT *, max(gmax) OVER (PARTITION BY bucket ORDER BY tok DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS inmax FROM g), " +
+        "bmax AS (SELECT bucket, max(gmax) AS bdivmax FROM g GROUP BY bucket), " +
+        "pre AS (SELECT bucket, max(bdivmax) OVER (ORDER BY bucket DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM bmax), " +
+        "st AS (SELECT g2.bucket, g2.tok, g2.gmax, " +
+        "greatest(coalesce(inmax, -1.0), coalesce(pmax, -1.0)) AS rmax " +
+        "FROM g2 JOIN pre ON g2.bucket = pre.bucket) " +
+        "SELECT m.doc_id, m.tok, m.div FROM m " +
+        "JOIN st ON m.bucket = st.bucket AND m.tok = st.tok " +
+        "WHERE m.div = st.gmax AND m.div > st.rmax ORDER BY m.doc_id"))
   )
 
   /** q135/q137's maximal shared spans: (da, db, diag, pb0, span) —

@@ -31,6 +31,25 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("q178: the bucketed skyline equals the brute-force dominance skyline") {
+    val m = Tables.load(spark, sfDir, "documents").selectExpr(
+      "doc_id",
+      "cast(size(split(text, ' ')) as long) AS tok",
+      "round(cast(size(array_distinct(split(text, ' '))) as double) / " +
+        "size(split(text, ' ')), 6) AS div")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // O(n^2) reference on the 500-doc fixture: survive iff nothing
+    // weakly dominates with one strict axis
+    val expect = m.filter { case (_, t, dv) =>
+      !m.exists { case (_, t2, d2) =>
+        t2 >= t && d2 >= dv && (t2 > t || d2 > dv) }
+    }.map(_._1).toSet
+    val got = Registry.byName("q178_pareto_frontier").fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("q174: prune counts follow the 20% rule; boundary dominates the kept set") {
     val rows = Registry.byName("q174_difficulty_prune").fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

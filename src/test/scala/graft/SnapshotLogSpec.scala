@@ -60,6 +60,50 @@ class SnapshotLogSpec extends SparkSpec {
     assert(m0.head.min === 10L && m0.head.max === 20L)
   }
 
+  test("readChanges returns exactly the delta segments' rows") {
+    val dir = Relational.buildOrdersLog(spark, sfDir)
+    val o = Tables.load(spark, sfDir, "orders")
+    val c1 = lit(Relational.snapCut1).cast("timestamp")
+    val expect = o.filter(col("o_orderdate") >= c1).count()
+    assert(SnapshotLog.readChanges(spark, dir, 0, 2).count() === expect)
+    // full-history CDC from before the log == the whole table
+    assert(SnapshotLog.readChanges(spark, dir, -1, 2).count() === o.count())
+    // no-op range → empty, schema intact
+    val none = SnapshotLog.readChanges(spark, dir, 2, 2)
+    assert(none.count() === 0)
+    assert(none.columns.contains("o_orderkey"))
+  }
+
+  test("compact preserves every row in one segment; old versions intact") {
+    val dir = Relational.buildOrdersLog(spark, sfDir)
+    val before = SnapshotLog.readAsOf(spark, dir, 2)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val v = SnapshotLog.compact(spark, dir, unix_timestamp(col("o_orderdate")))
+    assert(v === 3)
+    assert(SnapshotLog.segments(dir, 3).size === 1)
+    val after = SnapshotLog.readAsOf(spark, dir, 3)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(after === before)
+    // pre-compaction versions still read their original layout
+    assert(SnapshotLog.segments(dir, 2).size === 3)
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() > 0)
+  }
+
+  test("vacuum reclaims unreferenced segments and forgets pre-horizon versions") {
+    val dir = Relational.buildOrdersLog(spark, sfDir)
+    SnapshotLog.compact(spark, dir, unix_timestamp(col("o_orderdate")))
+    val total = SnapshotLog.readAsOf(spark, dir, 3).count()
+    val (segsGone, mfsGone) = SnapshotLog.vacuum(dir, horizon = 3)
+    assert(segsGone === 3) // the three pre-compaction segments
+    assert(mfsGone === 3)  // manifests v0..v2
+    // the horizon version still reads completely
+    assert(SnapshotLog.readAsOf(spark, dir, 3).count() === total)
+    // history before the horizon is gone — by design
+    intercept[IllegalArgumentException] {
+      SnapshotLog.segments(dir, 0)
+    }
+  }
+
   test("fresh log reports version -1") {
     val dir = java.nio.file.Files.createTempDirectory("snaplog-empty").toString
     assert(SnapshotLog.version(dir) === -1)
