@@ -226,6 +226,25 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
 
   def snapshotVersion(dir: String): Int = graft.ext.SnapshotLog.version(dir)
 
+  /** Change-data feed: rows added in versions (fromV, toV] — reads
+    * only the delta segments (q176's kernel).
+    */
+  def snapshotChanges(dir: String, fromV: Int, toV: Int): DataFrame =
+    graft.ext.SnapshotLog.readChanges(spark, dir, fromV, toV)
+
+  /** Rewrite the current snapshot as one segment (new version); old
+    * versions keep reading their original layout (q177's kernel).
+    */
+  def snapshotCompact(dir: String,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.compact(spark, dir, statsCol)
+
+  /** Drop pre-horizon manifests and unreferenced segments — the
+    * retention trade; time travel before the horizon is gone.
+    */
+  def snapshotVacuum(dir: String, horizon: Int): (Int, Int) =
+    graft.ext.SnapshotLog.vacuum(dir, horizon)
+
   /** UniMax epoch-capped mixture allocation (q172's kernel on a
     * caller-supplied (source, tokens) frame): spread `budget` tokens
     * as uniformly as possible, never asking a source for more than

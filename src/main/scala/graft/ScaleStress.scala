@@ -192,7 +192,12 @@ object ScaleStress {
       // the 10× centroid-score pass through per-label windows; the
       // approx rewrite's row prices the HLL plan vs q13's exact
       "q171_asof_native", "q172_unimax_mix", "q173_time_travel",
-      "q174_difficulty_prune", "q175_approx_autorewrite")
+      "q174_difficulty_prune", "q175_approx_autorewrite",
+      // snapshot lifecycle: CDC reads only the delta segments (2 of 3
+      // under 10x); compaction rewrites the 10x snapshot once; the
+      // skyline's (bucket, tok)-key aggregates ride the corpus scan
+      "q176_snapshot_changes", "q177_snapshot_compact",
+      "q178_pareto_frontier")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -149,6 +149,22 @@ class GraftEngineSpec extends SparkSpec {
       engine.snapshotRead(dir, 1).count())
   }
 
+  test("snapshot lifecycle facade: changes, compact, vacuum compose") {
+    val dir = java.nio.file.Files.createTempDirectory("facade-lifec").toString
+    graft.ext.SnapshotLog.reset(dir)
+    val o = engine.table("orders")
+      .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("t"))
+    engine.snapshotAppend(o.filter(col("o_orderkey") % 2 === 0), dir, col("t"))
+    engine.snapshotAppend(o.filter(col("o_orderkey") % 2 === 1), dir, col("t"))
+    val odd = o.filter(col("o_orderkey") % 2 === 1).count()
+    assert(engine.snapshotChanges(dir, 0, 1).count() === odd)
+    val v = engine.snapshotCompact(dir, col("t"))
+    assert(engine.snapshotRead(dir, v).count() === o.count())
+    val (segs, mfs) = engine.snapshotVacuum(dir, v)
+    assert(segs === 2 && mfs === 2)
+    assert(engine.snapshotRead(dir, v).count() === o.count())
+  }
+
   test("unimaxMix facade allocation sums to the requested budget") {
     import spark.implicits._
     val counts = Seq(("a", 100L), ("b", 1000L), ("c", 10000L))
