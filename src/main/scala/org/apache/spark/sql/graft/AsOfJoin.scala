@@ -117,7 +117,13 @@ case class AsOfJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
-      val resultProj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // Bind the projection against NULLABLE right attributes: binding
+      // against the raw child output would mark the right fields
+      // non-null, and codegen'd BoundReferences then skip the null
+      // check and read garbage zeros from the null-match row (caught
+      // by AsOfJoinPropertySpec).
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
 
       // Current un-consumed right row. Child iterators reuse their row
       // buffers, so anything held across next() is copied — one copy
