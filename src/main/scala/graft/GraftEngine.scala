@@ -263,6 +263,14 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def prunePrototypical(embeddings: DataFrame, prunePct: Int = 20): DataFrame =
     graft.queries.VectorOps.prototypicalityRank(embeddings, prunePct)
 
+  /** Point-in-time feature lookup against an SCD2 dimension (q168's
+    * consumer): facts (user_id, sec, …) pick up the attributes that
+    * were true AT their event time — the leakage-free training join.
+    * Streaming twin: `StreamOps.scd2EnrichStream` (same kernel).
+    */
+  def pointInTimeEnrich(facts: DataFrame, dim: DataFrame): DataFrame =
+    graft.queries.EventOps.pointInTimeJoin(facts, dim)
+
   /** A conf-scoped session clone in approximate-query mode: plain
     * countDistinct written against it optimizes to the HLL sketch
     * (plans/ApproxDistinctRewrite) — flip whole dashboards to ±1.6%

@@ -78,6 +78,28 @@ object EventOps {
       .drop("__ebkt", "__bkt")
   }
 
+  /** Point-in-time enrichment against an SCD2 dimension (q168's
+    * consumer, shared by `GraftEngine.pointInTimeEnrich` and
+    * `StreamOps.scd2EnrichStream`): each fact row (user_id, sec, …)
+    * joins the ONE dimension version whose [valid_from, valid_to]
+    * interval contains its event time (open-ended current version =
+    * null valid_to) — the leakage-free training-time feature lookup.
+    * LEFT join so facts outside all versions survive with null
+    * attributes. The dimension is change-point-sized (tiny next to
+    * facts) and broadcasts; at a scale where it doesn't, q167's
+    * bucketed interval decomposition applies unchanged.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("user_id").as("d_user"),
+      col("tier").as("pit_tier"), col("valid_from"), col("valid_to"))
+    facts.join(broadcast(d),
+        col("user_id") === col("d_user") &&
+          col("sec") >= col("valid_from") &&
+          (col("valid_to").isNull || col("sec") <= col("valid_to")),
+        "left")
+      .drop("d_user", "valid_from", "valid_to")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(

@@ -152,6 +152,20 @@ object StreamOps {
         }
       }
 
+  /** Streaming point-in-time enrichment against a STATIC SCD2
+    * dimension (q168's build): each arriving event looks up the ONE
+    * dimension version valid at its event time — the serving twin of
+    * the batch training-time join, sharing EventOps.pointInTimeJoin
+    * verbatim so online features can never drift from offline ones
+    * (the funnelVerdict rule applied to feature stores). Stateless
+    * stream-static broadcast join: no watermark, no state store; the
+    * dimension refreshes by restarting the query on a new build.
+    */
+  def scd2EnrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    graft.queries.EventOps.pointInTimeJoin(
+      events.withColumn("sec",
+        floor(col("ts").cast("double")).cast("long")), dim)
+
   /** Streaming snapshot-log ingest — a stream landing in the
     * versioned table q173 time-travels over: each micro-batch commits
     * through `ext/SnapshotLog.append` as one immutable segment (zone

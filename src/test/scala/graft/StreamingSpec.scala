@@ -394,6 +394,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 enrichment recovers each event's own point-in-time tier") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the dimension: q168's SCD2 build over the fixture events
+    val dim = Registry.byName("q168_scd2_tiers").fn(spark, sfDir)
+    // stream a deterministic slice of the same events back through
+    val evRows = Tables.load(spark, sfDir, "events")
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[StreamOps.Event].collect().toSeq
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.scd2EnrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("scd2_enrich").start()
+    try {
+      input.addData(evRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_enrich")
+      .select(col("event_id"), col("pit_tier"), col("value")).collect()
+    assert(got.length === evRows.length)
+    // point-in-time property: every event's enriched tier IS the tier
+    // its own value maps to (it fell inside the version it opened or
+    // extended), and exactly one version matched (no row fan-out)
+    got.foreach { r =>
+      val v = r.getDouble(2)
+      val expect = if (v < 50) "low" else if (v < 200) "mid" else "high"
+      assert(r.getString(1) === expect, s"event ${r.getLong(0)}")
+    }
+    // stream ≡ batch: the same kernel over the same rows
+    val batch = graft.queries.EventOps.pointInTimeJoin(
+        Tables.load(spark, sfDir, "events")
+          .filter(col("event_id") % 5 === 0)
+          .withColumn("sec",
+            org.apache.spark.sql.functions.floor(col("ts").cast("double"))
+              .cast("long")), dim)
+      .select(col("event_id"), col("pit_tier")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.map(r => r.getLong(0) -> r.getString(1)).toMap === batch)
+  }
+
   test("streaming snapshot sink commits one version per batch, replays skip") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
