@@ -198,6 +198,28 @@ class GraftEngineSpec extends SparkSpec {
       graft.plans.ApproxDistinctRewrite.Flag).forall(_ != "true"))
   }
 
+  test("distinctOverlapEstimate tracks exact overlap within sketch error") {
+    val li = engine.table("lineitem")
+    val part = engine.table("part")
+    // contained case: lineitem's partkeys are a subset draw of part's
+    val est = engine.distinctOverlapEstimate(li, "l_partkey", part, "p_partkey")
+      .head()
+    val exactA = li.select(col("l_partkey")).distinct().count()
+    val exactOverlap = li.select(col("l_partkey").as("k")).distinct()
+      .join(part.select(col("p_partkey").as("k")).distinct(), Seq("k")).count()
+    assert(math.abs(est.getAs[Long]("distinct_a") - exactA).toDouble / exactA <= 0.05)
+    assert(math.abs(est.getAs[Long]("overlap_est") - exactOverlap).toDouble /
+      exactOverlap <= 0.10)
+    assert(est.getAs[Double]("containment_a") >= 0.85) // subset-drawn keys
+    // disjoint case: shifted keys share nothing; estimate must be
+    // near-zero relative to the union cardinality
+    val shifted = part.select((col("p_partkey") + 10000000L).as("p_partkey"))
+    val dj = engine.distinctOverlapEstimate(li, "l_partkey", shifted, "p_partkey")
+      .head()
+    assert(dj.getAs[Long]("overlap_est").toDouble <=
+      0.05 * dj.getAs[Long]("distinct_union"))
+  }
+
   test("psiDrift facade on the q163 split reproduces the registered PSI") {
     import org.apache.spark.sql.functions._
     val ev = engine.table("events")
