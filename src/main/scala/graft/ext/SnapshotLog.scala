@@ -40,22 +40,36 @@ object SnapshotLog {
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
+  /** `Files.list`/`Files.walk` return open directory streams that MUST
+    * be closed — a polling caller (a reader looping on `version`)
+    * would otherwise exhaust file descriptors (caught by
+    * SnapshotLogSpec's racing-reader test).
+    */
+  private def listed[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private def walked[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Latest committed version, or -1 when the log is empty. */
   def version(dir: String): Int = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) -1
-    else Files.list(ld).iterator().asScala
-      .map(_.getFileName.toString)
+    else listed(ld)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .foldLeft(-1)(math.max)
+      .foldLeft(-1)(math.max))
   }
 
   /** Drops every segment and manifest — a fresh log. */
   def reset(dir: String): Unit = {
     val root = Paths.get(dir)
     if (Files.isDirectory(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walked(root)(_.toSeq).reverse.foreach(Files.delete)
     }
     Files.createDirectories(logDir(dir))
   }
@@ -175,11 +189,11 @@ object SnapshotLog {
     val keep = (horizon to latest)
       .flatMap(v => segments(dir, v).map(_.relPath)).toSet
     val root = Paths.get(dir)
-    val segDirs = Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("seg-")).toSeq
+    val segDirs = listed(root)(
+      _.filter(p => p.getFileName.toString.startsWith("seg-")).toSeq)
     val doomedSegs = segDirs.filterNot(p => keep(p.getFileName.toString))
     doomedSegs.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      walked(p)(_.toSeq).reverse.foreach(Files.delete)
     }
     val doomedMfs = (0 until horizon)
       .map(v => logDir(dir).resolve(s"v$v.manifest"))

@@ -104,6 +104,37 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
+  test("readers racing a committer only ever see fully-published snapshots") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-race").toString
+    SnapshotLog.reset(dir)
+    val commits = 8
+    val writer = new Thread(() => {
+      (0 until commits).foreach { i =>
+        SnapshotLog.append(
+          Seq((i.toLong, i.toLong * 10)).toDF("id", "t"), dir, col("t"))
+      }
+    })
+    val anomalies = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (SnapshotLog.version(dir) < commits - 1) {
+        val v = SnapshotLog.version(dir)
+        if (v >= 0) {
+          // atomic rename contract: any visible version parses whole
+          // and carries exactly v+1 segments (full-list manifests)
+          val segs = try SnapshotLog.segments(dir, v)
+          catch { case _: Exception => anomalies.incrementAndGet(); Nil }
+          if (segs.size != v + 1) anomalies.incrementAndGet()
+        }
+      }
+    })
+    reader.start(); writer.start()
+    writer.join(120000); reader.join(120000)
+    assert(anomalies.get() === 0)
+    assert(SnapshotLog.version(dir) === commits - 1)
+    assert(SnapshotLog.readAsOf(spark, dir, commits - 1).count() === commits)
+  }
+
   test("fresh log reports version -1") {
     val dir = java.nio.file.Files.createTempDirectory("snaplog-empty").toString
     assert(SnapshotLog.version(dir) === -1)
