@@ -2316,22 +2316,25 @@ object TextOps {
 
     GraftQuery(
       "q129_dup_depth",
-      "Duplication-depth spectrum — for each document, the LONGEST sliding n-gram level (n ∈ 4/8/16/32) at which it still shares a phrase with another document; 0 = fully original. This is the variable-length complement to fixed-size passage dedup: depth 4 is common phrasing, depth 32 is wholesale copying, and the histogram of depths tells a curation pass where to set its passage length. Four shingle passes (n-grams hash to 64-bit keys; each level is one groupBy for the doc count + one semi-join back), union of marked docs, per-doc max — every stage is key-hashed and linear; nothing all-pairs.",
+      "Duplication-depth spectrum — for each document, the LONGEST sliding n-gram level (n ∈ 4/8/16/32) at which it still shares a phrase with another document; 0 = fully original. This is the variable-length complement to fixed-size passage dedup: depth 4 is common phrasing, depth 32 is wholesale copying, and the histogram of depths tells a curation pass where to set its passage length. All four levels build in ONE tokenize+shingle pass: each doc emits (lvl, gramhash) structs for every level at once, and the shared-gram mark is a count over (lvl, gk) window partitions — the exploded frame is consumed exactly ONCE (the first registration built each level's shingle frame twice, groupBy + join-back, executing the explode 8× per run — the round-9 bench regression), so no pin is needed and the whole query is one explode, one (lvl, gk) shuffle+sort, one doc_id rollup. array_distinct per (doc, lvl) makes the window count equal the sharing-doc count; at a scale where a boilerplate gram's window partition grows pathological, the q39 df-cap screen bounds the hot keys first.",
       (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
-        val marked = Seq(4, 8, 16, 32).map { n =>
-          val sh = base.filter(size(col("tk")) >= n)
-            .select(col("doc_id"),
-              explode(array_distinct(shingles(col("tk"), n))).as("g"))
-            .select(col("doc_id"), xxhash64(col("g")).as("gk"))
-          val nd = sh.groupBy(col("gk")).agg(countDistinct(col("doc_id")).as("nd"))
-          sh.join(nd, Seq("gk")).filter(col("nd") > 1)
-            .select(col("doc_id")).distinct()
-            .withColumn("lvl", lit(n))
-        }.reduce(_ unionAll _)
+        val perLevel = Seq(4, 8, 16, 32).map { n =>
+          when(size(col("tk")) >= n,
+            transform(array_distinct(shingles(col("tk"), n)),
+              g => struct(lit(n).as("lvl"), xxhash64(g).as("gk"))))
+            .otherwise(array().cast("array<struct<lvl:int,gk:bigint>>"))
+        }
+        val sh = base
+          .select(col("doc_id"), explode(concat(perLevel: _*)).as("s"))
+          .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.gk").as("gk"))
+        val marked = sh
+          .withColumn("nd", count(lit(1)).over(
+            Window.partitionBy(col("lvl"), col("gk"))))
+          .filter(col("nd") > 1)
+          .groupBy(col("doc_id")).agg(max(col("lvl")).as("m"))
         base.select(col("doc_id"))
-          .join(marked.groupBy(col("doc_id")).agg(max(col("lvl")).as("m")),
-            Seq("doc_id"), "left")
+          .join(marked, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("m"), lit(0)).as("max_dup_n"))
           .orderBy(col("doc_id"))
       },
