@@ -1,7 +1,7 @@
 package graft.ext
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,16 +15,31 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `dir`:
   *   seg-<v>/            immutable parquet segment written at commit v
-  *   _log/v<N>.manifest  text lines "segRelPath<TAB>min<TAB>max" — the
-  *                       FULL segment list composing snapshot N (so a
-  *                       reader opens exactly one manifest, never
+  *   _log/v<N>.manifest  text lines "segRelPath<TAB>min<TAB>max[<TAB>tag]"
+  *                       — the FULL segment list composing snapshot N
+  *                       (so a reader opens exactly one manifest, never
   *                       replays deltas), with zone-map min/max of the
-  *                       stats column per segment.
+  *                       stats column per segment — plus metadata lines
+  *                       starting with '#':
+  *                         #batches<TAB>id,id,…   every streaming batch
+  *                           id EVER committed (carried forward by both
+  *                           append and compact, so the idempotency
+  *                           gate survives compaction — a replayed
+  *                           micro-batch after a compact still skips)
+  *                         #compacted<TAB>rel,…   segments that are
+  *                           REWRITES of existing rows (dataChange =
+  *                           false) — the change feed must never
+  *                           re-deliver them as inserts.
   *
-  * Commits are atomic via write-temp-then-rename of the manifest file
-  * — readers only ever see fully-written manifests. Single writer by
-  * contract (a cluster deployment would CAS the manifest rename
-  * against a coordination service; the read path is unchanged).
+  * Commits are atomic AND exclusive: the manifest is written to a temp
+  * name and published with `Files.createLink` (hard link), which fails
+  * with FileAlreadyExistsException when the target version exists —
+  * readers only ever see fully-written manifests, and of two racing
+  * writers targeting the same next version exactly one wins while the
+  * loser gets a loud ConcurrentModificationException instead of
+  * silently clobbering the winner's commit (a rename(2) publish would
+  * replace it). A cluster deployment swaps the link for a CAS against
+  * a coordination service; the read path is unchanged.
   *
   * Scale: a snapshot read is `spark.read.parquet(segments…)` — plain
   * pruned/pushed columnar scans; time travel costs ONE tiny manifest
@@ -36,7 +51,12 @@ import org.apache.spark.sql.functions._
 object SnapshotLog {
 
   final case class Segment(relPath: String, min: Long, max: Long,
-      tag: Option[Long] = None)
+      tag: Option[Long] = None, dataChange: Boolean = true)
+
+  /** Manifest metadata: every batch id ever committed plus the set of
+    * segments that are rewrites (dataChange = false).
+    */
+  final case class ManifestMeta(batches: Set[Long], compacted: Set[String])
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -74,31 +94,99 @@ object SnapshotLog {
     Files.createDirectories(logDir(dir))
   }
 
-  def segments(dir: String, v: Int): Seq[Segment] = {
+  private def manifestLines(dir: String, v: Int): Seq[String] = {
     val mf = logDir(dir).resolve(s"v$v.manifest")
     require(Files.exists(mf), s"no snapshot v$v in $dir")
     Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map { line =>
-        line.split('\t') match {
-          case Array(p, mn, mx) => Segment(p, mn.toLong, mx.toLong)
-          case Array(p, mn, mx, tag) =>
-            Segment(p, mn.toLong, mx.toLong, Some(tag.toLong))
-        }
-      }
+      .filter(_.nonEmpty)
   }
+
+  def segments(dir: String, v: Int): Seq[Segment] = {
+    val lines = manifestLines(dir, v)
+    val compacted = metaOf(lines).compacted
+    lines.filterNot(_.startsWith("#")).map { line =>
+      line.split('\t') match {
+        case Array(p, mn, mx) =>
+          Segment(p, mn.toLong, mx.toLong, None, !compacted(p))
+        case Array(p, mn, mx, tag) =>
+          Segment(p, mn.toLong, mx.toLong, Some(tag.toLong), !compacted(p))
+      }
+    }
+  }
+
+  private def metaOf(lines: Seq[String]): ManifestMeta = {
+    def vals(key: String): Seq[String] = lines.collect {
+      case l if l.startsWith(s"#$key\t") =>
+        l.split('\t')(1).split(',').toSeq.filter(_.nonEmpty)
+    }.flatten
+    ManifestMeta(vals("batches").map(_.toLong).toSet, vals("compacted").toSet)
+  }
+
+  def meta(dir: String, v: Int): ManifestMeta = metaOf(manifestLines(dir, v))
+
+  private def metaLines(m: ManifestMeta): Seq[String] =
+    (if (m.batches.isEmpty) Nil
+     else Seq(s"#batches\t${m.batches.toSeq.sorted.mkString(",")}")) ++
+      (if (m.compacted.isEmpty) Nil
+       else Seq(s"#compacted\t${m.compacted.toSeq.sorted.mkString(",")}"))
 
   /** Writer tags already committed (streaming idempotency: a replayed
     * micro-batch checks its batchId against the LOG, not local state —
-    * correct across restarts). Empty log → empty set.
+    * correct across restarts). The union of current segment tags and
+    * the carried-forward `#batches` metadata, so ids survive a
+    * compaction that rewrote their segments away. Empty log → empty
+    * set.
     */
   def committedBatches(dir: String): Set[Long] = {
     val v = version(dir)
-    if (v < 0) Set.empty else segments(dir, v).flatMap(_.tag).toSet
+    if (v < 0) Set.empty
+    else segments(dir, v).flatMap(_.tag).toSet ++ meta(dir, v).batches
+  }
+
+  /** Publish `lines` as manifest v — atomically (hard-link of a fully
+    * written temp file: readers never see a partial manifest) and
+    * EXCLUSIVELY (the link fails if v already exists, so of two racing
+    * writers exactly one wins and the loser fails loudly instead of
+    * clobbering — the single-writer contract, enforced rather than
+    * assumed).
+    */
+  private[graft] def publish(dir: String, v: Int, lines: Seq[String]): Unit = {
+    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp-${Thread.currentThread().getId}")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(logDir(dir).resolve(s"v$v.manifest"), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot v$v in $dir was committed by another writer", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def segLine(s: Segment): String =
+    (Seq(s.relPath, s.min.toString, s.max.toString) ++
+      s.tag.map(_.toString)).mkString("\t")
+
+  /** Zone-map stats of a WRITTEN segment: min/max of `statsCol`
+    * re-evaluated over the parquet just persisted, not over the input
+    * frame — a non-deterministic or re-evaluated input (rand(), a
+    * source mutated between two jobs) would otherwise record a zone
+    * map disagreeing with the rows actually written, and the pruned
+    * read would silently skip matching segments. One segment-sized
+    * min/max scan (columnar, statsCol's column only; with parquet
+    * aggregate pushdown enabled it collapses to footer metadata).
+    */
+  private def writtenStats(spark: SparkSession, segPath: String,
+      statsCol: Column): (Long, Long) = {
+    val stats = spark.read.parquet(segPath)
+      .agg(min(statsCol).cast("long").as("mn"),
+        max(statsCol).cast("long").as("mx")).head()
+    if (stats.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+    else (stats.getLong(0), stats.getLong(1))
   }
 
   /** Commits `df` as a new immutable segment; the new snapshot is the
-    * previous segment list plus this one. `statsCol` must evaluate to
-    * a long — its min/max become the segment's zone map (one
+    * previous segment list plus this one, with batch-id and compaction
+    * metadata carried forward. `statsCol` must evaluate to a long —
+    * its min/max over the WRITTEN segment become the zone map (one
     * metadata-sized 1-row aggregate; the only driver action).
     * Returns the new version number.
     */
@@ -108,20 +196,15 @@ object SnapshotLog {
     val prev = version(dir)
     val v = prev + 1
     val rel = s"seg-$v"
-    val stats = df.agg(min(statsCol).cast("long").as("mn"),
-      max(statsCol).cast("long").as("mx")).head()
-    val (mn, mx) =
-      if (stats.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (stats.getLong(0), stats.getLong(1))
-    df.write.mode("overwrite").parquet(Paths.get(dir, rel).toString)
+    val segPath = Paths.get(dir, rel).toString
+    df.write.mode("overwrite").parquet(segPath)
+    val (mn, mx) = writtenStats(df.sparkSession, segPath, statsCol)
     val carried = if (prev < 0) Nil else segments(dir, prev)
-    val lines = (carried :+ Segment(rel, mn, mx, batchTag))
-      .map(s => (Seq(s.relPath, s.min.toString, s.max.toString) ++
-        s.tag.map(_.toString)).mkString("\t")).mkString("\n")
-    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp")
-    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logDir(dir).resolve(s"v$v.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
+      else meta(dir, prev)
+    val lines = (carried :+ Segment(rel, mn, mx, batchTag)).map(segLine) ++
+      metaLines(carriedMeta)
+    publish(dir, v, lines)
     v
   }
 
@@ -132,47 +215,59 @@ object SnapshotLog {
     spark.read.parquet(segs.map(s => Paths.get(dir, s.relPath).toString): _*)
   }
 
-  /** Change-data feed: the rows ADDED in versions (fromV, toV] — the
-    * segments in toV's manifest absent from fromV's (append-only log,
-    * so segment-set difference IS the row delta; fromV = -1 means
-    * everything). An incremental consumer reads exactly the new
-    * segments — never a diff of the full table (q162's content-diff
-    * is for when no log exists). Empty delta → empty frame with toV's
-    * schema.
+  /** Change-data feed: the rows ADDED in versions (fromV, toV],
+    * collected by walking each version's manifest against its
+    * predecessor and keeping only the DATA-CHANGE segments that
+    * version introduced. Compaction segments carry dataChange = false
+    * and never flow: they REWRITE rows that already streamed through
+    * the feed, so a read spanning a compaction must not re-deliver the
+    * table as inserts — and because the walk is per-version (not a
+    * fromV-vs-toV set diff), an append committed BEFORE a later
+    * compaction still surfaces even though the compacted manifest no
+    * longer lists its segment. fromV = -1 means "delta from empty",
+    * which IS the toV snapshot. The walk reads O(toV−fromV) manifests
+    * — driver-side metadata; the rows themselves are plain pruned
+    * parquet scans of exactly the appended segments, never a diff of
+    * the full table (q162's content-diff is for when no log exists).
+    * A range whose manifests were vacuumed away fails loudly. Empty
+    * delta → empty frame with toV's schema.
     */
   def readChanges(spark: SparkSession, dir: String,
       fromV: Int, toV: Int): DataFrame = {
-    val before = if (fromV < 0) Set.empty[String]
-      else segments(dir, fromV).map(_.relPath).toSet
-    val delta = segments(dir, toV).filterNot(s => before(s.relPath))
-    if (delta.isEmpty) readAsOf(spark, dir, toV).limit(0)
-    else spark.read.parquet(
-      delta.map(s => Paths.get(dir, s.relPath).toString): _*)
+    if (fromV < 0) readAsOf(spark, dir, toV)
+    else {
+      require(toV >= fromV, s"readChanges range [$fromV, $toV] inverted")
+      val delta = ((fromV + 1) to toV).flatMap { w =>
+        val prevSet = segments(dir, w - 1).map(_.relPath).toSet
+        segments(dir, w).filter(_.dataChange).filterNot(s => prevSet(s.relPath))
+      }.distinctBy(_.relPath)
+      if (delta.isEmpty) readAsOf(spark, dir, toV).limit(0)
+      else spark.read.parquet(
+        delta.map(s => Paths.get(dir, s.relPath).toString): _*)
+    }
   }
 
   /** Compaction: commit a NEW version whose manifest lists ONE
     * rewritten segment holding the current snapshot — the small-file
     * fix for long append histories. Old versions still read their old
-    * segments (nothing is deleted; `vacuum` reclaims). Returns the new
-    * version.
+    * segments (nothing is deleted; `vacuum` reclaims). The rewritten
+    * segment is marked `#compacted` (dataChange = false → the change
+    * feed never re-delivers it) and the batch-id union of the prior
+    * manifest carries forward as `#batches`, so a checkpoint-recovery
+    * replay of an already-committed micro-batch still hits the
+    * idempotency gate after compaction. Returns the new version.
     */
   def compact(spark: SparkSession, dir: String, statsCol: Column): Int = {
     val prev = version(dir)
     require(prev >= 0, s"nothing to compact in $dir")
     val v = prev + 1
     val rel = s"seg-$v"
-    val snap = readAsOf(spark, dir, prev)
-    val stats = snap.agg(min(statsCol).cast("long").as("mn"),
-      max(statsCol).cast("long").as("mx")).head()
-    val (mn, mx) =
-      if (stats.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (stats.getLong(0), stats.getLong(1))
-    snap.write.mode("overwrite").parquet(Paths.get(dir, rel).toString)
-    val line = s"$rel\t$mn\t$mx"
-    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp")
-    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logDir(dir).resolve(s"v$v.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val segPath = Paths.get(dir, rel).toString
+    readAsOf(spark, dir, prev).write.mode("overwrite").parquet(segPath)
+    val (mn, mx) = writtenStats(spark, segPath, statsCol)
+    val lines = Seq(segLine(Segment(rel, mn, mx))) ++
+      metaLines(ManifestMeta(committedBatches(dir), Set(rel)))
+    publish(dir, v, lines)
     v
   }
 

@@ -135,6 +135,80 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.readAsOf(spark, dir, commits - 1).count() === commits)
   }
 
+  test("batch ids survive compaction: a replayed micro-batch still skips") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-batches").toString
+    SnapshotLog.reset(dir)
+    StreamOps.snapshotCommitBatch(Seq((1L, 10L)).toDF("id", "t"), dir, "t", 0L)
+    StreamOps.snapshotCommitBatch(Seq((2L, 20L)).toDF("id", "t"), dir, "t", 1L)
+    SnapshotLog.compact(spark, dir, col("t"))
+    // the compacted manifest no longer lists the tagged segments, but
+    // the idempotency gate must still know both batches committed
+    assert(SnapshotLog.committedBatches(dir) === Set(0L, 1L))
+    // checkpoint-recovery replay of batch 1 after the compaction:
+    // must be skipped, not appended as duplicate rows
+    StreamOps.snapshotCommitBatch(Seq((2L, 20L)).toDF("id", "t"), dir, "t", 1L)
+    assert(SnapshotLog.version(dir) === 2)
+    assert(SnapshotLog.readAsOf(spark, dir, 2).count() === 2)
+    // a genuinely new batch still lands, and its id joins the union
+    StreamOps.snapshotCommitBatch(Seq((3L, 30L)).toDF("id", "t"), dir, "t", 2L)
+    assert(SnapshotLog.committedBatches(dir) === Set(0L, 1L, 2L))
+  }
+
+  test("change feed across a compaction delivers appends, never the rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-cdc").toString
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"), dir, col("t"))
+    SnapshotLog.append(Seq((3L, 30L)).toDF("id", "t"), dir, col("t"))
+    SnapshotLog.compact(spark, dir, col("t")) // v2
+    SnapshotLog.append(
+      Seq((4L, 40L), (5L, 50L), (6L, 60L)).toDF("id", "t"), dir, col("t"))
+    // (0, 3]: the v1 append (folded into the compacted segment but
+    // still a real insert) plus the v3 append — never the rewrite
+    assert(SnapshotLog.readChanges(spark, dir, 0, 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet ===
+      Set(3L, 4L, 5L, 6L))
+    // a compaction-only range is an empty delta
+    assert(SnapshotLog.readChanges(spark, dir, 1, 2).count() === 0)
+    assert(SnapshotLog.readChanges(spark, dir, 2, 3).count() === 3)
+    // delta from empty = the snapshot itself
+    assert(SnapshotLog.readChanges(spark, dir, -1, 3).count() === 6)
+  }
+
+  test("a second writer targeting the same version fails loudly; winner intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-2w").toString
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"), dir, col("t"))
+    // a racing writer that computed the same next version must not
+    // clobber the winner's manifest — exclusive link, loud failure
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publish(dir, 0, Seq("seg-bogus\t0\t0"))
+    }
+    assert(SnapshotLog.segments(dir, 0).head.relPath === "seg-0")
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 2)
+  }
+
+  test("zone map derives from the written segment, not the input plan") {
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-zm").toString
+    SnapshotLog.reset(dir)
+    // non-deterministic input: re-evaluating it for stats would record
+    // a zone map disagreeing with the rows actually written
+    val df = spark.range(500)
+      .select(col("id"), (rand() * 1000000).cast("long").as("t"))
+    SnapshotLog.append(df, dir, col("t"))
+    val seg = SnapshotLog.segments(dir, 0).head
+    val row = SnapshotLog.readAsOf(spark, dir, 0)
+      .agg(min(col("t")), max(col("t"))).head()
+    assert(seg.min === row.getLong(0) && seg.max === row.getLong(1))
+    // the recorded range must therefore never skip rows it contains
+    val (pruned, scanned, _) = SnapshotLog.readAsOfFiltered(
+      spark, dir, 0, col("t"), seg.min, seg.max)
+    assert(scanned === 1 && pruned.count() === 500)
+  }
+
   test("fresh log reports version -1") {
     val dir = java.nio.file.Files.createTempDirectory("snaplog-empty").toString
     assert(SnapshotLog.version(dir) === -1)
