@@ -198,19 +198,24 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     graft.ingest.FormatIo.read(spark, path, format, schema)
 
-  /** Native AS-OF join (q171's operator on caller frames): for every
-    * left row, the right row with equal keys and the largest
-    * `rightTimeCol` ≤ `leftTimeCol` (LongType epoch values; ties break
-    * to the last `rightTiebreakCols` ascending), LEFT OUTER, optional
-    * staleness tolerance. Plans as AsOfJoinExec — each side clusters
-    * on its own keys, one forward merge per partition.
+  /** Native AS-OF join (the q171/q180/q181 operator on caller
+    * frames): for every left row, the matching right row by equal
+    * keys and `direction` — "backward" (default; largest right time ≤
+    * left time, ties to the last `rightTiebreakCols` ascending),
+    * "forward" (smallest right time ≥ left time, ties to the first),
+    * or "nearest" (closer of the two, exact tie → prior). LongType
+    * epoch times, LEFT OUTER, optional staleness tolerance (absolute
+    * gap for nearest). Plans as AsOfJoinExec — each side clusters on
+    * its own keys, one forward merge per partition for every
+    * direction.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreakCols: Seq[String] = Nil,
-      toleranceSec: Option[Long] = None): DataFrame =
+      toleranceSec: Option[Long] = None,
+      direction: String = org.apache.spark.sql.graft.AsOfJoinApi.Backward): DataFrame =
     org.apache.spark.sql.graft.AsOfJoinApi.asof(left, right, keys,
-      leftTimeCol, rightTimeCol, rightTiebreakCols, toleranceSec)
+      leftTimeCol, rightTimeCol, rightTiebreakCols, toleranceSec, direction)
 
   /** Snapshot-log surface (q173's ext/SnapshotLog on caller data):
     * append-commit a frame as a new immutable segment (zone map over

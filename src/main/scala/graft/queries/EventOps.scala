@@ -132,6 +132,69 @@ object EventOps {
         "ORDER BY purchase_id")),
 
     GraftQuery(
+      "q180_asof_forward",
+      "FORWARD as-of join through the native plan node — q171's probe reversed in time: for each purchase, the same user's NEXT click at-or-after it within a 1-hour tolerance (the 'what did this action lead to' attribution probe; pandas merge_asof direction='forward'). Same AsOfJoinExec, same per-side exchanges and single O(n_l + n_r) forward merge — the only change is the candidate rule: the cursor stops at the first same-key right row at-or-after the probe time instead of holding the last one behind it, so equal-time rows match at distance 0 and ties break to the LOWEST click_id (first in (time, tiebreak) sort order — the mirror of backward's last-wins). Clicks beyond the tolerance leave nulls — LEFT OUTER as-of.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_timestamp(col("ts")).as("c_ts"))
+        org.apache.spark.sql.graft.AsOfJoinApi.asof(
+            purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+            rightTiebreakCols = Seq("click_id"), toleranceSec = Some(3600L),
+            direction = org.apache.spark.sql.graft.AsOfJoinApi.Forward)
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            (col("c_ts") - col("p_ts")).as("gap_s"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("WITH p AS (SELECT user_id, event_id AS purchase_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS p_ts FROM events WHERE event_type='purchase'), " +
+        "c AS (SELECT user_id, event_id AS click_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS c_ts FROM events WHERE event_type='click') " +
+        "SELECT p.user_id, p.purchase_id, x.click_id, x.gap_s " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.click_id, c.c_ts - p.p_ts AS gap_s FROM c " +
+        "WHERE c.user_id = p.user_id AND c.c_ts >= p.p_ts AND c.c_ts - p.p_ts <= 3600 " +
+        "ORDER BY c.c_ts ASC, c.click_id ASC LIMIT 1) x ON TRUE " +
+        "ORDER BY purchase_id")),
+
+    GraftQuery(
+      "q181_asof_nearest",
+      "NEAREST as-of join through the native plan node — the third direction of the q171/q180 family (pandas merge_asof direction='nearest', the QuestDB/kdb temporal-join surface): for each purchase, the same user's click CLOSEST in absolute time within a 1-hour tolerance, whichever side of the purchase it falls on; an exact distance tie prefers the PRIOR click (the backward candidate — deterministic, and the convention that never looks into the future unless the future is strictly closer). One merge pass resolves both candidates with two-row state: the held row behind the cursor is the backward candidate and the cursor row itself is the forward one — no second scan, no window, same O(n_l + n_r) per co-partitioned pair as the other directions. gap_s is SIGNED (negative = click preceded the purchase) so a consumer can audit which side won.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_timestamp(col("ts")).as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_timestamp(col("ts")).as("c_ts"))
+        org.apache.spark.sql.graft.AsOfJoinApi.asof(
+            purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+            rightTiebreakCols = Seq("click_id"), toleranceSec = Some(3600L),
+            direction = org.apache.spark.sql.graft.AsOfJoinApi.Nearest)
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            (col("c_ts") - col("p_ts")).as("gap_s"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("WITH p AS (SELECT user_id, event_id AS purchase_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS p_ts FROM events WHERE event_type='purchase'), " +
+        "c AS (SELECT user_id, event_id AS click_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS c_ts FROM events WHERE event_type='click') " +
+        "SELECT p.user_id, p.purchase_id, x.click_id, x.gap_s " +
+        "FROM p LEFT JOIN LATERAL (" +
+        "SELECT c.click_id, c.c_ts - p.p_ts AS gap_s FROM c " +
+        "WHERE c.user_id = p.user_id AND abs(c.c_ts - p.p_ts) <= 3600 " +
+        "ORDER BY abs(c.c_ts - p.p_ts) ASC, " +
+        "(CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END) ASC, " +
+        "(CASE WHEN c.c_ts <= p.p_ts THEN -c.click_id ELSE c.click_id END) ASC " +
+        "LIMIT 1) x ON TRUE " +
+        "ORDER BY purchase_id")),
+
+    GraftQuery(
       "q30_case_tiers",
       "F6's tier mapping as a deterministic when-chain over event value (reference imb_rating.py:116–124 tier table).",
       (s, d) => t(s, d, "events")

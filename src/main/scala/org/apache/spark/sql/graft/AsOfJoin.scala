@@ -20,12 +20,22 @@ import org.apache.spark.sql.types.LongType
   * per-request in Postgres (app.py:218–236 reads the latest ratings
   * snapshot); here it is a distributed batch operator.
   *
-  * Semantics: for every left row, the single right row with equal join
-  * keys and the LARGEST right time ≤ the left row's time (ties broken
-  * by any extra right ordering columns, last wins), optionally subject
-  * to `left.time - right.time <= toleranceSec`; unmatched left rows
-  * keep nulls on the right — i.e. LEFT OUTER AS-OF. Null left times
-  * never match; null right times are never candidates.
+  * Semantics (per `direction`, the pandas merge_asof surface):
+  *   backward (default) — the single right row with equal join keys
+  *     and the LARGEST right time ≤ the left row's time (ties broken
+  *     by any extra right ordering columns, last wins), optionally
+  *     subject to `left.time - right.time <= toleranceSec`;
+  *   forward — the SMALLEST right time ≥ the left time (equal time
+  *     matches; ties break to the first in (time, tiebreaks) order),
+  *     tolerance bounds `right.time - left.time`;
+  *   nearest — whichever of the backward/forward candidates sits
+  *     closer in absolute time, tolerance bounding the absolute gap;
+  *     an exact tie prefers the backward (prior) row.
+  * Unmatched left rows keep nulls on the right — i.e. LEFT OUTER
+  * AS-OF. Null left times never match; null right times are never
+  * candidates; a NULL in any join-key field never matches (SQL
+  * equality semantics — null ≠ null, unlike a naive natural-ordering
+  * comparison which would cluster and equate null keys).
   *
   * Why a custom plan node instead of composition: the union+window
   * form (q38) expresses the same semantics but funnels BOTH tables
@@ -46,7 +56,8 @@ case class AsOfJoin(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    toleranceSec: Option[Long])
+    toleranceSec: Option[Long],
+    direction: String = AsOfJoinApi.Backward)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -72,7 +83,8 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     rightTiebreaks: Seq[Attribute],
-    toleranceSec: Option[Long])
+    toleranceSec: Option[Long],
+    direction: String)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -109,6 +121,7 @@ case class AsOfJoinExec(
     val lKeys = leftKeys
     val rKeys = rightKeys
     val tol = toleranceSec
+    val dir = direction
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -139,24 +152,38 @@ case class AsOfJoinExec(
       var heldKey: InternalRow = null
       var heldTime: Long = 0L
 
+      // Forward probes must NOT consume an equal-time right row past
+      // the cursor (it is the forward candidate); backward/nearest
+      // consume it into `held` (equal time is a distance-0 backward
+      // match, which also settles nearest's tie-prefers-backward).
+      val consumeEqual = dir != AsOfJoinApi.Forward
+
       lIter.map { lRow =>
+        numOutputRows += 1
         val lKey = lKeyProj(lRow)
-        if (heldKey != null && keyOrd.compare(heldKey, lKey) != 0) {
-          held = null; heldKey = null
-        }
-        val lNull = lRow.isNullAt(lTimeOrd)
-        if (!lNull) {
+        // SQL equality: a null in any key field matches nothing. Left
+        // rows sort nulls-first, so no held state exists to preserve.
+        if (lRow.isNullAt(lTimeOrd) || lKey.anyNull) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          if (heldKey != null && keyOrd.compare(heldKey, lKey) != 0) {
+            held = null; heldKey = null
+          }
           val lT = lRow.getLong(lTimeOrd)
-          // Drop right runs for keys before this probe key.
+          // Drop right runs for keys before this probe key (null-keyed
+          // right rows sort first and fall out here — never candidates).
           var cmp = if (rRow == null) 1 else keyOrd.compare(rKeyProj(rRow), lKey)
           while (rRow != null && cmp < 0) {
             advanceRight()
             cmp = if (rRow == null) 1 else keyOrd.compare(rKeyProj(rRow), lKey)
           }
-          // Consume same-key right rows up to the probe time; the last
-          // one (largest (time, tiebreaks) ≤ lT) becomes the candidate.
+          // Consume same-key right rows behind the probe time; the last
+          // one (largest (time, tiebreaks) ≤/< lT) becomes the backward
+          // candidate. After the loop, rRow — if still on this key — is
+          // the FIRST right row ahead of the probe: the forward candidate.
           while (rRow != null && cmp == 0 &&
-              (rRow.isNullAt(rTimeOrd) || rRow.getLong(rTimeOrd) <= lT)) {
+              (rRow.isNullAt(rTimeOrd) || rRow.getLong(rTimeOrd) < lT ||
+                (consumeEqual && rRow.getLong(rTimeOrd) == lT))) {
             if (!rRow.isNullAt(rTimeOrd)) {
               held = rRow
               heldKey = lKey.copy()
@@ -165,17 +192,25 @@ case class AsOfJoinExec(
             advanceRight()
             cmp = if (rRow == null) 1 else keyOrd.compare(rKeyProj(rRow), lKey)
           }
-          val ok = held != null && heldKey != null &&
+          val bOk = held != null && heldKey != null &&
             keyOrd.compare(heldKey, lKey) == 0 &&
             tol.forall(t => lT - heldTime <= t)
-          numOutputRows += 1
-          if (ok) {
+          val fOk = dir != AsOfJoinApi.Backward &&
+            rRow != null && cmp == 0 && !rRow.isNullAt(rTimeOrd) &&
+            tol.forall(t => rRow.getLong(rTimeOrd) - lT <= t)
+          val chosen: InternalRow = dir match {
+            case AsOfJoinApi.Backward => if (bOk) held else null
+            case AsOfJoinApi.Forward => if (fOk) rRow else null
+            case AsOfJoinApi.Nearest =>
+              if (bOk && fOk) {
+                // tie → backward (held) wins
+                if (lT - heldTime <= rRow.getLong(rTimeOrd) - lT) held else rRow
+              } else if (bOk) held else if (fOk) rRow else null
+          }
+          if (chosen != null) {
             numMatched += 1
-            resultProj(joined(lRow, held))
+            resultProj(joined(lRow, chosen))
           } else resultProj(joined(lRow, nullRight))
-        } else {
-          numOutputRows += 1
-          resultProj(joined(lRow, nullRight))
         }
       }
     }
@@ -185,14 +220,14 @@ case class AsOfJoinExec(
 /** Planner strategy for [[AsOfJoin]]; injected by graft.GraftExtensions. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
       // Right tiebreaks: every right key/time attribute is already in
       // the ordering; deterministic last-wins needs the REST of the
       // right row ordered too when times tie. The API threads explicit
       // tiebreak columns by putting them right after the time column
       // in the right child's projection — recover them positionally.
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-        AsOfJoinApi.tiebreaksFor(r, rt), tol) :: Nil
+        AsOfJoinApi.tiebreaksFor(r, rt), tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -213,6 +248,11 @@ object AsOfJoinApi {
   private val TbPrefix = "__asof_tb_"
   private val KeyPrefix = "__asof_k_"
 
+  /** The supported match directions (the pandas merge_asof surface). */
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+
   private[graft] def tiebreaksFor(r: LogicalPlan, rt: Attribute): Seq[Attribute] =
     r.output.filter(_.name.startsWith(TbPrefix))
 
@@ -220,9 +260,12 @@ object AsOfJoinApi {
     * `leftTimeCol`/`rightTimeCol` must be LongType (cast timestamps to
     * epoch seconds/micros first — exact integer time comparison, no
     * unit ambiguity inside the operator). `rightTiebreakCols` breaks
-    * equal-time ties deterministically (last in ascending order wins).
-    * Right-side non-key column names must not collide with left-side
-    * names — rename before the call, exactly as with `join`.
+    * equal-time ties deterministically (backward: last in ascending
+    * order wins; forward: first wins). `direction` is one of
+    * `Backward` (default, most recent prior), `Forward` (next at-or-
+    * after), `Nearest` (closer of the two; tie → prior). Right-side
+    * non-key column names must not collide with left-side names —
+    * rename before the call, exactly as with `join`.
     */
   def asof(
       left: DataFrame,
@@ -231,7 +274,10 @@ object AsOfJoinApi {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTiebreakCols: Seq[String] = Nil,
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      direction: String = Backward): DataFrame = {
+    require(Set(Backward, Forward, Nearest)(direction),
+      s"unknown as-of direction '$direction'")
     val spark = left.sparkSession.asInstanceOf[CSparkSession]
     // Runtime registration for sessions built without GraftExtensions
     // (the driver contract hands us a foreign session): idempotent,
@@ -268,7 +314,7 @@ object AsOfJoinApi {
       s"as-of time columns must be LongType, got ${lt.dataType}/${rt.dataType}")
     val joinedPlan = AsOfJoin(lp, rp,
       keys.map(attr(lp, _)), keys.map(n => attr(rp, KeyPrefix + n)),
-      lt, rt, toleranceSec)
+      lt, rt, toleranceSec, direction)
     val out: DataFrame = CDataset.ofRows(spark, joinedPlan)
     // Drop the duplicated right keys, un-mark the tiebreak names.
     val cols = l.columns.map(c => out(c)) ++
