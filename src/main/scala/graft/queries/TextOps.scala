@@ -191,8 +191,12 @@ object TextOps {
     * rest the water level θ = (budget − Σ binding caps)/(remaining).
     * All k-row work: one window over sources (O(k), never data — the
     * RangeRank rule) plus two broadcast 1-row aggregates. Requires
-    * budget < Σ caps (true for any budget ≤ the corpus itself);
-    * integer inputs make θ the same IEEE double everywhere.
+    * budget ≤ Σ caps (true for any budget ≤ the corpus itself) — a
+    * budget beyond total capacity has no waterfill solution, and the
+    * guard makes that FAIL LOUDLY in-plan (assert_true wired into the
+    * binding-prefix probe, so no consumer can silently read the empty
+    * frame the collapsed join would otherwise produce); integer
+    * inputs make θ the same IEEE double everywhere.
     */
   private[graft] def unimaxAllocate(counts: DataFrame, epochCap: Int,
       budgetFromTotal: Column => Column): DataFrame = {
@@ -207,7 +211,8 @@ object TextOps {
       col("tokens") * lit(epochCap.toLong)).localCheckpoint()
     val tot = caps.agg(
       budgetFromTotal(sum(col("tokens"))).as("budget"),
-      count(lit(1)).as("k"))
+      count(lit(1)).as("k"),
+      sum(col("cap")).as("cap_sum"))
     val w = Window.orderBy(col("cap"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val th = caps
@@ -215,9 +220,20 @@ object TextOps {
         Window.orderBy(col("cap"), col("source"))))
       .withColumn("cum_prev", coalesce(sum(col("cap")).over(w), lit(0L)))
       .crossJoin(broadcast(tot))
+      // The precondition guard rides ON theta, which every downstream
+      // consumer evaluates over the k ALWAYS-PRESENT capacity rows —
+      // guarding the (nullable) rn_star instead is defeated by the
+      // join's isnotnull pushdown, which drops the violating row
+      // before any assert on it could evaluate, and an empty frame
+      // evaluates nothing. assert_true is null when the budget fits,
+      // so coalesce(+0.0) leaves the water level untouched.
       .withColumn("theta",
         (col("budget") - col("cum_prev")).cast("double") /
-          (col("k") - col("rn") + 1))
+          (col("k") - col("rn") + 1) +
+          coalesce(assert_true(col("budget") <= col("cap_sum"),
+            lit("unimax: budget exceeds total capacity (epochCap x tokens)" +
+              " - raise epochCap or lower the budget")).cast("double"),
+            lit(0.0)))
     val star = th.filter(col("theta") <= col("cap"))
       .agg(min(col("rn")).as("rn_star"))
     val tstar = th.join(broadcast(star), col("rn") === col("rn_star"))

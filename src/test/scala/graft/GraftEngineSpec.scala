@@ -177,6 +177,23 @@ class GraftEngineSpec extends SparkSpec {
     assert(got("c") === 800.0)
   }
 
+  test("unimaxMix rejects an over-capacity budget loudly, not emptily") {
+    import spark.implicits._
+    val counts = Seq(("a", 100L), ("b", 1000L)).toDF("source", "tokens")
+    // Σ caps = 4×1100 = 4400; the boundary budget == Σ caps is a valid
+    // full allocation (every source at its cap)…
+    val full = engine.unimaxMix(counts, budget = 4400L, epochCap = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(full === Map("a" -> 400.0, "b" -> 4000.0))
+    // …but one token beyond capacity has no waterfill solution and
+    // must fail loudly instead of collapsing to an empty frame
+    val e = intercept[Exception] {
+      engine.unimaxMix(counts, budget = 4401L, epochCap = 4).collect()
+    }
+    assert(e.getMessage.contains("budget exceeds total capacity") ||
+      Option(e.getCause).exists(_.getMessage.contains("budget exceeds total capacity")))
+  }
+
   test("prunePrototypical facade agrees with q174's rollup") {
     val verdicts = engine.prunePrototypical(engine.table("embeddings"))
     val viaEngine = verdicts.groupBy(col("label"))
