@@ -428,29 +428,65 @@ object TextOps {
   private val jaccardOracle: String =
     s"WITH $pairsCteSql SELECT da, db, jaccard FROM jp ORDER BY da, db"
 
+  /** Exact asymmetric-containment oracle shared by q169 (the all-pairs
+    * arm) and q179 (the screen-then-price composition): the two
+    * registered queries must hash to the SAME answer — that identity
+    * is the fixture proof that the winnowing screen loses nothing.
+    */
+  private val containmentOracle: String =
+    "WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+      "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY da, db) " +
+      "SELECT da, db, sa.n AS na, sb.n AS nb, " +
+      "round(c*1.0/sa.n, 6) AS containment " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id " +
+      "JOIN sizes sb ON db = sb.doc_id " +
+      "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db"
+
+  /** Winnowing fingerprint table (Schleimer 2003) shared by q39 (the
+    * overlap screen) and q179 (the containment scale path) — the
+    * funnelVerdict sharing rule: one kernel, so screen and composed
+    * consumer can never drift. Per doc: hash every 4-token shingle,
+    * slide a 4-hash window, keep each window's minimum (ties →
+    * rightmost, encoded so ONE window min() is the whole selection:
+    * md5 hex concatenated with a fixed-width descending position
+    * suffix makes lexicographic min pick smallest-hash-then-
+    * rightmost), distinct the survivors. Guarantee: any shared token
+    * run of w+k-1 = 7+ tokens shares ≥1 fingerprint; docs under 7
+    * tokens emit none (a caller needing them routes the short-doc
+    * slice to its exact kernel directly — ≤4 shingles each, candidate-
+    * linear). Windows partition per doc: thousands of tiny frames,
+    * never corpus-wide.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 7)
+      .select(col("doc_id"), (size(col("tk")) - 3).as("m"),
+        posexplode(shingles(col("tk"), 4)).as(Seq("p0", "sgram")))
+      .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
+        concat(md5(col("sgram")),
+          lpad((lit(1048574) - col("p0")).cast("string"), 7, "0"))
+          .as("key"))
+    sh
+      .withColumn("sel", min(col("key")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, 3)))
+      .filter(col("pos") <= col("m") - 3)
+      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "q39_winnow_fingerprints",
       "Winnowing fingerprint overlap (Schleimer et al. 2003, 'Winnowing: Local Algorithms for Document Fingerprinting' — the MOSS screening pass): hash every 4-token shingle, slide a 4-hash window, keep each window's minimum (ties → rightmost, encoded so ONE window min() is the whole selection: md5 hex concatenated with a fixed-width descending position suffix makes lexicographic min pick smallest-hash-then-rightmost), distinct the survivors, and join docs on shared fingerprints. The winnowing guarantee: any shared run of w+k-1 = 7+ tokens shares at least one fingerprint, at ~2/(w+1) the posting density of q135's every-position anchors — this is the cheap screen whose hits q135's exact reconstruction then prices. Windows partition per doc (thousands of tiny frames, never corpus-wide); the same df<=50 fingerprint cap as q135 bounds join fan-out on boilerplate; pairs need >=2 shared prints, reported with a containment estimate against the smaller doc's print count.",
       (s, d) => {
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), toks(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 7)
-          .select(col("doc_id"), (size(col("tk")) - 3).as("m"),
-            posexplode(shingles(col("tk"), 4)).as(Seq("p0", "sgram")))
-          .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
-            concat(md5(col("sgram")),
-              lpad((lit(1048574) - col("p0")).cast("string"), 7, "0"))
-              .as("key"))
-        val sel = sh
-          .withColumn("sel", min(col("key")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-              .rowsBetween(Window.currentRow, 3)))
-          .filter(col("pos") <= col("m") - 3)
-        val fps = sel
-          .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
-          .distinct()
+        val fps = winnowFingerprints(t(s, d, "documents"))
         val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50).select(col("fp"))
         val ff = fps.join(keep, Seq("fp"))
@@ -2686,17 +2722,49 @@ object TextOps {
           .select(col("da"), col("db"), col("na"), col("nb"), col("containment"))
           .orderBy(col("da"), col("db"))
       },
-      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
-        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY da, db) " +
-        "SELECT da, db, sa.n AS na, sb.n AS nb, " +
-        "round(c*1.0/sa.n, 6) AS containment " +
-        "FROM inter JOIN sizes sa ON da = sa.doc_id " +
-        "JOIN sizes sb ON db = sb.doc_id " +
-        "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db")),
+      Some(containmentOracle)),
+
+    GraftQuery(
+      "q179_containment_screened",
+      "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): q39's winnowing fingerprints NOMINATE candidate pairs (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, so the candidate join touches rare prints, never boilerplate) and q169's exact array-intersection kernel PRICES only those candidates — per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row here is the fixture proof that the screen lost no pair; Round14OpsSpec additionally pins q179 ≡ q169 frame equality. Recall contract at 100 TB: a C ≥ 0.8 contained doc shares ≥80% of its 3-gram shingles, which on real near-dup families arrives as shared RUNS, and any shared 7-token run shares a fingerprint (the winnowing guarantee); a pair overlapping ONLY in scattered sub-7-token fragments can evade the screen — the same explicitly-documented trade every MOSS deployment makes, priced against an all-pairs join that cannot exist at corpus scale. Docs under 7 tokens emit no fingerprints and would route to the exact kernel directly (none exist in the fixture: min 10 tokens). The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = cachedShingles(docs)
+        // pinned: feeds BOTH sides of the candidate verify (q164's
+        // docArr posture; CacheManager dedupes with q164's entry)
+        val docArr = pin(sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("sk"))).as("arr"),
+            count(lit(1)).as("n")))
+        val fps = winnowFingerprints(docs)
+        val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("fp"))
+        // pinned: the capped fingerprint table feeds both sides of the
+        // candidate self-join
+        val ff = pin(fps.join(keep, Seq("fp")))
+        val cand = ff.select(col("fp"), col("doc_id").as("dx"))
+          .join(ff.select(col("fp"), col("doc_id").as("dy")), Seq("fp"))
+          .filter(col("dx") < col("dy"))
+          .select(col("dx"), col("dy")).distinct()
+        cand
+          .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
+            col("n").as("nx")), Seq("dx"))
+          .join(docArr.select(col("doc_id").as("dy"), col("arr").as("ay"),
+            col("n").as("ny")), Seq("dy"))
+          // q169 keeps only the smaller-contained-in-larger direction;
+          // equal sizes can never satisfy na < nb
+          .filter(col("nx") =!= col("ny"))
+          .withColumn("c", size(array_intersect(col("ax"), col("ay"))))
+          .select(
+            when(col("nx") < col("ny"), col("dx")).otherwise(col("dy")).as("da"),
+            when(col("nx") < col("ny"), col("dy")).otherwise(col("dx")).as("db"),
+            least(col("nx"), col("ny")).as("na"),
+            greatest(col("nx"), col("ny")).as("nb"),
+            round(col("c").cast("double") /
+              least(col("nx"), col("ny")), 6).as("containment"))
+          .filter(col("containment") >= 0.8)
+          .orderBy(col("da"), col("db"))
+      },
+      Some(containmentOracle)),
 
     GraftQuery(
       "q172_unimax_mix",

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 wave invariants: the screened containment composition
+  * (q179) must be EXACTLY the all-pairs kernel's answer while doing
+  * candidate-linear work — the equivalence-plus-economy proof the
+  * IVF-PQ family established with q139. (q180/q181 are pinned by
+  * AsOfJoinPropertySpec and their own DuckDB LATERAL oracles; the
+  * SnapshotLog round-10 contracts by SnapshotLogSpec.)
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  test("q179 screen-then-price equals q169's exact all-pairs kernel") {
+    def rows(name: String) = Registry.byName(name).fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val exact = rows("q169_containment_dedup")
+    val screened = rows("q179_containment_screened")
+    assert(exact.nonEmpty, "fixture must exercise the containment gate")
+    assert(screened === exact,
+      s"screen lost ${(exact -- screened).size} pairs / " +
+        s"invented ${(screened -- exact).size}")
+  }
+
+  test("the winnowing screen is a real screen: candidates ≪ all-pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fps = graft.queries.TextOps.winnowFingerprints(docs)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("fp"))
+    val ff = fps.join(keep, Seq("fp"))
+    val nCand = ff.select(col("fp"), col("doc_id").as("dx"))
+      .join(ff.select(col("fp"), col("doc_id").as("dy")), Seq("fp"))
+      .filter(col("dx") < col("dy"))
+      .select(col("dx"), col("dy")).distinct().count()
+    val nDocs = docs.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(nCand > 0)
+    // the whole point of the composition: the exact kernel prices a
+    // vanishing fraction of the quadratic pair space
+    assert(nCand < allPairs / 20,
+      s"screen admitted $nCand of $allPairs pairs — not a screen")
+  }
+
+  test("winnowing guarantee on the fixture: every 7-token shared run collides") {
+    import spark.implicits._
+    // two docs sharing an exact 7-token run (w+k-1) must share ≥1
+    // fingerprint wherever the run sits — the Schleimer guarantee the
+    // screen's recall contract cites
+    val run = (1 to 7).map(i => s"run$i").mkString(" ")
+    def pad(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pad("a", 9)} $run ${pad("b", 4)}"),
+      (2L, s"$run ${pad("c", 11)}"),
+      (3L, pad("d", 15))).toDF("doc_id", "text")
+    val fp = graft.queries.TextOps.winnowFingerprints(docs)
+    val shared = fp.as("x").join(fp.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") === 1L && col("y.doc_id") === 2L).count()
+    assert(shared >= 1, "docs sharing a 7-token run must share a fingerprint")
+    val noise = fp.as("x").join(fp.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") === 3L && col("y.doc_id") =!= 3L).count()
+    assert(noise === 0, "an unrelated doc must share nothing")
+  }
+}
