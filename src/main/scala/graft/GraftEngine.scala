@@ -276,6 +276,21 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def pointInTimeEnrich(facts: DataFrame, dim: DataFrame): DataFrame =
     graft.queries.EventOps.pointInTimeJoin(facts, dim)
 
+  /** Streaming as-of enrichment against a pinned SnapshotLog
+    * dimension version, through the same native AsOfJoinExec the
+    * batch `asofJoin` plans (StreamOps.asofSnapshotStream; stream ≡
+    * batch pinned by StreamingSpec). Returns the DataStreamWriter —
+    * caller starts it.
+    */
+  def asofEnrichStream(left: DataFrame, dimDir: String, dimVersion: Int,
+      keys: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      outDir: String, rightTiebreakCols: Seq[String] = Nil,
+      toleranceSec: Option[Long] = None,
+      direction: String = org.apache.spark.sql.graft.AsOfJoinApi.Backward) =
+    graft.streaming.StreamOps.asofSnapshotStream(left, dimDir, dimVersion,
+      keys, leftTimeCol, rightTimeCol, outDir, rightTiebreakCols,
+      toleranceSec, direction)
+
   /** A conf-scoped session clone in approximate-query mode: plain
     * countDistinct written against it optimizes to the HLL sketch
     * (plans/ApproxDistinctRewrite) — flip whole dashboards to ±1.6%

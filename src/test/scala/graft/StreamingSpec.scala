@@ -394,6 +394,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of through the native exec equals the batch join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    // dimension history pinned at a SnapshotLog version
+    val dimDir = java.nio.file.Files.createTempDirectory("asof-dim").toString
+    graft.ext.SnapshotLog.reset(dimDir)
+    val dim = Seq((1L, t0, 10L), (1L, t0 + 1200, 11L), (2L, t0 + 300, 20L))
+      .toDF("user_id", "rt", "rid")
+    graft.ext.SnapshotLog.append(dim, dimDir, col("rt"))
+    val outDir = java.nio.file.Files.createTempDirectory("asof-out").toString
+
+    val input = MemoryStream[Event]
+    val left = input.toDF().select(col("user_id"),
+      col("event_id").as("pid"), unix_timestamp(col("ts")).as("p_ts"))
+    val q = StreamOps.asofSnapshotStream(left, dimDir, dimVersion = 0,
+      keys = Seq("user_id"), leftTimeCol = "p_ts", rightTimeCol = "rt",
+      outDir = outDir, rightTiebreakCols = Seq("rid")).start()
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "purchase", 1.0), // → rid 10
+      Event(2, ts("2024-01-01 00:30:00"), 1, "purchase", 1.0), // → rid 11
+      Event(3, ts("2024-01-01 00:04:00"), 2, "purchase", 1.0), // before dim → null
+      Event(4, ts("2024-01-01 00:30:00"), 3, "purchase", 1.0)) // no dim user → null
+    try {
+      input.addData(events.take(2): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("pid"), if (r.isNullAt(r.fieldIndex("rid"))) -1L
+        else r.getAs[Long]("rid"))
+    // two micro-batches landed under batch_id partitions; their union
+    // must equal the batch-mode kernel over the same inputs
+    val streamed = spark.read.parquet(outDir)
+      .select(col("pid"), col("rid")).collect().map(key).toSet
+    val batchLeft = events.toDF().select(col("user_id"),
+      col("event_id").as("pid"), unix_timestamp(col("ts")).as("p_ts"))
+    val batch = StreamOps.asofEnrichBatch(batchLeft, dimDir, 0,
+        Seq("user_id"), "p_ts", "rt", Seq("rid"), None,
+        org.apache.spark.sql.graft.AsOfJoinApi.Backward)
+      .select(col("pid"), col("rid")).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 10L), (2L, 11L), (3L, -1L), (4L, -1L)))
+  }
+
   test("streaming SCD2 enrichment recovers each event's own point-in-time tier") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
