@@ -8,7 +8,11 @@ Host-CPU-steal on this box swings identical runs up to ~8x, so never
 run this concurrently with other sbt/Spark work, and treat the median
 column as the comparison number.
 
-Usage: python3 tools/bench_protocol.py [sfDir] [runs]
+Usage: python3 tools/bench_protocol.py [sfDir] [runs] [cpus]
+
+cpus defaults to 32 — the config the round driver's BENCH_r{N}.json
+actually runs — so the recorded medians are same-config comparable
+with driver rows. Pass 8 to reproduce the pre-round-10 column.
 """
 import json
 import statistics
@@ -17,6 +21,7 @@ import sys
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
 
 totals = []
 per_query = {}
@@ -25,7 +30,7 @@ for i in range(runs):
     out = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         env={**__import__("os").environ,
-             "SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": "8"},
+             "SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_CPUS": cpus},
         capture_output=True, text=True, cwd="/root/repo").stdout
     line = [l for l in out.splitlines() if '"metric":"total"' in l][-1]
     rec = json.loads(line[line.index("{"):])
