@@ -197,7 +197,16 @@ object ScaleStress {
       // under 10x); compaction rewrites the 10x snapshot once; the
       // skyline's (bucket, tok)-key aggregates ride the corpus scan
       "q176_snapshot_changes", "q177_snapshot_compact",
-      "q178_pareto_frontier")
+      "q178_pareto_frontier",
+      // round-10 additions: the composed screen-then-price containment
+      // path must keep candidate volume dup-density-scale (45× denser
+      // dup families) while pricing stays candidate-linear — the scale
+      // contract q169's all-pairs oracle arm cannot demonstrate; the
+      // forward/nearest as-of directions ride the same one-pass merge
+      // as q171 (events copies 1×, so their rows price the fixed merge
+      // protocol, not growth)
+      "q179_containment_screened", "q180_asof_forward",
+      "q181_asof_nearest")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
