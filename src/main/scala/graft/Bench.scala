@@ -78,7 +78,12 @@ object Bench {
       "ann_indexes" -> (() => graft.queries.VectorOps.warmIndexes(spark, sfDir)),
       "bpe_trainer" -> (() => graft.queries.TextOps.warmBpe(spark, sfDir)),
       "lex_stats" -> (() => graft.queries.TextOps.warmLexStats(spark, sfDir)),
-      "substring_runs" -> (() => graft.queries.TextOps.warmSubstringRuns(spark, sfDir))
+      "substring_runs" -> (() => graft.queries.TextOps.warmSubstringRuns(spark, sfDir)),
+      // per-doc sorted shingle arrays: one pinned kernel serving both
+      // q164's and q179's array-form verifies — without this line the
+      // alphabetically-first consumer (q164) absorbs the build each
+      // sweep (the accounting rule build:substring_runs established)
+      "doc_arrays" -> (() => graft.queries.TextOps.warmDocArrays(spark, sfDir))
     )
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryEvery = 25 // one probe per ~25-query neighborhood

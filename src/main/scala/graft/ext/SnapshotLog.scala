@@ -150,14 +150,38 @@ object SnapshotLog {
     * clobbering — the single-writer contract, enforced rather than
     * assumed).
     */
+  /** A name fragment no two writers share — process id + thread id +
+    * a random token. Thread id alone is NOT enough: two single-threaded
+    * JVMs both run on thread 1, and a shared temp path would let the
+    * loser's bytes be published under the winner's link.
+    */
+  private def writerToken(): String = {
+    val pid = ProcessHandle.current().pid()
+    val tid = Thread.currentThread().getId
+    s"$pid-$tid-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
   private[graft] def publish(dir: String, v: Int, lines: Seq[String]): Unit = {
-    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp-${Thread.currentThread().getId}")
+    val tmp = logDir(dir).resolve(s".v$v.manifest.tmp-${writerToken()}")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(logDir(dir).resolve(s"v$v.manifest"), tmp)
+    val target = logDir(dir).resolve(s"v$v.manifest")
+    try Files.createLink(target, tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"snapshot v$v in $dir was committed by another writer", e)
+      case _: UnsupportedOperationException =>
+        // Filesystems without hard links (some FUSE/NFS/object-store
+        // mounts) fall back to a no-replace move: still atomic and
+        // loud on most filesystems, though the existence check is not
+        // guaranteed atomic with the move everywhere — the documented
+        // cluster posture (swap for a CAS service) covers those.
+        try Files.move(tmp, target)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot v$v in $dir was committed by another writer", e)
+        }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -195,7 +219,14 @@ object SnapshotLog {
     Files.createDirectories(logDir(dir))
     val prev = version(dir)
     val v = prev + 1
-    val rel = s"seg-$v"
+    // The segment name carries a per-writer token: the manifest link is
+    // exclusive, but two racing appends that both computed version v
+    // would otherwise BOTH write seg-<v> (mode overwrite) BEFORE the
+    // publish race resolves — the loser's data would silently replace
+    // the winner's committed rows under the winner's manifest and zone
+    // map. Unique names make the manifest's exclusivity protect the
+    // data too; the loser's orphan directory is reclaimed by vacuum.
+    val rel = s"seg-$v-${writerToken()}"
     val segPath = Paths.get(dir, rel).toString
     df.write.mode("overwrite").parquet(segPath)
     val (mn, mx) = writtenStats(df.sparkSession, segPath, statsCol)
@@ -261,7 +292,9 @@ object SnapshotLog {
     val prev = version(dir)
     require(prev >= 0, s"nothing to compact in $dir")
     val v = prev + 1
-    val rel = s"seg-$v"
+    // same per-writer token as append: a racing committer must not be
+    // able to overwrite this rewrite's files before the publish race
+    val rel = s"seg-$v-${writerToken()}"
     val segPath = Paths.get(dir, rel).toString
     readAsOf(spark, dir, prev).write.mode("overwrite").parquet(segPath)
     val (mn, mx) = writtenStats(spark, segPath, statsCol)

@@ -480,6 +480,41 @@ object TextOps {
       .distinct()
   }
 
+  /** q179's candidate screen, factored so the registered query and its
+    * Round14OpsSpec economy/guarantee proofs exercise ONE pipeline (the
+    * funnelVerdict sharing rule — a re-implemented copy in the spec
+    * could drift from what the query actually runs): df-capped
+    * winnowing fingerprints self-join into distinct dx < dy candidate
+    * pairs. The capped fingerprint table is pinned — it feeds both
+    * sides of the join.
+    */
+  private[graft] def containmentCandidates(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("fp"))
+    val ff = pin(fps.join(keep, Seq("fp")))
+    ff.select(col("fp"), col("doc_id").as("dx"))
+      .join(ff.select(col("fp"), col("doc_id").as("dy")), Seq("fp"))
+      .filter(col("dx") < col("dy"))
+      .select(col("dx"), col("dy")).distinct()
+  }
+
+  /** Per-doc sorted shingle array + size — the array-form verify kernel
+    * SHARED by q164 and q179 (CacheManager dedupes the pinned entry, so
+    * whichever consumer evaluates first would absorb the build;
+    * Bench prices it as the named build:doc_arrays step per the
+    * accounting rule, keeping both rows serving-only).
+    */
+  private[graft] def docShingleArrays(sh: DataFrame): DataFrame =
+    pin(sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sk"))).as("arr"),
+        count(lit(1)).as("n")))
+
+  /** Explicit bench setup for the shared per-doc shingle-array kernel. */
+  def warmDocArrays(s: SparkSession, d: String): Unit =
+    docShingleArrays(cachedShingles(t(s, d, "documents")))
+      .write.format("noop").mode("overwrite").save()
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -2368,7 +2403,7 @@ object TextOps {
 
     GraftQuery(
       "q129_dup_depth",
-      "Duplication-depth spectrum — for each document, the LONGEST sliding n-gram level (n ∈ 4/8/16/32) at which it still shares a phrase with another document; 0 = fully original. This is the variable-length complement to fixed-size passage dedup: depth 4 is common phrasing, depth 32 is wholesale copying, and the histogram of depths tells a curation pass where to set its passage length. All four levels build in ONE tokenize+shingle pass: each doc emits (lvl, gramhash) structs for every level at once, and the shared-gram mark is a count over (lvl, gk) window partitions — the exploded frame is consumed exactly ONCE (the first registration built each level's shingle frame twice, groupBy + join-back, executing the explode 8× per run — the round-9 bench regression), so no pin is needed and the whole query is one explode, one (lvl, gk) shuffle+sort, one doc_id rollup. array_distinct per (doc, lvl) makes the window count equal the sharing-doc count; at a scale where a boilerplate gram's window partition grows pathological, the q39 df-cap screen bounds the hot keys first.",
+      "Duplication-depth spectrum — for each document, the LONGEST sliding n-gram level (n ∈ 4/8/16/32) at which it still shares a phrase with another document; 0 = fully original. This is the variable-length complement to fixed-size passage dedup: depth 4 is common phrasing, depth 32 is wholesale copying, and the histogram of depths tells a curation pass where to set its passage length. All four levels build in ONE tokenize+shingle pass: each doc emits (lvl, gramhash) structs for every level at once, and the shared-gram mark is a grouped collect_set over (lvl, gk) — the exploded frame is consumed exactly ONCE (the first registration built each level's shingle frame twice, executing the explode 8× per run — the round-9 bench regression), the set aggregation merges map-side (a window count here would buffer every row of a hot boilerplate gram on one task with no partial aggregation), and only the shared grams survive to the final explode + doc_id rollup. array_distinct per (doc, lvl) makes each set's size the exact sharing-doc count; a gram shared by every doc still costs one id-array, not a buffered row partition.",
       (s, d) => {
         val base = t(s, d, "documents").select(col("doc_id"), toks(col("text")).as("tk"))
         val perLevel = Seq(4, 8, 16, 32).map { n =>
@@ -2380,10 +2415,18 @@ object TextOps {
         val sh = base
           .select(col("doc_id"), explode(concat(perLevel: _*)).as("s"))
           .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.gk").as("gk"))
+        // Shared-gram mark via grouped doc-id sets, NOT a (lvl, gk)
+        // window: an unordered window buffers every row of a hot gram
+        // on one task with no partial aggregation, while collect_set
+        // merges map-side and holds one compact id set per gram key —
+        // and only the SHARED grams (a vanishing fraction of the
+        // corpus) survive to the explode. Per-doc array_distinct above
+        // makes set size == sharing-doc count exactly.
         val marked = sh
-          .withColumn("nd", count(lit(1)).over(
-            Window.partitionBy(col("lvl"), col("gk"))))
-          .filter(col("nd") > 1)
+          .groupBy(col("lvl"), col("gk"))
+          .agg(collect_set(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(col("ds")).as("doc_id"), col("lvl"))
           .groupBy(col("doc_id")).agg(max(col("lvl")).as("m"))
         base.select(col("doc_id"))
           .join(marked, Seq("doc_id"), "left")
@@ -2638,9 +2681,7 @@ object TextOps {
         // joins (corpus-side AQE-broadcast at small SF, co-located
         // sort-merge against the doc_id-bucketed store at 100 TB) and
         // one codegen'd sorted-array intersection per candidate.
-        val docArr = pin(sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("sk"))).as("arr"),
-            count(lit(1)).as("n")))
+        val docArr = docShingleArrays(sh)
         val dfreq = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
         // pinned: the prefix table feeds BOTH sides of the candidate
         // self-join — unpinned, the df-rollup + window subtree would
@@ -2731,20 +2772,9 @@ object TextOps {
         val docs = t(s, d, "documents")
         val sh = cachedShingles(docs)
         // pinned: feeds BOTH sides of the candidate verify (q164's
-        // docArr posture; CacheManager dedupes with q164's entry)
-        val docArr = pin(sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("sk"))).as("arr"),
-            count(lit(1)).as("n")))
-        val fps = winnowFingerprints(docs)
-        val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50).select(col("fp"))
-        // pinned: the capped fingerprint table feeds both sides of the
-        // candidate self-join
-        val ff = pin(fps.join(keep, Seq("fp")))
-        val cand = ff.select(col("fp"), col("doc_id").as("dx"))
-          .join(ff.select(col("fp"), col("doc_id").as("dy")), Seq("fp"))
-          .filter(col("dx") < col("dy"))
-          .select(col("dx"), col("dy")).distinct()
+        // docArr posture; ONE shared kernel with q164)
+        val docArr = docShingleArrays(sh)
+        val cand = containmentCandidates(docs)
         cand
           .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
             col("n").as("nx")), Seq("dx"))

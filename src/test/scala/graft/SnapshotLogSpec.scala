@@ -187,7 +187,7 @@ class SnapshotLogSpec extends SparkSpec {
     intercept[java.util.ConcurrentModificationException] {
       SnapshotLog.publish(dir, 0, Seq("seg-bogus\t0\t0"))
     }
-    assert(SnapshotLog.segments(dir, 0).head.relPath === "seg-0")
+    assert(SnapshotLog.segments(dir, 0).head.relPath.startsWith("seg-0-"))
     assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 2)
   }
 
@@ -207,6 +207,32 @@ class SnapshotLogSpec extends SparkSpec {
     val (pruned, scanned, _) = SnapshotLog.readAsOfFiltered(
       spark, dir, 0, col("t"), seg.min, seg.max)
     assert(scanned === 1 && pruned.count() === 500)
+  }
+
+  test("a racing append cannot clobber the winner's segment DATA") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-clobber").toString
+    SnapshotLog.reset(dir)
+    // winner commits v0 with its rows
+    SnapshotLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "t"), dir, col("t"))
+    // loser: computed the same next version, wrote ITS segment files,
+    // and only then loses the publish race. Per-writer segment names
+    // mean its write landed in its OWN directory — the winner's
+    // committed rows must be untouched (the old shared seg-<v> path
+    // let the loser silently replace them under the winner's manifest).
+    Seq((99L, 999L)).toDF("id", "t").write.mode("overwrite")
+      .parquet(s"$dir/seg-0-loser")
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publish(dir, 0, Seq("seg-0-loser\t999\t999"))
+    }
+    val got = SnapshotLog.readAsOf(spark, dir, 0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+    // the loser's orphan directory is unreferenced by any manifest and
+    // vacuum reclaims it without touching committed segments
+    val (segsDeleted, _) = SnapshotLog.vacuum(dir, 0)
+    assert(segsDeleted === 1)
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 2)
   }
 
   test("fresh log reports version -1") {
