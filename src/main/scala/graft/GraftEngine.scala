@@ -260,6 +260,17 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.queries.TextOps.unimaxAllocate(counts, epochCap,
       _ => org.apache.spark.sql.functions.lit(budget))
 
+  /** Screen-then-price containment dedup over caller (doc_id, text)
+    * docs — q179's kernel, shared verbatim (the funnelVerdict rule):
+    * winnowing fingerprints nominate candidate pairs, the exact
+    * sorted-shingle-array intersection prices only those. Returns
+    * (da, db, na, nb, containment) with da the contained side,
+    * C(A,B) ≥ 0.8 — candidate-linear at corpus scale where the exact
+    * all-pairs form (q169, the oracle arm) cannot exist.
+    */
+  def containmentDedup(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.screenedContainmentPairs(docs)
+
   /** Prototypicality pruning verdicts (q174's kernel on a caller
     * (vec_id, label, embedding) frame): per vector, cosine to its
     * own-label centroid, within-label rank, and the pruned flag for

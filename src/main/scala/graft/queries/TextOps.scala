@@ -515,6 +515,39 @@ object TextOps {
     docShingleArrays(cachedShingles(t(s, d, "documents")))
       .write.format("noop").mode("overwrite").save()
 
+  /** The full screen-then-price containment dedup over caller-supplied
+    * docs — ONE kernel consumed by both q179 and the
+    * `GraftEngine.containmentDedup` facade (the funnelVerdict sharing
+    * rule), so serving and oracle surfaces cannot drift. Winnowing
+    * candidates (containmentCandidates) price through the per-doc
+    * sorted-shingle-array intersection; output matches q169's exact
+    * all-pairs semantics on every pair the screen admits (and the
+    * shared q169/q179 oracle hash proves the screen lossless on the
+    * fixture). Emits (da, db, na, nb, containment) with da the
+    * contained (smaller) side, ordered for determinism.
+    */
+  private[graft] def screenedContainmentPairs(docs: DataFrame): DataFrame = {
+    val docArr = docShingleArrays(cachedShingles(docs))
+    containmentCandidates(docs)
+      .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
+        col("n").as("nx")), Seq("dx"))
+      .join(docArr.select(col("doc_id").as("dy"), col("arr").as("ay"),
+        col("n").as("ny")), Seq("dy"))
+      // q169 keeps only the smaller-contained-in-larger direction;
+      // equal sizes can never satisfy na < nb
+      .filter(col("nx") =!= col("ny"))
+      .withColumn("c", size(array_intersect(col("ax"), col("ay"))))
+      .select(
+        when(col("nx") < col("ny"), col("dx")).otherwise(col("dy")).as("da"),
+        when(col("nx") < col("ny"), col("dy")).otherwise(col("dx")).as("db"),
+        least(col("nx"), col("ny")).as("na"),
+        greatest(col("nx"), col("ny")).as("nb"),
+        round(col("c").cast("double") /
+          least(col("nx"), col("ny")), 6).as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -2768,32 +2801,7 @@ object TextOps {
     GraftQuery(
       "q179_containment_screened",
       "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): q39's winnowing fingerprints NOMINATE candidate pairs (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, so the candidate join touches rare prints, never boilerplate) and q169's exact array-intersection kernel PRICES only those candidates — per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row here is the fixture proof that the screen lost no pair; Round14OpsSpec additionally pins q179 ≡ q169 frame equality. Recall contract at 100 TB: a C ≥ 0.8 contained doc shares ≥80% of its 3-gram shingles, which on real near-dup families arrives as shared RUNS, and any shared 7-token run shares a fingerprint (the winnowing guarantee); a pair overlapping ONLY in scattered sub-7-token fragments can evade the screen — the same explicitly-documented trade every MOSS deployment makes, priced against an all-pairs join that cannot exist at corpus scale. Docs under 7 tokens emit no fingerprints and would route to the exact kernel directly (none exist in the fixture: min 10 tokens). The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = cachedShingles(docs)
-        // pinned: feeds BOTH sides of the candidate verify (q164's
-        // docArr posture; ONE shared kernel with q164)
-        val docArr = docShingleArrays(sh)
-        val cand = containmentCandidates(docs)
-        cand
-          .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
-            col("n").as("nx")), Seq("dx"))
-          .join(docArr.select(col("doc_id").as("dy"), col("arr").as("ay"),
-            col("n").as("ny")), Seq("dy"))
-          // q169 keeps only the smaller-contained-in-larger direction;
-          // equal sizes can never satisfy na < nb
-          .filter(col("nx") =!= col("ny"))
-          .withColumn("c", size(array_intersect(col("ax"), col("ay"))))
-          .select(
-            when(col("nx") < col("ny"), col("dx")).otherwise(col("dy")).as("da"),
-            when(col("nx") < col("ny"), col("dy")).otherwise(col("dx")).as("db"),
-            least(col("nx"), col("ny")).as("na"),
-            greatest(col("nx"), col("ny")).as("nb"),
-            round(col("c").cast("double") /
-              least(col("nx"), col("ny")), 6).as("containment"))
-          .filter(col("containment") >= 0.8)
-          .orderBy(col("da"), col("db"))
-      },
+      (s, d) => screenedContainmentPairs(t(s, d, "documents")),
       Some(containmentOracle)),
 
     GraftQuery(

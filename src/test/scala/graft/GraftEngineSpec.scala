@@ -194,6 +194,15 @@ class GraftEngineSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("budget exceeds total capacity")))
   }
 
+  test("containmentDedup facade reproduces registered q179 exactly") {
+    val viaEngine = engine.containmentDedup(engine.table("documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    val registered = engine.query("q179_containment_screened")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(viaEngine === registered)
+    assert(viaEngine.nonEmpty, "fixture must exercise the containment gate")
+  }
+
   test("prunePrototypical facade agrees with q174's rollup") {
     val verdicts = engine.prunePrototypical(engine.table("embeddings"))
     val viaEngine = verdicts.groupBy(col("label"))
