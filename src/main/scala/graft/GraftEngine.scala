@@ -266,7 +266,14 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     * sorted-shingle-array intersection prices only those. Returns
     * (da, db, na, nb, containment) with da the contained side,
     * C(A,B) ≥ 0.8 — candidate-linear at corpus scale where the exact
-    * all-pairs form (q169, the oracle arm) cannot exist.
+    * all-pairs form (q169, the oracle arm) cannot exist. Short docs
+    * (under 7 tokens — no fingerprints possible) route through their
+    * exact shingle postings, so only scattered sub-7-token-fragment
+    * overlap trades away. Session caveats: with a ShingleStore
+    * installed the kernel reads the STORE corpus, not `docs`
+    * (single-corpus sessions only), and each distinct caller frame
+    * pins kernel caches until `releaseCaches()` — batch distinct
+    * corpora accordingly.
     */
   def containmentDedup(docs: DataFrame): DataFrame =
     graft.queries.TextOps.screenedContainmentPairs(docs)

@@ -523,12 +523,39 @@ object TextOps {
     * sorted-shingle-array intersection; output matches q169's exact
     * all-pairs semantics on every pair the screen admits (and the
     * shared q169/q179 oracle hash proves the screen lossless on the
-    * fixture). Emits (da, db, na, nb, containment) with da the
-    * contained (smaller) side, ordered for determinism.
+    * fixture). Short docs (no fingerprints possible) route through
+    * their exact shingle postings, so the only recall trade left is
+    * the documented scattered-sub-7-token-fragment case. Emits
+    * (da, db, na, nb, containment) with da the contained (smaller)
+    * side, ordered for determinism. Session caveats (all pair-kernel
+    * consumers share them): an installed ShingleStore substitutes the
+    * store corpus for `docs` (single-corpus sessions only), and each
+    * distinct caller frame pins kernel frames until releaseCaches().
     */
   private[graft] def screenedContainmentPairs(docs: DataFrame): DataFrame = {
-    val docArr = docShingleArrays(cachedShingles(docs))
-    containmentCandidates(docs)
+    val sh = cachedShingles(docs)
+    val docArr = docShingleArrays(sh)
+    // Docs under 7 tokens emit no winnowing fingerprints, so the
+    // screen is structurally blind to pairs whose CONTAINED side is
+    // short — route that slice exactly: a C >= 0.8 contained doc
+    // shares >= 80% of its shingles, hence >= 1, so its own shingle
+    // postings nominate every container it can have (and a short
+    // CONTAINER implies an even shorter contained side, so covering
+    // the contained side covers both). The slice is selected as
+    // n <= 4 distinct shingles off the pinned docArr (every <7-token
+    // doc qualifies; the few repetitive longer docs swept in only add
+    // exact candidates). Postings here are UNCAPPED — the slice is
+    // tiny in any curated corpus (empty in the fixture, so q179's
+    // oracle prices the screened arm) and degenerate micro-doc
+    // corpora should be pre-filtered.
+    val shortSh = sh.join(
+      docArr.filter(col("n") <= 4).select(col("doc_id")), Seq("doc_id"))
+    val shortCand = shortSh.select(col("sk"), col("doc_id").as("ds"))
+      .join(sh.select(col("sk"), col("doc_id").as("do")), Seq("sk"))
+      .filter(col("ds") =!= col("do"))
+      .select(least(col("ds"), col("do")).as("dx"),
+        greatest(col("ds"), col("do")).as("dy"))
+    containmentCandidates(docs).unionByName(shortCand).distinct()
       .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
         col("n").as("nx")), Seq("dx"))
       .join(docArr.select(col("doc_id").as("dy"), col("arr").as("ay"),

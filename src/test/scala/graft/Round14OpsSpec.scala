@@ -37,6 +37,24 @@ class Round14OpsSpec extends SparkSpec {
       s"screen admitted $nCand of $allPairs pairs — not a screen")
   }
 
+  test("short contained docs route through exact postings, not the screen") {
+    import spark.implicits._
+    // a 5-token doc emits NO winnowing fingerprints (needs >= 7
+    // tokens), so the screen alone is structurally blind to it; the
+    // kernel's short-doc posting arm must still find its container
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "w5 w6 w7 w8 w9"), // fully contained in doc 2, C = 1.0
+      (2L, big),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.screenedContainmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.8),
+      s"short contained doc must surface: ${got.toSeq}")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      "an unrelated doc must pair with nothing")
+  }
+
   test("winnowing guarantee on the fixture: every 7-token shared run collides") {
     import spark.implicits._
     // two docs sharing an exact 7-token run (w+k-1) must share ≥1
