@@ -7,6 +7,14 @@ class GraftEngineSpec extends SparkSpec {
 
   private lazy val engine = new GraftEngine(spark, sfDir)
 
+  test("the driver smoke contract holds: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every queries key with an oracle has SQL, and both maps cover
+    // the whole Registry — the t1/t2 surface the driver consumes
+    assert(SparkEntry.queries.size === Registry.all.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("query-by-name reaches every registered query") {
     assert(engine.query("q01_popular").count() > 0)
     assert(engine.query("q40_dedup_exact").count() === 500)
