@@ -78,12 +78,17 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     * (built on first use, reused after — the `VectorOps` served-index
     * posture). Returns q50's serving schema (q_id, vec_id, cos_r, rn).
     * `nProbe`/`shortlist` are the recall/cost dials; defaults match the
-    * registered q133 serving configuration.
+    * registered q133 serving configuration. `excludeSelf` (default
+    * true) drops vec_id == q_id candidates — correct when query ids
+    * ARE corpus vec_ids (the registered self-search posture); pass
+    * false for caller queries minted in their OWN id space, where a
+    * numeric collision with an unrelated vec_id would otherwise
+    * silently drop a true neighbor.
     */
   def annTopK(queries: DataFrame, topK: Int = 5, nProbe: Int = 12,
-      shortlist: Int = 96): DataFrame =
+      shortlist: Int = 96, excludeSelf: Boolean = true): DataFrame =
     graft.queries.VectorOps.annTopK(spark, dataDir, queries, topK, nProbe,
-      shortlist)
+      shortlist, excludeSelf)
 
   /** Hybrid retrieval serving: reciprocal-rank fusion (k=60) of the
     * q156 lexical idf arm — served from memoized corpus token/df
@@ -124,6 +129,20 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
 
   def decodeAudio(media: DataFrame): DataFrame =
     graft.multimodal.MediaOps.decodeAudioReal(media).toDF()
+
+  /** Corrupt-input-TOLERANT decode twins — the production posture for
+    * scraped corpora, where `decodeImages`/`decodeAudio` fail the
+    * whole job on the FIRST truncated or mislabeled byte string: one
+    * decode attempt per row, successes under `info.*`, failures as a
+    * non-null `err` string. Split on `err IS NULL`; route the err rows
+    * to a quarantine sink. Same one-pass mapPartitions shape — the
+    * tolerance costs one try/catch per row, not a second decode.
+    */
+  def decodeImagesTolerant(media: DataFrame): DataFrame =
+    graft.multimodal.MediaOps.decodeImagesTolerant(media).toDF()
+
+  def decodeAudioTolerant(media: DataFrame): DataFrame =
+    graft.multimodal.MediaOps.decodeAudioTolerant(media).toDF()
 
   /** Real nearest-neighbor k×k thumbnails (q160's kernel) on ANY
     * frame carrying `doc_id` + `content` (binary image bytes): decode

@@ -66,9 +66,16 @@ object AnnIndex {
   /** Top-k neighbors for each query vector, probing the nProbe cells
     * whose centroids are most cosine-similar to the query. Queries:
     * (q_id long, q_emb array<float>).
+    *
+    * `excludeSelf` (default true) drops candidates whose vec_id equals
+    * the probe's q_id — correct for the self-search registered queries
+    * (q52/q79, where queries ARE corpus rows asking for their
+    * neighbors). Pass false when query ids come from a DIFFERENT id
+    * space than the index: an accidental numeric collision would
+    * otherwise silently drop a true neighbor.
     */
   def search(index: Index, queries: DataFrame, topK: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val qCells = queries
       .crossJoin(broadcast(index.centroids))
       .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
@@ -77,7 +84,7 @@ object AnnIndex {
       .filter(col("crn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
     qCells.join(index.assigned, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))

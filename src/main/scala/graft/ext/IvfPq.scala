@@ -208,9 +208,16 @@ object IvfPq {
     * ever fetched); `queries`: (q_id long, q_emb array<float>).
     * Returns (q_id, vec_id, cos_r, rn) — q50's serving schema, so the
     * approximate path is drop-in for the exact one.
+    *
+    * `excludeSelf` (default true) drops vec_id == q_id candidates —
+    * the self-search semantics of the registered queries, where query
+    * ids ARE corpus ids. Pass false when query ids come from a
+    * different id space: a numeric collision would otherwise silently
+    * drop a true neighbor (see AnnIndex.search).
     */
   def search(index: Index, vectors: DataFrame, queries: DataFrame,
-      topK: Int = 5, nProbe: Int = 8, shortlist: Int = 25): DataFrame = {
+      topK: Int = 5, nProbe: Int = 8, shortlist: Int = 25,
+      excludeSelf: Boolean = true): DataFrame = {
     CosineSimilarity.ensureRegistered(queries.sparkSession)
     val k = index.kCodes
     // queries normalize like the index did (see unitize): the ADC
@@ -245,7 +252,7 @@ object IvfPq {
     val probes = PqIndex.distanceTable(index.codebooks, qCells, k,
       index.subDim, keys = Seq("q_id", "cell"), vecCol = "q_res")
     val short = index.cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("adc", round(aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
           (c, s) => element_at(col("dt"), s * k + c + 1)),

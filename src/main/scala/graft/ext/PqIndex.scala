@@ -116,13 +116,19 @@ object PqIndex {
     * collecting it back into ONE array column ordered by sub·k+code,
     * so the candidate scan does pure array math per row: approximate
     * squared L2 = Σ_s dt[s·k + codes[s]].
+    *
+    * `excludeSelf` (default true) drops vec_id == q_id candidates —
+    * the self-search semantics of the registered queries. Pass false
+    * when query ids are NOT drawn from the index's id space (see
+    * AnnIndex.search).
     */
-  def search(index: Index, queries: DataFrame, topK: Int = 5): DataFrame = {
+  def search(index: Index, queries: DataFrame, topK: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     val k = index.k
     val dt = distanceTable(index.codebooks, queries, k, index.subDim)
     // candidate scan: codes only, query table broadcast
     index.codes.crossJoin(broadcast(dt))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .withColumn("adc", round(aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
           (c, s) => element_at(col("dt"), s * k + c + 1)),
@@ -144,8 +150,9 @@ object PqIndex {
     * relation the index was built from.
     */
   def searchReRanked(index: Index, vectors: DataFrame, queries: DataFrame,
-      topK: Int = 5, shortlist: Int = 25): DataFrame = {
-    search(index, queries, topK = shortlist)
+      topK: Int = 5, shortlist: Int = 25,
+      excludeSelf: Boolean = true): DataFrame = {
+    search(index, queries, topK = shortlist, excludeSelf = excludeSelf)
       .join(vectors, Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .withColumn("d2", round(aggregate(

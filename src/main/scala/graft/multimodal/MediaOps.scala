@@ -248,6 +248,64 @@ object MediaOps {
       }
   }
 
+  /** One decode attempt: `info` populated on success, `err` on
+    * failure — never both. The tolerant-path row shape (see
+    * `decodeImagesTolerant`).
+    */
+  final case class ImageAttempt(
+      doc_id: Long,
+      err: Option[String],
+      info: Option[ImageInfo])
+
+  /** Corrupt-input-TOLERANT batched decode — the posture a scraped
+    * 100 TB corpus actually requires: `decodeImagesReal` fails the
+    * whole job on the first undecodable byte string (correct for the
+    * oracle fixtures, where a decode failure IS a bug; fatal in
+    * production, where some fraction of any crawl is truncated or
+    * mislabeled). Same single mapPartitions pass, but each row's
+    * decode is caught: successes carry `info`, failures carry a
+    * truncated `err` and flow to a quarantine sink instead of killing
+    * the stage. Split the result with `err.isNull` — no second decode
+    * pass, no driver involvement.
+    */
+  def decodeImagesTolerant(df: DataFrame): Dataset[ImageAttempt] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try ImageAttempt(id, None, Some(decodeImage(id, bytes)))
+          catch { case scala.util.control.NonFatal(e) =>
+            ImageAttempt(id, Some(
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"),
+              None)
+          }
+        }
+      }
+  }
+
+  /** Tolerant twin of one WAV decode (see `decodeImagesTolerant`). */
+  final case class AudioAttempt(
+      doc_id: Long,
+      err: Option[String],
+      info: Option[AudioInfo])
+
+  def decodeAudioTolerant(df: DataFrame): Dataset[AudioAttempt] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try AudioAttempt(id, None, Some(decodeWav(id, bytes)))
+          catch { case scala.util.control.NonFatal(e) =>
+            AudioAttempt(id, Some(
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"),
+              None)
+          }
+        }
+      }
+  }
+
   /** Batched real encode: (doc_id, width, height, s1, s2, format) →
     * image bytes via the JDK codec named per row. The synthesis side
     * of the q152/q154 codec round trips.

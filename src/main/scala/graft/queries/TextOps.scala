@@ -933,6 +933,53 @@ object TextOps {
         "FROM h GROUP BY split ORDER BY split")),
 
     GraftQuery(
+      "q182_epoch_shuffle",
+      "Deterministic per-epoch training order — the reproducible global shuffle a trainer " +
+        "consumes each epoch (epochal reshuffling WITHOUT RNG state, the q68/q82 md5 " +
+        "discipline extended to ordering): every (doc, epoch) pair hashes to " +
+        "md5(doc_id:epoch), docs land in one of 8 shards by the hash's leading 16 bits, " +
+        "and the within-shard read order is the hash order itself — a pure function of " +
+        "(stable id, epoch number), so every engine, rerun, and resumed job walks the " +
+        "IDENTICAL sequence, epochs decorrelate because the hash key changes, and a " +
+        "restart mid-epoch re-derives its position instead of replaying an RNG. The " +
+        "per-(epoch, shard) rank is RangeRank's grouped two-pass (bucketed by a " +
+        "monotone hash prefix), NOT a per-shard window — at 100 TB a corpus/8 window " +
+        "partition would sort billions of rows in one task; the grouped form splits " +
+        "every shard across as many tasks as the bucket dial asks.",
+      (s, d) => {
+        val e = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(1))).as("epoch"))
+          .withColumn("hk", md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))))
+          .withColumn("shard",
+            conv(substring(col("hk"), 1, 4), 16, 10).cast("long") % 8)
+        graft.ext.RangeRank.withGroupedRowNumber(
+            e, Seq("epoch", "shard"),
+            conv(substring(col("hk"), 1, 2), 16, 10).cast("long"),
+            Seq(col("hk"), col("doc_id")),
+            rnName = "pos", nName = "shard_n")
+          .select(col("epoch"), col("shard"), col("pos"), col("shard_n"),
+            col("doc_id"))
+          .orderBy(col("epoch"), col("shard"), col("pos"))
+      },
+      Some {
+        def digit(i: Int) = s"(instr('0123456789abcdef', substr(hk,$i,1))-1)"
+        "WITH e AS (SELECT doc_id, CAST(epoch AS INTEGER) AS epoch " +
+          "FROM documents, UNNEST([0,1]) t(epoch)), " +
+          "h AS (SELECT doc_id, epoch, " +
+          "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hk FROM e), " +
+          "s AS (SELECT doc_id, epoch, hk, " +
+          s"CAST((${digit(1)}*4096 + ${digit(2)}*256 + ${digit(3)}*16 + ${digit(4)}) % 8 " +
+          "AS BIGINT) AS shard FROM h) " +
+          "SELECT epoch, shard, " +
+          "CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hk, doc_id) " +
+          "AS BIGINT) AS pos, " +
+          "CAST(count(*) OVER (PARTITION BY epoch, shard) AS BIGINT) AS shard_n, " +
+          "doc_id FROM s ORDER BY epoch, shard, pos"
+      }),
+
+    GraftQuery(
       "q83_length_trim",
       "Rank-based length-trim quality gate: drop the shortest 5% and longest 5% of documents by exact global token-count rank — the standard outlier filter before training, done without a single-partition sort via RangeRank's equi-depth auto-bucketing (approx_percentile boundaries, two distributed passes). Integer rank cutoffs (n*5 div 100) keep the boundary engine-exact.",
       (s, d) => {

@@ -83,12 +83,14 @@ object VectorOps {
     * session); `queries`: (q_id long, q_emb array<float>).
     */
   def annTopK(s: SparkSession, d: String, queries: DataFrame, topK: Int,
-      nProbe: Int, shortlist: Int): DataFrame = {
+      nProbe: Int, shortlist: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val index = served(s, d, "ivfpq") {
       graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
     }
-    graft.ext.IvfPq.search(index, e, queries, topK, nProbe, shortlist)
+    graft.ext.IvfPq.search(index, e, queries, topK, nProbe, shortlist,
+      excludeSelf)
       .orderBy(col("q_id"), col("rn"))
   }
 

@@ -127,6 +127,27 @@ class IvfPqSpec extends SparkSpec {
       "close() on the appended index left the build-time cache pinned")
   }
 
+  test("excludeSelf dial: foreign-id-space queries keep colliding vec_ids") {
+    // default (self-search) semantics: a query whose q_id happens to
+    // equal a corpus vec_id never sees that vector — correct when the
+    // query IS that corpus row, silently wrong when the caller minted
+    // q_ids in an unrelated id space. The dial makes the contract
+    // explicit: excludeSelf = false must surface the collided vector
+    // (here: the query carries vec 3's exact embedding, so vec 3 is
+    // its rank-1 cosine-1 neighbor).
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val withSelf = IvfPq.search(index, emb, q, topK = 1,
+        nProbe = index.kCells, shortlist = 50, excludeSelf = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(withSelf.toSeq === Seq((3L, 1.0)),
+      s"excludeSelf=false must rank the collided id first: ${withSelf.toSeq}")
+    val without = IvfPq.search(index, emb, q, topK = 1,
+        nProbe = index.kCells, shortlist = 50)
+      .collect().map(_.getLong(1))
+    assert(!without.contains(3L), "default self-search must drop q_id == vec_id")
+  }
+
   test("pruned search scans only probed cells' codes") {
     // semantics, not plan: every returned neighbor must come from one
     // of the query's nProbe nearest cells

@@ -50,4 +50,41 @@ class MediaOpsSpec extends SparkSpec {
       assert(r.getAs[Int]("maxi") < nFrames)
     }
   }
+
+  test("tolerant decode quarantines corrupt rows instead of failing the job") {
+    import spark.implicits._
+    // a real PNG, a truncated PNG, and garbage bytes in one batch —
+    // the strict path dies on the first bad row; the tolerant path
+    // must decode the good row identically and tag the bad ones
+    val good = MediaOps.synthImage(16, 12, 3L, 5L, "png")
+    val rows = Seq(
+      (1L, good),
+      (2L, good.take(10)),            // truncated header
+      (3L, Array.fill[Byte](64)(7))   // not an image at all
+    ).toDF("doc_id", "content")
+    intercept[org.apache.spark.SparkException] {
+      MediaOps.decodeImagesReal(rows).collect()
+    }
+    val got = MediaOps.decodeImagesTolerant(rows).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(got.size === 3)
+    val ok = got(1L)
+    assert(ok.err.isEmpty && ok.info.nonEmpty)
+    val expect = MediaOps.decodeImage(1L, good)
+    assert(ok.info.get.px_sum === expect.px_sum &&
+      ok.info.get.ahash === expect.ahash)
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).info.isEmpty && got(id).err.exists(_.nonEmpty),
+        s"doc $id must be quarantined with an error: ${got(id)}")
+    }
+
+    // audio twin: one good WAV, one truncated — same contract
+    val wav = MediaOps.synthWavSaw(256, 37L)
+    val arows = Seq((1L, wav), (2L, wav.take(11))).toDF("doc_id", "content")
+    val agot = MediaOps.decodeAudioTolerant(arows).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(agot(1L).err.isEmpty &&
+      agot(1L).info.get.sq_sum === MediaOps.decodeWav(1L, wav).sq_sum)
+    assert(agot(2L).info.isEmpty && agot(2L).err.exists(_.nonEmpty))
+  }
 }

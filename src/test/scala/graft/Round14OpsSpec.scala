@@ -74,4 +74,36 @@ class Round14OpsSpec extends SparkSpec {
       .filter(col("x.doc_id") === 3L && col("y.doc_id") =!= 3L).count()
     assert(noise === 0, "an unrelated doc must share nothing")
   }
+
+  test("q182 epoch shuffle: complete, contiguous, decorrelated, rerun-stable") {
+    val out = Registry.byName("q182_epoch_shuffle").fn(spark, sfDir).cache()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    // every doc appears exactly once per epoch
+    assert(out.count() === 2 * nDocs)
+    assert(out.groupBy(col("epoch"), col("doc_id")).count()
+      .filter(col("count") =!= 1).count() === 0)
+    // positions are a contiguous 1..shard_n permutation inside every shard
+    val byShard = out.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"),
+        max(col("shard_n")).as("sn"))
+    assert(byShard.filter(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("nd") =!= col("n") || col("sn") =!= col("n")).count() === 0)
+    // epochs reshuffle: the (shard, pos) slot of a doc must differ
+    // between epochs for (nearly) all docs — identical orders would
+    // mean the epoch number never reached the hash
+    val e0 = out.filter(col("epoch") === 0)
+      .select(col("doc_id"), col("shard").as("s0"), col("pos").as("p0"))
+    val e1 = out.filter(col("epoch") === 1)
+      .select(col("doc_id"), col("shard").as("s1"), col("pos").as("p1"))
+    val same = e0.join(e1, Seq("doc_id"))
+      .filter(col("s0") === col("s1") && col("p0") === col("p1")).count()
+    assert(same < nDocs / 10,
+      s"$same of $nDocs docs kept their slot across epochs — not reshuffled")
+    // pure function of (id, epoch): a second run is bit-identical
+    val again = Registry.byName("q182_epoch_shuffle").fn(spark, sfDir)
+    assert(out.exceptAll(again).count() === 0 &&
+      again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
 }
