@@ -83,7 +83,10 @@ object Bench {
       // q164's and q179's array-form verifies — without this line the
       // alphabetically-first consumer (q164) absorbs the build each
       // sweep (the accounting rule build:substring_runs established)
-      "doc_arrays" -> (() => graft.queries.TextOps.warmDocArrays(spark, sfDir))
+      "doc_arrays" -> (() => graft.queries.TextOps.warmDocArrays(spark, sfDir)),
+      // bucketed 3-NN graph shared by q183/q184 — without this line the
+      // alphabetically-first consumer (q183) absorbs the build each sweep
+      "knn_graph" -> (() => graft.queries.VectorOps.warmKnnGraph(spark, sfDir))
     )
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryEvery = 25 // one probe per ~25-query neighborhood

@@ -29,6 +29,31 @@ object TextOps {
     */
   private val JaccardThreshold = 0.5
 
+  /** DuckDB twin of the near-dup connected-components labeling (the
+    * q41 pair graph → recursive closure → min-id cluster label),
+    * ending in lbl(doc_id, cluster_id) over every doc that has at
+    * least one near-dup edge. Shared by q92 and q185 so the oracle
+    * cluster semantics cannot drift between the hard- and soft-dedup
+    * consumers.
+    */
+  private val ccLabelCteSql: String =
+    "tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
+      "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
+      "pr AS (SELECT da, db FROM inter " +
+      "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+      s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
+      "edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr), " +
+      "nodes AS (SELECT DISTINCT a AS v FROM edges), " +
+      "r AS (WITH RECURSIVE rr(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a) " +
+      "SELECT * FROM rr), " +
+      "lbl AS (SELECT v AS doc_id, least(v, min(b)) AS cluster_id " +
+      "FROM nodes LEFT JOIN r ON r.a = v GROUP BY v)"
+
   /** Distinct 3-gram word shingles per doc, pre-hashed to 64-bit keys:
     * (doc_id, sk). Joining/shuffling on an 8-byte long instead of the
     * ~20-byte shingle string roughly halves shuffle width; a cross-doc
@@ -1203,26 +1228,58 @@ object TextOps {
             col("cluster_size"), (col("v") === col("lbl")).as("keep"))
           .orderBy(col("cluster_id"), col("doc_id"))
       },
-      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s " +
-        "FROM tok, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3), " +
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
-        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db), " +
-        "pr AS (SELECT da, db FROM inter " +
-        "JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
-        s"WHERE round(c*1.0/(sa.n + sb.n - c), 6) >= $JaccardThreshold), " +
-        "edges AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr), " +
-        "nodes AS (SELECT DISTINCT a AS v FROM edges), " +
-        "r AS (WITH RECURSIVE rr(a, b) AS (SELECT a, b FROM edges " +
-        "UNION SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a) " +
-        "SELECT * FROM rr), " +
-        "lbl AS (SELECT v AS doc_id, least(v, min(b)) AS cluster_id " +
-        "FROM nodes LEFT JOIN r ON r.a = v GROUP BY v) " +
-        "SELECT cluster_id, doc_id, " +
+      Some("WITH " + ccLabelCteSql + " SELECT cluster_id, doc_id, " +
         "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
         "doc_id = cluster_id AS keep " +
         "FROM lbl ORDER BY cluster_id, doc_id")),
+
+    GraftQuery(
+      "q185_soft_dedup_yield",
+      "Soft deduplication accounting — the downweight-instead-of-drop policy (keep every " +
+        "near-dup but weight it 1/cluster_size, so each duplicated CONTENT contributes one " +
+        "unit of training signal regardless of copy count): per source, the raw token " +
+        "mass vs the effective token mass after downweighting — the table that tells a " +
+        "mixture owner how much of a source's apparent volume is duplicated content. " +
+        "Clusters are the SAME connected components as q92 (shared pinned pair kernel + " +
+        "label propagation); weights are integer parts-per-million (1000000 div " +
+        "cluster_size), so every aggregate is a sum of exact integers and the oracle " +
+        "match is engine-exact by construction — no float-sum-order hazard. One join of " +
+        "the corpus to the cluster-size table (dup-density-sized, not corpus-sized), " +
+        "then a sources-sized rollup; at 100 TB nothing here exceeds the dedup pass " +
+        "it reuses.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = cachedShingles(docs)
+        val p = lshPairs(s, sh).select(col("da"), col("db"))
+        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+          .toDF("src", "dst"))
+        val labels = connectedLabels(edges)
+        val wt = labels
+          .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs")), Seq("lbl"))
+          .select(col("v").as("doc_id"), expr("1000000 DIV cs").as("w_ppm"))
+        docs.select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("tok_n"))
+          .join(wt, Seq("doc_id"), "left")
+          .withColumn("wp", coalesce(col("w_ppm"), lit(1000000L)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("w_ppm").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+            sum(col("tok_n")).as("raw_tokens"),
+            expr("sum(tok_n * wp) DIV 1000000").as("eff_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("WITH " + ccLabelCteSql + ", " +
+        "cs AS (SELECT cluster_id, count(*) AS csize FROM lbl GROUP BY cluster_id), " +
+        "wt AS (SELECT lbl.doc_id, 1000000 // csize AS w_ppm " +
+        "FROM lbl JOIN cs USING (cluster_id)), " +
+        "dt AS (SELECT doc_id, source, len(string_split(text,' ')) AS tok_n " +
+        "FROM documents) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN w_ppm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered, " +
+        "CAST(sum(tok_n) AS BIGINT) AS raw_tokens, " +
+        "CAST(sum(tok_n * COALESCE(w_ppm, 1000000)) // 1000000 AS BIGINT) AS eff_tokens " +
+        "FROM dt LEFT JOIN wt USING (doc_id) " +
+        "GROUP BY source ORDER BY source")),
 
     GraftQuery(
       "q93_pii_redact",

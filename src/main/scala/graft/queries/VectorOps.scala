@@ -54,6 +54,7 @@ object VectorOps {
     servedIndexes.builtValues.foreach {
       case i: graft.ext.IvfPq.Index => i.close()
       case i: graft.ext.PqIndex.Index => i.close()
+      case df: DataFrame => df.unpersist(blocking = false) // knn graph
       case _ => () // AnnIndex pins no cache
     }
     servedIndexes.clear()
@@ -191,6 +192,55 @@ object VectorOps {
       "rr AS (SELECT vec_id, label, c_label, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist), " +
       "asg AS (SELECT vec_id, c_label AS cell FROM rr WHERE rn = 1)"
+
+  /** Bucketed 3-NN graph kernel shared by q183/q184 (and warmed as the
+    * bench's `knn_graph` build step): every vector's top-3 neighbors
+    * within its adaptive sign-LSH bucket, ranked by (6dp-rounded cosine
+    * desc, vec_id) — q51's candidate discipline, so the join volume
+    * stays ~32·n at any corpus size. Served from the session memo and
+    * persisted because each graph consumer reads it from 2–3 join
+    * sides (mutuality self-join, shared-neighbor self-join, label
+    * probe) — recomputing the bucketed candidate pass per side would
+    * multiply the whole cosine join (the q129 double-evaluation
+    * lesson). At 100 TB the graph is a one-time a_id-bucketed parquet
+    * materialization, exactly like the TextOps pair kernel.
+    */
+  private[graft] def knnGraph(s: SparkSession, d: String): DataFrame =
+    served(s, d, "knn3") {
+      CosineSimilarity.ensureRegistered(s)
+      val e = withBucket(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos_r").desc, col("b_id"))
+      val k = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("cos_r"))
+      k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k
+    }
+
+  /** Explicit bench setup for the shared 3-NN graph — the named build
+    * step that keeps the graph's one-time cost out of whichever of
+    * q183/q184 happens to run first (the warmPairKernel accounting
+    * rule).
+    */
+  def warmKnnGraph(s: SparkSession, d: String): Unit =
+    knnGraph(s, d).write.format("noop").mode("overwrite").save()
+
+  /** DuckDB twin of `knnGraph` as a CTE chain ending in
+    * k(a_id, b_id, cos_r) — the top-3 in-bucket neighbor list.
+    */
+  private val knnCteSql: String =
+    s"$bucketCteSql, " +
+      "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+      "round(list_inner_product(a.emb, b.emb)/" +
+      "(sqrt(list_inner_product(a.emb, a.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "r AS (SELECT a_id, b_id, cos_r, " +
+      "row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS rn FROM p), " +
+      "k AS (SELECT a_id, b_id, cos_r FROM r WHERE rn <= 3)"
 
   /** q50's DuckDB twin — also the oracle for q139, whose full-probe
     * IVF-PQ search must reproduce the brute-force answer bit-for-bit.
@@ -847,6 +897,95 @@ object VectorOps {
         "CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned, " +
         "min(CASE WHEN pruned THEN cos_c END) AS cut_cos, " +
         "round(avg(CASE WHEN NOT pruned THEN cos_c END), 6) AS avg_kept_cos " +
-        "FROM f GROUP BY label ORDER BY label"))
+        "FROM f GROUP BY label ORDER BY label")),
+
+    GraftQuery(
+      "q183_mutual_knn",
+      "Mutual-kNN graph with shared-neighbor strength — the graph-construction step " +
+        "density-based embedding clustering (SNN / HDBSCAN-style) runs before community " +
+        "detection: from the shared bucketed 3-NN graph (q51's adaptive sign-LSH candidate " +
+        "discipline, ~32·n comparisons at any corpus size), keep only MUTUAL edges (a in " +
+        "b's top-3 AND b in a's top-3 — the standard noise filter: one-directional " +
+        "neighbors are usually hub artifacts) and annotate each surviving pair with its " +
+        "shared-neighbor count (how many third vectors list BOTH endpoints in their top-3 " +
+        "— the SNN edge weight). All three reads (both mutuality sides, the " +
+        "shared-neighbor rollup) serve from the ONE persisted kernel, so the candidate " +
+        "cosine pass is priced once; the self-joins shuffle (a_id, b_id) pairs only — " +
+        "3·n rows, never embeddings. At 100 TB the graph is an a_id-bucketed parquet " +
+        "table and both self-joins are co-partitioned merges.",
+      (s, d) => {
+        val k = knnGraph(s, d)
+        val m = k
+          .join(k.select(col("a_id").as("ya"), col("b_id").as("yb")),
+            col("a_id") === col("yb") && col("b_id") === col("ya"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("cos_r"))
+        val sn = k.select(col("a_id").as("n1a"), col("b_id").as("nb"))
+          .join(k.select(col("a_id").as("n2a"), col("b_id").as("nb")), Seq("nb"))
+          .filter(col("n1a") < col("n2a"))
+          .groupBy(col("n1a").as("a_id"), col("n2a").as("b_id"))
+          .agg(count(lit(1)).as("shared_n"))
+        m.join(sn, Seq("a_id", "b_id"), "left")
+          .select(col("a_id"), col("b_id"), col("cos_r"),
+            coalesce(col("shared_n"), lit(0L)).as("shared_n"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"WITH $knnCteSql, " +
+        "m AS (SELECT x.a_id, x.b_id, x.cos_r FROM k x JOIN k y " +
+        "ON x.a_id = y.b_id AND x.b_id = y.a_id WHERE x.a_id < x.b_id), " +
+        "sn AS (SELECT n1.a_id AS a_id, n2.a_id AS b_id, " +
+        "CAST(count(*) AS BIGINT) AS shared_n FROM k n1 JOIN k n2 " +
+        "ON n1.b_id = n2.b_id AND n1.a_id < n2.a_id GROUP BY 1, 2) " +
+        "SELECT m.a_id, m.b_id, m.cos_r, " +
+        "COALESCE(sn.shared_n, 0) AS shared_n " +
+        "FROM m LEFT JOIN sn ON m.a_id = sn.a_id AND m.b_id = sn.b_id " +
+        "ORDER BY m.a_id, m.b_id")),
+
+    GraftQuery(
+      "q184_knn_label_audit",
+      "Neighbor-vote label audit — the confident-learning-style mislabel screen " +
+        "(Northcutt 2021) a curation pipeline runs before trusting labels for stratified " +
+        "sampling or eval splits: each vector's 3 bucketed nearest neighbors (the shared " +
+        "q183 kernel) vote with their labels; a vector NONE of whose neighbors share its " +
+        "label is a mislabel suspect. Per label: vector count, isolated count (singleton " +
+        "bucket — no evidence either way), suspect count, and the micro-averaged " +
+        "neighbor-agreement rate (Σ matches / Σ neighbors — a ratio of two integer " +
+        "aggregates, so the 6dp round is engine-exact by construction, never a " +
+        "float-sum-order artifact). Distinct mechanism from q124's centroid cohesion: " +
+        "this is LOCAL evidence (neighbor votes survive non-convex label regions where " +
+        "centroids are meaningless). One broadcast-scale label probe joined to the " +
+        "persisted 3·n-row graph, then a labels-sized rollup — no embedding ever " +
+        "shuffles.",
+      (s, d) => {
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val nb = knnGraph(s, d)
+          .join(lbl.select(col("vec_id").as("b_id"), col("label").as("b_label")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_label"))
+        val pv = lbl.join(nb, lbl("vec_id") === nb("a_id"), "left")
+          .groupBy(col("vec_id"), col("label"))
+          .agg(count(col("b_label")).as("n_nbrs"),
+            sum(when(col("b_label") === col("label"), 1L).otherwise(0L)).as("n_match"))
+        pv.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("n_nbrs") === 0, 1L).otherwise(0L)).as("n_isolated"),
+            sum(when(col("n_nbrs") > 0 && col("n_match") === 0, 1L).otherwise(0L))
+              .as("n_suspect"),
+            round(sum(col("n_match")) / nullif(sum(col("n_nbrs")), lit(0L)), 6)
+              .as("match_rate"))
+          .orderBy(col("label"))
+      },
+      Some(s"WITH $knnCteSql, " +
+        "nlb AS (SELECT k.a_id, e2.label AS b_label FROM k " +
+        "JOIN embeddings e2 ON k.b_id = e2.vec_id), " +
+        "pv AS (SELECT e.vec_id, e.label, count(b_label) AS n_nbrs, " +
+        "sum(CASE WHEN b_label = e.label THEN 1 ELSE 0 END) AS n_match " +
+        "FROM embeddings e LEFT JOIN nlb ON nlb.a_id = e.vec_id " +
+        "GROUP BY e.vec_id, e.label) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CASE WHEN n_nbrs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated, " +
+        "CAST(sum(CASE WHEN n_nbrs > 0 AND n_match = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect, " +
+        "round(sum(n_match) / nullif(sum(n_nbrs), 0), 6) AS match_rate " +
+        "FROM pv GROUP BY label ORDER BY label"))
   )
 }

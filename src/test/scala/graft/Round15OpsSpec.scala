@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 wave invariants: the kNN-graph consumers (q183 mutual-kNN,
+  * q184 label audit) re-derived driver-side from the SHARED kernel's
+  * own edge list — an independent Scala re-implementation of the pair
+  * logic, so a defect in either query's join choreography (wrong side,
+  * dropped left rows, a<b inversion) cannot also infect the check —
+  * plus the soft-dedup yield's exact-arithmetic reconciliation against
+  * q92's cluster table.
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  private def knnEdges: Map[Long, Set[Long]] =
+    graft.queries.VectorOps.knnGraph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+
+  test("q183 mutual pairs = edge set ∩ its transpose, shared_n = |top3(a) ∩ top3(b)|") {
+    val top3 = knnEdges
+    val out = Registry.byName("q183_mutual_knn").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty, "fixture must produce mutual pairs")
+    // expected mutual pair set, from the kernel's own edges
+    val expected = (for {
+      (a, nbrs) <- top3.toSeq; b <- nbrs
+      if a < b && top3.getOrElse(b, Set.empty).contains(a)
+    } yield (a, b)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === expected,
+      "mutual-pair set must equal edges ∩ transpose")
+    out.foreach { case (a, b, sn) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      val want = (top3(a) & top3(b)).size
+      assert(sn === want.toLong && sn >= 0 && sn <= 3,
+        s"pair ($a,$b): shared_n $sn, expected $want")
+    }
+  }
+
+  test("q184 label audit reconciles with a driver-side neighbor-vote recount") {
+    val top3 = knnEdges
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Registry.byName("q184_knn_label_audit").fn(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum === labels.size.toLong,
+      "n_vecs must partition the corpus")
+    out.foreach { row =>
+      val lbl = row.getInt(0)
+      val members = labels.filter(_._2 == lbl).keys.toSeq
+      val nbrCounts = members.map(v => top3.getOrElse(v, Set.empty).size)
+      val matchCounts = members.map(v =>
+        top3.getOrElse(v, Set.empty).count(b => labels(b) == lbl))
+      assert(row.getLong(1) === members.size.toLong)
+      assert(row.getLong(2) === nbrCounts.count(_ == 0).toLong, s"label $lbl isolated")
+      assert(row.getLong(3) === members.indices
+        .count(i => nbrCounts(i) > 0 && matchCounts(i) == 0).toLong,
+        s"label $lbl suspects")
+      val rate = BigDecimal(matchCounts.sum.toDouble / nbrCounts.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(4) === rate, s"label $lbl micro match rate")
+    }
+    // the audit must actually flag something on a fixture whose labels
+    // are not geometric clusters (q124's documented property)
+    assert(out.map(_.getLong(3)).sum > 0, "no suspects found — audit is vacuous")
+  }
+
+  test("q185 soft-dedup yield reconciles exactly with q92's cluster table") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok_n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clusters = Registry.byName("q92_dedup_clusters").fn(spark, sfDir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // doc -> size
+    val out = Registry.byName("q185_soft_dedup_yield").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.values.map(_._1).sum === docs.length.toLong)
+    assert(out.values.map(_._2).sum === clusters.size.toLong,
+      "clustered-doc count must match q92's row count")
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val (nDocs, nClustered, raw, eff) = out(src)
+      assert(nDocs === rows.length.toLong)
+      assert(nClustered === rows.count(r => clusters.contains(r._1)).toLong)
+      assert(raw === rows.map(_._3).sum)
+      val effPpm = rows.map { case (id, _, tok) =>
+        tok * clusters.get(id).map(cs => 1000000L / cs).getOrElse(1000000L)
+      }.sum
+      assert(eff === effPpm / 1000000L, s"source $src effective tokens")
+      assert(eff <= raw, s"source $src: downweighting cannot add tokens")
+    }
+    // the policy must bite on a fixture with planted near-dups
+    assert(out.values.map(_._4).sum < out.values.map(_._3).sum,
+      "eff == raw everywhere — soft dedup did nothing")
+  }
+}
