@@ -297,6 +297,41 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def containmentDedup(docs: DataFrame): DataFrame =
     graft.queries.TextOps.screenedContainmentPairs(docs)
 
+  /** Mutual-kNN graph with shared-neighbor strength over ANY
+    * (vec_id, embedding) frame — q183's kernels, shared verbatim (the
+    * funnelVerdict rule): the bucketed top-3 graph (adaptive sign-LSH
+    * candidates, ~32·n comparisons), filtered to MUTUAL edges and
+    * annotated with |top3(a) ∩ top3(b)|. Returns
+    * (a_id, b_id, cos_r, shared_n), a < b. The intermediate graph is
+    * cache-pinned for its three consumers; release with the session's
+    * `VectorOps.releaseCaches()` lifecycle (Bench/Verify call it).
+    */
+  def mutualKnn(vectors: DataFrame): DataFrame =
+    graft.queries.VectorOps.mutualKnnPairs(
+      graft.queries.VectorOps.knnGraphOf(spark, vectors))
+
+  /** Neighbor-vote label audit on ANY (vec_id, label, embedding)
+    * frame — q184's kernels: each vector's 3 bucketed nearest
+    * neighbors vote with their labels; per label the isolated /
+    * suspect counts and the micro-averaged agreement rate. The
+    * confident-learning-style mislabel screen to run before trusting
+    * labels for stratified sampling or eval splits.
+    */
+  def knnLabelAudit(vectors: DataFrame): DataFrame =
+    graft.queries.VectorOps.knnLabelAuditOf(
+      vectors.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label")),
+      graft.queries.VectorOps.knnGraphOf(spark, vectors))
+
+  /** Soft-dedup yield accounting on ANY (doc_id, source, text) frame —
+    * q185's kernel: near-dup clusters downweighted to 1/cluster_size
+    * (integer parts-per-million), rolled up per source as raw vs
+    * effective token mass. The downweight-instead-of-drop policy
+    * report a mixture owner reads next to `unimaxMix`.
+    */
+  def softDedupYield(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.softDedupYieldOf(spark, docs)
+
   /** Prototypicality pruning verdicts (q174's kernel on a caller
     * (vec_id, label, embedding) frame): per vector, cosine to its
     * own-label centroid, within-label rank, and the pruned flag for

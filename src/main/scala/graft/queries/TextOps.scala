@@ -391,6 +391,35 @@ object TextOps {
   private def lshPairs(s: SparkSession, sh: DataFrame): DataFrame =
     pin(lshPairsRaw(s, sh))
 
+  /** q185's body over ANY (doc_id, source, text) frame — ONE kernel
+    * serving the registered query and `GraftEngine.softDedupYield`
+    * (the funnelVerdict sharing rule): near-dup connected components
+    * (the shared pinned pair kernel + label propagation), each
+    * clustered doc downweighted to 1000000 div cluster_size parts per
+    * million, rolled up per source as raw vs effective token mass.
+    * Integer ppm keeps every aggregate a sum of exact integers.
+    */
+  private[graft] def softDedupYieldOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = cachedShingles(docs)
+    val p = lshPairs(s, sh).select(col("da"), col("db"))
+    val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst"))
+    val labels = connectedLabels(edges)
+    val wt = labels
+      .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs")), Seq("lbl"))
+      .select(col("v").as("doc_id"), expr("1000000 DIV cs").as("w_ppm"))
+    docs.select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("tok_n"))
+      .join(wt, Seq("doc_id"), "left")
+      .withColumn("wp", coalesce(col("w_ppm"), lit(1000000L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w_ppm").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(col("tok_n")).as("raw_tokens"),
+        expr("sum(tok_n * wp) DIV 1000000").as("eff_tokens"))
+      .orderBy(col("source"))
+  }
+
   private def lshPairsRaw(s: SparkSession, sh: DataFrame): DataFrame = {
     graft.functions.MinHashAgg.ensureRegistered(s)
     // All 16 permutation minima AND the distinct-shingle count in
@@ -1247,27 +1276,7 @@ object TextOps {
         "the corpus to the cluster-size table (dup-density-sized, not corpus-sized), " +
         "then a sources-sized rollup; at 100 TB nothing here exceeds the dedup pass " +
         "it reuses.",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = cachedShingles(docs)
-        val p = lshPairs(s, sh).select(col("da"), col("db"))
-        val edges = pin(p.union(p.select(col("db").as("da"), col("da").as("db")))
-          .toDF("src", "dst"))
-        val labels = connectedLabels(edges)
-        val wt = labels
-          .join(labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs")), Seq("lbl"))
-          .select(col("v").as("doc_id"), expr("1000000 DIV cs").as("w_ppm"))
-        docs.select(col("doc_id"), col("source"),
-            size(toks(col("text"))).cast("long").as("tok_n"))
-          .join(wt, Seq("doc_id"), "left")
-          .withColumn("wp", coalesce(col("w_ppm"), lit(1000000L)))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("w_ppm").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
-            sum(col("tok_n")).as("raw_tokens"),
-            expr("sum(tok_n * wp) DIV 1000000").as("eff_tokens"))
-          .orderBy(col("source"))
-      },
+      (s, d) => softDedupYieldOf(s, t(s, d, "documents")),
       Some("WITH " + ccLabelCteSql + ", " +
         "cs AS (SELECT cluster_id, count(*) AS csize FROM lbl GROUP BY cluster_id), " +
         "wt AS (SELECT lbl.doc_id, 1000000 // csize AS w_ppm " +

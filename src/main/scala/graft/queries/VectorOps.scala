@@ -58,7 +58,17 @@ object VectorOps {
       case _ => () // AnnIndex pins no cache
     }
     servedIndexes.clear()
+    // facade-built kNN graphs (knnGraphOf on caller frames) are pinned
+    // outside the memo — release them too (double-unpersist of the
+    // memoized graph is a harmless no-op)
+    pinnedGraphs.synchronized {
+      pinnedGraphs.foreach(_.unpersist(blocking = false))
+      pinnedGraphs.clear()
+    }
   }
+
+  private val pinnedGraphs =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   /** Explicit bench/session setup: build every served ANN index (IVF,
     * PQ, composed IVF-PQ) with the exact parameters the registered
@@ -207,19 +217,73 @@ object VectorOps {
     */
   private[graft] def knnGraph(s: SparkSession, d: String): DataFrame =
     served(s, d, "knn3") {
-      CosineSimilarity.ensureRegistered(s)
-      val e = withBucket(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-      val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      val w = Window.partitionBy(col("a_id")).orderBy(col("cos_r").desc, col("b_id"))
-      val k = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("a_id"), col("b_id"), col("cos_r"))
-      k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      k
+      knnGraphOf(s, t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
     }
+
+  /** The kNN-graph kernel over ANY (vec_id, embedding) frame — ONE
+    * implementation serving the registered queries (via the memo
+    * above) and the `GraftEngine.mutualKnn`/`knnLabelAudit` facades
+    * (the funnelVerdict sharing rule). Returns the persisted top-3
+    * edge list (a_id, b_id, cos_r); the caller's consumers all read
+    * the one cache entry, released by `releaseCaches()`.
+    */
+  private[graft] def knnGraphOf(s: SparkSession, e0: DataFrame): DataFrame = {
+    CosineSimilarity.ensureRegistered(s)
+    val e = withBucket(e0.select(col("vec_id"), col("embedding")))
+    val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_r").desc, col("b_id"))
+    val k = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("cos_r"))
+    k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinnedGraphs.synchronized { pinnedGraphs += k }
+    k
+  }
+
+  /** q183's body over a prebuilt kNN edge list: mutual edges (a<b)
+    * annotated with the shared-top-3-neighbor count.
+    */
+  private[graft] def mutualKnnPairs(k: DataFrame): DataFrame = {
+    val m = k
+      .join(k.select(col("a_id").as("ya"), col("b_id").as("yb")),
+        col("a_id") === col("yb") && col("b_id") === col("ya"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_r"))
+    val sn = k.select(col("a_id").as("n1a"), col("b_id").as("nb"))
+      .join(k.select(col("a_id").as("n2a"), col("b_id").as("nb")), Seq("nb"))
+      .filter(col("n1a") < col("n2a"))
+      .groupBy(col("n1a").as("a_id"), col("n2a").as("b_id"))
+      .agg(count(lit(1)).as("shared_n"))
+    m.join(sn, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("cos_r"),
+        coalesce(col("shared_n"), lit(0L)).as("shared_n"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q184's body over (vec_id, label) + a prebuilt kNN edge list:
+    * per-label neighbor-vote agreement rollup.
+    */
+  private[graft] def knnLabelAuditOf(lbl: DataFrame, k: DataFrame): DataFrame = {
+    val nb = k
+      .join(lbl.select(col("vec_id").as("b_id"), col("label").as("b_label")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_label"))
+    val pv = lbl.join(nb, lbl("vec_id") === nb("a_id"), "left")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(col("b_label")).as("n_nbrs"),
+        sum(when(col("b_label") === col("label"), 1L).otherwise(0L)).as("n_match"))
+    pv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_nbrs") === 0, 1L).otherwise(0L)).as("n_isolated"),
+        sum(when(col("n_nbrs") > 0 && col("n_match") === 0, 1L).otherwise(0L))
+          .as("n_suspect"),
+        round(sum(col("n_match")) / nullif(sum(col("n_nbrs")), lit(0L)), 6)
+          .as("match_rate"))
+      .orderBy(col("label"))
+  }
 
   /** Explicit bench setup for the shared 3-NN graph — the named build
     * step that keeps the graph's one-time cost out of whichever of
@@ -913,23 +977,7 @@ object VectorOps {
         "cosine pass is priced once; the self-joins shuffle (a_id, b_id) pairs only — " +
         "3·n rows, never embeddings. At 100 TB the graph is an a_id-bucketed parquet " +
         "table and both self-joins are co-partitioned merges.",
-      (s, d) => {
-        val k = knnGraph(s, d)
-        val m = k
-          .join(k.select(col("a_id").as("ya"), col("b_id").as("yb")),
-            col("a_id") === col("yb") && col("b_id") === col("ya"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), col("cos_r"))
-        val sn = k.select(col("a_id").as("n1a"), col("b_id").as("nb"))
-          .join(k.select(col("a_id").as("n2a"), col("b_id").as("nb")), Seq("nb"))
-          .filter(col("n1a") < col("n2a"))
-          .groupBy(col("n1a").as("a_id"), col("n2a").as("b_id"))
-          .agg(count(lit(1)).as("shared_n"))
-        m.join(sn, Seq("a_id", "b_id"), "left")
-          .select(col("a_id"), col("b_id"), col("cos_r"),
-            coalesce(col("shared_n"), lit(0L)).as("shared_n"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => mutualKnnPairs(knnGraph(s, d)),
       Some(s"WITH $knnCteSql, " +
         "m AS (SELECT x.a_id, x.b_id, x.cos_r FROM k x JOIN k y " +
         "ON x.a_id = y.b_id AND x.b_id = y.a_id WHERE x.a_id < x.b_id), " +
@@ -956,25 +1004,9 @@ object VectorOps {
         "centroids are meaningless). One broadcast-scale label probe joined to the " +
         "persisted 3·n-row graph, then a labels-sized rollup — no embedding ever " +
         "shuffles.",
-      (s, d) => {
-        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-        val nb = knnGraph(s, d)
-          .join(lbl.select(col("vec_id").as("b_id"), col("label").as("b_label")),
-            Seq("b_id"))
-          .select(col("a_id"), col("b_label"))
-        val pv = lbl.join(nb, lbl("vec_id") === nb("a_id"), "left")
-          .groupBy(col("vec_id"), col("label"))
-          .agg(count(col("b_label")).as("n_nbrs"),
-            sum(when(col("b_label") === col("label"), 1L).otherwise(0L)).as("n_match"))
-        pv.groupBy(col("label"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(when(col("n_nbrs") === 0, 1L).otherwise(0L)).as("n_isolated"),
-            sum(when(col("n_nbrs") > 0 && col("n_match") === 0, 1L).otherwise(0L))
-              .as("n_suspect"),
-            round(sum(col("n_match")) / nullif(sum(col("n_nbrs")), lit(0L)), 6)
-              .as("match_rate"))
-          .orderBy(col("label"))
-      },
+      (s, d) => knnLabelAuditOf(
+        t(s, d, "embeddings").select(col("vec_id"), col("label")),
+        knnGraph(s, d)),
       Some(s"WITH $knnCteSql, " +
         "nlb AS (SELECT k.a_id, e2.label AS b_label FROM k " +
         "JOIN embeddings e2 ON k.b_id = e2.vec_id), " +

@@ -274,4 +274,37 @@ class GraftEngineSpec extends SparkSpec {
     val self = engine.psiDrift(ev, ev, "event_type", col("bkt")).collect()
     assert(self.forall(_.getDouble(self.head.fieldIndex("psi")) === 0.0))
   }
+
+  test("mutualKnn facade reproduces registered q183 exactly") {
+    val viaEngine = engine.mutualKnn(engine.table("embeddings"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val registered = engine.query("q183_mutual_knn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(viaEngine === registered)
+    assert(viaEngine.nonEmpty, "fixture must produce mutual pairs")
+  }
+
+  test("knnLabelAudit facade reproduces registered q184 exactly") {
+    val viaEngine = engine.knnLabelAudit(engine.table("embeddings"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val registered = engine.query("q184_knn_label_audit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(viaEngine === registered)
+  }
+
+  test("softDedupYield facade reproduces registered q185 exactly") {
+    val viaEngine = engine.softDedupYield(engine.table("documents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val registered = engine.query("q185_soft_dedup_yield")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaEngine === registered)
+    // the policy must bite on the planted-near-dup fixture
+    assert(viaEngine.exists(t => t._5 < t._4))
+  }
 }
