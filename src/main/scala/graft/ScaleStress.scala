@@ -206,7 +206,16 @@ object ScaleStress {
       // as q171 (events copies 1×, so their rows price the fixed merge
       // protocol, not growth)
       "q179_containment_screened", "q180_asof_forward",
-      "q181_asof_nearest")
+      "q181_asof_nearest",
+      // round-10 continuation: the epoch shuffle is two bounded
+      // RangeRank shuffles over the doubled corpus (never a per-shard
+      // window sort); the kNN-graph consumers ride the adaptive LSH —
+      // 10× vectors push bucket bits 8→12, so candidate volume stays
+      // ~32·n and the graph self-joins shuffle 3·n pairs; soft-dedup
+      // yield rides the 45×-denser pair graph through the same label
+      // propagation as q92 plus one dup-density-sized join
+      "q182_epoch_shuffle", "q183_mutual_knn", "q184_knn_label_audit",
+      "q185_soft_dedup_yield")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

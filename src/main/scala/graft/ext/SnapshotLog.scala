@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   *                           REWRITES of existing rows (dataChange =
   *                           false) — the change feed must never
   *                           re-deliver them as inserts.
+  *                         #schema<TAB>json       the snapshot's
+  *                           SCHEMA as of this version (add-only
+  *                           evolution: appends may add nullable
+  *                           columns, never drop or retype) — readers
+  *                           apply it instead of merging parquet
+  *                           footers, and time travel sees the schema
+  *                           as of the version it reads.
   *
   * Commits are atomic AND exclusive: the manifest is written to a temp
   * name and published with `Files.createLink` (hard link), which fails
@@ -123,6 +130,53 @@ object SnapshotLog {
   }
 
   def meta(dir: String, v: Int): ManifestMeta = metaOf(manifestLines(dir, v))
+
+  /** Snapshot SCHEMA as of version v — recorded in the manifest
+    * (`#schema<TAB><json>`) at every commit, the Delta/Iceberg posture:
+    * readers apply the logged schema instead of merging parquet
+    * footers, so a snapshot read costs zero footer listing even when
+    * segments were written under different (evolved) schemas, and time
+    * travel sees the schema AS OF that version. Legacy manifests
+    * (written before schema logging) return None and read with their
+    * segments' own uniform schema.
+    */
+  def schemaOf(dir: String, v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(dir, v).collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.split('\t')(1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Add-only schema evolution gate: every column of the previous
+    * snapshot must survive with the same type; columns the new frame
+    * adds are appended (nullable — old segments null-fill them on
+    * read). Returns the new snapshot schema. Drops and type changes
+    * fail loudly: silently narrowing a 100 TB table's schema is how
+    * downstream readers lose columns without an error anywhere.
+    */
+  private def evolvedSchema(prev: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val merged = prev match {
+      case None => next
+      case Some(ps) =>
+        ps.fields.foreach { f =>
+          val nf = next.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"append drops column '${f.name}' present in the previous " +
+                "snapshot — snapshot-log schema evolution is add-only"))
+          require(nf.dataType.catalogString == f.dataType.catalogString,
+            s"append changes the type of '${f.name}': " +
+              s"${f.dataType.catalogString} -> ${nf.dataType.catalogString}")
+        }
+        StructType(ps.fields ++
+          next.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+    }
+    // nullable throughout: segments written before a column existed
+    // null-fill it, so a non-null contract would be a lie on read
+    StructType(merged.fields.map(_.copy(nullable = true)))
+  }
 
   private def metaLines(m: ManifestMeta): Seq[String] =
     (if (m.batches.isEmpty) Nil
@@ -219,6 +273,10 @@ object SnapshotLog {
     Files.createDirectories(logDir(dir))
     val prev = version(dir)
     val v = prev + 1
+    // schema gate BEFORE any data lands: a refused append must leave
+    // neither a manifest nor an orphan segment directory behind
+    val snapSchema = evolvedSchema(
+      if (prev < 0) None else schemaOf(dir, prev), df.schema)
     // The segment name carries a per-writer token: the manifest link is
     // exclusive, but two racing appends that both computed version v
     // would otherwise BOTH write seg-<v> (mode overwrite) BEFORE the
@@ -234,16 +292,23 @@ object SnapshotLog {
     val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
       else meta(dir, prev)
     val lines = (carried :+ Segment(rel, mn, mx, batchTag)).map(segLine) ++
-      metaLines(carriedMeta)
+      metaLines(carriedMeta) :+ s"#schema\t${snapSchema.json}"
     publish(dir, v, lines)
     v
   }
 
-  /** The table exactly as of snapshot `v`. */
+  /** The table exactly as of snapshot `v`, under the schema logged AT
+    * v: segments written before a column was added null-fill it, and
+    * no parquet footer is ever opened for schema discovery.
+    */
   def readAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val segs = segments(dir, v)
     require(segs.nonEmpty, s"snapshot v$v is empty")
-    spark.read.parquet(segs.map(s => Paths.get(dir, s.relPath).toString): _*)
+    val paths = segs.map(s => Paths.get(dir, s.relPath).toString)
+    schemaOf(dir, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Change-data feed: the rows ADDED in versions (fromV, toV],
@@ -273,8 +338,17 @@ object SnapshotLog {
         segments(dir, w).filter(_.dataChange).filterNot(s => prevSet(s.relPath))
       }.distinctBy(_.relPath)
       if (delta.isEmpty) readAsOf(spark, dir, toV).limit(0)
-      else spark.read.parquet(
-        delta.map(s => Paths.get(dir, s.relPath).toString): _*)
+      else {
+        // delta rows surface under toV's schema — an incremental
+        // consumer reading across a column-add sees the evolved shape
+        // (pre-add segments null-fill), matching what a readAsOf(toV)
+        // of the same rows would return
+        val paths = delta.map(s => Paths.get(dir, s.relPath).toString)
+        schemaOf(dir, toV) match {
+          case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+      }
     }
   }
 
@@ -298,8 +372,11 @@ object SnapshotLog {
     val segPath = Paths.get(dir, rel).toString
     readAsOf(spark, dir, prev).write.mode("overwrite").parquet(segPath)
     val (mn, mx) = writtenStats(spark, segPath, statsCol)
+    // the rewrite materializes the evolved schema into the segment, and
+    // the snapshot schema carries forward unchanged
     val lines = Seq(segLine(Segment(rel, mn, mx))) ++
-      metaLines(ManifestMeta(committedBatches(dir), Set(rel)))
+      metaLines(ManifestMeta(committedBatches(dir), Set(rel))) ++
+      schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}").toSeq
     publish(dir, v, lines)
     v
   }
@@ -342,9 +419,14 @@ object SnapshotLog {
     val hit = segs.filter(s => s.min <= hi && s.max >= lo)
     val df =
       if (hit.isEmpty) readAsOf(spark, dir, v).limit(0)
-      else spark.read
-        .parquet(hit.map(s => Paths.get(dir, s.relPath).toString): _*)
-        .filter(statsCol >= lo && statsCol <= hi)
+      else {
+        val paths = hit.map(s => Paths.get(dir, s.relPath).toString)
+        val base = schemaOf(dir, v) match {
+          case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        base.filter(statsCol >= lo && statsCol <= hi)
+      }
     (df, hit.size, segs.size)
   }
 }

@@ -285,4 +285,52 @@ class SnapshotLogSpec extends SparkSpec {
     SnapshotLog.reset(dir)
     assert(SnapshotLog.version(dir) === -1)
   }
+
+  test("schema evolution: added column null-fills old segments; time travel keeps old shape") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-evo").toString
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "txt"),
+      dir, col("id"))
+    SnapshotLog.append(Seq((3L, "c", 0.9)).toDF("id", "txt", "score"),
+      dir, col("id"))
+    // v1 reads the EVOLVED schema: 3 columns, old rows null-filled
+    val v1 = SnapshotLog.readAsOf(spark, dir, 1)
+    assert(v1.columns.toSeq === Seq("id", "txt", "score"))
+    val byId = v1.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+    // time travel to v0 sees the PRE-evolution schema
+    assert(SnapshotLog.readAsOf(spark, dir, 0).columns.toSeq === Seq("id", "txt"))
+    // the change feed across the column-add surfaces the new shape
+    val delta = SnapshotLog.readChanges(spark, dir, 0, 1)
+    assert(delta.columns.toSeq === Seq("id", "txt", "score"))
+    assert(delta.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // compaction materializes the evolved schema and keeps the nulls
+    val cv = SnapshotLog.compact(spark, dir, col("id"))
+    val compacted = SnapshotLog.readAsOf(spark, dir, cv)
+    assert(compacted.columns.toSeq === Seq("id", "txt", "score"))
+    assert(compacted.filter(col("score").isNull).count() === 2)
+    // a later append of the NARROW shape is a drop — refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(Seq((4L, "d")).toDF("id", "txt"), dir, col("id"))
+    }
+    assert(SnapshotLog.version(dir) === cv, "failed append must not commit")
+  }
+
+  test("schema evolution refuses type changes and column drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snaplog-evo2").toString
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(Seq((1L, 10)).toDF("id", "n"), dir, col("id"))
+    intercept[IllegalArgumentException] { // n retyped int -> string
+      SnapshotLog.append(Seq((2L, "x")).toDF("id", "n"), dir, col("id"))
+    }
+    intercept[IllegalArgumentException] { // n dropped
+      SnapshotLog.append(Seq(Tuple1(2L)).toDF("id"), dir, col("id"))
+    }
+    // the log is untouched by both refusals
+    assert(SnapshotLog.version(dir) === 0)
+    assert(SnapshotLog.readAsOf(spark, dir, 0).count() === 1)
+  }
 }
