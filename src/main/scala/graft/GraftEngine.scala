@@ -323,6 +323,18 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
         org.apache.spark.sql.functions.col("label")),
       graft.queries.VectorOps.knnGraphOf(spark, vectors))
 
+  /** Incremental kNN-graph maintenance on ANY (vec_id, embedding)
+    * frame — q187's kernel: `isIncrement` marks newly-landed vectors
+    * (e.g. `col("ingest_day") === today`); only the neighbor lists of
+    * vectors sharing an LSH bucket with an increment vector are
+    * recomputed, against the full corpus within those buckets. Returns
+    * the UPDATED (a_id, b_id, cos_r, rn) top-3 lists — bit-identical
+    * to a full rebuild's, restricted to affected buckets.
+    */
+  def incrementalKnn(vectors: DataFrame,
+      isIncrement: org.apache.spark.sql.Column): DataFrame =
+    graft.queries.VectorOps.incrementalKnnOf(spark, vectors, isIncrement)
+
   /** Soft-dedup yield accounting on ANY (doc_id, source, text) frame —
     * q185's kernel: near-dup clusters downweighted to 1/cluster_size
     * (integer parts-per-million), rolled up per source as raw vs

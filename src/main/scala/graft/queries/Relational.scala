@@ -942,10 +942,82 @@ object Relational {
     dir
   }
 
+  /** Builds the 2-commit EVOLVED orders log for q186: v0 commits the
+    * 3-column shape, v1 appends newer rows WITH an added price_band
+    * column — the add-only schema evolution SnapshotLog logs per
+    * version (`#schema` manifest line) and applies on read.
+    */
+  private[graft] def buildEvolvedOrdersLog(s: SparkSession, d: String): String = {
+    import graft.ext.SnapshotLog
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-snaplog-evo-" + Integer.toHexString(d.hashCode)).toString
+    SnapshotLog.reset(dir)
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val ts = unix_timestamp(col("o_orderdate"))
+    val c1 = lit(snapCut1).cast("timestamp")
+    val c2 = lit(snapCut2).cast("timestamp")
+    SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+    SnapshotLog.append(
+      o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2)
+        .withColumn("price_band",
+          floor(col("o_totalprice") / 50000).cast("long")),
+      dir, ts)
+    dir
+  }
+
   /** Versioned-table queries (ext/SnapshotLog) — registered separately
     * so the main relational sweep stays declarative-only.
     */
   val queriesSnapshot: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q186_schema_evolution",
+      "Add-only schema evolution over ext/SnapshotLog — the column-add every long-lived " +
+        "training table eventually makes (a new quality score, a new provenance field): " +
+        "v0 commits orders in the 3-column shape, v1 appends newer rows WITH a derived " +
+        "price_band column, and the log records each version's schema in its manifest " +
+        "(the Delta/Iceberg posture — readers apply the LOGGED schema, never merge " +
+        "parquet footers, so the read cost is schema-size-independent at any table " +
+        "size). The query then audits both snapshots AS OF their versions: v0 reads the " +
+        "pre-evolution 3-column shape; v1 reads 4 columns with the v0 segment's rows " +
+        "null-filled in the added column — n_cols comes from the actually-read frames, " +
+        "so the hash fails if time travel ever leaks the evolved schema backwards or " +
+        "the null-fill miscounts. Drops and retypes are refused at append " +
+        "(SnapshotLogSpec pins the refusals; this query pins the happy path " +
+        "cross-engine).",
+      (s, d) => {
+        val dir = buildEvolvedOrdersLog(s, d)
+        val v0 = graft.ext.SnapshotLog.readAsOf(s, dir, 0)
+        val v1 = graft.ext.SnapshotLog.readAsOf(s, dir, 1)
+        val r0 = v0.agg(count(lit(1)).as("n_rows"))
+          .select(lit(0).as("version"), col("n_rows"),
+            lit(v0.columns.length).as("n_cols"),
+            lit(null).cast("long").as("band_nulls"),
+            lit(null).cast("long").as("band_sum"))
+        val r1 = v1.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("price_band").isNull, 1L).otherwise(0L))
+              .as("band_nulls"),
+            sum(col("price_band")).as("band_sum"))
+          .select(lit(1).as("version"), col("n_rows"),
+            lit(v1.columns.length).as("n_cols"),
+            col("band_nulls"), col("band_sum"))
+        r0.unionByName(r1).orderBy(col("version"))
+      },
+      Some("SELECT CAST(0 AS INTEGER) AS version, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, CAST(3 AS INTEGER) AS n_cols, " +
+        "CAST(NULL AS BIGINT) AS band_nulls, CAST(NULL AS BIGINT) AS band_sum " +
+        s"FROM orders WHERE o_orderdate < TIMESTAMP '$snapCut1' " +
+        "UNION ALL " +
+        "SELECT CAST(1 AS INTEGER), CAST(count(*) AS BIGINT), " +
+        "CAST(4 AS INTEGER), " +
+        s"CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$snapCut1' " +
+        "THEN 1 ELSE 0 END) AS BIGINT), " +
+        s"CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$snapCut1' " +
+        "THEN CAST(floor(o_totalprice / 50000) AS BIGINT) END) AS BIGINT) " +
+        s"FROM orders WHERE o_orderdate < TIMESTAMP '$snapCut2' " +
+        "ORDER BY version")),
 
     GraftQuery(
       "q173_time_travel",

@@ -263,6 +263,36 @@ object VectorOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q187's body over ANY (vec_id, embedding) frame — incremental
+    * kNN-graph maintenance shared by the registered query and
+    * `GraftEngine.incrementalKnn` (the funnelVerdict sharing rule):
+    * `isIncrement` marks the newly-landed vectors; only the neighbor
+    * lists of vectors sharing an LSH bucket with an increment vector
+    * recompute (a bucket left-semi prune — at 100 TB, partition
+    * pruning before any file opens), against the full corpus within
+    * those buckets. The bucketer derives from the FULL corpus size and
+    * is pinned across the refresh, as in production.
+    */
+  private[graft] def incrementalKnnOf(s: SparkSession, e0: DataFrame,
+      isIncrement: Column): DataFrame = {
+    CosineSimilarity.ensureRegistered(s)
+    val e = withBucket(e0.select(col("vec_id"), col("embedding")))
+    val affected = e.filter(isIncrement).select(col("bucket")).distinct()
+    val members = e.join(affected, Seq("bucket"), "left_semi")
+    val l = members.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val r = e.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_r").desc, col("b_id"))
+    l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("cos_r"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** q184's body over (vec_id, label) + a prebuilt kNN edge list:
     * per-label neighbor-vote agreement rollup.
     */
@@ -1018,6 +1048,41 @@ object VectorOps {
         "CAST(sum(CASE WHEN n_nbrs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated, " +
         "CAST(sum(CASE WHEN n_nbrs > 0 AND n_match = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect, " +
         "round(sum(n_match) / nullif(sum(n_nbrs), 0), 6) AS match_rate " +
-        "FROM pv GROUP BY label ORDER BY label"))
+        "FROM pv GROUP BY label ORDER BY label")),
+
+    GraftQuery(
+      "q187_incremental_knn",
+      "Incremental kNN-graph maintenance — the nightly index refresh a production " +
+        "vector store runs instead of rebuilding: an increment batch lands (the ~10% of " +
+        "vectors whose md5 bucket is 0 — the q82 deterministic-split discipline), and " +
+        "ONLY the neighbor lists of vectors sharing an LSH bucket with an increment " +
+        "vector are recomputed; every untouched bucket's lists are not even read — at " +
+        "100 TB the graph is bucket-partitioned parquet and the refresh prunes to " +
+        "affected partitions before any file opens. The bucketer (sign-LSH width from " +
+        "the FULL corpus size) is pinned across the refresh, as in production: the hash " +
+        "family never re-derives per batch, or every list would be 'affected'. Output " +
+        "is the updated top-3 lists — by construction exactly the full-rebuild answer " +
+        "restricted to affected buckets (Round15OpsSpec proves that equivalence on the " +
+        "fixture; candidate volume stays ~32 per recomputed vector).",
+      (s, d) => incrementalKnnOf(s,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+          16, 10).cast("long") % 10 === 0),
+      Some(s"WITH $bucketCteSql, " +
+        "aff AS (SELECT DISTINCT bucket FROM e WHERE " +
+        "CAST((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),1,1))-1)*4096 " +
+        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),2,1))-1)*256 " +
+        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),3,1))-1)*16 " +
+        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),4,1))-1) " +
+        "AS BIGINT) % 10 = 0), " +
+        "m AS (SELECT e.* FROM e JOIN aff USING (bucket)), " +
+        "p AS (SELECT m.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_inner_product(m.emb, b.emb)/" +
+        "(sqrt(list_inner_product(m.emb, m.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
+        "FROM m JOIN e b ON m.bucket = b.bucket AND m.vec_id <> b.vec_id), " +
+        "r AS (SELECT a_id, b_id, cos_r, " +
+        "CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS INTEGER) AS rn FROM p) " +
+        "SELECT a_id, b_id, cos_r, rn FROM r WHERE rn <= 3 " +
+        "ORDER BY a_id, rn"))
   )
 }

@@ -296,6 +296,19 @@ class GraftEngineSpec extends SparkSpec {
     assert(viaEngine === registered)
   }
 
+  test("incrementalKnn facade reproduces registered q187 exactly") {
+    val cond = conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 10 === 0
+    val viaEngine = engine.incrementalKnn(engine.table("embeddings"), cond)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val registered = engine.query("q187_incremental_knn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(viaEngine === registered)
+    assert(viaEngine.nonEmpty)
+  }
+
   test("softDedupYield facade reproduces registered q185 exactly") {
     val viaEngine = engine.softDedupYield(engine.table("documents"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -93,4 +93,31 @@ class Round15OpsSpec extends SparkSpec {
     assert(out.values.map(_._4).sum < out.values.map(_._3).sum,
       "eff == raw everywhere — soft dedup did nothing")
   }
+
+  test("q187 incremental refresh = full rebuild restricted to affected buckets") {
+    def rows(name: String) = Registry.byName(name).fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val incremental = rows("q187_incremental_knn")
+    val full = rows("q51_ann_lsh_topk") // same bucket discipline, all vectors
+    val touched = incremental.map(_._1)
+    assert(incremental === full.filter(t => touched(t._1)),
+      "updated lists must be bit-identical to the full rebuild's")
+    // every increment vector (md5 bucket 0, the q82 split discipline)
+    // got a fresh list — except vectors ALONE in their LSH bucket,
+    // which have no in-bucket neighbors in the full rebuild either
+    // (they are absent from q51's a_id set for the same reason)
+    val incIds = Tables.load(spark, sfDir, "embeddings")
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    val listed = full.map(_._1)
+    assert(incIds.diff(touched).subsetOf(incIds.diff(listed)),
+      "an increment vector WITH in-bucket neighbors kept a stale list")
+    // ...and the refresh is a real screen: untouched vectors far
+    // outnumber touched ones on the fixture
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(touched.size < nVecs / 2,
+      s"${touched.size} of $nVecs lists recomputed — the bucket prune did nothing")
+  }
 }
