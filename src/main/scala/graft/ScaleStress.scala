@@ -215,7 +215,13 @@ object ScaleStress {
       // yield rides the 45×-denser pair graph through the same label
       // propagation as q92 plus one dup-density-sized join
       "q182_epoch_shuffle", "q183_mutual_knn", "q184_knn_label_audit",
-      "q185_soft_dedup_yield")
+      "q185_soft_dedup_yield",
+      // the evolution audit re-commits 10× orders into two segments
+      // (write-volume-linear, manifest-priced reads); the incremental
+      // refresh's touched-bucket volume tracks the increment split,
+      // and 10× vectors push the bucketer 8→12 bits so per-bucket
+      // candidate volume stays ~32
+      "q186_schema_evolution", "q187_incremental_knn")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
