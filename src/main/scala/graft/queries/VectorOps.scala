@@ -274,10 +274,23 @@ object VectorOps {
     * is pinned across the refresh, as in production.
     */
   private[graft] def incrementalKnnOf(s: SparkSession, e0: DataFrame,
-      isIncrement: Column): DataFrame = {
+      isIncrement: Column): DataFrame =
+    incrementalKnnFrom(s, e0, _.filter(isIncrement))
+
+  /** Increment identified by a (vec_id) frame instead of a predicate —
+    * the shape a streaming micro-batch supplies (no driver-side id
+    * collection; the mark is a left-semi join).
+    */
+  private[graft] def incrementalKnnIds(s: SparkSession, e0: DataFrame,
+      incrementIds: DataFrame): DataFrame =
+    incrementalKnnFrom(s, e0,
+      _.join(incrementIds.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+
+  private def incrementalKnnFrom(s: SparkSession, e0: DataFrame,
+      pickIncrement: DataFrame => DataFrame): DataFrame = {
     CosineSimilarity.ensureRegistered(s)
     val e = withBucket(e0.select(col("vec_id"), col("embedding")))
-    val affected = e.filter(isIncrement).select(col("bucket")).distinct()
+    val affected = pickIncrement(e).select(col("bucket")).distinct()
     val members = e.join(affected, Seq("bucket"), "left_semi")
     val l = members.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))

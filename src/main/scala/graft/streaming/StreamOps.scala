@@ -272,6 +272,47 @@ object StreamOps {
         }
       }
 
+  /** Streaming kNN-graph maintenance — q187's nightly-refresh posture
+    * applied per micro-batch: each arriving batch of NEW vectors is
+    * unioned into the standing corpus and ONLY the neighbor lists of
+    * vectors sharing an LSH bucket with a batch vector recompute; the
+    * refreshed (a_id, b_id, cos_r, rn) lists land under
+    * `batch_id=<id>` for the same keyed-overwrite replay idempotency
+    * as `indexIngestStream`. The per-batch body is the SAME kernel the
+    * registered q187 runs (`VectorOps.incrementalKnnFrom` behind
+    * `incrementalKnnIds` — the funnelVerdict sharing rule), so the
+    * stream cannot drift from the batch semantics; StreamingSpec pins
+    * stream ≡ batch. At 100 TB the standing corpus is bucket-
+    * partitioned parquet and each refresh prunes to the batch's
+    * buckets before any file opens.
+    */
+  def knnRefreshStream(vectors: DataFrame, corpus: DataFrame,
+      outDir: String) =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          knnRefreshBatch(batch, corpus)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+
+  /** The per-batch refresh body, factored so StreamingSpec can pin
+    * stream ≡ batch through the real kernel: union the batch into the
+    * corpus, mark the batch ids as the increment (left-semi — no
+    * driver-side id collection), recompute affected buckets only.
+    * The bucketer derives from the post-ingest corpus size, identical
+    * for every list this refresh emits.
+    */
+  private[graft] def knnRefreshBatch(batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val b = batch.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val full = corpus.select(col("vec_id"), col("embedding")).unionByName(b)
+    graft.queries.VectorOps.incrementalKnnIds(batch.sparkSession, full,
+      b.select(col("vec_id")))
+  }
+
   /** Streaming REAL-codec image decode — the stateless streaming twin
     * of q152's batch path, sharing `MediaOps.decodeImage` verbatim
     * (the funnelVerdict sharing rule): binary media arriving on a feed

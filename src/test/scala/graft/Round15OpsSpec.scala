@@ -94,6 +94,31 @@ class Round15OpsSpec extends SparkSpec {
       "eff == raw everywhere — soft dedup did nothing")
   }
 
+  test("q183's consumers read the pinned kNN kernel, never re-run the candidate pass") {
+    // the q129 lesson as a regression guard: the mutual/shared-neighbor
+    // self-joins consume the kernel from four sides — if the pin is
+    // ever lost, the bucketed cosine pass (a Window over the candidate
+    // join) re-executes per side. With the kernel materialized, q183's
+    // executed plan must read InMemoryTableScan leaves and contain NO
+    // Window of its own (the only Window lives inside the cached plan).
+    staticPlan {
+      val k = graft.queries.VectorOps.knnGraph(spark, sfDir)
+      k.count() // materialize the cache entry
+      val plan = Registry.byName("q183_mutual_knn").fn(spark, sfDir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s if s.getClass.getSimpleName.contains("InMemoryTableScan") => s
+      }
+      assert(scans.size >= 2,
+        s"q183 must serve from the pinned kernel; plan:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        "a Window outside the cached kernel means the candidate pass re-ran")
+    }
+  }
+
   test("q187 incremental refresh = full rebuild restricted to affected buckets") {
     def rows(name: String) = Registry.byName(name).fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),

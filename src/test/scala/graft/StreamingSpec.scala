@@ -321,6 +321,50 @@ class StreamingSpec extends SparkSpec {
     } finally index.close()
   }
 
+  test("streaming kNN refresh matches the batch incremental kernel exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // new vectors COPY existing embeddings (ids shifted), so each lands
+    // in an occupied bucket and must surface with a cosine-1 neighbor
+    val newVecs = corpus.limit(5).collect().map(r => StreamOps.Vec(
+      r.getAs[Long]("vec_id") + 1000000L,
+      r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-knnref")
+    val out = root.resolve("refresh").toString
+    val input = MemoryStream[StreamOps.Vec]
+    val q = StreamOps.knnRefreshStream(input.toDF(), corpus, out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try { input.addData(newVecs); q.processAllAvailable() } finally q.stop()
+
+    def lists(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_r"), r.getAs[Int]("rn"))).toSet
+    val streamed = lists(spark.read.parquet(s"$out/batch_id=0"))
+    // stream ≡ batch through the factored kernel
+    val expect = lists(StreamOps.knnRefreshBatch(newVecs.toDF(), corpus))
+    assert(streamed === expect)
+    assert(streamed.nonEmpty)
+    // every arriving vector got a fresh list, and its rank-1 neighbor
+    // is its embedding's original at cosine 1
+    newVecs.foreach { v =>
+      val top = streamed.filter(t => t._1 == v.vec_id && t._4 == 1)
+      assert(top.size === 1, s"vec ${v.vec_id} has no refreshed list")
+      assert(top.head._3 === 1.0,
+        s"vec ${v.vec_id}'s rank-1 neighbor is not its cosine-1 twin")
+    }
+    // standing vectors in touched buckets see the newcomer too: the
+    // copied-from originals now rank their twin at cosine 1
+    val originals = newVecs.map(_.vec_id - 1000000L).toSet
+    originals.foreach { o =>
+      assert(streamed.exists(t => t._1 == o && t._3 == 1.0),
+        s"original $o's list was not refreshed with its twin")
+    }
+  }
+
   test("streaming REAL-codec image decode matches the batch decode exactly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
