@@ -416,7 +416,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("w_ppm").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
         sum(col("tok_n")).as("raw_tokens"),
-        expr("sum(tok_n * wp) DIV 1000000").as("eff_tokens"))
+        // decimal(38,0) accumulator: tok_n·wp peaks near 1e9 per row, so
+        // a BIGINT sum would overflow around 1e10 docs — exactly the
+        // 100 TB regime; the DuckDB twin already sums in HUGEINT
+        expr("CAST(sum(CAST(tok_n AS DECIMAL(38,0)) * wp) DIV 1000000 " +
+          "AS BIGINT)").as("eff_tokens"))
       .orderBy(col("source"))
   }
 
