@@ -221,7 +221,11 @@ object ScaleStress {
       // refresh's touched-bucket volume tracks the increment split,
       // and 10× vectors push the bucketer 8→12 bits so per-bucket
       // candidate volume stays ~32
-      "q186_schema_evolution", "q187_incremental_knn")
+      "q186_schema_evolution", "q187_incremental_knn",
+      // the budget selection's two-pass prefix scan must stay bucket-
+      // parallel under 10× docs; the CDC dedup reads only the delta
+      // segment and its digest semi-join ships 16-byte keys
+      "q188_budget_curriculum", "q189_cdc_dedup")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -391,6 +391,26 @@ object TextOps {
   private def lshPairs(s: SparkSession, sh: DataFrame): DataFrame =
     pin(lshPairsRaw(s, sh))
 
+  /** Builds the 2-commit documents log for q189: v0 commits the 90%
+    * standing corpus, v1 appends the 10% md5-id-split increment (the
+    * q82/q187 deterministic-split discipline). Rebuilt per call, like
+    * Relational.buildOrdersLog.
+    */
+  private[graft] def buildDocsLog(s: SparkSession, d: String): String = {
+    import graft.ext.SnapshotLog
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-snaplog-docs-" + Integer.toHexString(d.hashCode)).toString
+    SnapshotLog.reset(dir)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val inc = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 10 === 0
+    SnapshotLog.append(docs.filter(!inc), dir, col("doc_id"))
+    SnapshotLog.append(docs.filter(inc), dir, col("doc_id"))
+    dir
+  }
+
   /** q185's body over ANY (doc_id, source, text) frame — ONE kernel
     * serving the registered query and `GraftEngine.softDedupYield`
     * (the funnelVerdict sharing rule): near-dup connected components
@@ -1207,6 +1227,123 @@ object TextOps {
         "CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(ntok) AS BIGINT) AS chunk_tokens " +
         "FROM c GROUP BY 1 ORDER BY 1")),
+
+    GraftQuery(
+      "q188_budget_curriculum",
+      "Quality-ranked selection under a global token budget — the curation policy that " +
+        "replaces fixed thresholds when the training-compute budget, not a quality bar, " +
+        "is the binding constraint: rank every doc by a continuous quality score " +
+        "(alpha ratio minus stopword ratio, 6dp — the q46 signals as a scalar), walk " +
+        "the ranking best-first, and keep docs while the running token sum fits the " +
+        "budget (25% of corpus tokens, a broadcast 1-row aggregate — never a driver " +
+        "count). The global running sum is the q89/RangeRank two-pass prefix-scan " +
+        "shape with a monotone SCORE bucket: per-bucket window cumsums run fully " +
+        "parallel and the cross-bucket offsets come from an O(buckets) aggregate — an " +
+        "unpartitioned ORDER BY window would sort the whole corpus in one task at " +
+        "100 TB. Bucket boundaries affect task sizing only, never values, so the " +
+        "DuckDB twin checks the same selection through a plain window. Output: what " +
+        "each source contributes to the selected set and its worst admitted score — " +
+        "the table that shows which sources a budget squeeze pushes out.",
+      (s, d) => {
+        val tk = toks(col("text"))
+        val stopRatio = size(filter(tk, t =>
+          t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+          .cast("double") / size(tk)
+        val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))
+        val base = t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(tk).cast("long").as("ntok"),
+          round(alphaRatio - stopRatio, 6).as("score"))
+        val withB = base.withColumn("negs", -col("score"))
+          .withColumn("bkt", floor(col("negs") * 8).cast("long"))
+        val wLoc = Window.partitionBy(col("bkt"))
+          .orderBy(col("negs"), col("doc_id"))
+        val local = withB.withColumn("cum_local", sum(col("ntok")).over(wLoc))
+        val wPrev = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = withB.groupBy(col("bkt"))
+          .agg(sum(col("ntok")).as("btot"))
+          .select(col("bkt"),
+            coalesce(sum(col("btot")).over(wPrev), lit(0L)).as("off"))
+        val total = base.groupBy().agg(sum(col("ntok")).as("tot"))
+        local.join(broadcast(offsets), Seq("bkt"))
+          .withColumn("cum", col("off") + col("cum_local"))
+          .crossJoin(broadcast(total))
+          .filter(col("cum") <= expr("tot DIV 4"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sel"), sum(col("ntok")).as("tok_sel"),
+            min(col("score")).as("cut_score"))
+          .orderBy(col("source"))
+      },
+      Some("WITH q AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS ntok, " +
+        "round(len(regexp_replace(text,'[^a-z]','','g'))*1.0/len(text) " +
+        "- len(list_filter(string_split(text,' '), t -> t IN " +
+        "('the','a','of','and','to','in','is','it')))*1.0" +
+        "/len(string_split(text,' ')), 6) AS score FROM documents), " +
+        "t AS (SELECT sum(ntok) AS tot FROM q), " +
+        "c AS (SELECT *, sum(ntok) OVER (ORDER BY score DESC, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM q) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_sel, " +
+        "CAST(sum(ntok) AS BIGINT) AS tok_sel, min(score) AS cut_score " +
+        "FROM c, t WHERE cum <= tot // 4 " +
+        "GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q189_cdc_dedup",
+      "CDC-driven incremental dedup — q126's ingest gate in its OPERATIONAL form: the " +
+        "increment comes from the snapshot log's change feed, not a caller-side split. " +
+        "The documents corpus lands as a 2-commit log (90% standing, 10% increment by " +
+        "the md5 id split), `readChanges(0, 1)` opens ONLY the delta segment (never " +
+        "re-scanning standing history — at 100 TB a day's dedup reads a day's " +
+        "segments), and each delta doc classifies against (a) the standing corpus's " +
+        "content digests — one digest semi-join, 16-byte keys — and (b) its own batch " +
+        "(first-copy election by digest window WITHIN the increment, increment-sized " +
+        "partitions). Output per source: delta volume, dups vs standing, intra-batch " +
+        "dups, and net-new docs — the ingest report a pipeline owner reads before " +
+        "admitting a crawl drop.",
+      (s, d) => {
+        val dir = buildDocsLog(s, d)
+        val delta = graft.ext.SnapshotLog.readChanges(s, dir, 0, 1)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+        val standing = graft.ext.SnapshotLog.readAsOf(s, dir, 0)
+          .select(md5(col("text")).as("dg")).distinct()
+          .withColumn("hit", lit(1))
+        val wFirst = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+        delta.join(standing, Seq("dg"), "left")
+          .withColumn("rn", row_number().over(wFirst))
+          .withColumn("cls",
+            when(col("hit").isNotNull, "dup_standing")
+              .when(col("rn") > 1, "dup_intra")
+              .otherwise("net_new"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_delta"),
+            sum(when(col("cls") === "dup_standing", 1L).otherwise(0L))
+              .as("n_dup_standing"),
+            sum(when(col("cls") === "dup_intra", 1L).otherwise(0L))
+              .as("n_dup_intra"),
+            sum(when(col("cls") === "net_new", 1L).otherwise(0L))
+              .as("n_net_new"))
+          .orderBy(col("source"))
+      },
+      Some {
+        def digit(i: Int) =
+          s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),$i,1))-1)"
+        "WITH spl AS (SELECT doc_id, source, text, " +
+          s"CAST((${digit(1)}*4096 + ${digit(2)}*256 + ${digit(3)}*16 + ${digit(4)}) " +
+          "AS BIGINT) % 10 = 0 AS inc FROM documents), " +
+          "stand AS (SELECT DISTINCT md5(text) AS dg FROM spl WHERE NOT inc), " +
+          "del AS (SELECT doc_id, source, md5(text) AS dg FROM spl WHERE inc), " +
+          "mk AS (SELECT del.doc_id, del.source, " +
+          "(del.dg IN (SELECT dg FROM stand)) AS hit, " +
+          "row_number() OVER (PARTITION BY del.dg ORDER BY del.doc_id) AS rn " +
+          "FROM del) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_delta, " +
+          "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_standing, " +
+          "CAST(sum(CASE WHEN NOT hit AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_intra, " +
+          "CAST(sum(CASE WHEN NOT hit AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_net_new " +
+          "FROM mk GROUP BY source ORDER BY source"
+      }),
 
     GraftQuery(
       "q90_cms_freq",

@@ -119,6 +119,64 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("q188 selection is budget-feasible and greedy-maximal") {
+    import org.apache.spark.sql.Row
+    val docs = Tables.load(spark, sfDir, "documents").selectExpr(
+      "doc_id", "source",
+      "CAST(size(split(text, ' ')) AS LONG) AS ntok",
+      "round(CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)/length(text) " +
+        "- CAST(size(filter(split(text, ' '), t -> t IN " +
+        "('the','a','of','and','to','in','is','it'))) AS DOUBLE)" +
+        "/size(split(text, ' ')), 6) AS score")
+      .collect().map { case Row(id: Long, src: String, n: Long, sc: Double) =>
+        (id, src, n, sc) }
+    val budget = docs.map(_._3).sum / 4
+    // independent greedy walk: best score first, doc_id tiebreak
+    val ordered = docs.sortBy(t => (-t._4, t._1))
+    var cum = 0L
+    val sel = ordered.takeWhile { t => cum += t._3; cum <= budget }
+    val out = Registry.byName("q188_budget_curriculum").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val bySrc = sel.groupBy(_._2)
+    assert(out.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      assert(out(src)._1 === rows.length.toLong, s"$src n_sel")
+      assert(out(src)._2 === rows.map(_._3).sum, s"$src tok_sel")
+      assert(out(src)._3 === rows.map(_._4).min, s"$src cut_score")
+    }
+    // feasible and maximal: within budget, and the next-best doc breaks it
+    assert(sel.map(_._3).sum <= budget)
+    assert(sel.length < docs.length &&
+      sel.map(_._3).sum + ordered(sel.length)._3 > budget)
+  }
+
+  test("q189 CDC dedup classes partition the delta and reconcile by digest") {
+    val out = Registry.byName("q189_cdc_dedup").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // classes partition each source's delta
+    out.values.foreach { case (n, ds, di, nn) => assert(n === ds + di + nn) }
+    // independent recount from the raw table with the same md5 split
+    val docs = Tables.load(spark, sfDir, "documents").selectExpr(
+      "doc_id", "source", "md5(text) AS dg",
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
+        "AS LONG) % 10 = 0 AS inc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    val standing = docs.filterNot(_._4).map(_._3).toSet
+    val delta = docs.filter(_._4)
+    assert(out.values.map(_._1).sum === delta.length.toLong)
+    val firstOf = delta.groupBy(_._3).map { case (dg, rs) =>
+      dg -> rs.map(_._1).min }
+    delta.groupBy(_._2).foreach { case (src, rows) =>
+      val ds = rows.count(r => standing(r._3))
+      val di = rows.count(r => !standing(r._3) && firstOf(r._3) != r._1)
+      assert(out(src)._2 === ds.toLong, s"$src dup_standing")
+      assert(out(src)._3 === di.toLong, s"$src dup_intra")
+    }
+  }
+
   test("q187 incremental refresh = full rebuild restricted to affected buckets") {
     def rows(name: String) = Registry.byName(name).fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
