@@ -225,7 +225,9 @@ object ScaleStress {
       // the budget selection's two-pass prefix scan must stay bucket-
       // parallel under 10× docs; the CDC dedup reads only the delta
       // segment and its digest semi-join ships 16-byte keys
-      "q188_budget_curriculum", "q189_cdc_dedup")
+      "q188_budget_curriculum", "q189_cdc_dedup",
+      // three narrow passes + 1-row aggregates: must stay row-linear
+      "q190_padding_efficiency")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

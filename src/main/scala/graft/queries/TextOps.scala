@@ -1346,6 +1346,73 @@ object TextOps {
       }),
 
     GraftQuery(
+      "q190_padding_efficiency",
+      "Training-batch shaping audit — the padding-waste comparison that decides how a " +
+        "pipeline feeds 512-token sequences: (a) naive one-doc-per-sequence padding, " +
+        "(b) length-BUCKETED packing (docs rounded up to 64/128/256/512 buckets, " +
+        "512 div bucket docs per sequence — the standard length-grouped batching, " +
+        "computable with pure per-bucket integer math, no sequential bin state), and " +
+        "(c) q89's concat-and-chunk (zero internal padding, tail-of-corpus only — the " +
+        "ceiling, at the cost of docs crossing attention boundaries). Per strategy: " +
+        "sequence count, padding tokens, and payload/capacity efficiency in exact ppm " +
+        "(decimal accumulator — the q185 overflow rule). Three cheap narrow corpus " +
+        "passes, three 1-row aggregates; every number is integer math, so the oracle " +
+        "is engine-exact. Payloads truncate at 512 so all three strategies price the " +
+        "same token mass.",
+      (s, d) => {
+        val pay = t(s, d, "documents").select(
+          least(size(toks(col("text"))), lit(512)).cast("long").as("p"))
+        val naive = pay
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(lit(512L) - col("p")).as("padding_tokens"),
+            sum(col("p")).as("pl"))
+          .select(lit("a_naive_pad_each").as("strategy"), col("n_seqs"),
+            col("padding_tokens"),
+            expr("CAST(CAST(pl AS DECIMAL(38,0)) * 1000000 DIV (n_seqs * 512) " +
+              "AS BIGINT)").as("efficiency_ppm"))
+        val bucketed = pay
+          .withColumn("b", when(col("p") <= 64, 64L).when(col("p") <= 128, 128L)
+            .when(col("p") <= 256, 256L).otherwise(512L))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("nb"), sum(col("p")).as("pb"))
+          .select(col("pb"), expr("(nb + (512 DIV b) - 1) DIV (512 DIV b)").as("nseq"))
+          .agg(sum(col("nseq")).as("n_seqs"),
+            sum(col("nseq") * 512 - col("pb")).as("padding_tokens"),
+            sum(col("pb")).as("pl"))
+          .select(lit("b_length_bucketed").as("strategy"), col("n_seqs"),
+            col("padding_tokens"),
+            expr("CAST(CAST(pl AS DECIMAL(38,0)) * 1000000 DIV (n_seqs * 512) " +
+              "AS BIGINT)").as("efficiency_ppm"))
+        val concat = pay.agg(sum(col("p")).as("pl"))
+          .select(lit("c_concat_chunk").as("strategy"),
+            expr("(pl + 511) DIV 512").as("n_seqs"),
+            expr("((pl + 511) DIV 512) * 512 - pl").as("padding_tokens"),
+            expr("CAST(CAST(pl AS DECIMAL(38,0)) * 1000000 DIV " +
+              "(((pl + 511) DIV 512) * 512) AS BIGINT)").as("efficiency_ppm"))
+        naive.unionByName(bucketed).unionByName(concat)
+          .orderBy(col("strategy"))
+      },
+      Some("WITH p AS (SELECT least(len(string_split(text,' ')), 512) AS p " +
+        "FROM documents), " +
+        "bk AS (SELECT CASE WHEN p <= 64 THEN 64 WHEN p <= 128 THEN 128 " +
+        "WHEN p <= 256 THEN 256 ELSE 512 END AS b, count(*) AS nb, sum(p) AS pb " +
+        "FROM p GROUP BY 1) " +
+        "SELECT 'a_naive_pad_each' AS strategy, CAST(count(*) AS BIGINT) AS n_seqs, " +
+        "CAST(sum(512 - p) AS BIGINT) AS padding_tokens, " +
+        "CAST(sum(p) * 1000000 // (count(*) * 512) AS BIGINT) AS efficiency_ppm " +
+        "FROM p " +
+        "UNION ALL SELECT 'b_length_bucketed', " +
+        "CAST(sum((nb + (512//b) - 1) // (512//b)) AS BIGINT), " +
+        "CAST(sum(((nb + (512//b) - 1) // (512//b)) * 512 - pb) AS BIGINT), " +
+        "CAST(sum(pb) * 1000000 // (sum((nb + (512//b) - 1) // (512//b)) * 512) " +
+        "AS BIGINT) FROM bk " +
+        "UNION ALL SELECT 'c_concat_chunk', " +
+        "CAST((sum(p) + 511) // 512 AS BIGINT), " +
+        "CAST(((sum(p) + 511) // 512) * 512 - sum(p) AS BIGINT), " +
+        "CAST(sum(p) * 1000000 // (((sum(p) + 511) // 512) * 512) AS BIGINT) " +
+        "FROM p ORDER BY strategy")),
+
+    GraftQuery(
       "q90_cms_freq",
       "Count-min-sketch point-frequency check (native cms_sketch TypedImperativeAggregate + cms_estimate probe): the 100 TB frequency path keeps a fixed 7x2000 counter grid whose partials merge by elementwise ADDITION — map-side combine ships ~110 KiB per partition, never the keys — versus the exact groupBy that shuffles every distinct token. Output pins the sketch's estimate against the exact count for the corpus's top-20 tokens: CMS only ever over-counts, so est_cnt >= exact_cnt with err <= eps*N (CmsSketchSpec proves the bound and merge-order invariance). No SQL oracle: counter-grid layouts aren't portable across engines (rows-only, like q85's HLL).",
       (s, d) => {

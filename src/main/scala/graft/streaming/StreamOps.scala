@@ -285,6 +285,14 @@ object StreamOps {
     * stream ≡ batch. At 100 TB the standing corpus is bucket-
     * partitioned parquet and each refresh prunes to the batch's
     * buckets before any file opens.
+    *
+    * Contract (the indexIngestStream posture): `corpus` is PINNED for
+    * the stream's lifetime — each batch refreshes against the standing
+    * corpus plus ITSELF, not against earlier stream batches (those
+    * land in the standing corpus at the next snapshot/compaction
+    * cycle, exactly like the standing quantizers there). Batch ids
+    * must be NEW: an id already in `corpus` would join as a duplicate
+    * vector, so upserts need an id-dedup step upstream.
     */
   def knnRefreshStream(vectors: DataFrame, corpus: DataFrame,
       outDir: String) =

@@ -177,6 +177,26 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("q190 padding audit: conservation holds, strategies rank as theory says") {
+    val out = Registry.byName("q190_padding_efficiency").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val payload = Tables.load(spark, sfDir, "documents")
+      .selectExpr("CAST(least(size(split(text, ' ')), 512) AS LONG) AS p")
+      .collect().map(_.getLong(0)).sum
+    // payload + padding = capacity, for every strategy
+    out.foreach { case (st, (nSeq, pad, eff)) =>
+      assert(payload + pad === nSeq * 512L, s"$st conservation")
+      assert(eff === payload * 1000000L / (nSeq * 512L), s"$st efficiency")
+    }
+    // concat is the zero-internal-padding ceiling; bucketing beats
+    // naive padding (it can never do worse: k docs per sequence
+    // always amortize at least as well as 1)
+    assert(out("c_concat_chunk")._3 >= out("b_length_bucketed")._3)
+    assert(out("b_length_bucketed")._3 >= out("a_naive_pad_each")._3)
+    assert(out("c_concat_chunk")._2 < 512L, "concat pads at most one tail")
+  }
+
   test("q187 incremental refresh = full rebuild restricted to affected buckets") {
     def rows(name: String) = Registry.byName(name).fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
