@@ -227,7 +227,10 @@ object ScaleStress {
       // segment and its digest semi-join ships 16-byte keys
       "q188_budget_curriculum", "q189_cdc_dedup",
       // three narrow passes + 1-row aggregates: must stay row-linear
-      "q190_padding_efficiency")
+      "q190_padding_efficiency",
+      // the q50 broadcast-query shape with two rank windows: linear in
+      // the corpus, constant in the query set
+      "q191_matryoshka_audit")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

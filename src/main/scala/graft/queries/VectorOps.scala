@@ -1096,6 +1096,61 @@ object VectorOps {
         "r AS (SELECT a_id, b_id, cos_r, " +
         "CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS INTEGER) AS rn FROM p) " +
         "SELECT a_id, b_id, cos_r, rn FROM r WHERE rn <= 3 " +
-        "ORDER BY a_id, rn"))
+        "ORDER BY a_id, rn")),
+
+    GraftQuery(
+      "q191_matryoshka_audit",
+      "Dimension-truncation retrieval audit — the measurement behind Matryoshka-style " +
+        "embedding serving (Kusupati 2022: index the first d' dims, re-rank with the " +
+        "rest): for the q50 query set, exact cosine top-3 under the FULL 64 dims vs " +
+        "under only the FIRST 16, reporting per query the top-3 overlap and whether " +
+        "the rank-1 neighbor survives. Every candidate row carries BOTH ranks from " +
+        "the same two windows over ONE broadcast-join pass, so the overlap is a " +
+        "conditional aggregate — no top-k self-join, no second scan, nothing " +
+        "re-evaluated (the q129 rule applied at design time). The answer prices the " +
+        "recall an operator gives up by building the ANN index (or the IVF router) " +
+        "over a 4x-cheaper prefix — the decision this audit exists to inform. At " +
+        "100 TB: same shape as q50, one corpus pass against a broadcast query set.",
+      (s, d) => {
+        CosineSimilarity.ensureRegistered(s)
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wF = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val wT = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_trunc").desc, col("vec_id"))
+        e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("cos_full",
+            round(expr("cosine_sim(q_emb, embedding)"), 6))
+          .withColumn("cos_trunc",
+            round(expr("cosine_sim(slice(q_emb, 1, 16), slice(embedding, 1, 16))"), 6))
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rt", row_number().over(wT))
+          .groupBy(col("q_id"))
+          .agg(sum(when(col("rf") <= 3 && col("rt") <= 3, 1L).otherwise(0L))
+            .as("overlap3"),
+            (max(when(col("rf") === 1, col("vec_id"))) ===
+              max(when(col("rt") === 1, col("vec_id")))).as("rank1_same"))
+          .orderBy(col("q_id"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
+        "p AS (SELECT q_id, e.vec_id, " +
+        "round(list_inner_product(q_emb, emb)/" +
+        "(sqrt(list_inner_product(q_emb, q_emb))*sqrt(list_inner_product(emb, emb))), 6) AS cos_full, " +
+        "round(list_inner_product(q_emb[1:16], emb[1:16])/" +
+        "(sqrt(list_inner_product(q_emb[1:16], q_emb[1:16]))*" +
+        "sqrt(list_inner_product(emb[1:16], emb[1:16]))), 6) AS cos_trunc " +
+        "FROM q JOIN e ON e.vec_id <> q.q_id), " +
+        "r AS (SELECT *, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id) AS rf, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos_trunc DESC, vec_id) AS rt " +
+        "FROM p) " +
+        "SELECT q_id, " +
+        "CAST(sum(CASE WHEN rf <= 3 AND rt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS overlap3, " +
+        "max(CASE WHEN rf = 1 THEN vec_id END) = max(CASE WHEN rt = 1 THEN vec_id END) AS rank1_same " +
+        "FROM r GROUP BY q_id ORDER BY q_id"))
   )
 }

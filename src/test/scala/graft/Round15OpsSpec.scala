@@ -177,6 +177,32 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("q191 matryoshka audit reconciles with an exact driver-side recount") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top3(qid: Long, d: Int): Seq[Long] = emb.keys.toSeq.filter(_ != qid)
+      .map(v => (v, cos(emb(qid), emb(v), d)))
+      .sortBy { case (v, c) => (-c, v) }.take(3).map(_._1)
+    val out = Registry.byName("q191_matryoshka_audit").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq === (0L to 9L))
+    out.foreach { case (qid, overlap, r1) =>
+      val f = top3(qid, 64); val t = top3(qid, 16)
+      assert(overlap === (f.toSet & t.toSet).size.toLong, s"q$qid overlap")
+      assert(r1 === (f.head == t.head), s"q$qid rank1_same")
+      assert(overlap >= 0 && overlap <= 3)
+      if (r1) assert(overlap >= 1, s"q$qid rank1 survived but overlap 0")
+    }
+  }
+
   test("q190 padding audit: conservation holds, strategies rank as theory says") {
     val out = Registry.byName("q190_padding_efficiency").fn(spark, sfDir)
       .collect().map(r => r.getString(0) ->
