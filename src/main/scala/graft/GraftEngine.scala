@@ -269,6 +269,30 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def snapshotVacuum(dir: String, horizon: Int): (Int, Int) =
     graft.ext.SnapshotLog.vacuum(dir, horizon)
 
+  /** Row-level DELETE as a copy-on-write commit (q192's kernel):
+    * rows matching `predicate` leave the table at the new version;
+    * every earlier version still reads them; `snapshotCdc` delivers
+    * them as deletes. Only touched segments rewrite.
+    */
+  def snapshotDelete(dir: String, predicate: org.apache.spark.sql.Column,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.delete(spark, dir, predicate, statsCol)
+
+  /** MERGE/upsert by key as a copy-on-write commit (q193's kernel):
+    * src rows replace existing rows with the same key, the rest
+    * insert — one atomic version. `src` must be key-unique.
+    */
+  def snapshotMerge(src: DataFrame, dir: String, key: String,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.merge(spark, src, dir, key, statsCol)
+
+  /** Full change-data feed over (fromV, toV]: `snapshotChanges`'
+    * inserts plus delete/merge removals, tagged `_change_type`
+    * ('insert' | 'delete'); updates arrive as delete + insert.
+    */
+  def snapshotCdc(dir: String, fromV: Int, toV: Int): DataFrame =
+    graft.ext.SnapshotLog.readCdc(spark, dir, fromV, toV)
+
   /** UniMax epoch-capped mixture allocation (q172's kernel on a
     * caller-supplied (source, tokens) frame): spread `budget` tokens
     * as uniformly as possible, never asking a source for more than

@@ -60,10 +60,18 @@ object SnapshotLog {
   final case class Segment(relPath: String, min: Long, max: Long,
       tag: Option[Long] = None, dataChange: Boolean = true)
 
-  /** Manifest metadata: every batch id ever committed plus the set of
-    * segments that are rewrites (dataChange = false).
+  /** Manifest metadata: every batch id ever committed, the set of
+    * segments that are rewrites (dataChange = false), and — ONLY in
+    * the manifest of a version that performed a row-level delete or
+    * merge — the change-data segments holding the rows that version
+    * REMOVED (`#cdcdel`). Unlike batches/compacted, cdcDel is a
+    * per-version event record, not carried-forward state: it describes
+    * what THIS commit deleted, so append/compact never propagate it
+    * and the delete history dies with its manifest at vacuum time —
+    * the same retention trade the version history itself makes.
     */
-  final case class ManifestMeta(batches: Set[Long], compacted: Set[String])
+  final case class ManifestMeta(batches: Set[Long], compacted: Set[String],
+      cdcDel: Set[String] = Set.empty)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -126,7 +134,8 @@ object SnapshotLog {
       case l if l.startsWith(s"#$key\t") =>
         l.split('\t')(1).split(',').toSeq.filter(_.nonEmpty)
     }.flatten
-    ManifestMeta(vals("batches").map(_.toLong).toSet, vals("compacted").toSet)
+    ManifestMeta(vals("batches").map(_.toLong).toSet, vals("compacted").toSet,
+      vals("cdcdel").toSet)
   }
 
   def meta(dir: String, v: Int): ManifestMeta = metaOf(manifestLines(dir, v))
@@ -155,14 +164,20 @@ object SnapshotLog {
     * downstream readers lose columns without an error anywhere.
     */
   private def evolvedSchema(prev: Option[org.apache.spark.sql.types.StructType],
-      next: org.apache.spark.sql.types.StructType)
+      next: org.apache.spark.sql.types.StructType,
+      resolver: (String, String) => Boolean)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
     val merged = prev match {
       case None => next
       case Some(ps) =>
         ps.fields.foreach { f =>
-          val nf = next.fields.find(_.name == f.name).getOrElse(
+          // column names compare under the SESSION's resolution rules
+          // (spark.sql.caseSensitive, default case-insensitive) — a
+          // strict == here refused appends that only re-cased a column
+          // name, a loud false positive inconsistent with how the rest
+          // of the engine resolves the very same columns
+          val nf = next.fields.find(n => resolver(n.name, f.name)).getOrElse(
             throw new IllegalArgumentException(
               s"append drops column '${f.name}' present in the previous " +
                 "snapshot — snapshot-log schema evolution is add-only"))
@@ -171,18 +186,36 @@ object SnapshotLog {
               s"${f.dataType.catalogString} -> ${nf.dataType.catalogString}")
         }
         StructType(ps.fields ++
-          next.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+          next.fields.filterNot(f => ps.fields.exists(p => resolver(p.name, f.name))))
     }
     // nullable throughout: segments written before a column existed
     // null-fill it, so a non-null contract would be a lie on read
     StructType(merged.fields.map(_.copy(nullable = true)))
   }
 
+  /** The previous snapshot's schema for gating: the logged `#schema`
+    * line when present; for LEGACY logs (persisted before schema
+    * logging) it is derived from the prior snapshot's parquet footers
+    * instead of treating the log as schemaless — otherwise the
+    * add-only gate would accept ANY shape against a legacy log and
+    * readAsOf would force-apply the new schema to carried legacy
+    * segments, silently hiding columns they have that the new frame
+    * lacks (the exact narrowing the gate exists to refuse). Costs a
+    * footer read only on the legacy path; logs written by this code
+    * always hit the manifest line.
+    */
+  private def gateSchema(spark: SparkSession, dir: String,
+      prev: Int): Option[org.apache.spark.sql.types.StructType] =
+    if (prev < 0) None
+    else schemaOf(dir, prev).orElse(Some(readAsOf(spark, dir, prev).schema))
+
   private def metaLines(m: ManifestMeta): Seq[String] =
     (if (m.batches.isEmpty) Nil
      else Seq(s"#batches\t${m.batches.toSeq.sorted.mkString(",")}")) ++
       (if (m.compacted.isEmpty) Nil
-       else Seq(s"#compacted\t${m.compacted.toSeq.sorted.mkString(",")}"))
+       else Seq(s"#compacted\t${m.compacted.toSeq.sorted.mkString(",")}")) ++
+      (if (m.cdcDel.isEmpty) Nil
+       else Seq(s"#cdcdel\t${m.cdcDel.toSeq.sorted.mkString(",")}"))
 
   /** Writer tags already committed (streaming idempotency: a replayed
     * micro-batch checks its batchId against the LOG, not local state —
@@ -276,7 +309,8 @@ object SnapshotLog {
     // schema gate BEFORE any data lands: a refused append must leave
     // neither a manifest nor an orphan segment directory behind
     val snapSchema = evolvedSchema(
-      if (prev < 0) None else schemaOf(dir, prev), df.schema)
+      gateSchema(df.sparkSession, dir, prev), df.schema,
+      df.sparkSession.sessionState.analyzer.resolver)
     // The segment name carries a per-writer token: the manifest link is
     // exclusive, but two racing appends that both computed version v
     // would otherwise BOTH write seg-<v> (mode overwrite) BEFORE the
@@ -289,8 +323,10 @@ object SnapshotLog {
     df.write.mode("overwrite").parquet(segPath)
     val (mn, mx) = writtenStats(df.sparkSession, segPath, statsCol)
     val carried = if (prev < 0) Nil else segments(dir, prev)
+    // batches/compacted carry forward; cdcDel does NOT — it records
+    // what its OWN version deleted, never standing state
     val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
-      else meta(dir, prev)
+      else meta(dir, prev).copy(cdcDel = Set.empty)
     val lines = (carried :+ Segment(rel, mn, mx, batchTag)).map(segLine) ++
       metaLines(carriedMeta) :+ s"#schema\t${snapSchema.json}"
     publish(dir, v, lines)
@@ -381,6 +417,190 @@ object SnapshotLog {
     v
   }
 
+  /** Read exactly `paths` under version `v`'s logged schema (legacy
+    * manifests without one fall back to footer-merged schema).
+    */
+  private def readSegs(spark: SparkSession, dir: String, v: Int,
+      paths: Seq[String]): DataFrame =
+    schemaOf(dir, v) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
+  private def absPath(dir: String, rel: String): String =
+    Paths.get(dir, rel).toString
+
+  /** Segments of `segs` whose files appear in `files` — the touched-set
+    * resolution both copy-on-write paths share. File paths are matched
+    * by their containing `seg-*` directory.
+    */
+  private def touchedOf(segs: Seq[Segment], files: Set[String]): Seq[Segment] =
+    segs.filter(s => files.exists(_.contains("/" + s.relPath + "/")))
+
+  /** Row-level DELETE as a copy-on-write commit — the operation that
+    * turns q170's purge audit into an actionable table op: rows
+    * matching `predicate` leave the table at version prev+1, while
+    * every earlier version still reads them (time travel is
+    * unaffected; `vacuum` eventually reclaims the rewritten segments).
+    *
+    * Mechanics, sized for 100 TB:
+    *  1. ONE pruned scan finds the TOUCHED segments — the predicate
+    *     pushes into the parquet scan and only distinct file names
+    *     come back (O(files), metadata-sized), so a delete whose
+    *     predicate prunes to a few segments never reads the rest.
+    *  2. Only touched segments rewrite: their surviving rows land in a
+    *     rewrite segment marked `#compacted` (dataChange = false — a
+    *     rewrite of rows the change feed already delivered, exactly
+    *     compaction's contract), and their deleted rows land in a
+    *     `#cdcdel` change segment so `readCdc` can deliver the deletes
+    *     to incremental consumers.
+    *  3. Untouched segments carry forward by reference — zero data
+    *     movement, the Delta/Iceberg copy-on-write economy.
+    *
+    * NULL predicate rows are kept (a delete only removes rows the
+    * predicate PROVES true — SQL DELETE semantics). Batch tags of
+    * rewritten segments fold into `#batches`, so streaming idempotency
+    * survives a delete just as it survives compaction. A predicate
+    * matching nothing commits nothing and returns the current version.
+    * Returns the new (or unchanged) version number.
+    */
+  def delete(spark: SparkSession, dir: String, predicate: Column,
+      statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to delete from in $dir")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val hit = coalesce(predicate, lit(false))
+    val all = readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath)))
+    val touchedFiles = all.filter(hit)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = touchedOf(segs, touchedFiles)
+    if (touched.isEmpty) prev
+    else {
+      val touchedDf =
+        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath)))
+      val delRel = s"seg-$v-cdc-${writerToken()}"
+      touchedDf.filter(hit).write.mode("overwrite")
+        .parquet(absPath(dir, delRel))
+      val rewriteRel = s"seg-$v-${writerToken()}"
+      val rewritePath = absPath(dir, rewriteRel)
+      touchedDf.filter(!hit).write.mode("overwrite").parquet(rewritePath)
+      val (mn, mx) = writtenStats(spark, rewritePath, statsCol)
+      val touchedSet = touched.map(_.relPath).toSet
+      val untouched = segs.filterNot(s => touchedSet(s.relPath))
+      val prevMeta = meta(dir, prev)
+      val lines = (untouched :+ Segment(rewriteRel, mn, mx)).map(segLine) ++
+        metaLines(ManifestMeta(
+          prevMeta.batches ++ touched.flatMap(_.tag),
+          (prevMeta.compacted intersect untouched.map(_.relPath).toSet) +
+            rewriteRel,
+          Set(delRel))) ++
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}").toSeq
+      publish(dir, v, lines)
+      v
+    }
+  }
+
+  /** MERGE (upsert by key) as a copy-on-write commit — the operation
+    * behind q189's CDC dedup gate becoming a real table write: every
+    * `src` row whose `key` matches an existing row REPLACES it; the
+    * rest insert. One commit, atomic like every other.
+    *
+    * Same copy-on-write economy as `delete`: a key-semi-join pruned
+    * scan finds the touched segments (O(files) driver data), only
+    * those rewrite (survivors → a `#compacted` rewrite segment;
+    * replaced old rows → a `#cdcdel` change segment), untouched
+    * segments carry by reference, and `src` itself lands as a normal
+    * dataChange segment — so the change feed tells the truth
+    * downstream: an update arrives as delete(old row) + insert(new
+    * row), an insert as insert, and `readChanges`' insert-only
+    * consumers see exactly the src rows. Schema evolution gates like
+    * append (src must carry every existing column, may add nullable
+    * ones). `src` must be key-unique — two src rows with one key would
+    * both land (the standard MERGE multi-match contract violation;
+    * dedupe upstream, q189's gate does exactly that).
+    * Returns the new version number.
+    */
+  def merge(spark: SparkSession, src: DataFrame, dir: String, key: String,
+      statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to merge into in $dir — append first")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val snapSchema = evolvedSchema(
+      gateSchema(spark, dir, prev), src.schema,
+      spark.sessionState.analyzer.resolver)
+    val srcKeys = src.select(col(key)).distinct()
+    // input_file_name() must be projected BELOW the semi-join (Spark
+    // refuses it above a multi-source plan), so the scan side carries
+    // its file name as a column into the join
+    val all = readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath)))
+      .withColumn("__graft_file", input_file_name())
+    val touchedFiles = all.join(srcKeys, Seq(key), "left_semi")
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = touchedOf(segs, touchedFiles)
+    val touchedSet = touched.map(_.relPath).toSet
+    val untouched = segs.filterNot(s => touchedSet(s.relPath))
+    val prevMeta = meta(dir, prev)
+
+    val (rewriteSegs, cdcDel) =
+      if (touched.isEmpty) (Nil, Set.empty[String])
+      else {
+        val touchedDf =
+          readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath)))
+        val delRel = s"seg-$v-cdc-${writerToken()}"
+        touchedDf.join(srcKeys, Seq(key), "left_semi")
+          .write.mode("overwrite").parquet(absPath(dir, delRel))
+        val rewriteRel = s"seg-$v-rw-${writerToken()}"
+        val rewritePath = absPath(dir, rewriteRel)
+        touchedDf.join(srcKeys, Seq(key), "left_anti")
+          .write.mode("overwrite").parquet(rewritePath)
+        val (mn, mx) = writtenStats(spark, rewritePath, statsCol)
+        (Seq(Segment(rewriteRel, mn, mx)), Set(delRel))
+      }
+
+    val srcRel = s"seg-$v-${writerToken()}"
+    val srcPath = absPath(dir, srcRel)
+    src.write.mode("overwrite").parquet(srcPath)
+    val (smn, smx) = writtenStats(spark, srcPath, statsCol)
+
+    val lines =
+      (untouched ++ rewriteSegs :+ Segment(srcRel, smn, smx)).map(segLine) ++
+        metaLines(ManifestMeta(
+          prevMeta.batches ++ touched.flatMap(_.tag),
+          (prevMeta.compacted intersect untouched.map(_.relPath).toSet) ++
+            rewriteSegs.map(_.relPath),
+          cdcDel)) :+ s"#schema\t${snapSchema.json}"
+    publish(dir, v, lines)
+    v
+  }
+
+  /** Full change-data feed over (fromV, toV]: `readChanges`' inserts
+    * PLUS the rows row-level deletes/merges removed, each row tagged
+    * with `_change_type` ('insert' | 'delete'). An update (merge on an
+    * existing key) arrives as its delete + its insert — the minimal
+    * CDC encoding every sink can apply idempotently by key. fromV = -1
+    * means "delta from empty": the toV snapshot as inserts (net state
+    * — rows deleted before toV are already absent). All rows surface
+    * under toV's schema, like readChanges.
+    */
+  def readCdc(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    val inserts = readChanges(spark, dir, fromV, toV)
+      .withColumn("_change_type", lit("insert"))
+    if (fromV < 0) inserts
+    else {
+      val delRels = ((fromV + 1) to toV).flatMap(w => meta(dir, w).cdcDel)
+        .distinct
+      if (delRels.isEmpty) inserts
+      else inserts.unionByName(
+        readSegs(spark, dir, toV, delRels.map(r => absPath(dir, r)))
+          .withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** Retention enforcement: drop manifests BELOW `horizon` and delete
     * every segment directory no manifest ≥ horizon references. Time
     * travel to versions before the horizon is gone afterwards — the
@@ -391,8 +611,11 @@ object SnapshotLog {
     val latest = version(dir)
     require(horizon >= 0 && horizon <= latest,
       s"horizon $horizon outside [0, $latest]")
+    // cdcDel change segments are referenced by meta lines, not segment
+    // lines — they must survive exactly as long as their manifest does
     val keep = (horizon to latest)
-      .flatMap(v => segments(dir, v).map(_.relPath)).toSet
+      .flatMap(v => segments(dir, v).map(_.relPath) ++ meta(dir, v).cdcDel)
+      .toSet
     val root = Paths.get(dir)
     val segDirs = listed(root)(
       _.filter(p => p.getFileName.toString.startsWith("seg-")).toSeq)

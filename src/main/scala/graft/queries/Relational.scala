@@ -967,10 +967,150 @@ object Relational {
     dir
   }
 
+  /** Builds a PRIVATE 3-commit orders log for the row-level write
+    * queries (q192/q193) — its own dir so the mutation never bleeds
+    * into q173/q176/q177's shared read-only log within a session.
+    */
+  private[graft] def buildMutableOrdersLog(s: SparkSession, d: String,
+      suffix: String): String = {
+    import graft.ext.SnapshotLog
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-snaplog-$suffix-" + Integer.toHexString(d.hashCode)).toString
+    SnapshotLog.reset(dir)
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val ts = unix_timestamp(col("o_orderdate"))
+    val c1 = lit(snapCut1).cast("timestamp")
+    val c2 = lit(snapCut2).cast("timestamp")
+    SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+    SnapshotLog.append(
+      o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2), dir, ts)
+    SnapshotLog.append(o.filter(col("o_orderdate") >= c2), dir, ts)
+    dir
+  }
+
   /** Versioned-table queries (ext/SnapshotLog) — registered separately
     * so the main relational sweep stays declarative-only.
     */
   val queriesSnapshot: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q192_snapshot_delete",
+      "Row-level DELETE as a copy-on-write table commit — the op that makes q170's " +
+        "right-to-be-forgotten audit ACTIONABLE: orders lands in three date-ranged " +
+        "commits, then `SnapshotLog.delete` erases the q170 purge cohort " +
+        "(o_custkey % 97 = 13) as version 3. The query then proves the three contracts " +
+        "a transactional delete owes, all cross-engine-checkable: (1) TIME TRAVEL — " +
+        "v2, read AFTER the delete committed, still holds every purged row (count + " +
+        "exact-cents mass of the full table); (2) the new snapshot v3 holds exactly " +
+        "the survivors; (3) the CHANGE FEED (`readCdc(2, 3)`) delivers exactly the " +
+        "deleted rows as `_change_type = 'delete'`, so an incremental consumer can " +
+        "apply the erasure downstream instead of re-diffing the table. Copy-on-write " +
+        "economy under the hood: one predicate-pushed scan finds touched segments " +
+        "(O(files) driver metadata), only those rewrite (survivors -> a " +
+        "dataChange=false rewrite segment the insert feed never re-delivers; deleted " +
+        "rows -> a #cdcdel change segment), untouched segments carry by reference — " +
+        "at 100 TB a purge that prunes to a date range rewrites that range's " +
+        "segments, never the table. Vacuum later reclaims the pre-delete versions " +
+        "(SnapshotLogSpec/ModelSpec pin retention + interleavings).",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "del")
+        val purged = pmod(col("o_custkey"), lit(97L)) === 13
+        val vDel = SnapshotLog.delete(s, dir, purged,
+          unix_timestamp(col("o_orderdate")))
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"), col("price_cents"))
+        profile(SnapshotLog.readAsOf(s, dir, 2), "pre_delete_v2")
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vDel),
+            "post_delete_v3"))
+          .unionByName(profile(SnapshotLog.readCdc(s, dir, 2, vDel)
+            .filter(col("_change_type") === "delete"), "cdc_deletes"))
+          .orderBy(col("state"))
+      },
+      Some("WITH pre AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders), " +
+        "del AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_custkey % 97 = 13), " +
+        "post AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_custkey % 97 <> 13) " +
+        "SELECT 'cdc_deletes' AS state, CAST(n AS BIGINT) AS n_rows, " +
+        "CAST(c AS BIGINT) AS price_cents FROM del " +
+        "UNION ALL SELECT 'post_delete_v3', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM post " +
+        "UNION ALL SELECT 'pre_delete_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM pre " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q193_snapshot_merge",
+      "MERGE (upsert by key) as a copy-on-write table commit — what q189's CDC dedup " +
+        "gate needed to WRITE its verdict transactionally: into the 3-commit orders " +
+        "log, one `SnapshotLog.merge` lands a source of price corrections " +
+        "(o_orderkey % 50 = 7, totalprice + 1000.00 — replacements for existing keys) " +
+        "plus late-arriving NEW orders (keys shifted by +100000000 for the " +
+        "o_orderkey % 997 = 3 slice — inserts). The audit proves the upsert algebra " +
+        "cross-engine: v2 pre-merge is untouched (time travel), v3 post-merge mass = " +
+        "old mass - replaced + corrected + inserted with row count up only by the " +
+        "inserts, and the change feed (`readCdc(2, 3)`) delivers the update as " +
+        "delete(old row) + insert(new row) and the insert as a bare insert — the " +
+        "minimal CDC encoding a downstream sink applies idempotently by key. " +
+        "Copy-on-write: touched segments found by a key-semi-join pruned scan, " +
+        "survivors rewrite as dataChange=false (never re-fed as inserts), src lands " +
+        "as ONE ordinary dataChange segment — `readChanges`' existing insert-only " +
+        "walk surfaces exactly the src rows with zero new machinery. At 100 TB " +
+        "merge cost is touched-segments + src, never table-sized.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "mrg")
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val updates = o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(997L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        val vM = SnapshotLog.merge(s, updates.unionByName(inserts), dir,
+          "o_orderkey", unix_timestamp(col("o_orderdate")))
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"), col("price_cents"))
+        val cdc = SnapshotLog.readCdc(s, dir, 2, vM)
+        profile(SnapshotLog.readAsOf(s, dir, 2), "pre_merge_v2")
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vM),
+            "post_merge_v3"))
+          .unionByName(profile(
+            cdc.filter(col("_change_type") === "insert"), "cdc_inserts"))
+          .unionByName(profile(
+            cdc.filter(col("_change_type") === "delete"), "cdc_deletes"))
+          .orderBy(col("state"))
+      },
+      Some("WITH pre AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders), " +
+        "upd AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c_old, " +
+        "sum(CAST(round((o_totalprice + 1000.0)*100) AS BIGINT)) AS c_new " +
+        "FROM orders WHERE o_orderkey % 50 = 7), " +
+        "ins AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_orderkey % 997 = 3) " +
+        "SELECT 'cdc_deletes' AS state, CAST(upd.n AS BIGINT) AS n_rows, " +
+        "CAST(upd.c_old AS BIGINT) AS price_cents FROM upd " +
+        "UNION ALL SELECT 'cdc_inserts', CAST(upd.n + ins.n AS BIGINT), " +
+        "CAST(upd.c_new + ins.c AS BIGINT) FROM upd, ins " +
+        "UNION ALL SELECT 'post_merge_v3', CAST(pre.n + ins.n AS BIGINT), " +
+        "CAST(pre.c - upd.c_old + upd.c_new + ins.c AS BIGINT) " +
+        "FROM pre, upd, ins " +
+        "UNION ALL SELECT 'pre_merge_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM pre " +
+        "ORDER BY state")),
 
     GraftQuery(
       "q186_schema_evolution",

@@ -7,35 +7,47 @@ import graft.ext.SnapshotLog
 
 /** Model-based randomized exercise of the SnapshotLog contract: a
   * seeded op sequence (append / WIDE append / compact / vacuum /
-  * refused narrow append / the three read surfaces) runs against both
-  * the real log and a trivial in-memory model, and every read must
-  * agree after every mutation. The scenario tests in SnapshotLogSpec
-  * pin individual behaviors; this suite hunts INTERACTIONS enumerated
-  * cases miss — append-after-compact, vacuum landing ON a compaction
-  * version, CDC windows straddling both, tag survival through
-  * compact-then-vacuum chains, and (since schema evolution landed) a
-  * column-add interleaved arbitrarily with all of the above: every
-  * version must read back under ITS OWN schema, old rows null-fill the
-  * added column, compaction materializes without changing values, and
-  * a narrow append after the add is refused WITHOUT moving the log.
-  * Seeds are fixed, so a failure replays exactly.
+  * refused narrow append / row-level DELETE / MERGE upsert / the read
+  * surfaces) runs against both the real log and a trivial in-memory
+  * model, and every read must agree after every mutation. The
+  * scenario tests in SnapshotLogSpec pin individual behaviors; this
+  * suite hunts INTERACTIONS enumerated cases miss —
+  * append-after-compact, vacuum landing ON a compaction version, CDC
+  * windows straddling both, tag survival through compact-then-vacuum
+  * chains, a column-add interleaved arbitrarily with all of the above
+  * (every version must read back under ITS OWN schema, old rows
+  * null-fill the added column, compaction materializes without
+  * changing values, and a narrow append after the add is refused
+  * WITHOUT moving the log), and — since row-level writes landed —
+  * deletes/merges interleaved with evolution, compaction, vacuum and
+  * both change feeds: time travel must keep pre-delete versions
+  * intact, `readChanges` must deliver merge src rows as plain inserts
+  * and NEVER a rewrite segment, and `readCdc` must deliver exactly
+  * the removed rows as deletes beside those inserts. Seeds are fixed,
+  * so a failure replays exactly.
   */
 class SnapshotLogModelSpec extends SparkSpec {
 
   /** Per-version model state: the (k, x) rows this version ADDED
-    * (x = None for rows added before/without the wide column) and the
-    * full snapshot as of it.
+    * (x = None for rows added before/without the wide column), the
+    * rows it REMOVED (delete targets / merge-replaced old images),
+    * and the full snapshot as of it.
     */
   private case class V(rowsAdded: Seq[(Long, Option[Long])],
+      rowsDeleted: Seq[(Long, Option[Long])],
       snapshot: Seq[(Long, Option[Long])])
 
   private def readKeys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
 
+  /** Sorted by the FULL pair, not the key alone: a key merged twice in
+    * one CDC window legitimately appears with two images, and a
+    * key-only sort would leave their relative order unspecified.
+    */
   private def readPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[Long])] =
     df.select(col("k"), col("x")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .toSeq.sortBy(_._1)
+      .toSeq.sorted
 
   /** Returns whether the sequence exercised the column-add (callers
     * assert it on at least one seed, so the evolution checks can't all
@@ -56,8 +68,9 @@ class SnapshotLogModelSpec extends SparkSpec {
     (1 to opCount).foreach { opIx =>
       val op =
         if (versions.isEmpty) rnd.nextInt(2) // only appends make sense yet
-        else rnd.nextInt(7) // 0 append, 1 wide append, 2 compact, 3 vacuum,
-                            // 4 refused narrow-after-wide, 5-6 read-only
+        else rnd.nextInt(9) // 0 append, 1 wide append, 2 compact, 3 vacuum,
+                            // 4 refused narrow-after-wide, 5 delete,
+                            // 6 merge, 7-8 read-only
       op match {
         case 0 | 1 =>
           val n = 1 + rnd.nextInt(5)
@@ -77,11 +90,11 @@ class SnapshotLogModelSpec extends SparkSpec {
           tags ++= tag
           if (wide && wideSince.isEmpty) wideSince = Some(v)
           val snap = versions.lastOption.map(_.snapshot).getOrElse(Nil) ++ rows
-          versions :+= V(rows, snap.sortBy(_._1))
+          versions :+= V(rows, Nil, snap.sortBy(_._1))
           assert(v === latest, s"seed=$seed op=$opIx version drift")
         case 2 =>
           SnapshotLog.compact(spark, dir, col("k"))
-          versions :+= V(Nil, versions.last.snapshot)
+          versions :+= V(Nil, Nil, versions.last.snapshot)
         case 3 =>
           val newHorizon = horizon + rnd.nextInt(latest - horizon + 1)
           SnapshotLog.vacuum(dir, newHorizon)
@@ -95,6 +108,47 @@ class SnapshotLogModelSpec extends SparkSpec {
           }
           assert(SnapshotLog.version(dir) === before,
             s"seed=$seed op=$opIx refused append moved the log")
+        case 5 =>
+          // row-level delete of a residue class of the CURRENT snapshot;
+          // an empty match must commit NOTHING (version unchanged)
+          val m = 2 + rnd.nextInt(3)
+          val r = rnd.nextInt(m)
+          val before = SnapshotLog.version(dir)
+          val snap = versions.last.snapshot
+          val doomed = snap.filter(_._1 % m == r)
+          val v = SnapshotLog.delete(spark, dir,
+            pmod(col("k"), lit(m.toLong)) === r.toLong, col("k"))
+          if (doomed.isEmpty)
+            assert(v === before && SnapshotLog.version(dir) === before,
+              s"seed=$seed op=$opIx empty delete must not commit")
+          else {
+            versions :+= V(Nil, doomed, snap.filterNot(_._1 % m == r))
+            assert(v === latest, s"seed=$seed op=$opIx delete version drift")
+          }
+        case 6 =>
+          // MERGE: replace up to 3 existing keys (new x image in the
+          // wide regime) and insert 1-2 brand-new keys, one commit.
+          // In the narrow regime a replacement is value-identical
+          // (the row is just its key), but CDC must still deliver
+          // delete(old) + insert(new) — the feed reports row images,
+          // not diffs.
+          val snap = versions.last.snapshot
+          val updKeys = rnd.shuffle(snap.map(_._1)).take(rnd.nextInt(4))
+          val nNew = 1 + rnd.nextInt(2)
+          val newKeys = (nextRow until nextRow + nNew).toSeq
+          nextRow += nNew
+          val wide = wideSince.isDefined
+          val srcRows: Seq[(Long, Option[Long])] =
+            if (wide) (updKeys ++ newKeys).map(k => k -> Some(k * 13 + 1))
+            else (updKeys ++ newKeys).map(k => k -> (None: Option[Long]))
+          val src =
+            if (wide) srcRows.map { case (k, x) => (k, x.get) }.toDF("k", "x")
+            else srcRows.map(_._1).toDF("k")
+          val v = SnapshotLog.merge(spark, src, dir, "k", col("k"))
+          val updSet = updKeys.toSet
+          versions :+= V(srcRows, snap.filter(p => updSet(p._1)),
+            (snap.filterNot(p => updSet(p._1)) ++ srcRows).sortBy(_._1))
+          assert(v === latest, s"seed=$seed op=$opIx merge version drift")
         case _ => () // read-only step: the checks below are the op
       }
 
@@ -129,7 +183,7 @@ class SnapshotLogModelSpec extends SparkSpec {
       val expected =
         if (fromV < 0) versions(toV).snapshot
         else ((fromV + 1) to toV).flatMap(w => versions(w).rowsAdded)
-          .sortBy(_._1)
+          .sorted
       val delta = SnapshotLog.readChanges(spark, dir, fromV, toV)
       if (wideSince.exists(_ <= toV))
         assert(readPairs(delta) === expected,
@@ -137,6 +191,28 @@ class SnapshotLogModelSpec extends SparkSpec {
       else
         assert(readKeys(delta) === expected.map(_._1),
           s"seed=$seed op=$opIx readChanges($fromV, $toV)")
+
+      // the FULL feed over the same window: the identical inserts plus
+      // exactly the rows deletes/merges removed, tagged _change_type —
+      // and from-empty (-1) is net state, no deletes
+      val cdc = SnapshotLog.readCdc(spark, dir, fromV, toV)
+      val expDeletes =
+        if (fromV < 0) Nil
+        else ((fromV + 1) to toV).flatMap(w => versions(w).rowsDeleted)
+          .sorted
+      val cdcIns = cdc.filter(col("_change_type") === "insert")
+      val cdcDel = cdc.filter(col("_change_type") === "delete")
+      if (wideSince.exists(_ <= toV)) {
+        assert(readPairs(cdcIns) === expected,
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) inserts")
+        assert(readPairs(cdcDel) === expDeletes,
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) deletes")
+      } else {
+        assert(readKeys(cdcIns) === expected.map(_._1),
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) inserts")
+        assert(readKeys(cdcDel) === expDeletes.map(_._1),
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) deletes")
+      }
 
       // zone-filtered read: contents independent of segment layout,
       // and never more segments opened than the manifest lists
