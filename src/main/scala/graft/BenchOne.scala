@@ -31,6 +31,8 @@ object BenchOne {
     }
     graft.queries.TextOps.releaseCaches()
     graft.queries.VectorOps.releaseCaches()
+    graft.queries.EventOps.releaseCaches()
+    graft.queries.RecoOps.releaseCaches()
     spark.stop()
   }
 }

@@ -46,6 +46,8 @@ object Verify {
     }
     graft.queries.TextOps.releaseCaches()
     graft.queries.VectorOps.releaseCaches()
+    graft.queries.EventOps.releaseCaches()
+    graft.queries.RecoOps.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
