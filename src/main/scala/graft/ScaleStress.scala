@@ -246,7 +246,8 @@ object ScaleStress {
       graft.ext.ShingleStore.materialize(
         Tables.load(spark, out, "documents"), "shingles_scale", buckets = 32)
       graft.queries.TextOps.installShingleStore(
-        graft.ext.ShingleStore.load(spark, "shingles_scale"))
+        graft.ext.ShingleStore.load(spark, "shingles_scale"),
+        corpus = Tables.load(spark, out, "documents"))
       println(f"SCALE shingle_store_build ${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     val rows = spark.read.parquet(s"$out/lineitem.parquet").count()

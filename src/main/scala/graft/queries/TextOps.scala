@@ -83,7 +83,20 @@ object TextOps {
   private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   private def cachedShingles(docs: DataFrame): DataFrame =
-    shingleStore.getOrElse(pin(shingleSet(docs)))
+    shingleStore match {
+      // the store substitutes ONLY for the corpus it was materialized
+      // from (canonicalized-plan match — the CacheManager identity
+      // rule): a facade caller handing a DIFFERENT frame (q185's
+      // softDedupYield on a caller corpus, containmentDedup on an ad
+      // hoc slice) computes its own shingles instead of silently
+      // reading the installed corpus's — cluster weights from one
+      // corpus against token counts from another was a wrong-answer
+      // path, not a perf trade
+      case Some((store, corpusPlan))
+          if docs.queryExecution.analyzed.sameResult(corpusPlan) =>
+        store
+      case _ => pin(shingleSet(docs))
+    }
 
   /** Snapshot-diff kernel shared by q162 and `GraftEngine.snapshotDiff`
     * (the funnelVerdict sharing rule — query and facade can't drift):
@@ -110,16 +123,23 @@ object TextOps {
   /** Disk-backed swap for the in-session shingle cache — the 100 TB
     * posture `cachedShingles`' scaladoc documents, wired end-to-end:
     * when installed (ScaleStress --shingle-store; a production corpus
-    * snapshot), every pair-kernel consumer reads the bucketed
-    * ShingleStore relation instead of recomputing + persisting the
-    * tokenize/shingle/hash subtree, and doc_id-keyed sides of the
-    * verify joins arrive pre-partitioned. SINGLE-CORPUS sessions only:
-    * the override intentionally ignores the incoming docs frame, so a
-    * session mixing data dirs must not install it (ShingleStoreSpec
-    * pins value-equality of the swapped kernel on q110/q127).
+    * snapshot), every pair-kernel consumer OF THAT CORPUS reads the
+    * bucketed ShingleStore relation instead of recomputing +
+    * persisting the tokenize/shingle/hash subtree, and doc_id-keyed
+    * sides of the verify joins arrive pre-partitioned. The install
+    * records the corpus frame the store was materialized from, and
+    * `cachedShingles` substitutes only on a canonicalized-plan match —
+    * a session mixing corpora (facade calls on caller frames beside
+    * the registered fixture queries) gets fresh shingles for the
+    * other frames instead of silently wrong cross-corpus answers
+    * (ShingleStoreSpec pins value-equality of the swapped kernel on
+    * q110/q127 and the mismatch bypass).
     */
-  @volatile private var shingleStore: Option[DataFrame] = None
-  def installShingleStore(df: DataFrame): Unit = { shingleStore = Some(df) }
+  @volatile private var shingleStore
+      : Option[(DataFrame, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = None
+  def installShingleStore(df: DataFrame, corpus: DataFrame): Unit = {
+    shingleStore = Some((df, corpus.queryExecution.analyzed))
+  }
   def clearShingleStore(): Unit = { shingleStore = None }
 
   /** Persist a frame for reuse across jobs within one query build and

@@ -58,17 +58,25 @@ object VectorOps {
       case _ => () // AnnIndex pins no cache
     }
     servedIndexes.clear()
-    // facade-built kNN graphs (knnGraphOf on caller frames) are pinned
-    // outside the memo — release them too (double-unpersist of the
-    // memoized graph is a harmless no-op)
-    pinnedGraphs.synchronized {
-      pinnedGraphs.foreach(_.unpersist(blocking = false))
-      pinnedGraphs.clear()
-    }
+    // facade-built kNN graphs (knnGraphOf on caller frames) are
+    // memoized outside servedIndexes — release them too
+    // (double-unpersist of the fixture graph is a harmless no-op)
+    graphMemo.builtValues.foreach(_.unpersist(blocking = false))
+    graphMemo.clear()
   }
 
-  private val pinnedGraphs =
-    scala.collection.mutable.ListBuffer.empty[DataFrame]
+  /** Facade kNN graphs memoized by (session, canonicalized input
+    * plan): repeated `GraftEngine.mutualKnn`/`knnLabelAudit` calls on
+    * the same frame in a long-lived session share ONE persisted graph
+    * instead of stacking a new MEMORY_AND_DISK entry per call (the
+    * round-10 advice finding — the only release was the global
+    * `releaseCaches()`, which also drops every served ANN index).
+    * Distinct frames still build distinct graphs; the memo is the
+    * shingle-cache identity rule applied to the dense side.
+    */
+  private val graphMemo = new graft.KeyedMemo[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]
 
   /** Explicit bench/session setup: build every served ANN index (IVF,
     * PQ, composed IVF-PQ) with the exact parameters the registered
@@ -225,23 +233,25 @@ object VectorOps {
     * above) and the `GraftEngine.mutualKnn`/`knnLabelAudit` facades
     * (the funnelVerdict sharing rule). Returns the persisted top-3
     * edge list (a_id, b_id, cos_r); the caller's consumers all read
-    * the one cache entry, released by `releaseCaches()`.
+    * the one cache entry, and REPEAT calls on the same frame (by
+    * canonicalized plan) share it too — released by
+    * `releaseCaches()`.
     */
-  private[graft] def knnGraphOf(s: SparkSession, e0: DataFrame): DataFrame = {
-    CosineSimilarity.ensureRegistered(s)
-    val e = withBucket(e0.select(col("vec_id"), col("embedding")))
-    val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_r").desc, col("b_id"))
-    val k = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
-      .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("a_id"), col("b_id"), col("cos_r"))
-    k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinnedGraphs.synchronized { pinnedGraphs += k }
-    k
-  }
+  private[graft] def knnGraphOf(s: SparkSession, e0: DataFrame): DataFrame =
+    graphMemo.getOrBuild((s, e0.queryExecution.analyzed.canonicalized)) {
+      CosineSimilarity.ensureRegistered(s)
+      val e = withBucket(e0.select(col("vec_id"), col("embedding")))
+      val l = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val r = e.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos_r").desc, col("b_id"))
+      val k = l.join(r, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("cos_r"))
+      k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k
+    }
 
   /** q183's body over a prebuilt kNN edge list: mutual edges (a<b)
     * annotated with the shared-top-3-neighbor count.

@@ -55,13 +55,55 @@ class ShingleStoreSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents")
     ShingleStore.materialize(docs, "shingles_swap", buckets = 4)
     try {
-      TextOps.installShingleStore(ShingleStore.load(spark, "shingles_swap"))
+      TextOps.installShingleStore(ShingleStore.load(spark, "shingles_swap"),
+        corpus = Tables.load(spark, sfDir, "documents"))
       assert(run("q110_dedup_survivors") === live110)
       assert(run("q127_threshold_sweep") === live127)
     } finally {
       TextOps.clearShingleStore()
       TextOps.releaseCaches()
       spark.sql("DROP TABLE IF EXISTS shingles_swap")
+    }
+  }
+
+  test("store substitutes on plan identity: fixture reloads match, a slice does not") {
+    // the substitution gate is a canonicalized-plan match against the
+    // registered corpus — two independent loads of the same fixture
+    // table must match (or the swap above silently stopped swapping),
+    // and a derived slice must NOT (that's the wrong-answer path the
+    // gate closes)
+    val a = Tables.load(spark, sfDir, "documents").queryExecution.analyzed
+    val b = Tables.load(spark, sfDir, "documents").queryExecution.analyzed
+    assert(a.sameResult(b), "fixture reloads stopped canonical-matching — " +
+      "the installed store would never substitute")
+    val slice = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0).queryExecution.analyzed
+    assert(!a.sameResult(slice))
+  }
+
+  test("a caller frame that is NOT the registered corpus bypasses the store") {
+    // the round-10 advice finding: GraftEngine.softDedupYield on a
+    // caller frame in a session with an installed store read the STORE
+    // corpus's shingles for clustering while token counts came from
+    // the caller frame — silently wrong yields. The gate must compute
+    // fresh shingles for the mismatched frame instead.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val slice = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val engine = new GraftEngine(spark, sfDir)
+    val expected = engine.softDedupYield(slice).collect().map(_.toString).sorted
+    TextOps.releaseCaches()
+    ShingleStore.materialize(docs, "shingles_gate", buckets = 4)
+    try {
+      TextOps.installShingleStore(ShingleStore.load(spark, "shingles_gate"),
+        corpus = docs)
+      val gated = engine.softDedupYield(slice).collect().map(_.toString).sorted
+      assert(gated === expected,
+        "installed store leaked into a mismatched caller frame")
+    } finally {
+      TextOps.clearShingleStore()
+      TextOps.releaseCaches()
+      spark.sql("DROP TABLE IF EXISTS shingles_gate")
     }
   }
 }
