@@ -171,20 +171,30 @@ object Bench {
     // lines above carry the 3-decimal record
     def fmt2(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // the host-weather record: tight canary spread = clean run;
-    // max >> min = a contaminated window existed and the cross-sweep
-    // minima were load-bearing
-    val cs = canaries.filter(_ >= 0).sorted
-    if (cs.nonEmpty) {
-      val med = cs((cs.size - 1) / 2)
-      println(s"""{"canary_n":${cs.size},"canary_min":${fmt(cs.head)},"canary_med":${fmt(med)},"canary_max":${fmt(cs.last)},"sweeps":$sweeps,"sweep_sec":[${sweepSecs.map(fmt2).mkString(",")}]}""")
-    }
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val buildSec = builds.map(_._2).filter(_ >= 0).sum
     val total = buildSec + results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build":${fmt2(buildSec)},"queries":$qs,"sf":"$sfDir"}""")
+    // The host-weather record — tight canary spread = clean run; max >>
+    // min = a contaminated window existed and the cross-sweep minima
+    // were load-bearing. This line is LAST and compact (~250 chars):
+    // the driver keeps only the final ~2000 chars of output, and the
+    // 193-query map above overflows that window, so a canary printed
+    // anywhere before the map's tail is truncated away (BENCH_r10/r11
+    // both lost it, costing a full adjudication cycle per round). The
+    // canary keys sit at the END of a line that always fits and always
+    // parses, so any >2x per-query row in the artifact carries its own
+    // steal proof in the same tail.
+    val cs = canaries.filter(_ >= 0).sorted
+    val canaryTail =
+      if (cs.isEmpty) ""
+      else {
+        val med = cs((cs.size - 1) / 2)
+        s""","canary_n":${cs.size},"canary_min":${fmt(cs.head)},"canary_med":${fmt(med)},"canary_max":${fmt(cs.last)}"""
+      }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build":${fmt2(buildSec)},"sf":"${new java.io.File(sfDir).getName}","sweeps":$sweeps,"sweep_sec":[${sweepSecs.map(fmt2).mkString(",")}]$canaryTail}""")
     spark.stop()
   }
 }

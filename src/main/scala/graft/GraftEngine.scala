@@ -288,7 +288,9 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
 
   /** Full change-data feed over (fromV, toV]: `snapshotChanges`'
     * inserts plus delete/merge removals, tagged `_change_type`
-    * ('insert' | 'delete'); updates arrive as delete + insert.
+    * ('insert' | 'delete') and `_commit_version` (order changes per
+    * key by it — last wins); updates arrive as delete + insert under
+    * one version.
     */
   def snapshotCdc(dir: String, fromV: Int, toV: Int): DataFrame =
     graft.ext.SnapshotLog.readCdc(spark, dir, fromV, toV)

@@ -444,16 +444,25 @@ object SnapshotLog {
     * unaffected; `vacuum` eventually reclaims the rewritten segments).
     *
     * Mechanics, sized for 100 TB:
-    *  1. ONE pruned scan finds the TOUCHED segments — the predicate
-    *     pushes into the parquet scan and only distinct file names
-    *     come back (O(files), metadata-sized), so a delete whose
-    *     predicate prunes to a few segments never reads the rest.
-    *  2. Only touched segments rewrite: their surviving rows land in a
-    *     rewrite segment marked `#compacted` (dataChange = false — a
-    *     rewrite of rows the change feed already delivered, exactly
-    *     compaction's contract), and their deleted rows land in a
-    *     `#cdcdel` change segment so `readCdc` can deliver the deletes
-    *     to incremental consumers.
+    *  1. TOUCHED-SEGMENT DISCOVERY is one pruned scan: the RAW
+    *     predicate pushes into the parquet scan (a filter drops
+    *     null-valued rows anyway, matching SQL DELETE — wrapping it in
+    *     coalesce() here made the whole scan non-pushable and read
+    *     every segment, the round-11 advice finding) and only distinct
+    *     file names come back (O(files), metadata-sized), so a delete
+    *     whose predicate prunes to a few segments never reads the
+    *     rest.
+    *  2. Only touched segments rewrite — each of the two writes (the
+    *     `#cdcdel` change segment holding the deleted rows for
+    *     `readCdc`, and the survivor rewrite marked `#compacted`,
+    *     dataChange = false, exactly compaction's contract) re-scans
+    *     the touched segments with its own pushed filter: two pruned
+    *     scans of touched data, the standard copy-on-write trade
+    *     (caching the touched rows would pin predicate-selectivity ×
+    *     table bytes of executor storage for no asymptotic win). The
+    *     predicate must be DETERMINISTIC (enforced) so both scans
+    *     classify every row identically — Spark's own DeleteFromTable
+    *     makes the same demand.
     *  3. Untouched segments carry forward by reference — zero data
     *     movement, the Delta/Iceberg copy-on-write economy.
     *
@@ -470,9 +479,24 @@ object SnapshotLog {
     require(prev >= 0, s"nothing to delete from in $dir")
     val v = prev + 1
     val segs = segments(dir, prev)
-    val hit = coalesce(predicate, lit(false))
     val all = readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath)))
-    val touchedFiles = all.filter(hit)
+    // raw predicate: pushes to parquet, and filter's null-drops ARE
+    // delete semantics for the hit side
+    val hits = all.filter(predicate)
+    // the predicate is re-evaluated by the discovery scan, the
+    // deleted-row write and the survivor write — a non-deterministic
+    // one could classify a row differently per scan, losing or
+    // duplicating rows inside one commit. Refuse it up front (Spark's
+    // own DeleteFromTable makes the same demand). The flag is read off
+    // the analyzed Filter since Column hides its expression in Spark 4.
+    val deterministic = hits.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.getOrElse(true)
+    require(deterministic,
+      "delete predicate must be deterministic — it is evaluated three " +
+        "times (discovery scan, deleted-row write, survivor write)")
+    val touchedFiles = hits
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     val touched = touchedOf(segs, touchedFiles)
@@ -481,11 +505,15 @@ object SnapshotLog {
       val touchedDf =
         readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath)))
       val delRel = s"seg-$v-cdc-${writerToken()}"
-      touchedDf.filter(hit).write.mode("overwrite")
+      touchedDf.filter(predicate).write.mode("overwrite")
         .parquet(absPath(dir, delRel))
       val rewriteRel = s"seg-$v-${writerToken()}"
       val rewritePath = absPath(dir, rewriteRel)
-      touchedDf.filter(!hit).write.mode("overwrite").parquet(rewritePath)
+      // survivors = NOT proven deleted — null-predicate rows stay, so
+      // only this side needs the coalesce (¬null is null, and a bare
+      // !predicate filter would drop the very rows SQL DELETE keeps)
+      touchedDf.filter(!coalesce(predicate, lit(false)))
+        .write.mode("overwrite").parquet(rewritePath)
       val (mn, mx) = writtenStats(spark, rewritePath, statsCol)
       val touchedSet = touched.map(_.relPath).toSet
       val untouched = segs.filterNot(s => touchedSet(s.relPath))
@@ -520,6 +548,15 @@ object SnapshotLog {
     * ones). `src` must be key-unique — two src rows with one key would
     * both land (the standard MERGE multi-match contract violation;
     * dedupe upstream, q189's gate does exactly that).
+    *
+    * The src plan runs EXACTLY ONCE: its segment is written first and
+    * every later phase (key extraction, touched-segment discovery,
+    * both rewrite joins) reads the MATERIALIZED parquet back — a
+    * non-deterministic or concurrently-mutating source re-evaluated
+    * per phase could otherwise delete old rows whose replacement keys
+    * never land in the written segment, silent row loss inside an
+    * "atomic" commit (the same re-evaluation hazard `writtenStats`
+    * documents; Delta materializes merge sources for this reason).
     * Returns the new version number.
     */
   def merge(spark: SparkSession, src: DataFrame, dir: String, key: String,
@@ -528,10 +565,18 @@ object SnapshotLog {
     require(prev >= 0, s"nothing to merge into in $dir — append first")
     val v = prev + 1
     val segs = segments(dir, prev)
+    // schema gate BEFORE any data lands — a refused merge must leave no
+    // orphan segment behind
     val snapSchema = evolvedSchema(
       gateSchema(spark, dir, prev), src.schema,
       spark.sessionState.analyzer.resolver)
-    val srcKeys = src.select(col(key)).distinct()
+    // materialize src ONCE; all phases below see this one frozen copy
+    val srcRel = s"seg-$v-${writerToken()}"
+    val srcPath = absPath(dir, srcRel)
+    src.write.mode("overwrite").parquet(srcPath)
+    val srcM = spark.read.schema(src.schema).parquet(srcPath)
+    val (smn, smx) = writtenStats(spark, srcPath, statsCol)
+    val srcKeys = srcM.select(col(key)).distinct()
     // input_file_name() must be projected BELOW the semi-join (Spark
     // refuses it above a multi-source plan), so the scan side carries
     // its file name as a column into the join
@@ -561,11 +606,6 @@ object SnapshotLog {
         (Seq(Segment(rewriteRel, mn, mx)), Set(delRel))
       }
 
-    val srcRel = s"seg-$v-${writerToken()}"
-    val srcPath = absPath(dir, srcRel)
-    src.write.mode("overwrite").parquet(srcPath)
-    val (smn, smx) = writtenStats(spark, srcPath, statsCol)
-
     val lines =
       (untouched ++ rewriteSegs :+ Segment(srcRel, smn, smx)).map(segLine) ++
         metaLines(ManifestMeta(
@@ -579,25 +619,52 @@ object SnapshotLog {
 
   /** Full change-data feed over (fromV, toV]: `readChanges`' inserts
     * PLUS the rows row-level deletes/merges removed, each row tagged
-    * with `_change_type` ('insert' | 'delete'). An update (merge on an
-    * existing key) arrives as its delete + its insert — the minimal
-    * CDC encoding every sink can apply idempotently by key. fromV = -1
-    * means "delta from empty": the toV snapshot as inserts (net state
-    * — rows deleted before toV are already absent). All rows surface
-    * under toV's schema, like readChanges.
+    * with `_change_type` ('insert' | 'delete') AND `_commit_version`
+    * (the version whose commit produced it). The version column is
+    * what makes the by-key idempotent-apply contract real: a key
+    * modified in more than one version inside the window (two merges
+    * on one key) yields multiple delete/insert rows, and without an
+    * ordering column a keyed sink cannot determine the final image —
+    * order by `_commit_version` per key and the last change wins
+    * (Delta's change feed ships `_commit_version` for exactly this).
+    * An update (merge on an existing key) arrives as its delete + its
+    * insert under ONE version — same-version delete-before-insert is
+    * part of the apply contract. fromV = -1 means "delta from empty":
+    * the toV snapshot as inserts (net state — rows deleted before toV
+    * are already absent), all tagged with toV since the feed delivers
+    * it as one synthetic snapshot commit, not a replayed history. All
+    * rows surface under toV's schema, like readChanges; the walk costs
+    * O(toV−fromV) manifest reads and the data side opens exactly the
+    * per-version delta/#cdcdel segments, never standing history.
     */
   def readCdc(spark: SparkSession, dir: String,
       fromV: Int, toV: Int): DataFrame = {
-    val inserts = readChanges(spark, dir, fromV, toV)
-      .withColumn("_change_type", lit("insert"))
-    if (fromV < 0) inserts
+    if (fromV < 0)
+      readAsOf(spark, dir, toV)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV))
     else {
-      val delRels = ((fromV + 1) to toV).flatMap(w => meta(dir, w).cdcDel)
-        .distinct
-      if (delRels.isEmpty) inserts
-      else inserts.unionByName(
-        readSegs(spark, dir, toV, delRels.map(r => absPath(dir, r)))
-          .withColumn("_change_type", lit("delete")))
+      require(toV >= fromV, s"readCdc range [$fromV, $toV] inverted")
+      // per-version walk (not one batched read): each row's tag must be
+      // the version that produced it. A segment surfaces at exactly the
+      // version that introduced it — names are writer-unique, so no
+      // cross-version dedup is needed.
+      val perVersion = ((fromV + 1) to toV).flatMap { w =>
+        val prevSet = segments(dir, w - 1).map(_.relPath).toSet
+        val ins = segments(dir, w).filter(_.dataChange)
+          .filterNot(s => prevSet(s.relPath)).map(_.relPath)
+        val dels = meta(dir, w).cdcDel.toSeq.sorted
+        Seq(("insert", w, ins), ("delete", w, dels)).filter(_._3.nonEmpty)
+      }
+      if (perVersion.isEmpty)
+        readAsOf(spark, dir, toV).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(toV))
+      else perVersion.map { case (ct, w, rels) =>
+        readSegs(spark, dir, toV, rels.map(r => absPath(dir, r)))
+          .withColumn("_change_type", lit(ct))
+          .withColumn("_commit_version", lit(w))
+      }.reduce(_.unionByName(_))
     }
   }
 

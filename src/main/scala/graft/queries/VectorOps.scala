@@ -47,22 +47,24 @@ object VectorOps {
     servedIndexes.getOrBuild((s, d, kind))(build).asInstanceOf[T]
 
   /** Close every memoized index (unpersists their build-time caches).
-    * Only indexes whose build completed are closed — KeyedMemo keeps
-    * the release from blocking on (or forcing) an in-flight build.
+    * Both memos release via `KeyedMemo.drain()`, which synchronizes
+    * against in-flight `getOrBuild`s — a snapshot-then-clear here had
+    * a window where a build completing between the two calls leaked a
+    * persisted MEMORY_AND_DISK graph with no remaining release path
+    * (the round-11 advice finding; Round17OpsSpec pins the drained
+    * release).
     */
   def releaseCaches(): Unit = {
-    servedIndexes.builtValues.foreach {
+    servedIndexes.drain().foreach {
       case i: graft.ext.IvfPq.Index => i.close()
       case i: graft.ext.PqIndex.Index => i.close()
       case df: DataFrame => df.unpersist(blocking = false) // knn graph
       case _ => () // AnnIndex pins no cache
     }
-    servedIndexes.clear()
     // facade-built kNN graphs (knnGraphOf on caller frames) are
     // memoized outside servedIndexes — release them too
     // (double-unpersist of the fixture graph is a harmless no-op)
-    graphMemo.builtValues.foreach(_.unpersist(blocking = false))
-    graphMemo.clear()
+    graphMemo.drain().foreach(_.unpersist(blocking = false))
   }
 
   /** Facade kNN graphs memoized by (session, canonicalized input
