@@ -307,14 +307,15 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
 
   /** Screen-then-price containment dedup over caller (doc_id, text)
     * docs — q179's kernel, shared verbatim (the funnelVerdict rule):
-    * winnowing fingerprints nominate candidate pairs, the exact
-    * sorted-shingle-array intersection prices only those. Returns
-    * (da, db, na, nb, containment) with da the contained side,
-    * C(A,B) ≥ 0.8 — candidate-linear at corpus scale where the exact
-    * all-pairs form (q169, the oracle arm) cannot exist. Short docs
-    * (under 7 tokens — no fingerprints possible) route through their
-    * exact shingle postings, so only scattered sub-7-token-fragment
-    * overlap trades away. Session caveats: with a ShingleStore
+    * winnowing fingerprints, the short-doc exact slice and the
+    * containment prefix filter nominate candidates in union, and the
+    * exact sorted-shingle-array intersection prices only those.
+    * Returns (da, db, na, nb, containment) with da the contained
+    * side, C(A,B) ≥ 0.8 — candidate-linear at corpus scale where the
+    * exact all-pairs form (q169, the oracle arm) cannot exist, with
+    * recall EXACT BY CONSTRUCTION (the rarity-prefix bound — a pair
+    * sharing none of the contained side's n/5+2 rarest shingles is
+    * provably under the gate). Session caveats: with a ShingleStore
     * installed the kernel reads the STORE corpus, not `docs`
     * (single-corpus sessions only), and each distinct caller frame
     * pins kernel caches until `releaseCaches()` — batch distinct
@@ -322,6 +323,56 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     */
   def containmentDedup(docs: DataFrame): DataFrame =
     graft.queries.TextOps.screenedContainmentPairs(docs)
+
+  /** Substring-granularity decontamination spans over caller
+    * (doc_id, text) docs — q195's cross-set anchor-and-extend kernel,
+    * shared verbatim: rows where `evalPred` is true form the eval
+    * side, all others the train side, and every maximal verbatim span
+    * of ≥ 16 tokens shared from an eval doc into a train doc returns
+    * as (dt, de, diag, pt0, span) — pt0/span locating exactly what a
+    * scrubber cuts from the train doc. Anchors are df-capped on the
+    * TRAIN side only (the eval side is benchmark-sized; capping it
+    * could hide real contamination).
+    */
+  def decontaminateSpans(docs: DataFrame,
+      evalPred: org.apache.spark.sql.Column): DataFrame =
+    graft.queries.TextOps.crossRuns(docs, evalPred)
+
+  /** q196's HTML extraction cascade over any html-string column:
+    * boilerplate blocks (<head>/<nav>/<footer>) drop, remaining tags
+    * strip to spaces, whitespace collapses — all native codegen'd
+    * regexp_replace, per-row narrow map at any scale.
+    */
+  def extractHtml(html: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.queries.TextOps.extractHtmlText(html)
+
+  /** DoReMi-style loss-aware mixture reweighting (q197's exact
+    * integer multiplicative-weights kernel, shared verbatim) over a
+    * caller stats frame (source, n_tokens, nll) and a reference NLL:
+    * sources whose loss exceeds the reference gain mass in proportion
+    * to their integer micro-nat excess. Returns (source, n_tokens,
+    * nll, excess_micro, weight_base, weight_doremi).
+    */
+  def lossAwareMix(stats: DataFrame, referenceNll: Double): DataFrame =
+    graft.queries.TextOps.doremiReweight(
+      stats.withColumn("nll_c",
+        org.apache.spark.sql.functions.lit(referenceNll)))
+
+  /** Unigram-LM tokenizer trainer (q198's Viterbi-EM loop, shared
+    * verbatim) over the engine's documents table: returns the learned
+    * (piece, n_uses, cost_micronats) inventory after `rounds` EM
+    * rounds. The corpus is scanned once; every round runs on the
+    * vocab-sized distinct-word table.
+    */
+  def trainUnigramTokenizer(rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (pieces, _, _) =
+      graft.queries.TextOps.unigramLoop(spark, dataDir, rounds)
+    pieces.toDF("piece", "n_uses", "cost_micronats")
+      .orderBy(org.apache.spark.sql.functions.col("cost_micronats"),
+        org.apache.spark.sql.functions.col("piece"))
+  }
 
   /** Mutual-kNN graph with shared-neighbor strength over ANY
     * (vec_id, embedding) frame — q183's kernels, shared verbatim (the

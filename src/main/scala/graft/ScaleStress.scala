@@ -230,7 +230,23 @@ object ScaleStress {
       "q190_padding_efficiency",
       // the q50 broadcast-query shape with two rank windows: linear in
       // the corpus, constant in the query set
-      "q191_matryoshka_audit")
+      "q191_matryoshka_audit",
+      // round-12 additions: delete/merge cost is touched-segments +
+      // src under 10× orders (discovery stays one pruned scan); vacuum
+      // is driver metadata + fs deletes after the same delete+compact
+      "q192_snapshot_delete", "q193_snapshot_merge", "q194_snapshot_vacuum",
+      // cross-set anchor join: eval side is a fixed 1/20 slice, so
+      // candidate volume is eval-anchor-linear × the df-capped train
+      // posting density — strictly cheaper than q135's self-join
+      "q195_eval_decontaminate",
+      // wrap+extract is a narrow per-row regex cascade (byte-linear,
+      // zero shuffle before the verdict rollup); DoReMi re-runs the
+      // q88 LM scoring (two token-key groupBys) + k-row algebra
+      "q196_html_extract", "q197_doremi_weights",
+      // EM rounds run on the distinct-word table, which replication
+      // leaves UNCHANGED (the q134 argument) — only the one corpus
+      // word-count scan grows under 10×
+      "q198_unigram_lm_train")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -1216,7 +1216,60 @@ object Relational {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_cents " +
         "FROM orders) " +
         "SELECT 2 AS version, 3 AS n_segments, n_rows, price_cents FROM t " +
-        "UNION ALL SELECT 3, 1, n_rows, price_cents FROM t ORDER BY version"))
+        "UNION ALL SELECT 3, 1, n_rows, price_cents FROM t ORDER BY version")),
+
+    GraftQuery(
+      "q194_snapshot_vacuum",
+      "Retention enforcement PAST a row-level delete — the reclaim arm q192 deferred: " +
+        "after the 3-commit orders log erases its purge cohort (delete -> v3: one " +
+        "#cdcdel change segment + one survivor rewrite) and compacts (v4: one " +
+        "segment), `vacuum(horizon = 4)` must (1) drop manifests v0..v3, (2) reclaim " +
+        "every segment only those manifests referenced — the 3 originals, the v3 " +
+        "rewrite AND the v3 #cdcdel change segment, which by contract lives exactly " +
+        "as long as its manifest — and (3) leave v4 reading the survivors completely. " +
+        "The counts are structural constants of this commit sequence (3 appends + 1 " +
+        "delete + 1 compact always yields 6 segment dirs, 5 doomed), so the oracle " +
+        "checks them as literals beside the survivor mass it recomputes from base " +
+        "data; versions_readable probes every historical version and counts the " +
+        "survivors of retention (only v4). The GDPR shape this completes: delete " +
+        "makes rows invisible, vacuum makes them UNRECOVERABLE — time travel to " +
+        "pre-delete versions is gone and the deleted rows' bytes (original segments " +
+        "+ the #cdcdel copy) have left the disk. Cost at 100 TB: vacuum is pure " +
+        "driver metadata (manifest set algebra) plus filesystem deletes of doomed " +
+        "segment dirs — the data path is never scanned.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "vac")
+        val purged = pmod(col("o_custkey"), lit(97L)) === 13
+        SnapshotLog.delete(s, dir, purged, unix_timestamp(col("o_orderdate")))
+        val vC = SnapshotLog.compact(s, dir, unix_timestamp(col("o_orderdate")))
+        val (segsGone, mfsGone) = SnapshotLog.vacuum(dir, horizon = vC)
+        val readable = (0 to vC).count(v =>
+          scala.util.Try(SnapshotLog.segments(dir, v)).isSuccess)
+        val survivors = SnapshotLog.readAsOf(s, dir, vC)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("price_cents"))
+        survivors.select(lit("post_vacuum_cents").as("state"),
+            col("price_cents").as("n"))
+          .unionByName(survivors.select(lit("post_vacuum_rows").as("state"),
+            col("n_rows").as("n")))
+          .unionByName(s.range(1).select(
+            lit("reclaimed_manifests").as("state"), lit(mfsGone.toLong).as("n")))
+          .unionByName(s.range(1).select(
+            lit("reclaimed_segments").as("state"), lit(segsGone.toLong).as("n")))
+          .unionByName(s.range(1).select(
+            lit("versions_readable").as("state"), lit(readable.toLong).as("n")))
+          .orderBy(col("state"))
+      },
+      Some("WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c " +
+        "FROM orders WHERE o_custkey % 97 <> 13) " +
+        "SELECT 'post_vacuum_cents' AS state, c AS n FROM s " +
+        "UNION ALL SELECT 'post_vacuum_rows', n_rows FROM s " +
+        "UNION ALL SELECT 'reclaimed_manifests', CAST(4 AS BIGINT) " +
+        "UNION ALL SELECT 'reclaimed_segments', CAST(5 AS BIGINT) " +
+        "UNION ALL SELECT 'versions_readable', CAST(1 AS BIGINT) " +
+        "ORDER BY state"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

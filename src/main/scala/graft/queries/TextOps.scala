@@ -597,6 +597,43 @@ object TextOps {
       .select(col("dx"), col("dy")).distinct()
   }
 
+  /** Containment PREFIX-FILTER candidates — the LOSSLESS nomination
+    * route that closes the winnowing screen's documented blind spot
+    * (a pair overlapping only in scattered sub-7-token fragments
+    * shares no fingerprint but can still have C ≥ 0.8; the extreme is
+    * 3-gram "confetti": every shingle of A present in B, no shared
+    * 4-token run at all — C = 1.0, zero fingerprints shared).
+    * PPJoin's prefix principle adapted to containment: order every
+    * doc's shingles by global rarity (df asc, sk tiebreak — one total
+    * order both sides share); if a pair shares NO shingle among the
+    * contained side's (n DIV 5 + 2) rarest, then |A∩B| ≤ n − n/5 − 2,
+    * so C < 0.8 − 1/n — below the gate even after its 6dp rounding
+    * (the q164 "+2 absorbs the rounding slack" argument). Hence
+    * posting ONLY each doc's rarity prefix against the full posting
+    * list nominates every pair the exact kernel could keep: the
+    * screen's recall is exact BY CONSTRUCTION, not by fixture.
+    * Cost: one df groupBy, per-doc rank windows (thousands of tiny
+    * frames), and a join that ships ~20% of postings on the prefix
+    * side — rarest-first, so boilerplate shingles never enter from
+    * the prefix side and fan-out stays candidate-linear.
+    */
+  private[graft] def containmentPrefixCandidates(sh: DataFrame,
+      docArr: DataFrame): DataFrame = {
+    val dfc = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfc, Seq("sk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sk"))))
+      .join(docArr.select(col("doc_id"), col("n")), Seq("doc_id"))
+      .filter(col("rk") <= expr("n DIV 5") + 2)
+      .select(col("sk"), col("doc_id").as("dc"))
+    prefix
+      .join(sh.select(col("sk"), col("doc_id").as("do")), Seq("sk"))
+      .filter(col("dc") =!= col("do"))
+      .select(least(col("dc"), col("do")).as("dx"),
+        greatest(col("dc"), col("do")).as("dy"))
+      .distinct()
+  }
+
   /** Per-doc sorted shingle array + size — the array-form verify kernel
     * SHARED by q164 and q179 (CacheManager dedupes the pinned entry, so
     * whichever consumer evaluates first would absorb the build;
@@ -653,7 +690,16 @@ object TextOps {
       .filter(col("ds") =!= col("do"))
       .select(least(col("ds"), col("do")).as("dx"),
         greatest(col("ds"), col("do")).as("dy"))
-    containmentCandidates(docs).unionByName(shortCand).distinct()
+    // three nomination routes union before pricing: winnowing (cheap,
+    // catches run-structured near-dups), the short-doc exact slice,
+    // and the containment prefix filter — LOSSLESS for the C >= 0.8
+    // gate by the rarity-prefix bound, so the composed screen's
+    // recall is exact by construction (Round17OpsSpec pins the
+    // 3-gram-confetti adversary winnowing alone misses)
+    containmentCandidates(docs)
+      .unionByName(shortCand)
+      .unionByName(containmentPrefixCandidates(sh, docArr))
+      .distinct()
       .join(docArr.select(col("doc_id").as("dx"), col("arr").as("ax"),
         col("n").as("nx")), Seq("dx"))
       .join(docArr.select(col("doc_id").as("dy"), col("arr").as("ay"),
@@ -3168,7 +3214,7 @@ object TextOps {
 
     GraftQuery(
       "q179_containment_screened",
-      "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): q39's winnowing fingerprints NOMINATE candidate pairs (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, so the candidate join touches rare prints, never boilerplate) and q169's exact array-intersection kernel PRICES only those candidates — per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row here is the fixture proof that the screen lost no pair; Round14OpsSpec additionally pins q179 ≡ q169 frame equality. Recall contract at 100 TB: a C ≥ 0.8 contained doc shares ≥80% of its 3-gram shingles, which on real near-dup families arrives as shared RUNS, and any shared 7-token run shares a fingerprint (the winnowing guarantee); a pair overlapping ONLY in scattered sub-7-token fragments can evade the screen — the same explicitly-documented trade every MOSS deployment makes, priced against an all-pairs join that cannot exist at corpus scale. Docs under 7 tokens emit no fingerprints and would route to the exact kernel directly (none exist in the fixture: min 10 tokens). The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
+      "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): three nomination routes union before pricing — q39's winnowing fingerprints (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, cheap and sufficient for run-structured near-dups), the short-doc exact slice, and the containment PREFIX FILTER (PPJoin's principle adapted to containment: a pair sharing no shingle among the contained side's n/5+2 globally-RAREST shingles is provably under the 0.8 gate even after 6dp rounding) — and q169's exact array-intersection kernel PRICES only the union, per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The prefix route makes the screen's recall EXACT BY CONSTRUCTION, not by fixture: the former blind spot — pairs overlapping only in scattered sub-7-token fragments, extreme case 3-gram confetti with C = 1.0 and zero shared fingerprints — is nominated by its rare shingles (Round17OpsSpec pins the adversary: winnowing alone misses it, the composed screen prices it at 1.0). The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row is additionally the fixture proof the screen lost no pair; Round14OpsSpec pins q179 ≡ q169 frame equality. The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
       (s, d) => screenedContainmentPairs(t(s, d, "documents")),
       Some(containmentOracle)),
 
@@ -3248,6 +3294,257 @@ object TextOps {
         "SELECT m.doc_id, m.tok, m.div FROM m " +
         "JOIN st ON m.bucket = st.bucket AND m.tok = st.tok " +
         "WHERE m.div = st.gmax AND m.div > st.rmax ORDER BY m.doc_id"))
+  ,
+
+    GraftQuery(
+      "q195_eval_decontaminate",
+      "SUBSTRING-granularity eval decontamination — the span-level arm q86's " +
+        "whole-doc bloom gate cannot express: q86 answers 'does a train doc share " +
+        "ANY 3-gram with the eval set' (one bit per doc), while training-set hygiene " +
+        "(GPT-3 appendix C, PaLM, Llama) needs the CONTAMINATED SPANS so only the " +
+        "leaked tokens are surgically removed, not whole documents. Composes q135's " +
+        "anchor-and-extend kernel CROSS-SET: every 8-token anchor in an eval doc " +
+        "(doc_id % 20 = 0, q86's split) joins matching anchors in train docs; " +
+        "consecutive matches on one (train, eval, diagonal) are maximal verbatim " +
+        "spans (span = run + 7, EXACT — the q135 reconstruction), and spans >= 16 " +
+        "tokens mark their train-side positions contaminated. Overlapping spans " +
+        "from different eval docs union position-distinct (the q137 accounting), " +
+        "so per-source tokens_contaminated is what a scrubber would actually cut. " +
+        "Scale posture: anchors are one row per token; the df <= 50 cap (on TRAIN " +
+        "anchors — boilerplate guard; the eval side is benchmark-sized and never " +
+        "capped, a missed contamination there is the failure mode) bounds the join " +
+        "fan-out; the eval side is a sliver of the corpus, so the anchor join is " +
+        "eval-linear, cheaper than q135's self-join; islands window over (pair, " +
+        "diagonal) — thousands of tiny sorts, nothing corpus-wide. Spans under 16 " +
+        "tokens are below the floor by design: sub-7-token scatter shares no " +
+        "anchor (Round17OpsSpec pins both the verbatim-hit and scatter-miss " +
+        "contracts).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val contaminated = crossRuns(docs, col("doc_id") % 20 === 0)
+          .select(col("dt").as("doc_id"),
+            explode(sequence(col("pt0"), col("pt0") + col("span") - 1))
+              .as("pos"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+        docs.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_contam").isNotNull, 1L).otherwise(0L))
+              .as("n_docs_contaminated"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(coalesce(col("n_contam"), lit(0L)))
+              .as("n_tokens_contaminated"))
+          .withColumn("contamination_rate",
+            round(col("n_tokens_contaminated") / col("n_tokens"), 6))
+          .orderBy(col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "anch AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS a " +
+        "FROM tok, UNNEST(range(1, len(t)-6)) x(i) WHERE len(t) >= 8), " +
+        "ta AS (SELECT doc_id, pos, a FROM anch WHERE doc_id % 20 <> 0), " +
+        "ea AS (SELECT doc_id, pos, a FROM anch WHERE doc_id % 20 = 0), " +
+        "keep AS (SELECT a FROM (SELECT a, count(*) AS df FROM ta GROUP BY a) " +
+        "WHERE df <= 50), " +
+        "taf AS (SELECT doc_id, pos, a FROM ta WHERE a IN (SELECT a FROM keep)), " +
+        "cand AS (SELECT tt.doc_id AS dt, tt.pos AS pt, e.doc_id AS de, e.pos AS pe " +
+        "FROM taf tt JOIN ea e ON tt.a = e.a), " +
+        "isl AS (SELECT dt, de, pt - pe AS diag, pt, " +
+        "pt - row_number() OVER (PARTITION BY dt, de, pt - pe ORDER BY pt) AS grp " +
+        "FROM cand), " +
+        "runs AS (SELECT dt, min(pt) AS pt0, count(*) + 7 AS span FROM isl " +
+        "GROUP BY dt, de, diag, grp), " +
+        "pos AS (SELECT DISTINCT dt AS doc_id, pt0 + i AS pos FROM runs, " +
+        "UNNEST(range(0, span)) x(i) WHERE span >= 16), " +
+        "rem AS (SELECT doc_id, count(*) AS n_rem FROM pos GROUP BY doc_id) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN r.n_rem IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_docs_contaminated, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(coalesce(r.n_rem, 0)) AS BIGINT) AS n_tokens_contaminated, " +
+        "round(sum(coalesce(r.n_rem, 0))*1.0/" +
+        "sum(len(string_split(text,' '))), 6) AS contamination_rate " +
+        "FROM documents d LEFT JOIN rem r ON d.doc_id = r.doc_id " +
+        "WHERE d.doc_id % 20 <> 0 GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q196_html_extract",
+      "HTML/markup extraction — the step every web-crawl pipeline runs BEFORE any " +
+        "q107-style quality funnel (trafilatura/jusText's job, expressed in native " +
+        "codegen'd string ops, zero UDFs): each fixture doc is deterministically " +
+        "wrapped in-plan into an HTML page (head/title from its first 3 tokens, a " +
+        "nav menu, two <p> body paragraphs splitting the text at ceil(n/2), a " +
+        "copyright footer — the boilerplate shapes real crawls carry), then " +
+        "EXTRACTED back by a fixed regexp_replace cascade: drop <head>/<nav>/" +
+        "<footer> blocks (boilerplate removal), strip remaining tags to spaces, " +
+        "collapse whitespace. The wrap-then-extract round trip makes the extractor " +
+        "AUDITABLE: n_roundtrip counts docs whose extraction equals the original " +
+        "text byte-for-byte (the fixture is single-spaced, so a perfect extractor " +
+        "round-trips 100% — any loss is an extractor bug the hash catches " +
+        "cross-engine), and markup_share prices how much of the page was " +
+        "boilerplate+markup. COMPOSED into the q107 funnel: the verdict column runs " +
+        "funnelVerdict on the EXTRACTED text, so the output is the funnel report a " +
+        "crawl pipeline would actually ship (Round17OpsSpec pins funnel-on-" +
+        "extracted ≡ q107's funnel-on-original). Pure narrow map until the ~5-row " +
+        "verdict rollup — zero shuffles at 100 TB; on a real crawl the wrap stage " +
+        "is replaced by the raw HTML column and the same cascade runs unchanged.",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            toks(col("text")).as("tk"))
+          .withColumn("n", size(col("tk")))
+          .withColumn("half",
+            floor((col("n") + 1) / 2).cast("int"))
+        val wrapped = base.withColumn("html", concat(
+          lit("<html><head><title>"),
+          concat_ws(" ", slice(col("tk"), 1, 3)),
+          lit("</title></head><body><nav>home | about | contact</nav><p>"),
+          concat_ws(" ", slice(col("tk"), lit(1), col("half"))),
+          lit("</p><p>"),
+          concat_ws(" ",
+            slice(col("tk"), col("half") + 1, col("n") - col("half"))),
+          lit("</p><footer>copyright 2026 example</footer></body></html>")))
+        wrapped.withColumn("ext", extractHtmlText(col("html")))
+          .select(
+            funnelVerdict(col("ext"), col("lang")).as("verdict"),
+            length(col("ext")).cast("long").as("e_chars"),
+            length(col("html")).cast("long").as("h_chars"),
+            size(toks(col("ext"))).as("n_tokens"),
+            when(col("ext") === col("text"), 1L).otherwise(0L).as("rt"))
+          .groupBy(col("verdict"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("e_chars")).as("extracted_chars"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens"),
+            sum(col("rt")).as("n_roundtrip"),
+            round(lit(1) - sum(col("e_chars")) / sum(col("h_chars")), 6)
+              .as("markup_share"))
+          .orderBy(col("verdict"))
+      },
+      Some("WITH t0 AS (SELECT doc_id, lang, text, string_split(text,' ') AS tk " +
+        "FROM documents), " +
+        "w AS (SELECT *, len(tk) AS n, (len(tk)+1)//2 AS half FROM t0), " +
+        "h AS (SELECT doc_id, lang, text, " +
+        "'<html><head><title>' || array_to_string(tk[1:3],' ') || " +
+        "'</title></head><body><nav>home | about | contact</nav><p>' || " +
+        "array_to_string(tk[1:half],' ') || '</p><p>' || " +
+        "array_to_string(tk[half+1:n],' ') || " +
+        "'</p><footer>copyright 2026 example</footer></body></html>' AS html " +
+        "FROM w), " +
+        "e AS (SELECT doc_id, lang, text, html, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(html, '<head>.*?</head>', ' ', 'g'), " +
+        "'<nav>.*?</nav>', ' ', 'g'), '<footer>.*?</footer>', ' ', 'g'), " +
+        "'<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS ext FROM h), " +
+        "q AS (SELECT *, len(string_split(ext,' ')) AS n_tokens, " +
+        "round(len(list_filter(string_split(ext,' '), t -> t IN " +
+        "('the','a','of','and','to','in','is','it')))*1.0" +
+        "/len(string_split(ext,' ')), 6) AS stop_ratio, " +
+        "round(len(regexp_replace(ext,'[^a-z]','','g'))*1.0/len(ext), 6) " +
+        "AS alpha_ratio FROM e), " +
+        "v AS (SELECT CASE WHEN n_tokens < 15 THEN 'too_short' " +
+        "WHEN alpha_ratio < 0.5 THEN 'low_alpha' " +
+        "WHEN stop_ratio > 0.4 THEN 'high_stop' " +
+        "WHEN lang <> 'en' THEN 'non_english' ELSE 'kept' END AS verdict, " +
+        "len(ext) AS e_chars, len(html) AS h_chars, n_tokens, " +
+        "CASE WHEN ext = text THEN 1 ELSE 0 END AS rt FROM q) " +
+        "SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(e_chars) AS BIGINT) AS extracted_chars, " +
+        "round(avg(n_tokens), 4) AS avg_tokens, " +
+        "CAST(sum(rt) AS BIGINT) AS n_roundtrip, " +
+        "round(1 - sum(e_chars)*1.0/sum(h_chars), 6) AS markup_share " +
+        "FROM v GROUP BY verdict ORDER BY verdict")),
+
+    GraftQuery(
+      "q197_doremi_weights",
+      "DoReMi-style loss-aware mixture reweighting (Xie et al. 2023, 'DoReMi: " +
+        "Optimizing Data Mixtures Speeds Up Language Model Pretraining') — the " +
+        "step that completes the q172/q111/q113 mixing surface: instead of sizing " +
+        "sources by token mass (q172) or a fixed temperature (q113), upweight the " +
+        "sources a proxy model finds HARD. The proxy loss is q88's in-plan bigram " +
+        "LM (shared bigramLmScores kernel, so the score can never drift from " +
+        "q130's calibration): per-source NLL = -mean per-doc lm_score, reference = " +
+        "the corpus-wide mean, excess = max(0, source - reference) — positive " +
+        "exactly where the source underperforms the blend, DoReMi's excess-loss " +
+        "signal. The REWEIGHT is one multiplicative-weights step in EXACT integer " +
+        "math (the linearized-exp update, eta = 1): excess quantizes to integer " +
+        "micro-nats off the 6dp-rounded NLLs, each source's token mass multiplies " +
+        "by (1e6 + excess_micro) as BIGINT x BIGINT — no exp() whose libm ulps " +
+        "could diverge cross-engine — and the single closing division normalizes " +
+        "to 6dp weights beside the token-share baseline. Cost: the corpus is " +
+        "touched once by the LM scoring (two token-key groupBys + broadcast " +
+        "1-row totals, the q88 posture) and once by the token count; everything " +
+        "after is k-row source-table algebra with two broadcast 1-row joins. " +
+        "Round17OpsSpec re-derives the update from the query's own NLL outputs.",
+      (s, d) => {
+        val sc = bigramLmScores(s, d)
+        val docs = t(s, d, "documents")
+        val srcNll = sc
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(round(-avg(col("lm_score")), 6).as("nll"))
+        val corpusNll = sc.agg(round(-avg(col("lm_score")), 6).as("nll_c"))
+        val tk = docs
+          .select(col("source"), size(toks(col("text"))).cast("long").as("ntk"))
+          .groupBy(col("source")).agg(sum(col("ntk")).as("n_tokens"))
+        doremiReweight(srcNll.join(tk, Seq("source"))
+          .crossJoin(broadcast(corpusNll)))
+      },
+      Some("WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1 " +
+        "FROM tk, UNNEST(range(1, len(t))) x(i) WHERE len(t) >= 2), " +
+        "c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT tok)*1.0 AS v FROM " +
+        "(SELECT unnest(string_split(text,' ')) AS tok FROM documents)), " +
+        "sc AS (SELECT doc_id, round(avg(ln((c12 + 1) / (c1 + v))), 6) AS lm_score " +
+        "FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1), v GROUP BY doc_id), " +
+        "srcn AS (SELECT d.source, round(-avg(sc.lm_score), 6) AS nll " +
+        "FROM sc JOIN documents d USING (doc_id) GROUP BY d.source), " +
+        "corp AS (SELECT round(-avg(lm_score), 6) AS nll_c FROM sc), " +
+        "toksrc AS (SELECT source, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "e AS (SELECT s.source, t.n_tokens, s.nll, " +
+        "greatest(CAST(0 AS BIGINT), " +
+        "CAST(round((s.nll - c.nll_c)*1000000) AS BIGINT)) AS excess_micro " +
+        "FROM srcn s JOIN toksrc t USING (source), corp c), " +
+        "w AS (SELECT *, n_tokens * (1000000 + excess_micro) AS w_raw FROM e), " +
+        "n AS (SELECT sum(w_raw) AS z, sum(n_tokens) AS ztok FROM w) " +
+        "SELECT source, n_tokens, nll, excess_micro, " +
+        "round(n_tokens*1.0/ztok, 6) AS weight_base, " +
+        "round(w_raw*1.0/z, 6) AS weight_doremi " +
+        "FROM w, n ORDER BY source")),
+
+    GraftQuery(
+      "q198_unigram_lm_train",
+      "Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece algorithm) — the " +
+        "EM-trained alternative beside q134's merge-driven BPE: seed every 1..4-char " +
+        "substring of the frequency-weighted distinct-word table (all single chars + " +
+        "top-512 multi-char pieces), then 3 Viterbi-EM rounds — E: per-word optimal " +
+        "segmentation under current piece costs, run as ONE codegen'd higher-order " +
+        "fold with the <=~600-piece table broadcast as a map literal (the DP never " +
+        "joins, never leaves the row); M: piece usage re-counts, unused pieces prune " +
+        "out, costs requantize to integer micro-nats so every DP comparison is " +
+        "BIGINT, not float. The corpus is touched ONCE (the word count); each round " +
+        "is a narrow pass over the vocab-sized word table plus a k-row driver " +
+        "collect — the q134 working-set economy, so the trainer's cost is " +
+        "corpus-size-independent after the first scan. Output: the learned piece " +
+        "inventory (piece, usage, cost) — the artifact a tokenizer ships. Rows-only " +
+        "by contract (the q60/q61 rule): the EM fixpoint depends on ln-quantization " +
+        "ulps no second engine reproduces bit-for-bit; Round17OpsSpec pins hard-EM " +
+        "LIKELIHOOD MONOTONICITY across rounds, segmentation round-trip (every " +
+        "word's Viterbi pieces re-concatenate to the word), char-fallback totality, " +
+        "and rerun determinism.",
+      (s, d) => {
+        import s.implicits._
+        val (pieces, _, _) = unigramLoop(s, d, rounds = 3)
+        pieces.toDF("piece", "n_uses", "cost_micronats")
+          .orderBy(col("cost_micronats"), col("piece"))
+      },
+      None)
   )
 
   /** q135/q137's maximal shared spans: (da, db, diag, pb0, span) —
@@ -3266,7 +3563,44 @@ object TextOps {
   private def substringRuns(docs: DataFrame): DataFrame =
     pin(substringRunsRaw(docs))
 
-  private def substringRunsRaw(docs: DataFrame): DataFrame = {
+  /** q195's CROSS-SET maximal shared spans: (dt, de, diag, pt0, span)
+    * — q135's anchor-and-extend kernel with the self-join replaced by
+    * an eval-against-train join (`evalPred` selects the eval side).
+    * pt0 is the span's first token position in the TRAIN doc, where a
+    * scrubber would cut. The df cap applies to TRAIN anchors only: the
+    * eval side is benchmark-sized, and capping it could silently drop
+    * a real contamination — the exact failure decontamination exists
+    * to prevent. Same span = run + 7 exactness, same >= 16 floor, same
+    * per-(pair, diagonal) windows as substringRunsRaw.
+    */
+  private[graft] def crossRuns(docs: DataFrame, evalPred: Column): DataFrame = {
+    val anch = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"), evalPred.as("ev"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("ev"),
+        posexplode(shingles(col("tk"), 8)).as(Seq("p0", "a")))
+      .select(col("doc_id"), col("ev"), (col("p0") + 1).as("pos"),
+        xxhash64(col("a")).as("ak"))
+    val trainAnch = anch.filter(!col("ev"))
+    val evalAnch = anch.filter(col("ev"))
+    val keep = trainAnch.groupBy(col("ak")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("ak"))
+    val isl = trainAnch.join(keep, Seq("ak"))
+      .select(col("ak"), col("doc_id").as("dt"), col("pos").as("pt"))
+      .join(evalAnch.select(col("ak"), col("doc_id").as("de"),
+        col("pos").as("pe")), Seq("ak"))
+      .withColumn("diag", col("pt") - col("pe"))
+      .withColumn("grp", col("pt") - row_number().over(
+        Window.partitionBy(col("dt"), col("de"), col("diag"))
+          .orderBy(col("pt"))))
+    isl
+      .groupBy(col("dt"), col("de"), col("diag"), col("grp"))
+      .agg(min(col("pt")).as("pt0"), (count(lit(1)) + 7).as("span"))
+      .filter(col("span") >= 16)
+      .select(col("dt"), col("de"), col("diag"), col("pt0"), col("span"))
+  }
+
+  private[graft] def substringRunsRaw(docs: DataFrame): DataFrame = {
     val anch = docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
@@ -3316,6 +3650,163 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + 1) / (col("c1") + col("v")))), 6)
           .as("lm_score"))
+  }
+
+  /** q196's HTML extraction cascade over ANY html-string column — the
+    * operator a real crawl pipeline points at its raw-HTML column
+    * (q196 wraps the fixture deterministically only to make the
+    * cascade's round trip auditable): drop <head>/<nav>/<footer>
+    * boilerplate blocks, strip remaining tags to spaces, collapse
+    * whitespace. All native codegen'd regexp_replace — no UDF, a
+    * per-row narrow map at any scale.
+    */
+  def extractHtmlText(html: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(html,
+        "<head>.*?</head>", " "),
+        "<nav>.*?</nav>", " "),
+        "<footer>.*?</footer>", " "),
+        "<[^>]*>", " "),
+        "\\s+", " "))
+
+  /** q197's loss-aware multiplicative-weights update over a per-source
+    * stats frame (source, n_tokens, nll, nll_c) — shared by the
+    * registered query and the `GraftEngine.lossAwareMix` facade (the
+    * funnelVerdict rule). Exact integer math: excess loss quantizes to
+    * micro-nats, token mass multiplies by (1e6 + excess) as
+    * BIGINT × BIGINT, one closing division normalizes to 6dp.
+    */
+  private[graft] def doremiReweight(srcStats: DataFrame): DataFrame = {
+    val e = srcStats
+      .withColumn("excess_micro", greatest(lit(0L),
+        round((col("nll") - col("nll_c")) * 1000000, 0).cast("long")))
+      .withColumn("w_raw",
+        col("n_tokens") * (lit(1000000L) + col("excess_micro")))
+    val z = e.agg(sum(col("w_raw")).as("z"), sum(col("n_tokens")).as("ztok"))
+    e.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("nll"),
+        col("excess_micro"),
+        round(col("n_tokens") / col("ztok"), 6).as("weight_base"),
+        round(col("w_raw") / col("z"), 6).as("weight_doremi"))
+      .orderBy(col("source"))
+  }
+
+  /** q198's unigram-LM (SentencePiece/Kudo 2018) Viterbi-EM trainer.
+    * Working set after ONE corpus scan: the frequency-weighted
+    * distinct-word table (the Sennrich/q134 argument — vocab-sized at
+    * any corpus size). Each EM round is then:
+    *
+    *  - E-step: per-word Viterbi segmentation under the current piece
+    *    costs as ONE codegen'd higher-order fold (no joins): the piece
+    *    table (≤ ~600 entries) broadcasts as a map LITERAL, and
+    *    `aggregate` runs the classic DP — dp[j] = min over piece
+    *    lengths l ∈ 1..4 of dp[j−l] + cost(substr(j−l+1, l)), ties
+    *    prefer the longest piece — carrying (dp, backpointer) arrays
+    *    as the accumulator; a second fold walks the backpointers out
+    *    into the piece list. Cost per word is O(len·4); the corpus is
+    *    never touched.
+    *  - M-step: piece usage = one vocab-sized explode + groupBy; new
+    *    cost = −ln(usage / N) quantized to integer MICRO-NATS (all DP
+    *    arithmetic stays BIGINT — one ln per piece per round, never a
+    *    float comparison inside the DP). Unused pieces prune out
+    *    (hard-EM's natural pruning); single chars persist with a
+    *    usage floor of 1 so every word stays segmentable — the
+    *    SentencePiece base-character fallback.
+    *
+    * Hard-EM monotonicity (each round's Viterbi total can only improve
+    * or hold, up to micro-nat quantization) is pinned by
+    * Round17OpsSpec, along with segmentation round-trip (pieces
+    * re-concatenate to the word) and rerun determinism. Words longer
+    * than 20 chars are excluded from training (documented cap — the
+    * DP depth bound; the fixture's max is far below it). Per round the
+    * driver holds only the ≤ ~600-row piece table — the k-row
+    * centroid-collect posture, never corpus data.
+    */
+  private[graft] def unigramLoop(s: SparkSession, d: String, rounds: Int,
+      seedMulti: Int = 512)
+      : (Seq[(String, Long, Long)], Seq[Long], DataFrame) = {
+    val words = t(s, d, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, 20))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // seed: every substring of length 1..4, frequency-weighted; all
+    // single chars + the top `seedMulti` multi-char pieces
+    val sub = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(4), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("freq"), expr("substring(w, i, l)").as("p"))
+    val counts0 = sub.groupBy(col("p")).agg(sum(col("freq")).as("c"))
+    val chars0 = counts0.filter(length(col("p")) === 1)
+    val multi0 = counts0.filter(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p")).limit(seedMulti)
+    var vocab: Seq[(String, Long)] = chars0.unionByName(multi0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def costsOf(v: Seq[(String, Long)]): Map[String, Long] = {
+      val n = v.map(_._2).sum.toDouble
+      v.map { case (p, c) => p -> math.round(-math.log(c / n) * 1e6) }.toMap
+    }
+    // Viterbi forward fold: candidates for a piece of length l ending
+    // at j; least() skips the NULLs of absent pieces / short prefixes,
+    // the backpointer CASE prefers the LONGEST piece on cost ties
+    val cand = (1 to 4).map(l =>
+      s"(CASE WHEN j >= $l THEN element_at(acc.dp, j - $l + 1) + " +
+        s"element_at(vm, substring(w, j - $l + 1, $l)) END)")
+    val lst = s"least(${cand.mkString(", ")})"
+    val bk = s"(CASE WHEN ${cand(3)} = $lst THEN 4 " +
+      s"WHEN ${cand(2)} = $lst THEN 3 " +
+      s"WHEN ${cand(1)} = $lst THEN 2 ELSE 1 END)"
+    val forwardSql =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  named_struct('dp', array(CAST(0 AS BIGINT)), 'bk', array(0)),
+         |  (acc, j) -> named_struct(
+         |    'dp', concat(acc.dp,
+         |      array(coalesce($lst, CAST(1000000000000000 AS BIGINT)))),
+         |    'bk', concat(acc.bk, array($bk))))""".stripMargin
+    val backSql =
+      """aggregate(
+        |  sequence(1, length(w)),
+        |  named_struct('pos', length(w),
+        |    'ps', CAST(array() AS array<string>)),
+        |  (acc, x) -> CASE WHEN acc.pos <= 0 THEN acc
+        |    ELSE named_struct(
+        |      'pos', acc.pos - element_at(fw.bk, acc.pos + 1),
+        |      'ps', array_append(acc.ps,
+        |        substring(w, acc.pos - element_at(fw.bk, acc.pos + 1) + 1,
+        |          element_at(fw.bk, acc.pos + 1)))) END
+        |).ps""".stripMargin
+    def segmentUnder(vm: Map[String, Long]): DataFrame =
+      words
+        .withColumn("vm", typedLit(vm))
+        .withColumn("fw", expr(forwardSql))
+        .withColumn("ps", expr(backSql))
+        .withColumn("wcost", expr("element_at(fw.dp, length(w) + 1)"))
+        .select(col("w"), col("freq"), col("ps"), col("wcost"))
+    val losses = scala.collection.mutable.Buffer[Long]()
+    var usageOut: Seq[(String, Long)] = vocab
+    (1 to rounds).foreach { _ =>
+      val seg = segmentUnder(costsOf(vocab))
+      val roundLoss = seg.agg(sum(col("freq") * col("wcost")))
+        .first().getLong(0)
+      losses += roundLoss
+      val usage = seg.select(col("freq"), explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val charFloor = vocab.collect {
+        case (p, _) if p.length == 1 => p -> math.max(usage.getOrElse(p, 0L), 1L)
+      }
+      val used = usage.filter { case (p, _) => p.length > 1 }.toSeq
+      usageOut = (charFloor ++ used).sortBy(_._1)
+      vocab = usageOut
+    }
+    val costs = costsOf(vocab)
+    val out = usageOut.map { case (p, c) => (p, c, costs(p)) }
+      .sortBy { case (p, _, cost) => (cost, p) }
+    (out, losses.toSeq, segmentUnder(costs))
   }
 
   /** Greedy leftmost non-overlapping merge of symbol pair (l, r) over a
