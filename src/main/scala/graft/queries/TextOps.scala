@@ -619,19 +619,44 @@ object TextOps {
     */
   private[graft] def containmentPrefixCandidates(sh: DataFrame,
       docArr: DataFrame): DataFrame = {
+    val sizes = docArr.select(col("doc_id"), col("n"))
     val dfc = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfc, Seq("sk"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sk"))))
-      .join(docArr.select(col("doc_id"), col("n")), Seq("doc_id"))
+      .join(sizes, Seq("doc_id"))
       .filter(col("rk") <= expr("n DIV 5") + 2)
-      .select(col("sk"), col("doc_id").as("dc"))
-    prefix
-      .join(sh.select(col("sk"), col("doc_id").as("do")), Seq("sk"))
-      .filter(col("dc") =!= col("do"))
+      .select(col("sk"), col("doc_id").as("dc"), col("n").as("nc"))
+    // the contained side must be STRICTLY smaller (q169's na < nb gate)
+    // — every doc posts a prefix, so the role-swapped row of each pair
+    // covers the other direction and dropping n_do <= n_dc rows is
+    // lossless while halving the candidate volume the pricing join pays
+    // pinned: the table is corpus-static session state serving every
+    // screen consumer (q179 + the containmentDedup facade), and the
+    // bench prices the build as its own build:containment_screen line
+    // so the q179 row stays serving-only (the pair_kernel accounting
+    // rule); CacheManager dedupes the identical plan across callers
+    pin(prefix
+      .join(sh.join(sizes, Seq("doc_id"))
+        .select(col("sk"), col("doc_id").as("do"), col("n").as("no")),
+        Seq("sk"))
+      .filter(col("no") > col("nc"))
       .select(least(col("dc"), col("do")).as("dx"),
         greatest(col("dc"), col("do")).as("dy"))
-      .distinct()
+      .distinct())
+  }
+
+  /** Explicit bench setup for BOTH screen candidate tables (the pinned
+    * df-capped winnowing pairs and the pinned containment prefix
+    * pairs), so q179's row prices serving only — the
+    * build:substring_runs accounting rule applied to the screen.
+    */
+  def warmContainmentScreen(s: SparkSession, d: String): Unit = {
+    val docs = t(s, d, "documents")
+    val sh = cachedShingles(docs)
+    containmentCandidates(docs)
+      .unionByName(containmentPrefixCandidates(sh, docShingleArrays(sh)))
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** Per-doc sorted shingle array + size — the array-form verify kernel
