@@ -245,8 +245,9 @@ object ScaleStress {
       "q196_html_extract", "q197_doremi_weights",
       // EM rounds run on the distinct-word table, which replication
       // leaves UNCHANGED (the q134 argument) — only the one corpus
-      // word-count scan grows under 10×
-      "q198_unigram_lm_train")
+      // word-count scan grows under 10×; the encoder streams 10×
+      // tokens against that unchanged table (the q136 shape)
+      "q198_unigram_lm_train", "q199_unigram_encode")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -166,6 +166,7 @@ object TextOps {
     }
     bpeMemo.clear()
     lexMemo.clear()
+    unigramMemo.clear()
   }
 
   /** Explicit bench/session setup: build and MATERIALIZE the pinned
@@ -3569,6 +3570,45 @@ object TextOps {
         pieces.toDF("piece", "n_uses", "cost_micronats")
           .orderBy(col("cost_micronats"), col("piece"))
       },
+      None),
+
+    GraftQuery(
+      "q199_unigram_encode",
+      "Unigram-tokenizer SERVING path — the q136-for-q134 move applied to q198's " +
+        "trained model: the final Viterbi segmentation (memoized trainer state, so " +
+        "trainer and encoder can never drift and the encode row never re-pays the " +
+        "EM loop — the q133/q139 accounting: q198's row prices training, this row " +
+        "serves) maps every distinct word to its piece count, and the corpus " +
+        "streams ONCE against that word table under a count-gated broadcast (the " +
+        "q136 lesson verbatim: hinted map-side join while the distinct-word table " +
+        "clearly fits, shuffle join on the word key when a web-scale corpus pushes " +
+        "it past the ceiling). Output per source: word/char/unigram-token mass and " +
+        "the fertility ratios (tokens per char, tokens per word) — the numbers " +
+        "that decide between the BPE (q136) and unigram (this) tokenizer for a " +
+        "corpus, now comparable side by side from the same engine. Words beyond " +
+        "q198's 20-char training cap are excluded symmetrically. Rows-only by " +
+        "contract (inherits q198's EM fixpoint); Round17OpsSpec re-derives the " +
+        "token mass from the segmentation frame and pins the fertility bounds.",
+      (s, d) => {
+        val (_, _, seg) = unigramLoop(s, d, rounds = 3)
+        val wordPieces = seg.select(col("w"), size(col("ps")).as("n_sym"))
+        val vjoin =
+          if (wordPieces.count() <= 2000000L) broadcast(wordPieces)
+          else wordPieces
+        t(s, d, "documents")
+          .select(col("source"), explode(toks(col("text"))).as("w"))
+          .filter(length(col("w")).between(1, 20))
+          .join(vjoin, Seq("w"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w")).cast("long")).as("n_chars"),
+            sum(col("n_sym").cast("long")).as("n_unigram_tokens"))
+          .withColumn("tokens_per_char",
+            round(col("n_unigram_tokens") / col("n_chars"), 6))
+          .withColumn("tokens_per_word",
+            round(col("n_unigram_tokens") / col("n_words"), 6))
+          .orderBy(col("source"))
+      },
       None)
   )
 
@@ -3747,7 +3787,21 @@ object TextOps {
     * driver holds only the ≤ ~600-row piece table — the k-row
     * centroid-collect posture, never corpus data.
     */
-  private[graft] def unigramLoop(s: SparkSession, d: String, rounds: Int,
+  /** Memoized trained-unigram state per (session, dir, rounds) — the
+    * bpeMemo pattern: the per-round driver collects defeat plan-level
+    * dedup, so without this q199's encode would re-run q198's full EM
+    * training in its own row. Cleared by releaseCaches(); q198 sorts
+    * before q199, so within one bench sweep the trainer query prices
+    * training and the encode row serves (the q133/q139 accounting).
+    */
+  private val unigramMemo = new graft.KeyedMemo[(SparkSession, String, Int),
+    (Seq[(String, Long, Long)], Seq[Long], DataFrame)]
+
+  private[graft] def unigramLoop(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(String, Long, Long)], Seq[Long], DataFrame) =
+    unigramMemo.getOrBuild((s, d, rounds))(unigramLoopRaw(s, d, rounds))
+
+  private def unigramLoopRaw(s: SparkSession, d: String, rounds: Int,
       seedMulti: Int = 512)
       : (Seq[(String, Long, Long)], Seq[Long], DataFrame) = {
     val words = t(s, d, "documents")

@@ -348,6 +348,32 @@ class Round17OpsSpec extends SparkSpec {
     assert(math.abs(mix("a")._2 - 0.333333) < 1e-6)
   }
 
+  test("q199 unigram encode: token mass re-derives from the segmentation; fertility bounded") {
+    import graft.queries.TextOps
+    try {
+      val enc = Registry.byName("q199_unigram_encode").fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      assert(enc.nonEmpty)
+      // totals re-derive EXACTLY from the (memoized) trainer state: the
+      // corpus-wide unigram-token mass is sum(freq * |pieces|) over the
+      // segmentation frame — same object q198 trains, so no drift
+      val (_, _, seg) = TextOps.unigramLoop(spark, sfDir, rounds = 3)
+      val expected = seg
+        .select(sum(col("freq") * size(col("ps")))).first().getLong(0)
+      assert(enc.map(_._4).sum === expected)
+      // fertility: at least 1 token per word, never more than its chars
+      enc.foreach { case (src, nw, nc, nt, tpc, tpw) =>
+        assert(nt >= nw && nt <= nc, s"$src token mass out of bounds")
+        assert(tpw >= 1.0 && tpc <= 1.0, s"$src fertility out of bounds")
+      }
+      // the memo makes encode rerun-stable AND cheap (no second EM run)
+      val enc2 = Registry.byName("q199_unigram_encode").fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(3)))
+      assert(enc2.toSeq === enc.map(r => (r._1, r._4)).toSeq)
+    } finally TextOps.releaseCaches()
+  }
+
   test("KeyedMemo.drain cannot leak a build racing the release") {
     // Hammer: builders insert values while a drainer repeatedly drains.
     // Every build that COMPLETED must be observable exactly once —
