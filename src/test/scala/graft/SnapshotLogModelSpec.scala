@@ -214,6 +214,33 @@ class SnapshotLogModelSpec extends SparkSpec {
           s"seed=$seed op=$opIx readCdc($fromV, $toV) deletes")
       }
 
+      // every change row carries the version that produced it
+      // (round-12: the ordering column keyed sinks replay by): for a
+      // random version inside the window, the w-tagged inserts/deletes
+      // are EXACTLY the model's w-th commit; the from-empty feed is
+      // one synthetic commit tagged toV
+      if (fromV < 0) {
+        if (versions(toV).snapshot.nonEmpty)
+          assert(cdc.select(col("_commit_version")).distinct()
+            .collect().map(_.getInt(0)).toSeq === Seq(toV),
+            s"seed=$seed op=$opIx from-empty feed must tag toV")
+      } else if (toV > fromV) {
+        val w = fromV + 1 + rnd.nextInt(toV - fromV)
+        val insW = cdcIns.filter(col("_commit_version") === w)
+        val delW = cdcDel.filter(col("_commit_version") === w)
+        if (wideSince.exists(_ <= toV)) {
+          assert(readPairs(insW) === versions(w).rowsAdded.sorted,
+            s"seed=$seed op=$opIx v$w-tagged inserts")
+          assert(readPairs(delW) === versions(w).rowsDeleted.sorted,
+            s"seed=$seed op=$opIx v$w-tagged deletes")
+        } else {
+          assert(readKeys(insW) === versions(w).rowsAdded.map(_._1).sorted,
+            s"seed=$seed op=$opIx v$w-tagged inserts")
+          assert(readKeys(delW) === versions(w).rowsDeleted.map(_._1).sorted,
+            s"seed=$seed op=$opIx v$w-tagged deletes")
+        }
+      }
+
       // zone-filtered read: contents independent of segment layout,
       // and never more segments opened than the manifest lists
       val snap = versions(latest).snapshot
