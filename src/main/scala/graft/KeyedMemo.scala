@@ -1,15 +1,14 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.locks.ReentrantReadWriteLock
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
 import scala.jdk.CollectionConverters._
 
-/** Per-key memoization whose lock is held only to INSTALL an entry,
-  * never to serialize UNRELATED builds: the session-scoped caches
-  * (VectorOps' served indexes, TextOps' trained-BPE memo) hold
-  * multi-second Spark fits, and a single global `synchronized` around
-  * `getOrElseUpdate` serialized every build — a concurrent query
-  * thread blocked on an UNRELATED index's KMeans fit.
+/** Per-key memoization whose locking never serializes UNRELATED builds:
+  * the session-scoped caches (VectorOps' served indexes, TextOps'
+  * trained-BPE memo) hold multi-second Spark fits, and a single global
+  * `synchronized` around `getOrElseUpdate` serialized every build — a
+  * concurrent query thread blocked on an UNRELATED index's KMeans fit.
   *
   * Shape: ConcurrentHashMap installs a cheap lazy holder under its
   * per-bin lock (`computeIfAbsent`'s mapping function only constructs
@@ -20,17 +19,31 @@ import scala.jdk.CollectionConverters._
   * lazy val uninitialized, so the next caller retries rather than
   * caching the failure.
   *
-  * Release safety: builds additionally run under the READ side of a
-  * ReentrantReadWriteLock (shared — concurrent builds still overlap),
-  * and `drain()` takes the WRITE side, so a release observes no build
-  * in flight. A snapshot-then-clear release (`builtValues` then
-  * `clear()`) had a leak window: a build completing between the two
-  * calls published a value the snapshot missed and the clear dropped —
-  * for a persisted kNN graph that meant a MEMORY_AND_DISK entry with
-  * no remaining release path (the round-11 advice finding). `drain()`
-  * closes it: by the time the write lock is granted every in-flight
-  * build has completed and is in the drained set, and a caller that
-  * arrives after just rebuilds a fresh entry.
+  * Release safety: `drain()` swaps in a FRESH map (so new `getOrBuild`
+  * calls proceed immediately against it — a drain in progress never
+  * gates them; the prior read-write-lock design had queued-writer
+  * semantics that stalled every NEW build behind all in-flight ones,
+  * the round-12 advice finding), then waits on an active-builder
+  * counter until every `getOrBuild` that might still be building into
+  * the OLD map has exited, and only then returns the old map's built
+  * values for the caller to release (unpersist/close). A
+  * snapshot-then-clear release (`builtValues` then `clear()`) had a
+  * leak window — a build completing between the two calls published a
+  * value the snapshot missed and the clear dropped (the round-11
+  * finding); the counter wait closes it: by return time every build
+  * that targeted the old map is complete and in the drained set.
+  *
+  * The quiesce wait is deliberately coarse (it waits for ALL active
+  * builders, including ones already building into the fresh map) —
+  * drain is a lifecycle operation called at session quiesce points
+  * (between bench sweeps, after a Verify run), so over-waiting there
+  * costs nothing while the fine-grained alternative costs a per-map
+  * counter on the hot path.
+  *
+  * INVARIANT — no drain from inside a build: a `build` body that calls
+  * `drain()` (directly or via a releaseCaches chain) deadlocks waiting
+  * for its own exit. Builds must not release caches; release is the
+  * session lifecycle's job.
   */
 final class KeyedMemo[K, V <: AnyRef] {
 
@@ -39,14 +52,17 @@ final class KeyedMemo[K, V <: AnyRef] {
     lazy val value: V = { val v = build(); built = true; v }
   }
 
-  private val m = new ConcurrentHashMap[K, Holder]()
-  private val lifecycle = new ReentrantReadWriteLock()
+  private val mapRef = new AtomicReference(new ConcurrentHashMap[K, Holder]())
+  private val active = new AtomicInteger(0)
+  private val quiesce = new Object
 
   def getOrBuild(k: K)(build: => V): V = {
-    val rl = lifecycle.readLock()
-    rl.lock()
-    try m.computeIfAbsent(k, _ => new Holder(() => build)).value
-    finally rl.unlock()
+    active.incrementAndGet()
+    try mapRef.get().computeIfAbsent(k, _ => new Holder(() => build)).value
+    finally {
+      if (active.decrementAndGet() == 0)
+        quiesce.synchronized { quiesce.notifyAll() }
+    }
   }
 
   /** Values whose build COMPLETED — non-destructive iteration (a
@@ -56,22 +72,27 @@ final class KeyedMemo[K, V <: AnyRef] {
     * build racing the call.
     */
   def builtValues: Seq[V] =
-    m.values.asScala.toSeq.filter(_.built).map(_.value)
+    mapRef.get().values.asScala.toSeq.filter(_.built).map(_.value)
 
-  def clear(): Unit = m.clear()
+  /** Drop every entry WITHOUT returning values — for memos whose
+    * values hold no releasable resource (plain DataFrames whose
+    * persistence is tracked elsewhere). Entries mid-build complete
+    * into the detached map and are simply unreachable afterwards.
+    */
+  def clear(): Unit = { mapRef.set(new ConcurrentHashMap()); () }
 
-  /** Atomically remove every entry and return the removed values for
-    * the caller to release (unpersist/close). Blocks until in-flight
-    * builds complete (write side of the lifecycle lock), so no build
-    * can complete into a dropped holder and leak its resource.
+  /** Atomically detach every entry and return the removed values for
+    * the caller to release (unpersist/close). New `getOrBuild` calls
+    * proceed against the fresh map immediately; this call blocks only
+    * until in-flight builds complete, so no build can complete into a
+    * dropped holder and leak its resource. See the class scaladoc for
+    * the no-drain-from-inside-a-build invariant.
     */
   def drain(): Seq[V] = {
-    val wl = lifecycle.writeLock()
-    wl.lock()
-    try {
-      val removed = m.values.asScala.toSeq
-      m.clear()
-      removed.filter(_.built).map(_.value)
-    } finally wl.unlock()
+    val old = mapRef.getAndSet(new ConcurrentHashMap())
+    quiesce.synchronized {
+      while (active.get() != 0) quiesce.wait(50L)
+    }
+    old.values.asScala.toSeq.filter(_.built).map(_.value)
   }
 }

@@ -166,7 +166,18 @@ object TextOps {
     }
     bpeMemo.clear()
     lexMemo.clear()
-    unigramMemo.clear()
+    // drain (not clear): the unigram memo holds localCheckpoint'ed
+    // words blocks that GC would reclaim only eventually — unpersist
+    // the checkpoint RDD explicitly (the 4th tuple element exists for
+    // exactly this). drain() additionally can't miss a build racing
+    // the release (the KeyedMemo contract).
+    unigramMemo.drain().foreach { case (_, _, _, words) =>
+      words.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
   }
 
   /** Explicit bench/session setup: build and MATERIALIZE the pinned
@@ -543,7 +554,13 @@ object TextOps {
       "round(c*1.0/sa.n, 6) AS containment " +
       "FROM inter JOIN sizes sa ON da = sa.doc_id " +
       "JOIN sizes sb ON db = sb.doc_id " +
-      "WHERE round(c*1.0/sa.n, 6) >= 0.8 AND sa.n < sb.n ORDER BY da, db"
+      // the GATE is exact integer arithmetic (c/na >= 0.8 <=> 5c >= 4na)
+      // — only the DISPLAY column rounds. A round(...,6) gate re-admits
+      // values up to 5e-7 BELOW the threshold, and the prefix screen's
+      // miss bound (C <= 0.8 - 1.2/n) stops clearing that slack once a
+      // contained doc has >= 2.4M distinct shingles (the round-12
+      // advice finding); the integer gate has no slack at any n
+      "WHERE c*5 >= sa.n*4 AND sa.n < sb.n ORDER BY da, db"
 
   /** Winnowing fingerprint table (Schleimer 2003) shared by q39 (the
     * overlap screen) and q179 (the containment scale path) — the
@@ -608,8 +625,12 @@ object TextOps {
     * doc's shingles by global rarity (df asc, sk tiebreak — one total
     * order both sides share); if a pair shares NO shingle among the
     * contained side's (n DIV 5 + 2) rarest, then |A∩B| ≤ n − n/5 − 2,
-    * so C < 0.8 − 1/n — below the gate even after its 6dp rounding
-    * (the q164 "+2 absorbs the rounding slack" argument). Hence
+    * so C ≤ 0.8 − 1.2/n — strictly below the EXACT integer gate
+    * (5c ≥ 4n) at every n. (Against the former round(C,6) ≥ 0.8 gate
+    * this bound held only below n ≈ 2.4M distinct shingles, because
+    * rounding re-admits C down to 0.8 − 5e-7 — the round-12 advice
+    * finding; gating on the unrounded ratio removes the caveat, and
+    * round(...,6) stays display-only.) Hence
     * posting ONLY each doc's rarity prefix against the full posting
     * list nominates every pair the exact kernel could keep: the
     * screen's recall is exact BY CONSTRUCTION, not by fixture.
@@ -734,6 +755,12 @@ object TextOps {
       // equal sizes can never satisfy na < nb
       .filter(col("nx") =!= col("ny"))
       .withColumn("c", size(array_intersect(col("ax"), col("ay"))))
+      // exact integer gate (5c >= 4*na) matching q169 and the oracle;
+      // a round(...,6) gate admitted C in [0.8 - 5e-7, 0.8), which the
+      // prefix screen's miss bound (C <= 0.8 - 1.2/n) only clears below
+      // n ~ 2.4M shingles — with the exact gate the screen is lossless
+      // at every n (round-12 advice finding)
+      .filter(col("c").cast("long") * 5 >= least(col("nx"), col("ny")) * 4)
       .select(
         when(col("nx") < col("ny"), col("dx")).otherwise(col("dy")).as("da"),
         when(col("nx") < col("ny"), col("dy")).otherwise(col("dx")).as("db"),
@@ -741,7 +768,6 @@ object TextOps {
         greatest(col("nx"), col("ny")).as("nb"),
         round(col("c").cast("double") /
           least(col("nx"), col("ny")), 6).as("containment"))
-      .filter(col("containment") >= 0.8)
       .orderBy(col("da"), col("db"))
   }
 
@@ -3220,7 +3246,7 @@ object TextOps {
 
     GraftQuery(
       "q169_containment_dedup",
-      "ASYMMETRIC containment dedup (Broder's containment, C(A,B) = |A∩B|/|A|) — the sub-document detector resemblance-based dedup is structurally blind to: a small doc pasted inside a much larger one has low Jaccard (the union is dominated by the container) but containment ~1, exactly the quote-farm / scraped-aggregator shape. Emits (contained, container) pairs with C >= 0.8 and |A| < |B| over the shared shingle kernel; the 6dp-rounded gate keeps both engines' thresholds identical. Like q41 this registers the EXACT all-pairs form as the oracle baseline; the scale path is the same screen-then-price pairing the substring family uses — q39's winnowing containment ESTIMATE (df-capped fingerprints) nominates candidates and this exact kernel prices them, so the corpus-wide cost stays candidate-linear while the semantics stay exact.",
+      "ASYMMETRIC containment dedup (Broder's containment, C(A,B) = |A∩B|/|A|) — the sub-document detector resemblance-based dedup is structurally blind to: a small doc pasted inside a much larger one has low Jaccard (the union is dominated by the container) but containment ~1, exactly the quote-farm / scraped-aggregator shape. Emits (contained, container) pairs with C >= 0.8 and |A| < |B| over the shared shingle kernel; the gate is EXACT integer arithmetic (5c >= 4|A|) on both engines — round(...,6) is display-only, so no rounding slack exists for a screen to have to clear. Like q41 this registers the EXACT all-pairs form as the oracle baseline; the scale path is the same screen-then-price pairing the substring family uses — q39's winnowing containment ESTIMATE (df-capped fingerprints) nominates candidates and this exact kernel prices them, so the corpus-wide cost stays candidate-linear while the semantics stay exact.",
       (s, d) => {
         val sh = cachedShingles(t(s, d, "documents"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -3231,8 +3257,10 @@ object TextOps {
         inter
           .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
           .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          // exact integer gate (c/na >= 0.8 <=> 5c >= 4na); round(...,6)
+          // is display-only — see containmentOracle's gate note
+          .filter(col("c") * 5 >= col("na") * 4 && col("na") < col("nb"))
           .withColumn("containment", round(col("c").cast("double") / col("na"), 6))
-          .filter(col("containment") >= 0.8 && col("na") < col("nb"))
           .select(col("da"), col("db"), col("na"), col("nb"), col("containment"))
           .orderBy(col("da"), col("db"))
       },
@@ -3240,7 +3268,7 @@ object TextOps {
 
     GraftQuery(
       "q179_containment_screened",
-      "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): three nomination routes union before pricing — q39's winnowing fingerprints (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, cheap and sufficient for run-structured near-dups), the short-doc exact slice, and the containment PREFIX FILTER (PPJoin's principle adapted to containment: a pair sharing no shingle among the contained side's n/5+2 globally-RAREST shingles is provably under the 0.8 gate even after 6dp rounding) — and q169's exact array-intersection kernel PRICES only the union, per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The prefix route makes the screen's recall EXACT BY CONSTRUCTION, not by fixture: the former blind spot — pairs overlapping only in scattered sub-7-token fragments, extreme case 3-gram confetti with C = 1.0 and zero shared fingerprints — is nominated by its rare shingles (Round17OpsSpec pins the adversary: winnowing alone misses it, the composed screen prices it at 1.0). The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row is additionally the fixture proof the screen lost no pair; Round14OpsSpec pins q179 ≡ q169 frame equality. The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
+      "The COMPOSED containment scale path q169's docstring promises — screen-then-price, registered and oracle-checked (the q139-for-q133 move): three nomination routes union before pricing — q39's winnowing fingerprints (shared df-capped fingerprint → candidate; ~2/(w+1) the posting density of every-position anchors, cheap and sufficient for run-structured near-dups), the short-doc exact slice, and the containment PREFIX FILTER (PPJoin's principle adapted to containment: a pair sharing no shingle among the contained side's n/5+2 globally-RAREST shingles has C <= 0.8 - 1.2/n, provably under the exact integer 5c >= 4n gate at every n) — and q169's exact array-intersection kernel PRICES only the union, per-pair cost identical to q169, corpus cost candidate-linear instead of all-pairs. The prefix route makes the screen's recall EXACT BY CONSTRUCTION, not by fixture: the former blind spot — pairs overlapping only in scattered sub-7-token fragments, extreme case 3-gram confetti with C = 1.0 and zero shared fingerprints — is nominated by its rare shingles (Round17OpsSpec pins the adversary: winnowing alone misses it, the composed screen prices it at 1.0). The oracle is BYTE-IDENTICAL to q169's (same SQL constant), so a hash-green row is additionally the fixture proof the screen lost no pair; Round14OpsSpec pins q179 ≡ q169 frame equality. The verify side reuses q164's array-form lesson: candidates join the pinned per-doc sorted shingle arrays (doc_id hash joins, AQE-broadcast at small SF, co-located sort-merge against the doc_id-bucketed store at scale) and one codegen'd sorted intersection prices each pair.",
       (s, d) => screenedContainmentPairs(t(s, d, "documents")),
       Some(containmentOracle)),
 
@@ -3794,16 +3822,25 @@ object TextOps {
     * before q199, so within one bench sweep the trainer query prices
     * training and the encode row serves (the q133/q139 accounting).
     */
+  // The memoized tuple carries the localCheckpoint'ed words frame as its
+  // 4th element SOLELY so release can unpersist the checkpoint blocks:
+  // clear() dropped the segmentation DataFrame but left the blocks to
+  // GC/ContextCleaner (the round-12 advice finding) — releaseCaches now
+  // drains and unpersists explicitly, the release discipline the other
+  // resource-holding memos follow.
   private val unigramMemo = new graft.KeyedMemo[(SparkSession, String, Int),
-    (Seq[(String, Long, Long)], Seq[Long], DataFrame)]
+    (Seq[(String, Long, Long)], Seq[Long], DataFrame, DataFrame)]
 
   private[graft] def unigramLoop(s: SparkSession, d: String, rounds: Int)
-      : (Seq[(String, Long, Long)], Seq[Long], DataFrame) =
-    unigramMemo.getOrBuild((s, d, rounds))(unigramLoopRaw(s, d, rounds))
+      : (Seq[(String, Long, Long)], Seq[Long], DataFrame) = {
+    val (pieces, losses, seg, _) =
+      unigramMemo.getOrBuild((s, d, rounds))(unigramLoopRaw(s, d, rounds))
+    (pieces, losses, seg)
+  }
 
   private def unigramLoopRaw(s: SparkSession, d: String, rounds: Int,
       seedMulti: Int = 512)
-      : (Seq[(String, Long, Long)], Seq[Long], DataFrame) = {
+      : (Seq[(String, Long, Long)], Seq[Long], DataFrame, DataFrame) = {
     val words = t(s, d, "documents")
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")).between(1, 20))
@@ -3885,7 +3922,7 @@ object TextOps {
     val costs = costsOf(vocab)
     val out = usageOut.map { case (p, c) => (p, c, costs(p)) }
       .sortBy { case (p, _, cost) => (cost, p) }
-    (out, losses.toSeq, segmentUnder(costs))
+    (out, losses.toSeq, segmentUnder(costs), words)
   }
 
   /** Greedy leftmost non-overlapping merge of symbol pair (l, r) over a
