@@ -374,6 +374,49 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
         org.apache.spark.sql.functions.col("piece"))
   }
 
+  /** Persist a trained tokenizer's state so a DIFFERENT job/session
+    * serves the encoder without retraining (the round-13 export/import
+    * surface; trainer state was session-memoized only before). `kind`
+    * is "unigram" (q198's EM trainer: pieces + word segmentation) or
+    * "bpe" (q134's merge trainer: merge list + word vocabulary); state
+    * rides FormatIo's lossless explicit-schema encodings in `format`
+    * (orc/json/csv). Round18OpsSpec pins encode-after-reload ≡
+    * encode-in-session for both kinds.
+    */
+  def saveTokenizer(path: String, kind: String = "unigram",
+      rounds: Int = 3, format: String = "orc"): Unit = kind match {
+    case "unigram" =>
+      graft.queries.TextOps.saveUnigramTokenizer(spark, dataDir, rounds,
+        path, format)
+    case "bpe" =>
+      graft.queries.TextOps.saveBpeTokenizer(spark, dataDir, rounds,
+        path, format)
+    case other =>
+      throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
+  }
+
+  /** Encode the engine's documents with a tokenizer saved by
+    * `saveTokenizer` — the serving path of a session that never
+    * trained: loads the persisted word table and runs the SAME encode
+    * kernel the registered q199/q136 queries run (count-gated
+    * broadcast join + per-source fertility rollup), so reloaded-state
+    * serving cannot drift from in-session serving.
+    */
+  def encodeWithTokenizer(path: String, kind: String = "unigram",
+      format: String = "orc"): DataFrame = kind match {
+    case "unigram" =>
+      graft.queries.TextOps.unigramEncodeWith(
+        graft.queries.TextOps.loadUnigramSegmentation(spark, path, format)
+          .select(org.apache.spark.sql.functions.col("w"),
+            org.apache.spark.sql.functions.col("n_sym")),
+        table("documents"))
+    case "bpe" =>
+      graft.queries.TextOps.bpeEncodeWith(
+        graft.queries.TextOps.loadBpeVocab(spark, path, format), table("documents"))
+    case other =>
+      throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
+  }
+
   /** Mutual-kNN graph with shared-neighbor strength over ANY
     * (vec_id, embedding) frame — q183's kernels, shared verbatim (the
     * funnelVerdict rule): the bucketed top-3 graph (adaptive sign-LSH

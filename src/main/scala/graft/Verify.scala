@@ -60,8 +60,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Exported-state oracles (q199/q143) read ANOTHER query's dumped
+    // parquet back in DuckDB — the registered SQL carries the
+    // __OUTDIR__ placeholder and the concrete absolute dump dir is
+    // only known here. Absolute (not relative) so the driver's DuckDB
+    // process resolves it regardless of its working directory.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__OUTDIR__", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -1942,7 +1942,7 @@ object TextOps {
 
     GraftQuery(
       "q143_compression_quality",
-      "Compression-ratio quality audit — the cheap repetitiveness signal large-corpus curation runs beside the heuristic filters (machine-generated/boilerplate text DEFLATEs far tighter than prose, so compressed/raw size separates them at one CPU pass, no model): per-doc ratio = deflate_size(text)/raw bytes via the native codegen'd `deflate_size` expression (functions/DeflateSize — fixed level, one zlib implementation, so the ratio is deterministic across reruns and partitionings), rolled up per source with the share of docs under the 0.35 highly-repetitive floor and the ratio spread. A pure narrow map over the corpus — the only shuffle is the ~20-key source rollup; at 100 TB this is exactly one streaming pass. No DuckDB twin exists (no deflate scalar in the oracle engine) so the driver records rows-only; Round10OpsSpec pins every per-doc size against a direct java.util.zip recomputation and the rollup against an independent fold.",
+      "Compression-ratio quality audit — the cheap repetitiveness signal large-corpus curation runs beside the heuristic filters (machine-generated/boilerplate text DEFLATEs far tighter than prose, so compressed/raw size separates them at one CPU pass, no model): per-doc ratio = deflate_size(text)/raw bytes via the native codegen'd `deflate_size` expression (functions/DeflateSize — fixed level, one zlib implementation, so the ratio is deterministic across reruns and partitionings), rolled up per source with the share of docs under the 0.35 highly-repetitive floor and the ratio spread. A pure narrow map over the corpus — the only shuffle is the ~20-key source rollup; at 100 TB this is exactly one streaming pass. Oracle-checked via the round-13 EXPORTED-STATE pattern (DuckDB has no deflate scalar, so the CODEC stays engine-side): q205 dumps the per-doc raw/deflate byte sizes, the DuckDB twin reads that dump (__OUTDIR__ substitution) and independently recomputes the ratios, the rollup, the spread and the 0.35 gate — the ANALYSIS is cross-engine-verified while the codec itself stays pinned by Round10OpsSpec's direct java.util.zip recomputation of every per-doc size.",
       (s, d) => {
         graft.functions.DeflateSize.ensureRegistered(s)
         t(s, d, "documents")
@@ -1957,6 +1957,36 @@ object TextOps {
             max(col("ratio")).as("max_ratio"),
             sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
           .orderBy(col("source"))
+      },
+      Some("WITH dz AS (SELECT source, raw_bytes, deflate_bytes FROM " +
+        "read_parquet('__OUTDIR__/q205_deflate_sizes/*.parquet')), " +
+        "r AS (SELECT source, round(deflate_bytes*1.0/raw_bytes, 6) AS ratio " +
+        "FROM dz) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(avg(ratio), 6) AS avg_ratio, " +
+        "min(ratio) AS min_ratio, max(ratio) AS max_ratio, " +
+        "CAST(sum(CASE WHEN ratio < 0.35 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_repetitive " +
+        "FROM r GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q205_deflate_sizes",
+      "Per-document codec-size EXPORT — (doc_id, source, raw bytes, deflate " +
+        "bytes) off the native `deflate_size` expression: the exported-state " +
+        "input that lets q143's compression-quality ANALYSIS be " +
+        "DuckDB-oracle-checked even though no deflate scalar exists in the " +
+        "oracle engine (the q204 pattern: codec engine-side and spec-pinned, " +
+        "arithmetic cross-engine-verified). Rows-only by contract — the " +
+        "content is the codec output itself, pinned per-doc by " +
+        "Round10OpsSpec's direct java.util.zip recomputation. One narrow " +
+        "codegen'd pass, zero shuffles.",
+      (s, d) => {
+        graft.functions.DeflateSize.ensureRegistered(s)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            octet_length(col("text")).as("raw_bytes"),
+            expr("deflate_size(text)").cast("long").as("deflate_bytes"))
+          .orderBy(col("doc_id"))
       },
       None),
 
@@ -3025,33 +3055,8 @@ object TextOps {
     GraftQuery(
       "q136_bpe_encode",
       "Tokenizer SERVING path — encode the corpus with q134's trained merges and account the result per source: word/char/BPE-token mass plus tokens-per-char and tokens-per-word (the fertility numbers that decide whether a tokenizer suits a corpus, and the token-budget table a training run is planned against). The trained vocabulary (original word → its merged symbol string) joins under a COUNT-GATED broadcast: the word table is already checkpointed, so one O(vocab) count decides — hinted map-side join while it clearly fits (every test SF), shuffle join on the word key when a web-scale corpus pushes the distinct-word table past the ceiling (typos/URLs/numbers make it corpus-dependent, not vocab-bounded — an unconditional hint fails outright at 100 TB, the q123 lesson, while an unconditional non-hint pays the probe-side token shuffle before AQE can downgrade). Shares bpeLoop with q134 (identical 10-round training, same localCheckpoint lineage posture); the DuckDB twin reuses the identical generated CTE chain with an encode tail, so trainer and encoder can never drift.",
-      (s, d) => {
-        val vocab = bpeLoop(s, d, rounds = 10)._2
-          .select(col("w"), size(split(col("toks"), " ")).as("n_sym"))
-        // broadcast is gated on an actual row count of the (already
-        // checkpointed, so O(vocab) to count) word table — hinted when
-        // it clearly fits, shuffle join on the word key when a
-        // web-scale corpus pushes distinct "words" (typos/URLs/
-        // numbers) past the ceiling. An unconditional hint would fail
-        // outright at 100 TB (the q123 lesson); unconditionally
-        // unhinted pays the probe-side token shuffle before AQE can
-        // downgrade the join.
-        val vjoin =
-          if (vocab.count() <= 2000000L) broadcast(vocab) else vocab
-        t(s, d, "documents")
-          .select(col("source"), explode(toks(col("text"))).as("w"))
-          .filter(length(col("w")) >= 1)
-          .join(vjoin, Seq("w"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(length(col("w")).cast("long")).as("n_chars"),
-            sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
-          .withColumn("tokens_per_char",
-            round(col("n_bpe_tokens") / col("n_chars"), 6))
-          .withColumn("tokens_per_word",
-            round(col("n_bpe_tokens") / col("n_words"), 6))
-          .orderBy(col("source"))
-      },
+      (s, d) =>
+        bpeEncodeWith(bpeLoop(s, d, rounds = 10)._2, t(s, d, "documents")),
       Some(bpeEncodeSql(10))),
 
     GraftQuery(
@@ -3614,28 +3619,56 @@ object TextOps {
         "the fertility ratios (tokens per char, tokens per word) — the numbers " +
         "that decide between the BPE (q136) and unigram (this) tokenizer for a " +
         "corpus, now comparable side by side from the same engine. Words beyond " +
-        "q198's 20-char training cap are excluded symmetrically. Rows-only by " +
-        "contract (inherits q198's EM fixpoint); Round17OpsSpec re-derives the " +
-        "token mass from the segmentation frame and pins the fertility bounds.",
+        "q198's 20-char training cap are excluded symmetrically. Oracle-checked " +
+        "via the EXPORTED-STATE pattern (round-13): the EM fixpoint itself stays " +
+        "rows-only (ln-quantization ulps are not cross-engine reproducible — the " +
+        "q198 contract), but the ENCODE is a deterministic join+sum over the " +
+        "trained segmentation, so the DuckDB twin reads q204's dumped " +
+        "segmentation frame (Verify substitutes the dump dir for __OUTDIR__) and " +
+        "independently recomputes the corpus tokenization, the word join, the " +
+        "mass sums and the fertility ratios — the serving arithmetic is " +
+        "cross-engine-verified even though the trained state is taken as given.",
       (s, d) => {
         val (_, _, seg) = unigramLoop(s, d, rounds = 3)
-        val wordPieces = seg.select(col("w"), size(col("ps")).as("n_sym"))
-        val vjoin =
-          if (wordPieces.count() <= 2000000L) broadcast(wordPieces)
-          else wordPieces
-        t(s, d, "documents")
-          .select(col("source"), explode(toks(col("text"))).as("w"))
-          .filter(length(col("w")).between(1, 20))
-          .join(vjoin, Seq("w"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(length(col("w")).cast("long")).as("n_chars"),
-            sum(col("n_sym").cast("long")).as("n_unigram_tokens"))
-          .withColumn("tokens_per_char",
-            round(col("n_unigram_tokens") / col("n_chars"), 6))
-          .withColumn("tokens_per_word",
-            round(col("n_unigram_tokens") / col("n_words"), 6))
-          .orderBy(col("source"))
+        unigramEncodeWith(seg.select(col("w"), size(col("ps")).as("n_sym")),
+          t(s, d, "documents"))
+      },
+      // the oracle joins documents against q204's DUMPED segmentation
+      // (w, n_sym): the trained state is an input, the encode
+      // join/sums/ratios are recomputed independently. Inner join ≡
+      // the Spark side's length filter: every 1..20-char corpus word
+      // is in the trained table by construction.
+      Some("WITH wp AS (SELECT w, n_sym FROM " +
+        "read_parquet('__OUTDIR__/q204_unigram_segmentation/*.parquet')), " +
+        "dw AS (SELECT source, unnest(string_split(text,' ')) AS w " +
+        "FROM documents), " +
+        "f AS (SELECT source, dw.w, n_sym FROM dw JOIN wp ON dw.w = wp.w) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(length(w)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(n_sym) AS BIGINT) AS n_unigram_tokens, " +
+        "round(sum(n_sym)*1.0/sum(length(w)), 6) AS tokens_per_char, " +
+        "round(sum(n_sym)*1.0/count(*), 6) AS tokens_per_word " +
+        "FROM f GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q204_unigram_segmentation",
+      "Trained-tokenizer STATE EXPORT — the unigram model's final Viterbi " +
+        "segmentation as a table (word, corpus frequency, piece count): the " +
+        "artifact a tokenizer-serving job persists and loads (saveTokenizer/" +
+        "loadTokenizer wire it through FormatIo), and the fixture-side input " +
+        "that makes q199's encode oracle possible — DuckDB joins documents " +
+        "against THIS query's dump to re-derive q199 independently (the " +
+        "round-13 exported-state oracle pattern, the q136 join+sum shape). " +
+        "Rows-only by contract: the content IS the EM fixpoint q198 documents " +
+        "as not cross-engine reproducible; Round17OpsSpec pins round-trip, " +
+        "monotonicity and rerun determinism, and q199's oracle-green row is " +
+        "the cross-engine check of everything computable FROM it. Vocab-sized " +
+        "output (distinct corpus words), corpus-size-independent after the one " +
+        "training scan.",
+      (s, d) => {
+        val (_, _, seg) = unigramLoop(s, d, rounds = 3)
+        seg.select(col("w"), col("freq"), size(col("ps")).as("n_sym"))
+          .orderBy(col("w"))
       },
       None)
   )
@@ -3923,6 +3956,127 @@ object TextOps {
     val out = usageOut.map { case (p, c) => (p, c, costs(p)) }
       .sortBy { case (p, _, cost) => (cost, p) }
     (out, losses.toSeq, segmentUnder(costs), words)
+  }
+
+  /** q199's serving body factored as ONE kernel (the funnelVerdict
+    * sharing rule) so the in-session path and the reloaded-state path
+    * (`loadUnigramSegmentation`) cannot drift: the (w, n_sym)
+    * word→piece-count table joins the corpus tokens under a
+    * count-gated broadcast (the q136 lesson — hinted map-side join
+    * while the distinct-word table clearly fits, shuffle join on the
+    * word key when a web-scale corpus pushes it past the ceiling),
+    * rolled up per source with the fertility ratios.
+    */
+  private[graft] def unigramEncodeWith(wordPieces: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val vjoin =
+      if (wordPieces.count() <= 2000000L) broadcast(wordPieces)
+      else wordPieces
+    docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, 20))
+      .join(vjoin, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym").cast("long")).as("n_unigram_tokens"))
+      .withColumn("tokens_per_char",
+        round(col("n_unigram_tokens") / col("n_chars"), 6))
+      .withColumn("tokens_per_word",
+        round(col("n_unigram_tokens") / col("n_words"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** == Tokenizer state export/import (round-13 verdict item 8) ==
+    * Trainer state was session-memoized only — real pipelines persist
+    * the trained tables once and SERVE them from a different job (the
+    * memo scaladocs' "persist to parquet and serve" posture, now an
+    * API). State rides FormatIo (explicit schemas, lossless array
+    * encodings), so the artifacts are portable text/columnar files,
+    * not JVM serializations. Round18OpsSpec pins
+    * encode-after-reload ≡ encode-in-session for both tokenizers.
+    */
+  private val unigramSegSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("freq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ps",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("n_sym",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val bpeVocabSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("toks",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("freq",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Persist the trained unigram tokenizer: the piece inventory (the
+    * shippable artifact q198 reports) plus the full word segmentation
+    * (the serving table q199/q204 read).
+    */
+  def saveUnigramTokenizer(s: SparkSession, d: String, rounds: Int,
+      path: String, format: String = "orc"): Unit = {
+    import s.implicits._
+    val (pieces, _, seg) = unigramLoop(s, d, rounds)
+    graft.ingest.FormatIo.write(
+      pieces.toDF("piece", "n_uses", "cost_micronats"),
+      s"$path/pieces", format)
+    graft.ingest.FormatIo.write(
+      seg.select(col("w"), col("freq"), col("ps"),
+        size(col("ps")).as("n_sym")),
+      s"$path/segmentation", format)
+  }
+
+  /** Reload a saved unigram segmentation for serving in a session that
+    * never trained: feed it to `unigramEncodeWith` (via
+    * GraftEngine.encodeWithTokenizer) for the exact q199 semantics.
+    */
+  def loadUnigramSegmentation(s: SparkSession, path: String,
+      format: String = "orc"): DataFrame =
+    graft.ingest.FormatIo.read(s, s"$path/segmentation", format,
+      unigramSegSchema)
+
+  /** Persist the trained BPE tokenizer: the ordered merge list (the
+    * shippable artifact) plus the word→symbols vocabulary (the
+    * serving table q136's encode joins).
+    */
+  def saveBpeTokenizer(s: SparkSession, d: String, rounds: Int,
+      path: String, format: String = "orc"): Unit = {
+    val (merges, vocab) = bpeLoop(s, d, rounds)
+    graft.ingest.FormatIo.write(merges, s"$path/merges", format)
+    graft.ingest.FormatIo.write(vocab, s"$path/vocab", format)
+  }
+
+  def loadBpeVocab(s: SparkSession, path: String,
+      format: String = "orc"): DataFrame =
+    graft.ingest.FormatIo.read(s, s"$path/vocab", format, bpeVocabSchema)
+
+  /** q136's serving body factored as ONE kernel for the in-session and
+    * reloaded-vocab paths (same sharing rule as `unigramEncodeWith`).
+    * `vocab` carries (w, toks) — symbols space-delimited, as trained.
+    */
+  private[graft] def bpeEncodeWith(vocab: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val wp = vocab.select(col("w"), size(split(col("toks"), " ")).as("n_sym"))
+    val vjoin = if (wp.count() <= 2000000L) broadcast(wp) else wp
+    docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(vjoin, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+      .withColumn("tokens_per_char",
+        round(col("n_bpe_tokens") / col("n_chars"), 6))
+      .withColumn("tokens_per_word",
+        round(col("n_bpe_tokens") / col("n_words"), 6))
+      .orderBy(col("source"))
   }
 
   /** Greedy leftmost non-overlapping merge of symbol pair (l, r) over a

@@ -38,7 +38,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q200_stream_replay_audit",
       "q201_ann_recall_clustered",
       "q202_commit_retry_audit",
-      "q203_manifest_compaction")
+      "q203_manifest_compaction",
+      "q204_unigram_segmentation",
+      "q205_deflate_sizes")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")
