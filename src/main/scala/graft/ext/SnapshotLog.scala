@@ -75,6 +75,54 @@ object SnapshotLog {
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
+  /** == Incremental manifests (round-13) ==
+    * Full-list manifests rewrite O(segments) lines per commit — at
+    * 100 TB with thousands of segments and frequent appends, commit
+    * cost grows linearly with table AGE. Commits therefore write only
+    * the DELTA against the previous version (the Delta-log posture;
+    * Iceberg's manifest list is the same idea one level up):
+    *
+    *   #base<TAB><v-1>        this manifest is a delta over v-1
+    *   +<TAB>rel<TAB>min<TAB>max[<TAB>tag]   segment added at v
+    *   -<TAB>rel              segment removed at v
+    *
+    * plus the SAME full-state meta lines as always (#batches/
+    * #compacted/#cdcdel/#schema — they are id- or schema-sized, never
+    * segment-list-sized, so delta-encoding them would buy nothing and
+    * cost a merge rule). Readers resolve a delta chain by walking
+    * #base links back to the nearest FULL manifest (every
+    * `checkpointInterval`-th version, recorded per log in
+    * `_log/config` at reset time — a table property, so every writer
+    * of a log agrees), applying removals and additions in order; the
+    * chain is at most `interval` manifests, each metadata-sized.
+    * Old full-format logs have no #base lines and read unchanged.
+    *
+    * `vacuum` MATERIALIZES the horizon manifest to full form before
+    * dropping earlier ones — a kept delta chain never dangles below
+    * the horizon (chains are strictly v → v−1, so a full horizon
+    * closes every surviving chain).
+    */
+  val DefaultCheckpointInterval = 8
+
+  private def configPath(dir: String): Path = logDir(dir).resolve("config")
+
+  /** The log's checkpoint interval (full manifest every N versions),
+    * recorded at `reset` in `_log/config`. Logs created before the
+    * config existed (or with interval 1) write full manifests always.
+    */
+  def checkpointIntervalOf(dir: String): Int = {
+    val p = configPath(dir)
+    if (!Files.exists(p)) DefaultCheckpointInterval
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .collectFirst { case l if l.startsWith("interval=") =>
+        l.stripPrefix("interval=").toInt }
+      .getOrElse(DefaultCheckpointInterval)
+  }
+
+  /** Whether v's manifest is a delta (diagnostic; q203 audits it). */
+  def isDelta(dir: String, v: Int): Boolean =
+    manifestLines(dir, v).exists(_.startsWith("#base\t"))
+
   /** `Files.list`/`Files.walk` return open directory streams that MUST
     * be closed — a polling caller (a reader looping on `version`)
     * would otherwise exhaust file descriptors (caught by
@@ -100,13 +148,21 @@ object SnapshotLog {
       .foldLeft(-1)(math.max))
   }
 
-  /** Drops every segment and manifest — a fresh log. */
-  def reset(dir: String): Unit = {
+  /** Drops every segment and manifest — a fresh log. The checkpoint
+    * interval is a TABLE property fixed here (not per-commit) so every
+    * writer of the log agrees on which versions are full manifests.
+    */
+  def reset(dir: String,
+      checkpointInterval: Int = DefaultCheckpointInterval): Unit = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     val root = Paths.get(dir)
     if (Files.isDirectory(root)) {
       walked(root)(_.toSeq).reverse.foreach(Files.delete)
     }
     Files.createDirectories(logDir(dir))
+    Files.write(configPath(dir),
+      s"interval=$checkpointInterval".getBytes(StandardCharsets.UTF_8))
   }
 
   private def manifestLines(dir: String, v: Int): Seq[String] = {
@@ -116,17 +172,42 @@ object SnapshotLog {
       .filter(_.nonEmpty)
   }
 
-  def segments(dir: String, v: Int): Seq[Segment] = {
+  private def parseSeg(fields: Array[String]): Segment = fields match {
+    case Array(p, mn, mx) => Segment(p, mn.toLong, mx.toLong, None)
+    case Array(p, mn, mx, tag) =>
+      Segment(p, mn.toLong, mx.toLong, Some(tag.toLong))
+    case other =>
+      throw new IllegalStateException(
+        s"malformed manifest segment line: ${other.mkString("\t")}")
+  }
+
+  /** The raw segment list of v, resolving #base delta chains back to
+    * the nearest full manifest (dataChange is applied by `segments`
+    * from v's OWN compacted set — a base version's flags are its own).
+    * Chain depth is bounded by the log's checkpoint interval.
+    */
+  private def rawSegments(dir: String, v: Int): Seq[Segment] = {
     val lines = manifestLines(dir, v)
-    val compacted = metaOf(lines).compacted
-    lines.filterNot(_.startsWith("#")).map { line =>
-      line.split('\t') match {
-        case Array(p, mn, mx) =>
-          Segment(p, mn.toLong, mx.toLong, None, !compacted(p))
-        case Array(p, mn, mx, tag) =>
-          Segment(p, mn.toLong, mx.toLong, Some(tag.toLong), !compacted(p))
-      }
+    val base = lines.collectFirst {
+      case l if l.startsWith("#base\t") => l.split('\t')(1).toInt
     }
+    val own = lines.filterNot(_.startsWith("#"))
+    base match {
+      case None => own.map(l => parseSeg(l.split('\t')))
+      case Some(b) =>
+        val removed = own.collect {
+          case l if l.startsWith("-\t") => l.split('\t')(1)
+        }.toSet
+        val added = own.collect {
+          case l if l.startsWith("+\t") => parseSeg(l.split('\t').drop(1))
+        }
+        rawSegments(dir, b).filterNot(s => removed(s.relPath)) ++ added
+    }
+  }
+
+  def segments(dir: String, v: Int): Seq[Segment] = {
+    val compacted = metaOf(manifestLines(dir, v)).compacted
+    rawSegments(dir, v).map(s => s.copy(dataChange = !compacted(s.relPath)))
   }
 
   private def metaOf(lines: Seq[String]): ManifestMeta = {
@@ -276,6 +357,36 @@ object SnapshotLog {
     (Seq(s.relPath, s.min.toString, s.max.toString) ++
       s.tag.map(_.toString)).mkString("\t")
 
+  /** Manifest lines for committing `newSegs` at v: a FULL list at
+    * checkpoint versions (v % interval == 0, v0, interval 1), a DELTA
+    * against v−1 otherwise. The delta is derived from the same
+    * (prevSegs, newSegs) pair the caller already holds, and a
+    * defensive resolution check falls back to a full manifest if
+    * replaying the delta over prevSegs would not reproduce newSegs
+    * exactly (order included) — a wrong delta must never be the thing
+    * readers reconstruct state from.
+    */
+  private def commitLines(dir: String, v: Int, newSegs: Seq[Segment],
+      prevSegs: Seq[Segment], m: ManifestMeta,
+      schemaLine: Option[String]): Seq[String] = {
+    val interval = checkpointIntervalOf(dir)
+    val fullLines = newSegs.map(segLine) ++ metaLines(m) ++ schemaLine.toSeq
+    if (v == 0 || interval <= 1 || v % interval == 0) fullLines
+    else {
+      val prevSet = prevSegs.map(_.relPath).toSet
+      val newSet = newSegs.map(_.relPath).toSet
+      val removed = prevSegs.filterNot(s => newSet(s.relPath))
+      val added = newSegs.filterNot(s => prevSet(s.relPath))
+      val replay = prevSegs.filterNot(s =>
+        removed.exists(_.relPath == s.relPath)) ++ added
+      if (replay.map(segLine) != newSegs.map(segLine)) fullLines
+      else Seq(s"#base\t${v - 1}") ++
+        removed.map(s => s"-\t${s.relPath}") ++
+        added.map(s => "+\t" + segLine(s)) ++
+        metaLines(m) ++ schemaLine.toSeq
+    }
+  }
+
   /** Zone-map stats of a WRITTEN segment: min/max of `statsCol`
     * re-evaluated over the parquet just persisted, not over the input
     * frame — a non-deterministic or re-evaluated input (rand(), a
@@ -327,9 +438,9 @@ object SnapshotLog {
     // what its OWN version deleted, never standing state
     val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
       else meta(dir, prev).copy(cdcDel = Set.empty)
-    val lines = (carried :+ Segment(rel, mn, mx, batchTag)).map(segLine) ++
-      metaLines(carriedMeta) :+ s"#schema\t${snapSchema.json}"
-    publish(dir, v, lines)
+    publish(dir, v, commitLines(dir, v,
+      carried :+ Segment(rel, mn, mx, batchTag), carried, carriedMeta,
+      Some(s"#schema\t${snapSchema.json}")))
     v
   }
 
@@ -410,10 +521,10 @@ object SnapshotLog {
     val (mn, mx) = writtenStats(spark, segPath, statsCol)
     // the rewrite materializes the evolved schema into the segment, and
     // the snapshot schema carries forward unchanged
-    val lines = Seq(segLine(Segment(rel, mn, mx))) ++
-      metaLines(ManifestMeta(committedBatches(dir), Set(rel))) ++
-      schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}").toSeq
-    publish(dir, v, lines)
+    publish(dir, v, commitLines(dir, v, Seq(Segment(rel, mn, mx)),
+      segments(dir, prev),
+      ManifestMeta(committedBatches(dir), Set(rel)),
+      schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
     v
   }
 
@@ -518,14 +629,14 @@ object SnapshotLog {
       val touchedSet = touched.map(_.relPath).toSet
       val untouched = segs.filterNot(s => touchedSet(s.relPath))
       val prevMeta = meta(dir, prev)
-      val lines = (untouched :+ Segment(rewriteRel, mn, mx)).map(segLine) ++
-        metaLines(ManifestMeta(
+      publish(dir, v, commitLines(dir, v,
+        untouched :+ Segment(rewriteRel, mn, mx), segs,
+        ManifestMeta(
           prevMeta.batches ++ touched.flatMap(_.tag),
           (prevMeta.compacted intersect untouched.map(_.relPath).toSet) +
             rewriteRel,
-          Set(delRel))) ++
-        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}").toSeq
-      publish(dir, v, lines)
+          Set(delRel)),
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
       v
     }
   }
@@ -606,14 +717,14 @@ object SnapshotLog {
         (Seq(Segment(rewriteRel, mn, mx)), Set(delRel))
       }
 
-    val lines =
-      (untouched ++ rewriteSegs :+ Segment(srcRel, smn, smx)).map(segLine) ++
-        metaLines(ManifestMeta(
-          prevMeta.batches ++ touched.flatMap(_.tag),
-          (prevMeta.compacted intersect untouched.map(_.relPath).toSet) ++
-            rewriteSegs.map(_.relPath),
-          cdcDel)) :+ s"#schema\t${snapSchema.json}"
-    publish(dir, v, lines)
+    publish(dir, v, commitLines(dir, v,
+      untouched ++ rewriteSegs :+ Segment(srcRel, smn, smx), segs,
+      ManifestMeta(
+        prevMeta.batches ++ touched.flatMap(_.tag),
+        (prevMeta.compacted intersect untouched.map(_.relPath).toSet) ++
+          rewriteSegs.map(_.relPath),
+        cdcDel),
+      Some(s"#schema\t${snapSchema.json}")))
     v
   }
 
@@ -674,10 +785,33 @@ object SnapshotLog {
     * documented retention trade every production log makes. Returns
     * (segment dirs deleted, manifests dropped).
     */
+  /** Rewrite v's manifest in FULL form if it is a delta — vacuum calls
+    * this on the horizon so surviving chains never dangle below it
+    * (chains are strictly v → v−1, so a full horizon closes every
+    * kept chain). In-place replace via atomic same-dir move: readers
+    * see either the old delta (still resolvable pre-drop) or the new
+    * full form, never a partial file.
+    */
+  private def materializeManifest(dir: String, v: Int): Unit = {
+    val lines = manifestLines(dir, v)
+    if (lines.exists(_.startsWith("#base\t"))) {
+      val full = rawSegments(dir, v).map(segLine) ++
+        lines.filter(l => l.startsWith("#") && !l.startsWith("#base\t"))
+      val tmp = logDir(dir).resolve(s".v$v.manifest.full-${writerToken()}")
+      Files.write(tmp, full.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, logDir(dir).resolve(s"v$v.manifest"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def vacuum(dir: String, horizon: Int): (Int, Int) = {
     val latest = version(dir)
     require(horizon >= 0 && horizon <= latest,
       s"horizon $horizon outside [0, $latest]")
+    // incremental manifests: the horizon must become self-contained
+    // BEFORE anything below it is dropped
+    materializeManifest(dir, horizon)
     // cdcDel change segments are referenced by meta lines, not segment
     // lines — they must survive exactly as long as their manifest does
     val keep = (horizon to latest)
@@ -696,6 +830,114 @@ object SnapshotLog {
     doomedMfs.foreach(Files.delete(_))
     (doomedSegs.size, doomedMfs.size)
   }
+
+  /** == Concurrent-writer retry (round-13 verdict item 3) ==
+    * The loser of the manifest publish race gets
+    * ConcurrentModificationException; production table formats resolve
+    * it with commit-retry under conflict CLASSIFICATION rather than
+    * making every caller hand-roll a loop:
+    *
+    *  - APPEND is a blind insert: it reads no table state, so it
+    *    commutes with ANY winner and the loser REBASES — the data
+    *    segment (already written, immutable) is kept and only the
+    *    manifest re-publishes against the new head. The schema gate
+    *    re-runs per attempt: a winner that evolved the schema can turn
+    *    a rebase into a legitimate loud refusal (add-only violation),
+    *    which must abort, not retry. A batch-tagged append also
+    *    rechecks the idempotency gate per attempt — if the WINNER
+    *    committed the same batchId (two recovering stream writers),
+    *    the loser skips instead of double-landing the batch.
+    *  - DELETE / MERGE / COMPACT are read-modify-write: their
+    *    touched-segment discovery must OBSERVE the winner's rows for
+    *    the outcome to be serializable, so the loser RE-RUNS the whole
+    *    operation against the new head via `commitWithRetry` — a
+    *    manifest-only rebase would let a delete miss rows a concurrent
+    *    append landed (write-skew), the conflict Delta classifies as
+    *    ConcurrentAppendException and likewise refuses to rebase.
+    *
+    * Orphan segment directories from lost attempts are unreferenced by
+    * ANY manifest and reclaimed by `vacuum` — the same economy failed
+    * single-shot commits already rely on. Backoff is deterministic
+    * (linear, 5 ms × attempt): two writers cannot livelock because the
+    * publish is an atomic link — every round has exactly one winner,
+    * so maxAttempts bounds the loser's work, not the system's progress.
+    */
+  def commitWithRetry[A](maxAttempts: Int = 5)(op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Append with rebase-on-conflict (see the classification above):
+    * the segment writes ONCE; each attempt re-reads the head, re-gates
+    * the schema, re-checks the batch-id idempotency gate, and
+    * re-publishes. Returns the committed version — or the current
+    * version unchanged when a racing writer landed the same batchTag
+    * first (the streaming exactly-once contract under contention).
+    */
+  def appendWithRetry(df: DataFrame, dir: String, statsCol: Column,
+      batchTag: Option[Long] = None, maxAttempts: Int = 5): Int = {
+    Files.createDirectories(logDir(dir))
+    var written: Option[(String, Long, Long)] = None
+    var attempt = 0
+    while (true) {
+      val prev = version(dir)
+      if (batchTag.exists(committedBatches(dir))) return prev
+      val v = prev + 1
+      val snapSchema = evolvedSchema(
+        gateSchema(df.sparkSession, dir, prev), df.schema,
+        df.sparkSession.sessionState.analyzer.resolver)
+      val (rel, mn, mx) = written.getOrElse {
+        val r = s"seg-$v-${writerToken()}"
+        val p = absPath(dir, r)
+        df.write.mode("overwrite").parquet(p)
+        val (a, b) = writtenStats(df.sparkSession, p, statsCol)
+        val t = (r, a, b)
+        written = Some(t)
+        t
+      }
+      val carried = if (prev < 0) Nil else segments(dir, prev)
+      val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
+        else meta(dir, prev).copy(cdcDel = Set.empty)
+      try {
+        publish(dir, v, commitLines(dir, v,
+          carried :+ Segment(rel, mn, mx, batchTag), carried, carriedMeta,
+          Some(s"#schema\t${snapSchema.json}")))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** delete with serializable re-run-on-conflict (the classification
+    * above: read-modify-write must observe the winner's rows).
+    */
+  def deleteWithRetry(spark: SparkSession, dir: String, predicate: Column,
+      statsCol: Column, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(delete(spark, dir, predicate, statsCol))
+
+  /** merge with serializable re-run-on-conflict. */
+  def mergeWithRetry(spark: SparkSession, src: DataFrame, dir: String,
+      key: String, statsCol: Column, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(merge(spark, src, dir, key, statsCol))
+
+  /** compact with re-run-on-conflict. */
+  def compactWithRetry(spark: SparkSession, dir: String, statsCol: Column,
+      maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(compact(spark, dir, statsCol))
 
   /** Zone-map-pruned read: only segments whose [min, max] overlaps
     * [lo, hi] are opened; the exact predicate is re-applied as a

@@ -53,10 +53,14 @@ class SnapshotLogModelSpec extends SparkSpec {
     * assert it on at least one seed, so the evolution checks can't all
     * pass vacuously).
     */
-  private def runSequence(seed: Int, opCount: Int): Boolean = {
+  private def runSequence(seed: Int, opCount: Int,
+      checkpointInterval: Int = SnapshotLog.DefaultCheckpointInterval)
+      : Boolean = {
     import spark.implicits._
     val rnd = new Random(seed)
-    val dir = Files.createTempDirectory(s"snaplog_model_$seed").toString
+    val dir = Files.createTempDirectory(
+      s"snaplog_model_${seed}_ci$checkpointInterval").toString
+    SnapshotLog.reset(dir, checkpointInterval)
     var versions = Vector.empty[V] // index == version number
     var horizon = 0                // lowest version still readable
     var tags = Set.empty[Long]
@@ -279,5 +283,48 @@ class SnapshotLogModelSpec extends SparkSpec {
     val evolved = runSequence(seed = 1234, opCount = 20)
     assert(evolved, "seed 1234 must exercise the column-add — " +
       "pick a different seed if the RNG layout changes")
+  }
+
+  // == Incremental (delta) manifests: the same sequences must read
+  // identically at a SHORT checkpoint interval (delta chains cross
+  // checkpoints, vacuums land mid-chain and materialize the horizon)
+  // and at interval 1 (always-full — the legacy layout). The model
+  // never looks at the layout, so any divergence is a resolution bug.
+  test("interval=3: delta chains + checkpoint + vacuum materialization track the model") {
+    runSequence(seed = 11, opCount = 16, checkpointInterval = 3)
+    runSequence(seed = 42, opCount = 16, checkpointInterval = 3)
+    runSequence(seed = 1234, opCount = 20, checkpointInterval = 3)
+  }
+
+  test("interval=1 (always-full) behaves identically") {
+    runSequence(seed = 42, opCount = 16, checkpointInterval = 1)
+  }
+
+  test("delta manifests actually occur and resolve at interval=3") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaplog_delta_shape").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    (0 until 7).foreach { i =>
+      SnapshotLog.append(Seq(i.toLong).toDF("k"), dir, col("k"))
+    }
+    // v0/v3/v6 checkpoints, the rest deltas — the layout claim itself
+    val deltas = (0 to 6).map(v => SnapshotLog.isDelta(dir, v))
+    assert(deltas === Seq(false, true, true, false, true, true, false))
+    // every version resolves to exactly its prefix
+    (0 to 6).foreach { v =>
+      assert(SnapshotLog.readAsOf(spark, dir, v)
+        .collect().map(_.getLong(0)).sorted.toSeq === (0L to v.toLong))
+    }
+    // vacuum to a mid-chain horizon: v4 (a delta over v3) must
+    // materialize and v5/v6 must still resolve through it
+    SnapshotLog.vacuum(dir, 4)
+    assert(!SnapshotLog.isDelta(dir, 4), "horizon must be materialized")
+    (4 to 6).foreach { v =>
+      assert(SnapshotLog.readAsOf(spark, dir, v)
+        .collect().map(_.getLong(0)).sorted.toSeq === (0L to v.toLong))
+    }
+    intercept[Exception] {
+      SnapshotLog.readAsOf(spark, dir, 3).count()
+    }
   }
 }
