@@ -137,6 +137,65 @@ object EventOps {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q200_stream_replay_audit",
+      "Streaming exactly-once REPLAY audit (round-13 item 6): the snapshot sink's " +
+        "batch-id idempotency claim, turned into a driver-visible CORRECTNESS row " +
+        "instead of living only in StreamingSpec. The query drives the REAL sink " +
+        "body (StreamOps.snapshotCommitBatch — the exact foreachBatch closure the " +
+        "production stream runs) through an at-least-once delivery schedule into a " +
+        "fresh log: batches 0, 1, 2 of events (event_id % 3 slices) land, then " +
+        "batches 1 and 2 are RE-DELIVERED with the same ids — checkpoint recovery's " +
+        "replay, where a naive sink double-counts. The audit is " +
+        "interleaving-independent and fully recomputable by the oracle: per batch, " +
+        "the attempt count (the delivery schedule), the segments carrying its tag " +
+        "(must be 1 — a second tagged segment IS a double-land), the delta rows and " +
+        "exact-cents value mass of its committed version (readChanges(v-1, v) — " +
+        "version v is batch v precisely because the replays were skipped), and the " +
+        "total version count (3 commits from 5 deliveries). The gate checks the " +
+        "LOG, not writer-local state (committedBatches reads the manifest), so the " +
+        "same verdict holds across restarts — the recipe a 100 TB streaming ingest " +
+        "needs for exactly-once on top of at-least-once delivery.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-snaplog-replay-" + Integer.toHexString(d.hashCode)).toString
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        def batch(b: Long): DataFrame =
+          ev.filter(pmod(col("event_id"), lit(3L)) === b)
+        // the at-least-once schedule: deliver 0,1,2 then REPLAY 1 and 2
+        Seq(0L, 1L, 2L, 1L, 2L).foreach { b =>
+          graft.streaming.StreamOps.snapshotCommitBatch(
+            batch(b), dir, "event_id", b)
+        }
+        val latest = SnapshotLog.version(dir)
+        val segs = SnapshotLog.segments(dir, latest)
+        val attempts = Map(0L -> 1L, 1L -> 2L, 2L -> 2L)
+        (0L to 2L).map { b =>
+          SnapshotLog.readChanges(s, dir, b.toInt - 1, b.toInt)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("value"))).as("value_cents"))
+            .select(lit(b).as("batch_id"),
+              lit(attempts(b)).as("n_attempts"),
+              lit(segs.count(_.tag.contains(b)).toLong).as("n_segments"),
+              col("n_rows"), col("value_cents"),
+              lit((latest + 1).toLong).as("n_versions"))
+        }.reduce(_.unionByName(_)).orderBy(col("batch_id"))
+      },
+      Some("WITH s AS (SELECT event_id % 3 AS b, " +
+        "CAST(round(value*100) AS BIGINT) AS c FROM events) " +
+        "SELECT CAST(b AS BIGINT) AS batch_id, " +
+        "CAST(CASE WHEN b = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_attempts, " +
+        "CAST(1 AS BIGINT) AS n_segments, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(c) AS BIGINT) AS value_cents, " +
+        "CAST(3 AS BIGINT) AS n_versions " +
+        "FROM s GROUP BY b ORDER BY batch_id")),
+
+    GraftQuery(
       "q171_asof_native",
       "TWO-TABLE as-of join through the native plan node (guide preference (c): custom LogicalPlan + SparkStrategy + SparkPlan, registered via SparkSessionExtensions / experimental.extraStrategies): for each purchase, the same user's most recent click within a 1-hour tolerance — purchases and clicks as SEPARATE relations, where q38's same-table union+window trick would force both through one union-wide shuffle carrying the union schema. AsOfJoinExec instead clusters each side on user_id through its OWN exchange (EnsureRequirements co-partitions them exactly like a sort-merge join), sorts within partitions by (key, time[, event_id tiebreak]), and resolves every probe in ONE forward merge pass with two-row state: O(n_l + n_r) per partition, no window buffering, no per-row lookback. Ties on click time break to the highest click_id (the explicit tiebreak column); clicks older than the tolerance leave nulls — LEFT OUTER as-of. Integer epoch-second time on both engines.",
       (s, d) => {
