@@ -247,7 +247,21 @@ object ScaleStress {
       // leaves UNCHANGED (the q134 argument) — only the one corpus
       // word-count scan grows under 10×; the encoder streams 10×
       // tokens against that unchanged table (the q136 shape)
-      "q198_unigram_lm_train", "q199_unigram_encode")
+      "q198_unigram_lm_train", "q199_unigram_encode",
+      // round-13 additions: the replay audit's events copy 1× (its row
+      // prices the 5-delivery protocol); the clustered-recall corpus
+      // synthesizes 10× in-plan and its exact arm is 10 broadcast
+      // queries × one corpus pass (the q147 shape); the retry race
+      // writes 10× orders across 6 racing segments (write-volume-
+      // linear, publish retries are manifest-sized); the delta-layout
+      // audit commits 8 × 10× slices — write-linear while the MANIFEST
+      // lines stay O(delta) whatever the data volume (the feature's
+      // whole point); the segmentation export is the vocab-sized
+      // trainer table (replication-UNCHANGED); deflate sizes are one
+      // byte-linear codec pass
+      "q200_stream_replay_audit", "q201_ann_recall_clustered",
+      "q202_commit_retry_audit", "q203_manifest_compaction",
+      "q204_unigram_segmentation", "q205_deflate_sizes")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -210,6 +210,40 @@ object SnapshotLog {
     rawSegments(dir, v).map(s => s.copy(dataChange = !compacted(s.relPath)))
   }
 
+  /** Resolved segment lists for every version in [fromV, toV] in ONE
+    * forward pass: fromV resolves through its chain once, each later
+    * delta applies against the running state — O(window) manifest
+    * reads instead of the O(window × interval) per-version chain
+    * re-resolution the readChanges/readCdc/vacuum walks would
+    * otherwise pay on delta layouts. Index i holds version fromV + i,
+    * with dataChange applied from that version's own compacted set.
+    */
+  private def segmentsWalk(dir: String, fromV: Int,
+      toV: Int): IndexedSeq[Seq[Segment]] = {
+    var cur: Seq[Segment] = null
+    (fromV to toV).map { v =>
+      val lines = manifestLines(dir, v)
+      val base = lines.collectFirst {
+        case l if l.startsWith("#base\t") => l.split('\t')(1).toInt
+      }
+      val own = lines.filterNot(_.startsWith("#"))
+      val raw = base match {
+        case Some(b) if cur != null && b == v - 1 =>
+          val removed = own.collect {
+            case l if l.startsWith("-\t") => l.split('\t')(1)
+          }.toSet
+          val added = own.collect {
+            case l if l.startsWith("+\t") => parseSeg(l.split('\t').drop(1))
+          }
+          cur.filterNot(s => removed(s.relPath)) ++ added
+        case _ => rawSegments(dir, v)
+      }
+      cur = raw
+      val compacted = metaOf(lines).compacted
+      raw.map(s => s.copy(dataChange = !compacted(s.relPath)))
+    }
+  }
+
   private def metaOf(lines: Seq[String]): ManifestMeta = {
     def vals(key: String): Seq[String] = lines.collect {
       case l if l.startsWith(s"#$key\t") =>
@@ -480,9 +514,10 @@ object SnapshotLog {
     if (fromV < 0) readAsOf(spark, dir, toV)
     else {
       require(toV >= fromV, s"readChanges range [$fromV, $toV] inverted")
+      val walk = segmentsWalk(dir, fromV, toV)
       val delta = ((fromV + 1) to toV).flatMap { w =>
-        val prevSet = segments(dir, w - 1).map(_.relPath).toSet
-        segments(dir, w).filter(_.dataChange).filterNot(s => prevSet(s.relPath))
+        val prevSet = walk(w - 1 - fromV).map(_.relPath).toSet
+        walk(w - fromV).filter(_.dataChange).filterNot(s => prevSet(s.relPath))
       }.distinctBy(_.relPath)
       if (delta.isEmpty) readAsOf(spark, dir, toV).limit(0)
       else {
@@ -759,10 +794,12 @@ object SnapshotLog {
       // per-version walk (not one batched read): each row's tag must be
       // the version that produced it. A segment surfaces at exactly the
       // version that introduced it — names are writer-unique, so no
-      // cross-version dedup is needed.
+      // cross-version dedup is needed. One forward segmentsWalk pass —
+      // O(window) manifest reads on delta layouts.
+      val walk = segmentsWalk(dir, fromV, toV)
       val perVersion = ((fromV + 1) to toV).flatMap { w =>
-        val prevSet = segments(dir, w - 1).map(_.relPath).toSet
-        val ins = segments(dir, w).filter(_.dataChange)
+        val prevSet = walk(w - 1 - fromV).map(_.relPath).toSet
+        val ins = walk(w - fromV).filter(_.dataChange)
           .filterNot(s => prevSet(s.relPath)).map(_.relPath)
         val dels = meta(dir, w).cdcDel.toSeq.sorted
         Seq(("insert", w, ins), ("delete", w, dels)).filter(_._3.nonEmpty)
@@ -813,10 +850,10 @@ object SnapshotLog {
     // BEFORE anything below it is dropped
     materializeManifest(dir, horizon)
     // cdcDel change segments are referenced by meta lines, not segment
-    // lines — they must survive exactly as long as their manifest does
-    val keep = (horizon to latest)
-      .flatMap(v => segments(dir, v).map(_.relPath) ++ meta(dir, v).cdcDel)
-      .toSet
+    // lines — they must survive exactly as long as their manifest does.
+    // One forward walk resolves all kept versions' lists.
+    val keep = (segmentsWalk(dir, horizon, latest).flatMap(_.map(_.relPath)) ++
+      (horizon to latest).flatMap(v => meta(dir, v).cdcDel)).toSet
     val root = Paths.get(dir)
     val segDirs = listed(root)(
       _.filter(p => p.getFileName.toString.startsWith("seg-")).toSeq)

@@ -233,13 +233,19 @@ object StreamOps {
 
   /** The sink's per-batch body, factored so StreamingSpec can replay a
     * batchId through the REAL gate: append unless this batchId is
-    * already in the latest manifest.
+    * already in the latest manifest. Commits via `appendWithRetry`
+    * (round-13): the retry re-checks BOTH the publish race and the
+    * batch-id gate per attempt, so two recovering stream writers
+    * racing the SAME replayed batch land it exactly once — the
+    * single-writer contract relaxed to the real recovery topology
+    * (SnapshotLogRetrySpec pins the raced-tag case; q200 audits the
+    * sequential replay schedule end-to-end).
     */
   private[graft] def snapshotCommitBatch(batch: DataFrame, logDir: String,
       statsCol: String, batchId: Long): Unit = {
     val committed = graft.ext.SnapshotLog.committedBatches(logDir)
     if (!committed.contains(batchId) && !batch.isEmpty) {
-      graft.ext.SnapshotLog.append(batch, logDir, col(statsCol),
+      graft.ext.SnapshotLog.appendWithRetry(batch, logDir, col(statsCol),
         batchTag = Some(batchId))
       ()
     }
