@@ -261,7 +261,12 @@ object ScaleStress {
       // byte-linear codec pass
       "q200_stream_replay_audit", "q201_ann_recall_clustered",
       "q202_commit_retry_audit", "q203_manifest_compaction",
-      "q204_unigram_segmentation", "q205_deflate_sizes")
+      "q204_unigram_segmentation", "q205_deflate_sizes",
+      // the clustering rewrite is ONE 10× data pass + per-bucket dir
+      // moves + 4 stat scans (write-volume-linear, the compact shape);
+      // the bucketed join pays its clustering shuffle at ingest
+      // (write-linear) and the join itself plans zero exchanges
+      "q206_snapshot_optimize", "q207_bucketed_join")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

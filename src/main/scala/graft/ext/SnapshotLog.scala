@@ -563,6 +563,59 @@ object SnapshotLog {
     v
   }
 
+  /** OPTIMIZE with multi-dimensional clustering — Delta's
+    * `OPTIMIZE ... ZORDER BY (dims)` as a log commit: rewrite the
+    * current snapshot into up to 2^bucketBits segments CLUSTERED on
+    * `dims` (ZOrder Morton codes, bucketed by the code's TOP bits —
+    * Morton-boundary-ALIGNED, so every segment's zone map bounds every
+    * interleaved dimension by construction, the trade the ZOrder
+    * scaladoc discusses: deterministic tight bounds over balanced file
+    * sizes), so `readAsOfFiltered` prunes segments on dimensions the
+    * append order never clustered. Content-identical — a compaction
+    * variant: new segments carry dataChange = false (the change feed
+    * never re-delivers them), batch ids carry forward, old versions
+    * still read their old segments, vacuum reclaims them later.
+    *
+    * Cost shape at 100 TB: ONE data pass (range-repartition on the
+    * Morton code + partitionBy write into per-bucket directories),
+    * then per-bucket DIRECTORY MOVES into segment dirs (metadata, no
+    * second copy) and one tiny min/max stat scan per segment. This is
+    * the standard clustering rewrite every lakehouse pays, priced
+    * write-once like `compact`.
+    */
+  def optimize(spark: SparkSession, dir: String, statsCol: Column,
+      dims: Seq[Column], bucketBits: Int = 2, bits: Int = 16): Int = {
+    require(bucketBits >= 1 && bucketBits <= 8,
+      s"bucketBits $bucketBits outside [1, 8]")
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to optimize in $dir")
+    val v = prev + 1
+    val token = writerToken()
+    val staging = Paths.get(dir, s".opt-$v-$token")
+    val shift = dims.size * bits - bucketBits
+    ZOrder.withZ(readAsOf(spark, dir, prev), dims, bits)
+      .withColumn("__zb", shiftright(col("__z"), shift))
+      .repartitionByRange(1 << bucketBits, col("__zb"), col("__z"))
+      .sortWithinPartitions(col("__zb"), col("__z"))
+      .drop("__z")
+      .write.partitionBy("__zb").mode("overwrite").parquet(staging.toString)
+    val bucketDirs = listed(staging)(_.filter(
+      _.getFileName.toString.startsWith("__zb=")).toSeq)
+      .sortBy(_.getFileName.toString)
+    val newSegs = bucketDirs.map { bd =>
+      val b = bd.getFileName.toString.stripPrefix("__zb=")
+      val rel = s"seg-$v-z$b-$token"
+      Files.move(bd, Paths.get(dir, rel))
+      val (mn, mx) = writtenStats(spark, absPath(dir, rel), statsCol)
+      Segment(rel, mn, mx)
+    }
+    walked(staging)(_.toSeq).reverse.foreach(Files.deleteIfExists)
+    publish(dir, v, commitLines(dir, v, newSegs, segments(dir, prev),
+      ManifestMeta(committedBatches(dir), newSegs.map(_.relPath).toSet),
+      schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
+    v
+  }
+
   /** Read exactly `paths` under version `v`'s logged schema (legacy
     * manifests without one fall back to footer-merged schema).
     */

@@ -1391,7 +1391,124 @@ object Relational {
         "AS n_rows, " +
         "(SELECT CAST(sum(c) AS BIGINT) FROM s WHERE sl <= version) " +
         "AS price_cents " +
-        "FROM v ORDER BY version"))
+        "FROM v ORDER BY version")),
+
+    GraftQuery(
+      "q206_snapshot_optimize",
+      "OPTIMIZE ZORDER BY as a log commit (Delta's clustering rewrite, round-13 " +
+        "follow-on): the 3-commit orders log is date-ranged by construction, so " +
+        "its zone maps prune DATE queries but a PRICE query must scan every " +
+        "segment — `SnapshotLog.optimize` rewrites the snapshot into " +
+        "Morton-bucketed segments over (price-cents, order-day) with cents zone " +
+        "maps, ONE data pass (range-repartition on the z-code + partitionBy " +
+        "write) plus per-bucket directory MOVES (no second copy). Top-bit " +
+        "bucketing is Morton-boundary-ALIGNED, so the low-price quarter " +
+        "[min, min+(max-min)/4] provably lives in cents_hi=0 buckets — the " +
+        "audit's post_scan_le2 row is a structural constant at ANY scale " +
+        "factor, not a fixture accident. The audit further pins the three " +
+        "contracts a clustering rewrite owes: content identity (full rows+mass " +
+        "recomputed by the oracle), old-version time travel intact, and a " +
+        "SILENT change feed (dataChange=false — readChanges across the " +
+        "optimize delivers zero rows, the q177 compaction contract). The " +
+        "filtered read's CONTENT is exact regardless of pruning (the residual " +
+        "predicate re-applies), so the oracle recomputes it from base orders " +
+        "with the same integer quarter-point bound.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "opt")
+        val centsCol = cents(col("o_totalprice"))
+        val vOpt = SnapshotLog.optimize(s, dir, centsCol,
+          Seq(centsCol, unix_timestamp(col("o_orderdate")) / 86400L),
+          bucketBits = 2)
+        // quarter-point price bound off a 1-row agg (integer arithmetic,
+        // identical in the oracle)
+        val b = SnapshotLog.readAsOf(s, dir, vOpt)
+          .agg(min(centsCol).as("mn"), max(centsCol).as("mx")).head()
+        val (mnC, mxC) = (b.getLong(0), b.getLong(1))
+        val hi = mnC + (mxC - mnC) / 4
+        val (fr, scanned, total) =
+          SnapshotLog.readAsOfFiltered(s, dir, vOpt, centsCol, mnC, hi)
+        def row(state: String, n: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+          from.agg(n.cast("long").as("n"))
+            .select(lit(state).as("state"), col("n"))
+        row("cheap_quarter_cents", sum(cents(col("o_totalprice"))), fr)
+          .unionByName(row("cheap_quarter_rows", count(lit(1)), fr))
+          .unionByName(row("content_cents", sum(cents(col("o_totalprice"))),
+            SnapshotLog.readAsOf(s, dir, vOpt)))
+          .unionByName(row("content_rows", count(lit(1)),
+            SnapshotLog.readAsOf(s, dir, vOpt)))
+          .unionByName(row("feed_silent_rows", count(lit(1)),
+            SnapshotLog.readChanges(s, dir, 2, vOpt)))
+          .unionByName(s.range(1).select(lit("post_scan_le2").as("state"),
+            lit(if (scanned <= 2 && total >= scanned) 1L else 0L).as("n")))
+          .unionByName(row("time_travel_rows", count(lit(1)),
+            SnapshotLog.readAsOf(s, dir, 2)))
+          .orderBy(col("state"))
+      },
+      Some("WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c " +
+        "FROM orders), " +
+        "b AS (SELECT min(c) AS mn, min(c) + (max(c) - min(c)) // 4 AS hi " +
+        "FROM c), " +
+        "q AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(c.c) AS BIGINT) AS cc FROM c, b " +
+        "WHERE c.c >= b.mn AND c.c <= b.hi), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(c) AS BIGINT) AS cc FROM c) " +
+        "SELECT 'cheap_quarter_cents' AS state, cc AS n FROM q " +
+        "UNION ALL SELECT 'cheap_quarter_rows', n_rows FROM q " +
+        "UNION ALL SELECT 'content_cents', cc FROM f " +
+        "UNION ALL SELECT 'content_rows', n_rows FROM f " +
+        "UNION ALL SELECT 'feed_silent_rows', CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'post_scan_le2', CAST(1 AS BIGINT) " +
+        "UNION ALL SELECT 'time_travel_rows', n_rows FROM f " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q207_bucketed_join",
+      "CO-LOCATED fact-to-fact join over BUCKETED tables — the pay-the-shuffle-" +
+        "once-at-ingest posture the engine's scaladocs keep citing, wired as a " +
+        "query (ingest/BucketedTables): orders and lineitem materialize as " +
+        "bucketBy(8, orderkey).sortBy external parquet tables, and the join " +
+        "between them satisfies both sides' hash-distribution requirements from " +
+        "CATALOG METADATA — the sort-merge join plans ZERO exchanges " +
+        "(Round18OpsSpec pins the plan: no ShuffleExchange below the join, vs " +
+        "two for the plain-parquet twin). At 100 TB this is the difference " +
+        "between re-shuffling 6 B lineitem rows per join and never shuffling " +
+        "them again: ingest clusters once, every downstream equi-join on the " +
+        "key is exchange-free, and point lookups prune bucket FILES. The " +
+        "registered query rolls the co-located join into a 10-key order-mod " +
+        "audit (items, quantity, exact cents) the oracle recomputes from base " +
+        "tables — correctness is layout-independent by construction, which is " +
+        "exactly why the layout can be swapped under it.",
+      (s, d) => {
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-bucketed-" + Integer.toHexString(d.hashCode)).toString
+        val tag = Integer.toHexString(d.hashCode)
+        val o = graft.ingest.BucketedTables.materialize(s,
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice")),
+          s"graft_b_orders_$tag", s"$base/orders", "o_orderkey", 8)
+        val l = graft.ingest.BucketedTables.materialize(s,
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice")),
+          s"graft_b_lineitem_$tag", s"$base/lineitem", "l_orderkey", 8)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(pmod(col("o_orderkey"), lit(10L)).as("key_mod"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("qty_sum"),
+            sum(cents(col("l_extendedprice"))).as("item_cents"))
+          .orderBy(col("key_mod"))
+      },
+      Some("SELECT o_orderkey % 10 AS key_mod, " +
+        "CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS item_cents " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY key_mod ORDER BY key_mod"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -40,7 +40,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q202_commit_retry_audit",
       "q203_manifest_compaction",
       "q204_unigram_segmentation",
-      "q205_deflate_sizes")
+      "q205_deflate_sizes",
+      "q206_snapshot_optimize",
+      "q207_bucketed_join")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -71,6 +71,78 @@ class Round18OpsSpec extends SparkSpec {
     } finally TextOps.releaseCaches()
   }
 
+  test("bucketed co-located join plans ZERO exchanges; plain parquet pays two") {
+    import graft.ingest.BucketedTables
+    val base = Files.createTempDirectory("graft-bucketed-spec").toString
+    val o = BucketedTables.materialize(spark,
+      graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "graft_spec_orders_b", s"$base/o", "o_orderkey", 4)
+    val l = BucketedTables.materialize(spark,
+      graft.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "graft_spec_lineitem_b", s"$base/l", "l_orderkey", 4)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    // force the sort-merge path (a broadcast would also have zero
+    // exchanges, vacuously) and freeze the plan (AQE hides children)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try staticPlan {
+      val bucketed = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      assert(bucketed.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, "bucketed join must be a sort-merge join under the forced conf")
+      assert(exchanges(bucketed) === 0,
+        "a join between same-key same-count bucketed tables must plan ZERO exchanges")
+      val oP = spark.read.parquet(s"$base/o")
+      val lP = spark.read.parquet(s"$base/l")
+      val plain = oP.join(lP, oP("o_orderkey") === lP("l_orderkey"))
+      assert(exchanges(plain) === 2,
+        "the plain-parquet twin pays one exchange per side")
+      // and the layouts agree on content
+      assert(bucketed.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_lineitem_b")
+    }
+  }
+
+  test("snapshot optimize: clustered rewrite prunes, preserves content, stays CDC-silent, vacuums clean") {
+    import spark.implicits._
+    import graft.ext.SnapshotLog
+    val dir = Files.createTempDirectory("graft-opt-spec").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    // two appends clustered on NOTHING price-like: k is the zone-map
+    // column pre-optimize, v is what we want to prune on after
+    val rows = (0L until 400L).map(k => (k, (k * 37) % 400))
+    SnapshotLog.append(rows.take(200).toDF("k", "v"), dir, col("k"))
+    SnapshotLog.append(rows.drop(200).toDF("k", "v"), dir, col("k"))
+    val vOpt = SnapshotLog.optimize(spark, dir, col("v"),
+      Seq(col("v"), col("k")), bucketBits = 2)
+    // content identical, old version intact
+    val got = SnapshotLog.readAsOf(spark, dir, vOpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === rows.sorted)
+    assert(SnapshotLog.readAsOf(spark, dir, 1).count() === 400L)
+    // v-range read prunes segments the aligned buckets exclude
+    val (fr, scanned, total) =
+      SnapshotLog.readAsOfFiltered(spark, dir, vOpt, col("v"), 0L, 50L)
+    assert(fr.collect().map(_.getLong(1)).forall(_ <= 50L))
+    assert(fr.count() === rows.count(_._2 <= 50L))
+    assert(scanned < total, s"optimize must prune: scanned $scanned of $total")
+    // the rewrite is dataChange=false: the feed across it is silent
+    assert(SnapshotLog.readChanges(spark, dir, 1, vOpt).count() === 0L)
+    // vacuum reclaims the pre-optimize segments
+    val (segsGone, _) = SnapshotLog.vacuum(dir, vOpt)
+    assert(segsGone === 2, "both pre-optimize segments must be reclaimed")
+    assert(SnapshotLog.readAsOf(spark, dir, vOpt)
+      .count() === 400L)
+  }
+
   test("q205 deflate export agrees with q143's rollup inputs") {
     val dz = Registry.byName("q205_deflate_sizes").fn(spark, sfDir)
     // re-derive q143 from the export and compare against the registered
