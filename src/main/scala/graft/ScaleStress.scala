@@ -266,7 +266,10 @@ object ScaleStress {
       // moves + 4 stat scans (write-volume-linear, the compact shape);
       // the bucketed join pays its clustering shuffle at ingest
       // (write-linear) and the join itself plans zero exchanges
-      "q206_snapshot_optimize", "q207_bucketed_join")
+      "q206_snapshot_optimize", "q207_bucketed_join",
+      // per-segment sidecar stats are one extra min/max column scan per
+      // written segment; the audit's pre/post scans ride the pruning
+      "q208_multidim_prune")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -42,7 +42,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q204_unigram_segmentation",
       "q205_deflate_sizes",
       "q206_snapshot_optimize",
-      "q207_bucketed_join")
+      "q207_bucketed_join",
+      "q208_multidim_prune")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -143,6 +143,45 @@ class Round18OpsSpec extends SparkSpec {
       .count() === 400L)
   }
 
+  test("sidecar zone stats: configured columns prune, missing stats never skip, evolution is safe") {
+    import spark.implicits._
+    import graft.ext.SnapshotLog
+    val dir = Files.createTempDirectory("graft-sidecar-spec").toString
+    // table property: record v (the NON-primary column) per segment
+    SnapshotLog.reset(dir, checkpointInterval = 3,
+      statsCols = Seq("v" -> "v"))
+    val rows = (0L until 300L).map(k => (k, k % 3))
+    // three appends CLUSTERED on v (k interleaves) — the primary zone
+    // map (k) cannot prune a v filter, the sidecar can
+    (0L until 3L).foreach { m =>
+      SnapshotLog.append(rows.filter(_._2 == m).toDF("k", "v"), dir, col("k"))
+    }
+    val (fr, scanned, total) =
+      SnapshotLog.readAsOfFilteredOn(spark, dir, 2, "v", col("v"), 1L, 1L)
+    assert(total === 3 && scanned === 1,
+      s"sidecar must prune to the one v=1 segment, scanned $scanned/$total")
+    assert(fr.collect().map(_.getLong(0)).sorted.toSeq ===
+      rows.filter(_._2 == 1L).map(_._1).sorted)
+    // a segment WITHOUT the stat (simulating a pre-config history):
+    // remove one sidecar — the segment must be KEPT, never skipped
+    val seg0 = SnapshotLog.segments(dir, 2).head.relPath
+    Files.delete(java.nio.file.Paths.get(dir, seg0, "_zonestats"))
+    val (_, scanned2, _) =
+      SnapshotLog.readAsOfFilteredOn(spark, dir, 2, "v", col("v"), 1L, 1L)
+    assert(scanned2 === 2, "a segment without recorded stats is always scanned")
+    // schema evolution: an append carrying a NEW configured column
+    // starts recording it; old segments simply have no entry
+    val dir2 = Files.createTempDirectory("graft-sidecar-evo").toString
+    SnapshotLog.reset(dir2, checkpointInterval = 3,
+      statsCols = Seq("x" -> "x"))
+    SnapshotLog.append(Seq(1L, 2L).toDF("k"), dir2, col("k"))
+    SnapshotLog.append(Seq((3L, 30L), (4L, 40L)).toDF("k", "x"), dir2, col("k"))
+    val (fr2, s2, t2) =
+      SnapshotLog.readAsOfFilteredOn(spark, dir2, 1, "x", col("x"), 35L, 99L)
+    assert(t2 === 2 && s2 === 2, "the statless old segment must be kept")
+    assert(fr2.collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("q205 deflate export agrees with q143's rollup inputs") {
     val dz = Registry.byName("q205_deflate_sizes").fn(spark, sfDir)
     // re-derive q143 from the export and compare against the registered
