@@ -395,6 +395,36 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
   }
 
+  /** OPTIMIZE ZORDER BY on a snapshot log (q206's kernel): rewrite the
+    * current snapshot into Morton-aligned clustered segments on `dims`
+    * with fresh zone maps — one data pass + per-bucket directory
+    * moves; dataChange=false, old versions intact, vacuum reclaims.
+    */
+  def optimizeSnapshot(logDir: String,
+      statsCol: org.apache.spark.sql.Column,
+      dims: Seq[org.apache.spark.sql.Column], bucketBits: Int = 2): Int =
+    graft.ext.SnapshotLog.optimize(spark, logDir, statsCol, dims, bucketBits)
+
+  /** Pruned snapshot read on any SIDECAR stats column recorded by the
+    * log's table-property stats schema (q208's kernel): segments whose
+    * recorded range misses [lo, hi] are skipped before file listing;
+    * the exact predicate re-applies as the residual.
+    */
+  def snapshotReadPruned(logDir: String, v: Int, statName: String,
+      statExpr: org.apache.spark.sql.Column, lo: Long, hi: Long): DataFrame =
+    graft.ext.SnapshotLog.readAsOfFilteredOn(spark, logDir, v, statName,
+      statExpr, lo, hi)._1
+
+  /** Materialize any frame as a bucketed+sorted external table (q207's
+    * kernel): equi-joins between tables bucketed on the same key and
+    * count plan ZERO exchanges — pay the clustering shuffle once at
+    * ingest, never per query.
+    */
+  def bucketize(df: DataFrame, name: String, path: String, key: String,
+      buckets: Int = 8): DataFrame =
+    graft.ingest.BucketedTables.materialize(spark, df, name, path, key,
+      buckets)
+
   /** Encode the engine's documents with a tokenizer saved by
     * `saveTokenizer` — the serving path of a session that never
     * trained: loads the persisted word table and runs the SAME encode

@@ -182,6 +182,30 @@ class Round18OpsSpec extends SparkSpec {
     assert(fr2.collect().map(_.getLong(0)).toSeq === Seq(4L))
   }
 
+  test("facade: optimizeSnapshot / snapshotReadPruned / bucketize delegate to the real kernels") {
+    import spark.implicits._
+    import graft.ext.SnapshotLog
+    val eng = new GraftEngine(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-facade-opt").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3,
+      statsCols = Seq("v" -> "v"))
+    val rows = (0L until 120L).map(k => (k, k % 4))
+    SnapshotLog.append(rows.toDF("k", "v"), dir, col("k"))
+    val vOpt = eng.optimizeSnapshot(dir, col("k"),
+      Seq(col("v"), col("k")), bucketBits = 2)
+    val pruned = eng.snapshotReadPruned(dir, vOpt, "v", col("v"), 2L, 2L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+      rows.filter(_._2 == 2L).map(_._1).sorted)
+    val base = Files.createTempDirectory("graft-facade-bkt").toString
+    val t = eng.bucketize(
+      graft.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey")), "graft_facade_b", s"$base/o",
+      "o_orderkey", 4)
+    try assert(t.count() ===
+      graft.Tables.load(spark, sfDir, "orders").count())
+    finally spark.sql("DROP TABLE IF EXISTS graft_facade_b")
+  }
+
   test("q205 deflate export agrees with q143's rollup inputs") {
     val dz = Registry.byName("q205_deflate_sizes").fn(spark, sfDir)
     // re-derive q143 from the export and compare against the registered
