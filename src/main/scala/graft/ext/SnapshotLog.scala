@@ -682,6 +682,13 @@ object SnapshotLog {
     * second copy) and one tiny min/max stat scan per segment. This is
     * the standard clustering rewrite every lakehouse pays, priced
     * write-once like `compact`.
+    *
+    * A CRASHED optimize leaves its hidden `.opt-*` staging dir behind;
+    * `vacuum` deliberately does not reclaim those (a CONCURRENT
+    * optimize's live staging must survive a vacuum — the same
+    * timestamp-retention trade Delta's vacuum makes for its own
+    * tombstones). Remove stale `.opt-*` dirs manually or re-run the
+    * optimize; they are invisible to every read path.
     */
   def optimize(spark: SparkSession, dir: String, statsCol: Column,
       dims: Seq[Column], bucketBits: Int = 2, bits: Int = 16): Int = {
