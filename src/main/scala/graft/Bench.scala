@@ -222,9 +222,18 @@ object Bench {
     // line as the ratios it explains.
     val allRows = builds.map { case (n, v) => (s"build:$n", v) } ++ results
     val failed = allRows.collect { case (k, v) if v < 0 => k }
+    // Tiny-row floor: a sub-second baseline is mostly fixed overhead
+    // (JIT state, first-touch page cache), so raw ratios on rows like
+    // q06 (0.19 s) trip the 1.5x alarm on pure protocol noise (1.47x
+    // in round 13 = +90 ms). Flooring BOTH sides at 0.3 s leaves every
+    // row with a >=0.3 s baseline byte-identical semantics while a
+    // genuinely regressed tiny row (0.19 s -> 0.6 s = 2.0x floored)
+    // still alarms.
+    val RatioFloorSec = 0.3
     val compared = allRows.collect {
       case (k, v) if v >= 0 && BenchBaseline.medians.contains(k) =>
-        (k, v / BenchBaseline.medians(k))
+        (k, math.max(v, RatioFloorSec) /
+          math.max(BenchBaseline.medians(k), RatioFloorSec))
     }
     val noBase = allRows.filter { case (k, v) =>
       v >= 0 && !BenchBaseline.medians.contains(k) }

@@ -278,6 +278,16 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       statsCol: org.apache.spark.sql.Column): Int =
     graft.ext.SnapshotLog.delete(spark, dir, predicate, statsCol)
 
+  /** Merge-on-read DELETE (q209's kernel): one delete-sized tombstone
+    * segment commits instead of rewriting touched segments — the
+    * small-delete economy; reads anti-join the tombstones away until a
+    * compact/optimize materializes them. Semantics identical to
+    * `snapshotDelete`.
+    */
+  def snapshotDeleteMor(dir: String,
+      predicate: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.deleteMor(spark, dir, predicate)
+
   /** MERGE/upsert by key as a copy-on-write commit (q193's kernel):
     * src rows replace existing rows with the same key, the rest
     * insert — one atomic version. `src` must be key-unique.

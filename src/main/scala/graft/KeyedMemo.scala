@@ -33,12 +33,17 @@ import scala.jdk.CollectionConverters._
   * finding); the counter wait closes it: by return time every build
   * that targeted the old map is complete and in the drained set.
   *
-  * The quiesce wait is deliberately coarse (it waits for ALL active
-  * builders, including ones already building into the fresh map) —
-  * drain is a lifecycle operation called at session quiesce points
-  * (between bench sweeps, after a Verify run), so over-waiting there
-  * costs nothing while the fine-grained alternative costs a per-map
-  * counter on the hot path.
+  * The quiesce wait counts builders PER MAP GENERATION (the counter
+  * lives on the map wrapper, not globally): drain only waits for
+  * builds that entered the map it detached, so continuous getOrBuild
+  * traffic against the fresh map can never starve it — a single global
+  * counter never reached zero under sustained traffic and drain
+  * blocked indefinitely (the round-13 advice finding; the coarse wait
+  * was not merely over-waiting, it was unbounded). Entry is a
+  * read-increment-recheck loop: a builder that incremented a
+  * generation the drain just detached observes the swap on recheck,
+  * backs out its count, and retries against the fresh generation — so
+  * every builder drain waits on really did enter the old map.
   *
   * INVARIANT — no drain from inside a build: a `build` body that calls
   * `drain()` (directly or via a releaseCaches chain) deadlocks waiting
@@ -52,17 +57,40 @@ final class KeyedMemo[K, V <: AnyRef] {
     lazy val value: V = { val v = build(); built = true; v }
   }
 
-  private val mapRef = new AtomicReference(new ConcurrentHashMap[K, Holder]())
-  private val active = new AtomicInteger(0)
+  /** One map generation: the entries plus the count of builders that
+    * entered THIS map — so drain waits only on them (see class doc).
+    */
+  private final class Gen {
+    val map = new ConcurrentHashMap[K, Holder]()
+    val active = new AtomicInteger(0)
+  }
+
+  private val genRef = new AtomicReference(new Gen)
   private val quiesce = new Object
 
+  private def exit(g: Gen): Unit =
+    if (g.active.decrementAndGet() == 0)
+      quiesce.synchronized { quiesce.notifyAll() }
+
+  /** Pin the CURRENT generation: increment its counter, then recheck
+    * the reference — a drain that swapped between the read and the
+    * increment is observed here, the count backs out, and the loop
+    * retries against the fresh generation. On return the counted
+    * generation is the one any subsequent drain will detach and wait
+    * on.
+    */
+  @annotation.tailrec
+  private def enter(): Gen = {
+    val g = genRef.get()
+    g.active.incrementAndGet()
+    if (genRef.get() eq g) g
+    else { exit(g); enter() }
+  }
+
   def getOrBuild(k: K)(build: => V): V = {
-    active.incrementAndGet()
-    try mapRef.get().computeIfAbsent(k, _ => new Holder(() => build)).value
-    finally {
-      if (active.decrementAndGet() == 0)
-        quiesce.synchronized { quiesce.notifyAll() }
-    }
+    val g = enter()
+    try g.map.computeIfAbsent(k, _ => new Holder(() => build)).value
+    finally exit(g)
   }
 
   /** Values whose build COMPLETED — non-destructive iteration (a
@@ -72,14 +100,14 @@ final class KeyedMemo[K, V <: AnyRef] {
     * build racing the call.
     */
   def builtValues: Seq[V] =
-    mapRef.get().values.asScala.toSeq.filter(_.built).map(_.value)
+    genRef.get().map.values.asScala.toSeq.filter(_.built).map(_.value)
 
   /** Drop every entry WITHOUT returning values — for memos whose
     * values hold no releasable resource (plain DataFrames whose
     * persistence is tracked elsewhere). Entries mid-build complete
     * into the detached map and are simply unreachable afterwards.
     */
-  def clear(): Unit = { mapRef.set(new ConcurrentHashMap()); () }
+  def clear(): Unit = { genRef.set(new Gen); () }
 
   /** Atomically detach every entry and return the removed values for
     * the caller to release (unpersist/close). New `getOrBuild` calls
@@ -89,10 +117,10 @@ final class KeyedMemo[K, V <: AnyRef] {
     * the no-drain-from-inside-a-build invariant.
     */
   def drain(): Seq[V] = {
-    val old = mapRef.getAndSet(new ConcurrentHashMap())
+    val old = genRef.getAndSet(new Gen)
     quiesce.synchronized {
-      while (active.get() != 0) quiesce.wait(50L)
+      while (old.active.get() != 0) quiesce.wait(50L)
     }
-    old.values.asScala.toSeq.filter(_.built).map(_.value)
+    old.map.values.asScala.toSeq.filter(_.built).map(_.value)
   }
 }

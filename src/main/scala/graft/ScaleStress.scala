@@ -269,7 +269,14 @@ object ScaleStress {
       "q206_snapshot_optimize", "q207_bucketed_join",
       // per-segment sidecar stats are one extra min/max column scan per
       // written segment; the audit's pre/post scans ride the pruning
-      "q208_multidim_prune")
+      "q208_multidim_prune",
+      // round-14: the merge-on-read delete's commit cost is one pruned
+      // 10× scan + a DELETE-SIZED tombstone write — NO touched-segment
+      // rewrite (q192's CoW row beside it prices exactly that rewrite,
+      // so the pair is the small-delete-economy evidence at 10×); the
+      // trailing compact rewrites once, the same write-linear shape as
+      // q177
+      "q209_snapshot_delete_mor")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -69,9 +69,19 @@ object SnapshotLog {
     * what THIS commit deleted, so append/compact never propagate it
     * and the delete history dies with its manifest at vacuum time —
     * the same retention trade the version history itself makes.
+    *
+    * `dvs` (round 14) is the table's ACTIVE deletion-vector set — the
+    * merge-on-read counterpart to copy-on-write rewrites: each entry
+    * names a delete-sized segment of (file, row-index) tombstones that
+    * every snapshot read anti-joins away (`#dvs`, carried-forward
+    * standing state like batches/compacted). `compact`/`optimize`
+    * materialize DVs into their rewrite and reset the set; a
+    * copy-on-write rewrite of SOME segments leaves the set intact —
+    * entries pointing at replaced files simply stop matching (segment
+    * names are writer-unique), so staleness is inert, never wrong.
     */
   final case class ManifestMeta(batches: Set[Long], compacted: Set[String],
-      cdcDel: Set[String] = Set.empty)
+      cdcDel: Set[String] = Set.empty, dvs: Set[String] = Set.empty)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -108,11 +118,16 @@ object SnapshotLog {
 
   /** The log's checkpoint interval (full manifest every N versions),
     * recorded at `reset` in `_log/config`. Logs created before the
-    * config existed (or with interval 1) write full manifests always.
+    * config existed (or with interval 1) write full manifests always —
+    * a MISSING config therefore resolves to 1, not the default: an
+    * external reader of a legacy log expects the full-list layout, and
+    * silently switching it to delta manifests on its next commit would
+    * break that reader (the documented behavior is authoritative; the
+    * default applies only to `reset`'s parameter).
     */
   def checkpointIntervalOf(dir: String): Int = {
     val p = configPath(dir)
-    if (!Files.exists(p)) DefaultCheckpointInterval
+    if (!Files.exists(p)) 1
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .collectFirst { case l if l.startsWith("interval=") =>
         l.stripPrefix("interval=").toInt }
@@ -220,6 +235,12 @@ object SnapshotLog {
     base match {
       case None => own.map(l => parseSeg(l.split('\t')))
       case Some(b) =>
+        // a corrupted or cyclic #base pointer must fail like every
+        // other malformed-manifest shape — loudly, not by unbounded
+        // recursion into a StackOverflowError
+        if (b < 0 || b >= v)
+          throw new IllegalStateException(
+            s"malformed #base $b in manifest v$v of $dir")
         val removed = own.collect {
           case l if l.startsWith("-\t") => l.split('\t')(1)
         }.toSet
@@ -275,7 +296,7 @@ object SnapshotLog {
         l.split('\t')(1).split(',').toSeq.filter(_.nonEmpty)
     }.flatten
     ManifestMeta(vals("batches").map(_.toLong).toSet, vals("compacted").toSet,
-      vals("cdcdel").toSet)
+      vals("cdcdel").toSet, vals("dvs").toSet)
   }
 
   def meta(dir: String, v: Int): ManifestMeta = metaOf(manifestLines(dir, v))
@@ -355,7 +376,9 @@ object SnapshotLog {
       (if (m.compacted.isEmpty) Nil
        else Seq(s"#compacted\t${m.compacted.toSeq.sorted.mkString(",")}")) ++
       (if (m.cdcDel.isEmpty) Nil
-       else Seq(s"#cdcdel\t${m.cdcDel.toSeq.sorted.mkString(",")}"))
+       else Seq(s"#cdcdel\t${m.cdcDel.toSeq.sorted.mkString(",")}")) ++
+      (if (m.dvs.isEmpty) Nil
+       else Seq(s"#dvs\t${m.dvs.toSeq.sorted.mkString(",")}"))
 
   /** Writer tags already committed (streaming idempotency: a replayed
     * micro-batch checks its batchId against the LOG, not local state —
@@ -534,7 +557,8 @@ object SnapshotLog {
     }
     val df =
       if (hit.isEmpty) readAsOf(spark, dir, v).limit(0)
-      else readSegs(spark, dir, v, hit.map(s => absPath(dir, s.relPath)))
+      else applyDvs(spark, dir, meta(dir, v).dvs,
+        readSegs(spark, dir, v, hit.map(s => absPath(dir, s.relPath))))
         .filter(statExpr >= lo && statExpr <= hi)
     (df, hit.size, segs.size)
   }
@@ -578,18 +602,61 @@ object SnapshotLog {
     v
   }
 
+  /** == Deletion vectors (merge-on-read, round 14) ==
+    * Copy-on-write `delete` prices a 10-row delete at a full rewrite
+    * of every TOUCHED segment; `deleteMor` instead commits a
+    * delete-sized tombstone segment of (file, row-index) pairs and
+    * every snapshot read anti-joins it away — the Delta deletion-
+    * vector / Iceberg positional-delete posture. Row positions come
+    * from the parquet source's own `_metadata.row_index` (stable per
+    * file) keyed by the file's dir-relative path, so a moved table
+    * still resolves. Cost at 100 TB: the DV table is delete-sized and
+    * broadcast by the planner, predicates on data columns still push
+    * through the anti-join's left side into the scan, and the set is
+    * bounded by compaction cadence — `compact`/`optimize` materialize
+    * DVs into their rewrite and reset the set.
+    */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** A scanned row's dir-relative file path — the DV match key. */
+  private def dvFileKey: Column =
+    regexp_extract(col("_metadata.file_path"), "(seg-[^/]+/[^/]+)$", 1)
+
+  /** Anti-join `df` (a raw multi-segment scan) against the active
+    * deletion vectors. With `keepPos` the (file, row-index) key
+    * columns stay on the result — delete/merge reuse them for touched-
+    * file discovery (input_file_name() is refused above a multi-source
+    * join; the metadata projection below the join is not).
+    */
+  private def applyDvs(spark: SparkSession, dir: String, dvs: Set[String],
+      df: DataFrame, keepPos: Boolean = false): DataFrame = {
+    if (dvs.isEmpty && !keepPos) df
+    else {
+      val tagged = df
+        .withColumn(DvFileCol, dvFileKey)
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      if (dvs.isEmpty) tagged
+      else {
+        val dvDf = spark.read
+          .parquet(dvs.toSeq.sorted.map(r => absPath(dir, r)): _*)
+          .select(col(DvFileCol), col(DvPosCol))
+        val out = tagged.join(dvDf, Seq(DvFileCol, DvPosCol), "left_anti")
+        if (keepPos) out else out.drop(DvFileCol, DvPosCol)
+      }
+    }
+  }
+
   /** The table exactly as of snapshot `v`, under the schema logged AT
-    * v: segments written before a column was added null-fill it, and
-    * no parquet footer is ever opened for schema discovery.
+    * v: segments written before a column was added null-fill it, no
+    * parquet footer is ever opened for schema discovery, and v's
+    * deletion vectors are anti-joined away.
     */
   def readAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val segs = segments(dir, v)
     require(segs.nonEmpty, s"snapshot v$v is empty")
-    val paths = segs.map(s => Paths.get(dir, s.relPath).toString)
-    schemaOf(dir, v) match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    applyDvs(spark, dir, meta(dir, v).dvs,
+      readSegs(spark, dir, v, segs.map(s => absPath(dir, s.relPath))))
   }
 
   /** Change-data feed: the rows ADDED in versions (fromV, toV],
@@ -684,11 +751,12 @@ object SnapshotLog {
     * write-once like `compact`.
     *
     * A CRASHED optimize leaves its hidden `.opt-*` staging dir behind;
-    * `vacuum` deliberately does not reclaim those (a CONCURRENT
-    * optimize's live staging must survive a vacuum — the same
-    * timestamp-retention trade Delta's vacuum makes for its own
-    * tombstones). Remove stale `.opt-*` dirs manually or re-run the
-    * optimize; they are invisible to every read path.
+    * `vacuum` reclaims those only past an AGE horizon
+    * (`staleOptimizeAgeMs`) so a CONCURRENT optimize's live staging —
+    * whose files are by definition freshly written — survives a vacuum
+    * (the same timestamp-retention trade Delta's vacuum makes for its
+    * own tombstones). Staging dirs are invisible to every read path
+    * either way.
     */
   def optimize(spark: SparkSession, dir: String, statsCol: Column,
       dims: Seq[Column], bucketBits: Int = 2, bits: Int = 16): Int = {
@@ -709,6 +777,16 @@ object SnapshotLog {
     val bucketDirs = listed(staging)(_.filter(
       _.getFileName.toString.startsWith("__zb=")).toSeq)
       .sortBy(_.getFileName.toString)
+    // An EMPTY snapshot (e.g. after a delete-all, which leaves a
+    // readable 0-row rewrite segment) yields zero bucket dirs; a
+    // manifest with no segment lines would make readAsOf of the new
+    // head throw even though the previous head read fine — a scheduled
+    // OPTIMIZE must never render the table unreadable. Nothing to
+    // cluster → skip the commit entirely.
+    if (bucketDirs.isEmpty) {
+      walked(staging)(_.toSeq).reverse.foreach(Files.deleteIfExists)
+      return prev
+    }
     val newSegs = bucketDirs.map { bd =>
       val b = bd.getFileName.toString.stripPrefix("__zb=")
       val rel = s"seg-$v-z$b-$token"
@@ -735,13 +813,6 @@ object SnapshotLog {
 
   private def absPath(dir: String, rel: String): String =
     Paths.get(dir, rel).toString
-
-  /** Segments of `segs` whose files appear in `files` — the touched-set
-    * resolution both copy-on-write paths share. File paths are matched
-    * by their containing `seg-*` directory.
-    */
-  private def touchedOf(segs: Seq[Segment], files: Set[String]): Seq[Segment] =
-    segs.filter(s => files.exists(_.contains("/" + s.relPath + "/")))
 
   /** Row-level DELETE as a copy-on-write commit — the operation that
     * turns q170's purge audit into an actionable table op: rows
@@ -785,9 +856,16 @@ object SnapshotLog {
     require(prev >= 0, s"nothing to delete from in $dir")
     val v = prev + 1
     val segs = segments(dir, prev)
-    val all = readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath)))
-    // raw predicate: pushes to parquet, and filter's null-drops ARE
-    // delete semantics for the hit side
+    val prevMeta = meta(dir, prev)
+    // DV-applied scan (keepPos carries the file key for discovery):
+    // a raw scan would re-count — and the rewrite would RESURRECT —
+    // rows an earlier merge-on-read delete already tombstoned
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    // raw predicate: pushes to parquet (through the anti-join's left
+    // side), and filter's null-drops ARE delete semantics for the hit
+    // side
     val hits = all.filter(predicate)
     // the predicate is re-evaluated by the discovery scan, the
     // deleted-row write and the survivor write — a non-deterministic
@@ -802,14 +880,21 @@ object SnapshotLog {
     require(deterministic,
       "delete predicate must be deterministic — it is evaluated three " +
         "times (discovery scan, deleted-row write, survivor write)")
+    // the DV file key is dir-relative ("seg-x/part-y"), so touched
+    // segments resolve by prefix — input_file_name() would be refused
+    // above the DV anti-join anyway
     val touchedFiles = hits
-      .select(input_file_name().as("f")).distinct()
+      .select(col(DvFileCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = touchedOf(segs, touchedFiles)
+    val touched = segs.filter(s =>
+      touchedFiles.exists(_.startsWith(s.relPath + "/")))
     if (touched.isEmpty) prev
     else {
-      val touchedDf =
-        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath)))
+      // both rewrite scans are DV-applied too: a tombstoned row must
+      // neither land in the survivor segment nor re-surface as a
+      // "deleted" CDC row it already was
+      val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
+        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
       val delRel = s"seg-$v-cdc-${writerToken()}"
       touchedDf.filter(predicate).write.mode("overwrite")
         .parquet(absPath(dir, delRel))
@@ -823,18 +908,78 @@ object SnapshotLog {
       val (mn, mx) = statsAndSidecar(spark, dir, rewritePath, statsCol)
       val touchedSet = touched.map(_.relPath).toSet
       val untouched = segs.filterNot(s => touchedSet(s.relPath))
-      val prevMeta = meta(dir, prev)
+      // dvs carry forward: entries for the rewritten segments point at
+      // files the new manifest no longer lists — inert, never wrong
       publish(dir, v, commitLines(dir, v,
         untouched :+ Segment(rewriteRel, mn, mx), segs,
         ManifestMeta(
           prevMeta.batches ++ touched.flatMap(_.tag),
           (prevMeta.compacted intersect untouched.map(_.relPath).toSet) +
             rewriteRel,
-          Set(delRel)),
+          Set(delRel), prevMeta.dvs),
         schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
       v
     }
   }
+
+  /** Merge-on-read DELETE — the small-delete economy `delete`'s
+    * copy-on-write cannot offer: instead of rewriting every touched
+    * segment, ONE delete-sized tombstone segment commits, holding the
+    * deleted rows (it doubles as the `#cdcdel` change segment, so the
+    * CDC feed is identical to the copy-on-write path) plus their
+    * (file, row-index) keys; every read of the new version anti-joins
+    * the keys away. Cost: one predicate-pushed scan + one delete-sized
+    * write, independent of how many segments the predicate touches —
+    * vs copy-on-write's rewrite of all touched bytes. The read-side
+    * rent (a broadcast anti-join of the tombstone set) is bounded by
+    * compaction cadence: `compact`/`optimize` materialize DVs into
+    * their rewrite and reset the set, and `vacuum` reclaims the DV
+    * segments once no kept manifest references them. Semantics are
+    * pinned identical to `delete` (q209's oracle): null-predicate rows
+    * stay, time travel is unaffected, a predicate matching nothing
+    * commits nothing. The predicate is evaluated in ONE scan here, but
+    * the determinism demand stays — SQL DELETE's contract, and a
+    * re-run under retry must classify identically.
+    */
+  def deleteMor(spark: SparkSession, dir: String, predicate: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to delete from in $dir")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val prevMeta = meta(dir, prev)
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    val hits = all.filter(predicate)
+    val deterministic = hits.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.getOrElse(true)
+    require(deterministic,
+      "deleteMor predicate must be deterministic (SQL DELETE contract)")
+    val dvRel = s"seg-$v-dv-${writerToken()}"
+    val dvPath = absPath(dir, dvRel)
+    hits.write.mode("overwrite").parquet(dvPath)
+    // metadata-only count over the written tombstones: an empty delete
+    // commits nothing and leaves no artifact
+    if (spark.read.parquet(dvPath).count() == 0L) {
+      walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+      prev
+    } else {
+      publish(dir, v, commitLines(dir, v, segs, segs,
+        prevMeta.copy(cdcDel = Set(dvRel), dvs = prevMeta.dvs + dvRel),
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
+      v
+    }
+  }
+
+  /** deleteMor with rebase-style retry: the tombstone write is
+    * re-derived per attempt (a racing append's rows must be observable
+    * to the predicate — same serializable posture as deleteWithRetry).
+    */
+  def deleteMorWithRetry(spark: SparkSession, dir: String,
+      predicate: Column, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(deleteMor(spark, dir, predicate))
 
   /** MERGE (upsert by key) as a copy-on-write commit — the operation
     * behind q189's CDC dedup gate becoming a real table write: every
@@ -883,24 +1028,27 @@ object SnapshotLog {
     val srcM = spark.read.schema(src.schema).parquet(srcPath)
     val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
     val srcKeys = srcM.select(col(key)).distinct()
-    // input_file_name() must be projected BELOW the semi-join (Spark
-    // refuses it above a multi-source plan), so the scan side carries
-    // its file name as a column into the join
-    val all = readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath)))
-      .withColumn("__graft_file", input_file_name())
+    val prevMeta = meta(dir, prev)
+    // the file key is projected BELOW the semi-join (input_file_name()
+    // is refused above a multi-source plan) and the scan is DV-applied:
+    // a tombstoned old row must not mark its segment touched, nor
+    // resurrect into the rewrite below
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
     val touchedFiles = all.join(srcKeys, Seq(key), "left_semi")
-      .select(col("__graft_file")).distinct()
+      .select(col(DvFileCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = touchedOf(segs, touchedFiles)
+    val touched = segs.filter(s =>
+      touchedFiles.exists(_.startsWith(s.relPath + "/")))
     val touchedSet = touched.map(_.relPath).toSet
     val untouched = segs.filterNot(s => touchedSet(s.relPath))
-    val prevMeta = meta(dir, prev)
 
     val (rewriteSegs, cdcDel) =
       if (touched.isEmpty) (Nil, Set.empty[String])
       else {
-        val touchedDf =
-          readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath)))
+        val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
+          readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
         val delRel = s"seg-$v-cdc-${writerToken()}"
         touchedDf.join(srcKeys, Seq(key), "left_semi")
           .write.mode("overwrite").parquet(absPath(dir, delRel))
@@ -918,7 +1066,7 @@ object SnapshotLog {
         prevMeta.batches ++ touched.flatMap(_.tag),
         (prevMeta.compacted intersect untouched.map(_.relPath).toSet) ++
           rewriteSegs.map(_.relPath),
-        cdcDel),
+        cdcDel, prevMeta.dvs),
       Some(s"#schema\t${snapSchema.json}")))
     v
   }
@@ -1002,18 +1150,45 @@ object SnapshotLog {
     }
   }
 
-  def vacuum(dir: String, horizon: Int): (Int, Int) = {
+  /** `staleOptimizeAgeMs` additionally reclaims crashed-`optimize`
+    * staging dirs (hidden `.opt-*`) whose NEWEST file is older than the
+    * bound — a live concurrent optimize is actively writing, so its
+    * staging stays younger than any sane age horizon (Delta's
+    * tombstone-retention posture). The default never reclaims, the
+    * pre-round-14 behavior.
+    */
+  def vacuum(dir: String, horizon: Int,
+      staleOptimizeAgeMs: Long = Long.MaxValue): (Int, Int) = {
     val latest = version(dir)
     require(horizon >= 0 && horizon <= latest,
       s"horizon $horizon outside [0, $latest]")
+    require(staleOptimizeAgeMs > 0,
+      s"staleOptimizeAgeMs must be positive, got $staleOptimizeAgeMs")
+    if (staleOptimizeAgeMs != Long.MaxValue) {
+      val now = System.currentTimeMillis()
+      val root0 = Paths.get(dir)
+      listed(root0)(_.filter(p =>
+        p.getFileName.toString.startsWith(".opt-") && Files.isDirectory(p))
+        .toSeq).foreach { p =>
+        val newest = walked(p)(_.map(q =>
+          Files.getLastModifiedTime(q).toMillis).foldLeft(0L)(math.max))
+        if (now - newest > staleOptimizeAgeMs)
+          walked(p)(_.toSeq).reverse.foreach(Files.deleteIfExists)
+      }
+    }
     // incremental manifests: the horizon must become self-contained
     // BEFORE anything below it is dropped
     materializeManifest(dir, horizon)
     // cdcDel change segments are referenced by meta lines, not segment
     // lines — they must survive exactly as long as their manifest does.
     // One forward walk resolves all kept versions' lists.
+    // cdcDel AND deletion-vector segments are referenced by meta lines,
+    // not segment lines — each must survive as long as a kept manifest
+    // references it
     val keep = (segmentsWalk(dir, horizon, latest).flatMap(_.map(_.relPath)) ++
-      (horizon to latest).flatMap(v => meta(dir, v).cdcDel)).toSet
+      (horizon to latest).flatMap { v =>
+        val m = meta(dir, v); m.cdcDel ++ m.dvs
+      }).toSet
     val root = Paths.get(dir)
     val segDirs = listed(root)(
       _.filter(p => p.getFileName.toString.startsWith("seg-")).toSeq)
@@ -1148,14 +1323,9 @@ object SnapshotLog {
     val hit = segs.filter(s => s.min <= hi && s.max >= lo)
     val df =
       if (hit.isEmpty) readAsOf(spark, dir, v).limit(0)
-      else {
-        val paths = hit.map(s => Paths.get(dir, s.relPath).toString)
-        val base = schemaOf(dir, v) match {
-          case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-        base.filter(statsCol >= lo && statsCol <= hi)
-      }
+      else applyDvs(spark, dir, meta(dir, v).dvs,
+        readSegs(spark, dir, v, hit.map(s => absPath(dir, s.relPath))))
+        .filter(statsCol >= lo && statsCol <= hi)
     (df, hit.size, segs.size)
   }
 }

@@ -1482,9 +1482,14 @@ object Relational {
         "tables — correctness is layout-independent by construction, which is " +
         "exactly why the layout can be swapped under it.",
       (s, d) => {
+        // pid in the path: two processes sharing /tmp must not race
+        // each other's parquet staging (the catalog name is scoped
+        // inside materialize; the path is scoped here, its caller)
+        val pid = ProcessHandle.current().pid()
         val base = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          "graft-bucketed-" + Integer.toHexString(d.hashCode)).toString
+          "graft-bucketed-" + Integer.toHexString(d.hashCode) +
+            s"-p$pid").toString
         val tag = Integer.toHexString(d.hashCode)
         val o = graft.ingest.BucketedTables.materialize(s,
           t(s, d, "orders")
@@ -1595,6 +1600,84 @@ object Relational {
         "UNION ALL SELECT 'q1_cents_post', cc FROM q " +
         "UNION ALL SELECT 'q1_rows_post', n_rows FROM q " +
         "UNION ALL SELECT 'q1_rows_pre', n_rows FROM q " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q209_snapshot_delete_mor",
+      "Merge-on-read DELETE via deletion vectors (Delta's DV / Iceberg's " +
+        "positional-delete posture, round-14): q192's copy-on-write delete " +
+        "prices a 10-row purge at a rewrite of every touched segment — " +
+        "`SnapshotLog.deleteMor` instead commits ONE delete-sized tombstone " +
+        "segment of (file, row-index) keys (doubling as the #cdcdel change " +
+        "segment, so the CDC feed is bit-identical to the copy-on-write " +
+        "path) and every read anti-joins it away. The audit pins the full " +
+        "contract against the SAME purge cohort as q192 (o_custkey % 97 = " +
+        "13, so the oracle arithmetic is shared): time travel to v2 still " +
+        "reads every purged row; v3 holds exactly the survivors while " +
+        "`segments_unchanged` proves NO segment was rewritten (the " +
+        "small-delete economy, structural at any SF); the change feed " +
+        "delivers exactly the purged rows as deletes; and a subsequent " +
+        "`compact` MATERIALIZES the tombstones away (dv_count 1 -> 0) with " +
+        "content identical — the bounded-read-rent half of the design: DV " +
+        "cost is delete-sized at write, broadcast-anti-join-sized at read, " +
+        "and zero after the next clustering rewrite. At 100 TB this is how " +
+        "a right-to-be-forgotten purge of a few thousand rows avoids " +
+        "rewriting the petabytes of segments that held them.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "mor")
+        val purged = pmod(col("o_custkey"), lit(97L)) === 13
+        val preSegs = SnapshotLog.segments(dir, 2).map(_.relPath)
+        val vDel = SnapshotLog.deleteMor(s, dir, purged)
+        val segsUnchanged =
+          SnapshotLog.segments(dir, vDel).map(_.relPath) == preSegs
+        val dvPre = SnapshotLog.meta(dir, vDel).dvs.size
+        val vCpt = SnapshotLog.compact(s, dir,
+          unix_timestamp(col("o_orderdate")))
+        val dvPost = SnapshotLog.meta(dir, vCpt).dvs.size
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"), col("price_cents"))
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n_rows"),
+            lit(0L).as("price_cents"))
+        profile(SnapshotLog.readCdc(s, dir, 2, vDel)
+            .filter(col("_change_type") === "delete"), "cdc_deletes")
+          .unionByName(flag("dv_count_post_compact", dvPost.toLong))
+          .unionByName(flag("dv_count_pre_compact", dvPre.toLong))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vCpt),
+            "post_compact"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vDel),
+            "post_delete_v3"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, 2),
+            "pre_delete_v2"))
+          .unionByName(flag("segments_unchanged",
+            if (segsUnchanged) 1L else 0L))
+          .orderBy(col("state"))
+      },
+      Some("WITH pre AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders), " +
+        "del AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_custkey % 97 = 13), " +
+        "post AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_custkey % 97 <> 13) " +
+        "SELECT 'cdc_deletes' AS state, CAST(n AS BIGINT) AS n_rows, " +
+        "CAST(c AS BIGINT) AS price_cents FROM del " +
+        "UNION ALL SELECT 'dv_count_post_compact', CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'dv_count_pre_compact', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'post_compact', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM post " +
+        "UNION ALL SELECT 'post_delete_v3', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM post " +
+        "UNION ALL SELECT 'pre_delete_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM pre " +
+        "UNION ALL SELECT 'segments_unchanged', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
         "ORDER BY state"))
   )
 

@@ -43,7 +43,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q205_deflate_sizes",
       "q206_snapshot_optimize",
       "q207_bucketed_join",
-      "q208_multidim_prune")
+      "q208_multidim_prune",
+      // round 14
+      "q209_snapshot_delete_mor")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -106,8 +106,8 @@ class Round18OpsSpec extends SparkSpec {
       assert(bucketed.count() === plain.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
-      spark.sql("DROP TABLE IF EXISTS graft_spec_orders_b")
-      spark.sql("DROP TABLE IF EXISTS graft_spec_lineitem_b")
+      spark.sql(s"DROP TABLE IF EXISTS ${BucketedTables.scopedName("graft_spec_orders_b")}")
+      spark.sql(s"DROP TABLE IF EXISTS ${BucketedTables.scopedName("graft_spec_lineitem_b")}")
     }
   }
 

