@@ -401,6 +401,9 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     case "bpe" =>
       graft.queries.TextOps.saveBpeTokenizer(spark, dataDir, rounds,
         path, format)
+    case "wordpiece" =>
+      graft.queries.TextOps.saveWordpieceTokenizer(spark, dataDir, rounds,
+        path, format)
     case other =>
       throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
   }
@@ -453,6 +456,10 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     case "bpe" =>
       graft.queries.TextOps.bpeEncodeWith(
         graft.queries.TextOps.loadBpeVocab(spark, path, format), table("documents"))
+    case "wordpiece" =>
+      graft.queries.TextOps.wordpieceEncodeWith(
+        graft.queries.TextOps.loadWordpieceSegmentation(spark, path, format),
+        table("documents"))
     case other =>
       throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
   }

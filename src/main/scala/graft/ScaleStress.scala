@@ -276,7 +276,11 @@ object ScaleStress {
       // so the pair is the small-delete-economy evidence at 10×); the
       // trailing compact rewrites once, the same write-linear shape as
       // q177
-      "q209_snapshot_delete_mor")
+      "q209_snapshot_delete_mor",
+      // the WordPiece trainer/matcher run on the distinct-word table,
+      // which replication leaves UNCHANGED (the q134/q198 argument) —
+      // only the word-count scan and the encode rollup see 10× tokens
+      "q211_wordpiece_train", "q212_wordpiece_encode")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

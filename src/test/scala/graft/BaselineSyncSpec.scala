@@ -45,7 +45,10 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q207_bucketed_join",
       "q208_multidim_prune",
       // round 14
-      "q209_snapshot_delete_mor")
+      "q209_snapshot_delete_mor",
+      "q211_wordpiece_train",
+      "q212_wordpiece_encode",
+      "q214_wordpiece_segmentation")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -226,6 +226,80 @@ class Round19OpsSpec extends SparkSpec {
     assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === survivors)
   }
 
+  // == WordPiece tokenizer (q211/q212/q214) ==
+
+  test("wordpiece greedy matcher: longest-match-first, ## continuation, UNK on gap") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    val syms = Seq("h", "##e", "he", "##l", "##o", "##ll", "##lo")
+      .toDF("sym")
+    val words = Seq(("hello", 3L), ("hell", 2L), ("hex", 1L), ("h", 5L))
+      .toDF("w", "freq")
+    val got = TextOps.wordpieceGreedy(words, syms, maxLen = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // hello: he | ##ll (longest at pos 3 beats ##l) | ##o -> 3
+    assert(got("hello") === 3)
+    // hell: he | ##ll -> 2
+    assert(got("hell") === 2)
+    // hex: he | ##x missing -> whole word UNK -> 1
+    assert(got("hex") === 1)
+    assert(got("h") === 1)
+  }
+
+  test("wordpiece trainer invariants: rounds, spelling, score algebra, segmentation bounds") {
+    import graft.queries.TextOps
+    try {
+      val (merges, seg) = TextOps.wordpieceLoop(spark, sfDir, rounds = 10)
+      val m = merges.collect()
+      assert(m.length === 10)
+      m.foreach { r =>
+        val (lhs, rhs, merged) =
+          (r.getString(1), r.getString(2), r.getString(3))
+        // merged spelling: lhs + rhs-without-## — the ## marker appears
+        // exactly once, inherited from lhs's position class
+        assert(merged === lhs + rhs.stripPrefix("##"),
+          s"bad merged spelling: $lhs + $rhs -> $merged")
+        assert(!rhs.isEmpty && r.getLong(4) > 0L && r.getDouble(5) > 0.0)
+      }
+      // greedy piece counts: >= 1, <= word length, never 0; and no
+      // corpus word is UNK (every char is in the init vocab)
+      val rows = seg.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (w, n) = (r.getString(0), r.getInt(2))
+        assert(n >= 1 && n <= w.length, s"n_sym $n outside [1, ${w.length}] for $w")
+      }
+      // q212's corpus mass re-derives from the segmentation by algebra:
+      // n_wp_tokens(source) = sum over corpus words of n_sym
+      val enc = Registry.byName("q212_wordpiece_encode").fn(spark, sfDir)
+        .select(col("source"), col("n_wp_tokens"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+      val recomputed = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .join(seg.select(col("w"), col("n_sym")), Seq("w"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_sym").cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(enc === recomputed)
+    } finally graft.queries.TextOps.releaseCaches()
+  }
+
+  test("wordpiece tokenizer: encode after reload ≡ encode in session") {
+    import graft.queries.TextOps
+    val eng = new GraftEngine(spark, sfDir)
+    try {
+      val inSession = eng.query("q212_wordpiece_encode")
+        .collect().map(_.toString).toSeq
+      val dir = Files.createTempDirectory("graft-tok-wp").toString
+      eng.saveTokenizer(dir, kind = "wordpiece", rounds = 10, format = "orc")
+      TextOps.releaseCaches()
+      assert(eng.encodeWithTokenizer(dir, kind = "wordpiece", format = "orc")
+        .collect().map(_.toString).toSeq === inSession)
+    } finally TextOps.releaseCaches()
+  }
+
   test("concurrent bucketed materializations of one name do not clobber") {
     import graft.ingest.BucketedTables
     val base = Files.createTempDirectory("graft-bucketed-race").toString
