@@ -280,7 +280,11 @@ object ScaleStress {
       // the WordPiece trainer/matcher run on the distinct-word table,
       // which replication leaves UNCHANGED (the q134/q198 argument) —
       // only the word-count scan and the encode rollup see 10× tokens
-      "q211_wordpiece_train", "q212_wordpiece_encode")
+      "q211_wordpiece_train", "q212_wordpiece_encode",
+      // the evolution audit re-commits 10× orders into four slices +
+      // one clustering rewrite — write-volume-linear (the q206 shape);
+      // the evolution itself is a driver-side config append
+      "q213_stats_evolution")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

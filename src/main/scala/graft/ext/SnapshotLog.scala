@@ -194,6 +194,52 @@ object SnapshotLog {
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** == Stats-spec evolution (round-14, Iceberg's partition-spec-
+    * evolution posture) ==
+    * The sidecar stats schema is a table property fixed at reset — but
+    * which dimensions matter changes over a table's life, and a 100 TB
+    * re-ingest to change metadata is not an option. `evolveStatsCols`
+    * APPENDS stat columns to the table config: segments written before
+    * the evolution simply have no recorded range for the new column
+    * and are never skipped (the mixed-history safety `sidecarStats`
+    * already guarantees), segments written after record it, and the
+    * next `optimize` on the new dimensions re-clusters the whole
+    * snapshot under the evolved spec — each segment prunes under the
+    * spec that wrote it, old layouts keep reading. Evolution is
+    * ADD-ONLY BY NAME: re-binding an existing stat name to a different
+    * expression is refused — old sidecars recorded the old expression's
+    * ranges, and pruning them under a new meaning would skip matching
+    * segments silently (the exact wrong-skip zone maps must never
+    * make). Re-adding an identical (name, expr) pair is a no-op.
+    */
+  def evolveStatsCols(dir: String, add: Seq[(String, String)]): Unit = {
+    val p = configPath(dir)
+    require(Files.exists(p),
+      s"no table config in $dir — legacy config-less logs have no stats " +
+        "schema to evolve; reset first")
+    val existing = statsColsOf(dir).toMap
+    add.foreach { case (n, e) =>
+      require(!n.contains('\t') && !e.contains('\t') && !e.contains('\n'),
+        s"stats name/expr must be tab/newline-free: $n")
+      existing.get(n).foreach { old =>
+        require(old == e,
+          s"stat '$n' is already recorded as '$old' — stats evolution is " +
+            s"add-only by name; '$e' would change its meaning under old " +
+            "sidecars")
+      }
+    }
+    val fresh = add.filterNot { case (n, _) => existing.contains(n) }
+    if (fresh.nonEmpty) {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq ++
+        fresh.map { case (n, e) => s"stat\t$n\t$e" }
+      val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** The table's sidecar stats schema, as recorded at reset. */
   def statsColsOf(dir: String): Seq[(String, String)] = {
     val p = configPath(dir)

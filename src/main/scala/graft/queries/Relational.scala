@@ -1678,6 +1678,108 @@ object Relational {
         "CAST(c AS BIGINT) FROM pre " +
         "UNION ALL SELECT 'segments_unchanged', CAST(1 AS BIGINT), " +
         "CAST(0 AS BIGINT) " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q213_stats_evolution",
+      "STATS-SPEC EVOLUTION (Iceberg's partition-spec-evolution posture, " +
+        "round-14): which dimensions a 100 TB table should prune on changes " +
+        "over its life, and re-ingesting to change metadata is not an option " +
+        "— `SnapshotLog.evolveStatsCols` APPENDS a stat column to the table " +
+        "config (add-only BY NAME: re-binding an existing name to a new " +
+        "expression is refused, because old sidecars recorded the old " +
+        "meaning and pruning them under a new one would wrong-skip). The " +
+        "audit builds the mixed history explicitly: three date-sliced " +
+        "commits under the original ck-only spec, the evolution adding a " +
+        "price-cents stat, then a fourth commit that records it. A " +
+        "price-band pruned read over this MIXED history scans all 4 " +
+        "segments (pre-evolution segments have no recorded range and are " +
+        "never skipped — the safety half, structural at any SF), while the " +
+        "residual predicate keeps the CONTENT exact, which is what the " +
+        "oracle recomputes from base orders. `optimize` on (cents, day) " +
+        "then re-clusters the snapshot under the evolved spec — every " +
+        "rewritten segment carries the new sidecar, and the SAME query " +
+        "scans <= 2 of them (the q208 Morton-aligned quarter argument) " +
+        "with identical content. Old versions still read their old " +
+        "layout: evolution changed what NEW writes record, never what old " +
+        "segments mean.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-snaplog-spe-" + Integer.toHexString(d.hashCode)).toString
+        SnapshotLog.reset(dir, checkpointInterval = 3,
+          statsCols = Seq("ck" -> "o_custkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c2 = lit(snapCut2).cast("timestamp")
+        val c3 = lit("2000-07-01").cast("timestamp")
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          dir, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c2 && col("o_orderdate") < c3),
+          dir, ts)
+        // the spec evolves mid-history; only the fourth commit (and
+        // every later rewrite) records the new stat
+        SnapshotLog.evolveStatsCols(dir,
+          Seq("tp" -> "CAST(round(o_totalprice*100) AS BIGINT)"))
+        val v3 = SnapshotLog.append(o.filter(col("o_orderdate") >= c3),
+          dir, ts)
+        val centsCol = cents(col("o_totalprice"))
+        val b = SnapshotLog.readAsOf(s, dir, v3)
+          .agg(min(centsCol).as("mn"), max(centsCol).as("mx")).head()
+        val (mnC, mxC) = (b.getLong(0), b.getLong(1))
+        val hiC = mnC + (mxC - mnC) / 4
+        val (frPre, scanPre, totalPre) = SnapshotLog.readAsOfFilteredOn(
+          s, dir, v3, "tp", centsCol, mnC, hiC)
+        val vOpt = SnapshotLog.optimize(s, dir, ts,
+          Seq(centsCol, ts / 86400L), bucketBits = 2)
+        val (frPost, scanPost, _) = SnapshotLog.readAsOfFilteredOn(
+          s, dir, vOpt, "tp", centsCol, mnC, hiC)
+        def row(state: String, n: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+          from.agg(n.cast("long").as("n"))
+            .select(lit(state).as("state"), col("n"))
+        row("band_cents_post", sum(cents(col("o_totalprice"))), frPost)
+          .unionByName(row("band_rows_post", count(lit(1)), frPost))
+          .unionByName(row("band_rows_pre", count(lit(1)), frPre))
+          .unionByName(row("content_rows", count(lit(1)),
+            SnapshotLog.readAsOf(s, dir, vOpt)))
+          .unionByName(s.range(1).select(lit("post_scan_le2").as("state"),
+            lit(if (scanPost <= 2) 1L else 0L).as("n")))
+          .unionByName(s.range(1).select(
+            lit("pre_scan_segments").as("state"),
+            lit(scanPre.toLong).as("n")))
+          .unionByName(s.range(1).select(
+            lit("pre_total_segments").as("state"),
+            lit(totalPre.toLong).as("n")))
+          .unionByName(row("time_travel_rows", count(lit(1)),
+            SnapshotLog.readAsOf(s, dir, 2)))
+          .orderBy(col("state"))
+      },
+      Some("WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c, " +
+        "o_orderdate AS dt FROM orders), " +
+        "b AS (SELECT min(c) AS mn, min(c) + (max(c) - min(c)) // 4 AS hi " +
+        "FROM o), " +
+        "q AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(o.c) AS BIGINT) AS cc FROM o, b " +
+        "WHERE o.c >= b.mn AND o.c <= b.hi), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM o), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM o " +
+        "WHERE dt < TIMESTAMP '2000-07-01') " +
+        "SELECT 'band_cents_post' AS state, cc AS n FROM q " +
+        "UNION ALL SELECT 'band_rows_post', n_rows FROM q " +
+        "UNION ALL SELECT 'band_rows_pre', n_rows FROM q " +
+        "UNION ALL SELECT 'content_rows', n_rows FROM f " +
+        "UNION ALL SELECT 'post_scan_le2', CAST(1 AS BIGINT) " +
+        "UNION ALL SELECT 'pre_scan_segments', CAST(4 AS BIGINT) " +
+        "UNION ALL SELECT 'pre_total_segments', CAST(4 AS BIGINT) " +
+        "UNION ALL SELECT 'time_travel_rows', n_rows FROM tt " +
         "ORDER BY state"))
   )
 

@@ -48,6 +48,7 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q209_snapshot_delete_mor",
       "q211_wordpiece_train",
       "q212_wordpiece_encode",
+      "q213_stats_evolution",
       "q214_wordpiece_segmentation")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,

@@ -226,6 +226,43 @@ class Round19OpsSpec extends SparkSpec {
     assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === survivors)
   }
 
+  // == Stats-spec evolution (q213) ==
+
+  test("evolveStatsCols: add-only by name, idempotent re-add, mixed-history prune safety") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-spe").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3,
+      statsCols = Seq("a" -> "a"))
+    // segment under the ORIGINAL spec: no range recorded for b
+    SnapshotLog.append((0L until 100L).map(k => (k, k % 10))
+      .toDF("a", "b"), dir, col("a"))
+    // evolve; re-adding the identical pair is a no-op, re-binding fails
+    SnapshotLog.evolveStatsCols(dir, Seq("b" -> "b"))
+    SnapshotLog.evolveStatsCols(dir, Seq("b" -> "b"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.evolveStatsCols(dir, Seq("b" -> "b * 2"))
+    }
+    assert(e.getMessage.contains("add-only"))
+    assert(SnapshotLog.statsColsOf(dir) === Seq("a" -> "a", "b" -> "b"))
+    // segment under the EVOLVED spec records b
+    SnapshotLog.append((100L until 200L).map(k => (k, k % 10))
+      .toDF("a", "b"), dir, col("a"))
+    // b-pruned read over the mixed history: the pre-evolution segment
+    // has no recorded b range and must be KEPT (never wrong-skipped);
+    // content stays exact via the residual
+    val (fr, scanned, total) = SnapshotLog.readAsOfFilteredOn(
+      spark, dir, 1, "b", col("b"), 0L, 2L)
+    assert(total === 2 && scanned === 2,
+      s"mixed history must keep the stat-less segment: $scanned of $total")
+    assert(fr.count() === (0L until 200L).count(_ % 10 <= 2))
+    // a legacy config-less log refuses evolution loudly
+    val legacy = Files.createTempDirectory("graft-spe-legacy").toString
+    SnapshotLog.append(Seq((1L, 1L)).toDF("a", "b"), legacy, col("a"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.evolveStatsCols(legacy, Seq("b" -> "b"))
+    }
+  }
+
   // == WordPiece tokenizer (q211/q212/q214) ==
 
   test("wordpiece greedy matcher: longest-match-first, ## continuation, UNK on gap") {
