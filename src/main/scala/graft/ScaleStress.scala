@@ -284,7 +284,13 @@ object ScaleStress {
       // the evolution audit re-commits 10× orders into four slices +
       // one clustering rewrite — write-volume-linear (the q206 shape);
       // the evolution itself is a driver-side config append
-      "q213_stats_evolution")
+      "q213_stats_evolution",
+      // graph construction rides the adaptive-LSH kNN kernel (10×
+      // vectors push bucket bits 8→12, candidates stay ~32·n); the
+      // WALK's per-query cost is entries + hops·beam·degree —
+      // corpus-size-INDEPENDENT, the row that proves it; the exact
+      // recall arm is the one q50-shaped corpus pass
+      "q210_graph_ann_recall")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -46,10 +46,12 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q208_multidim_prune",
       // round 14
       "q209_snapshot_delete_mor",
+      "q210_graph_ann_recall",
       "q211_wordpiece_train",
       "q212_wordpiece_encode",
       "q213_stats_evolution",
-      "q214_wordpiece_segmentation")
+      "q214_wordpiece_segmentation",
+      "q215_graph_ann_topk")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -226,6 +226,84 @@ class Round19OpsSpec extends SparkSpec {
     assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === survivors)
   }
 
+  // == Graph-based ANN serving (q210/q215) ==
+
+  test("graph beam search: climbs tight clusters, visits ≪ corpus, deterministic") {
+    import spark.implicits._
+    import graft.queries.VectorOps
+    // 4 tight orthogonal clusters × 25 vectors (dim 64): cluster c
+    // peaks on dims 16c..16c+15 with small deterministic per-vector
+    // jitter — in-cluster cosine ≫ cross-cluster, so the kNN graph is
+    // intra-cluster and a walk entered anywhere in the cluster should
+    // reach the exact top-3
+    def jit(id: Long, i: Int): Float =
+      (((id * 2654435761L + i * 40503L) % 1000L).toFloat - 500f) / 5000f
+    val vecs = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      val emb = Array.tabulate(64) { i =>
+        if (i >= 16 * c && i < 16 * (c + 1)) 1f + jit(id, i) else jit(id, i)
+      }
+      (id, emb)
+    }
+    val e0 = vecs.toDF("vec_id", "embedding")
+    val (topk, visited) = VectorOps.graphBeamSearch(spark, e0,
+      beam = 8, hops = 4, entries = 8)
+    // exact top-3 per query, brute force in the test
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      (0 until 64).foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val byId = vecs.toMap
+    val exact = (0L until 10L).map { qid =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(byId(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val got = topk.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // entries 0..7 cover all 4 clusters (id % 4), so every query's own
+    // cluster is entered; the walk must stay in-cluster and recall most
+    // of the exact top-3 (greedy graph search is approximate by design
+    // — 2/3 average is the meaningful floor, exactness is not promised)
+    (0L until 10L).foreach { q =>
+      assert(got(q).forall(_ % 4 == q % 4),
+        s"query $q walked out of its cluster: ${got(q)}")
+    }
+    val totalHits = (0L until 10L).map(q => (got(q) intersect exact(q)).size).sum
+    assert(totalHits >= 20, s"graph recall too low: $totalHits/30 exact hits")
+    // the walk never scores more than a fraction of the corpus
+    val maxVisited = visited.groupBy(col("q_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxVisited < 60L,
+      s"beam walk scored $maxVisited of 100 — not corpus-independent")
+    // rerun-deterministic (fresh walk, same ranking rules)
+    val (topk2, _) = VectorOps.graphBeamSearch(spark, e0,
+      beam = 8, hops = 4, entries = 8)
+    assert(topk2.collect().map(_.toString).sorted.toSeq ===
+      topk.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("q210 fixture walks: visited ≪ corpus on both regimes") {
+    import graft.queries.VectorOps
+    try {
+      val corpusN = graft.Tables.load(spark, sfDir, "embeddings").count()
+      VectorOps.graphBeamRegimes(spark, sfDir).foreach {
+        case (regime, _, topk, visited) =>
+          assert(topk.groupBy(col("q_id")).count()
+            .filter(col("count") =!= 3).count() === 0L,
+            s"$regime: every query must return exactly 3 neighbors")
+          val maxVisited = visited.groupBy(col("q_id")).count()
+            .agg(max(col("count"))).head().getLong(0)
+          assert(maxVisited < corpusN / 2,
+            s"$regime: walk scored $maxVisited of $corpusN")
+      }
+    } finally graft.queries.VectorOps.releaseCaches()
+  }
+
   // == Stats-spec evolution (q213) ==
 
   test("evolveStatsCols: add-only by name, idempotent re-add, mixed-history prune safety") {
