@@ -62,4 +62,71 @@ class StreamRecoverySpec extends SparkSpec {
     assert(out.get("2024-01-01 00:00:00") === Some(3L))
     assert(out.get("2024-01-01 01:00:00") === Some(1L))
   }
+
+  test("snapshot sink: a checkpoint restart replays the in-doubt batch exactly once") {
+    import graft.ext.SnapshotLog
+    val root = Files.createTempDirectory("graft-stream-snap")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt")
+    val logDir = root.resolve("log").toString
+
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.writeString(src.resolve(name), rows.mkString("\n"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(src.toString)
+      val q = StreamOps.snapshotSinkStream(
+          stream.select(col("event_id"), col("user_id"), col("value")),
+          logDir, "event_id")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    writeFile("f1.json", (1L to 3L).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-01 00:0$i:00","user_id":$i,"event_type":"click","value":$i.0}"""))
+    runOnce()
+    val vRun1 = SnapshotLog.version(logDir)
+    assert(vRun1 >= 0)
+    assert(SnapshotLog.readAsOf(spark, logDir, vRun1).count() === 3L)
+    val batchesRun1 = SnapshotLog.committedBatches(logDir)
+
+    // the crash window: the sink committed its batch to the LOG, but
+    // the engine died before writing the checkpoint's commits/<N>
+    // marker — on restart Structured Streaming re-executes batch N
+    // with the same offsets and batchId. Drop the newest commit marker
+    // to reproduce exactly that topology.
+    val commitsDir = ckpt.resolve("commits")
+    val newest = Files.list(commitsDir).toArray.map(_.toString)
+      .map(java.nio.file.Paths.get(_))
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(newest)
+    // the local-FS checkpoint writes a CRC sidecar per marker; a stale
+    // one blocks the replayed batch's re-write of the same marker
+    Files.deleteIfExists(
+      commitsDir.resolve(s".${newest.getFileName.toString}.crc"))
+
+    writeFile("f2.json", (4L to 5L).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-01 01:0$i:00","user_id":$i,"event_type":"click","value":$i.0}"""))
+    runOnce()
+
+    // the replayed batch hit the log's batch-id gate (checked against
+    // the MANIFEST, not local state — correct across restarts): no
+    // duplicate rows, and the new batch landed exactly once
+    val vEnd = SnapshotLog.version(logDir)
+    val all = SnapshotLog.readAsOf(spark, logDir, vEnd)
+    assert(all.count() === 5L, "replayed batch double-landed or new batch lost")
+    assert(all.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 5L))
+    val batchesEnd = SnapshotLog.committedBatches(logDir)
+    assert(batchesRun1.subsetOf(batchesEnd))
+    assert(batchesEnd.size === batchesRun1.size + 1,
+      s"expected exactly one new batch id: $batchesRun1 -> $batchesEnd")
+    // history: every version is still a readable snapshot (one per
+    // landed batch — the replay added NO version)
+    (0 to vEnd).foreach { v =>
+      assert(SnapshotLog.readAsOf(spark, logDir, v).count() > 0L)
+    }
+  }
 }
