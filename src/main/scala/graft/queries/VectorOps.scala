@@ -404,34 +404,62 @@ object VectorOps {
     // as navigable-small-world edges (the role HNSW's long links
     // play). Candidate volume stays ~3·32·n; per-node out-degree
     // ≤ 3·degree.
-    val base = e0.select(col("vec_id"), col("embedding"))
+    //
+    // The input frame materializes ONCE: it feeds three family joins,
+    // the entry select and a score() per hop — q210's clustered regime
+    // synthesizes embeddings from 64 md5 draws per row, and re-deriving
+    // that in every consumer was 6× the 10× row (53 s → 8.5 s).
+    val base = e0.select(col("vec_id"), col("embedding")).localCheckpoint()
     val nAgg = base.groupBy().agg(count(lit(1)).as("n"))
-    val edges = Seq(0, 8, 16).map { off =>
-      val e = base.crossJoin(broadcast(nAgg))
+    // CLUSTERED corpora concentrate whole clusters into a few sign
+    // buckets (the point of LSH — and a quadratic trap for the
+    // self-join: measured 26M pairs/family on the 8-cluster 10×
+    // regime). Oversized buckets split into ~32-member SALT CELLS
+    // (per-family salt, so the families cut differently): each node
+    // meets only its cell, candidates stay ~32·n at ANY skew, and
+    // in-cell neighbors are still in-bucket — near — so the graph
+    // keeps its short links while the families' differing cells
+    // supply the cross connectivity. The bucket-size side is
+    // n/32-row metadata joined on the (fam, bucket) key (AQE
+    // broadcasts it while it fits). All three families stack into ONE
+    // tall frame keyed by `fam`, so the whole adjacency is one
+    // size-agg + one join + one window — not three jobs (the walk's
+    // cost is fixed protocol overhead at any corpus size; job count
+    // IS the cost).
+    val tall = Seq(0, 8, 16).map { off =>
+      base.crossJoin(broadcast(nAgg))
+        .withColumn("fam", lit(off))
         .withColumn("bucket",
           signBucketAt(col("embedding"), bitsFor(col("n")), off))
         .drop("n")
-      val le = e.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val re = e.select(col("bucket"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
-      val we = Window.partitionBy(col("a_id"))
-        .orderBy(col("cos_r").desc, col("b_id"))
-      le.join(re, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
-        .withColumn("rn", row_number().over(we)).filter(col("rn") <= degree)
-        .select(col("a_id"), col("b_id"))
     }.reduce(_.unionByName(_))
+    val sz = tall.groupBy(col("fam"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val ec = tall.join(sz, Seq("fam", "bucket"))
+      .withColumn("cell", pmod(xxhash64(col("vec_id"), col("fam")),
+        greatest(lit(1L), ceil(col("bn") / lit(32.0)).cast("long"))))
+      .drop("bn")
+    val le = ec.select(col("fam"), col("bucket"), col("cell"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val re = ec.select(col("fam"), col("bucket"), col("cell"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val we = Window.partitionBy(col("fam"), col("a_id"))
+      .orderBy(col("cos_r").desc, col("b_id"))
+    val edges = le.join(re, Seq("fam", "bucket", "cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= degree)
+      .select(col("a_id"), col("b_id"))
     // symmetrize: graph navigability needs the back links (NSG/HNSW
     // keep them explicitly)
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint()
-    val q = e0.filter(col("vec_id") < 10)
+    val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     def score(cand: DataFrame): DataFrame =
-      cand.join(e0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      cand.join(base, Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
@@ -441,9 +469,13 @@ object VectorOps {
     // scoring, which silently left those queries with no entry in
     // their own neighborhood (measured: recall 0.2 → healthy after)
     val entry = q.select(col("q_id"))
-      .crossJoin(e0.select(col("vec_id")).filter(col("vec_id") >= 10)
+      .crossJoin(base.select(col("vec_id")).filter(col("vec_id") >= 10)
         .orderBy(col("vec_id")).limit(entries))
-    var scored = score(entry).localCheckpoint()
+    // the per-hop state is queries·beam·degree rows — single-partition
+    // frames, so each hop's eager checkpoint schedules 1 task per
+    // stage instead of shuffle.partitions of them (the walk's cost is
+    // job/task overhead, not data)
+    var scored = score(entry).repartition(1).localCheckpoint()
     var beamDf = topN(scored, beam)
     (1 to hops).foreach { _ =>
       val expand = beamDf.select(col("q_id"), col("vec_id").as("src"))
@@ -452,7 +484,8 @@ object VectorOps {
         .distinct()
       val unseen = expand.join(scored.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
-      scored = scored.unionByName(score(unseen)).localCheckpoint()
+      scored = scored.unionByName(score(unseen))
+        .repartition(1).localCheckpoint()
       beamDf = topN(scored, beam)
     }
     (topN(scored, 3), scored)
@@ -469,7 +502,10 @@ object VectorOps {
           synClustered(s, d).select(col("vec_id"), col("embedding"))),
         ("isotropic",
           t(s, d, "embeddings").select(col("vec_id"), col("embedding"))))
-        .map { case (regime, e0) =>
+        .map { case (regime, e0raw) =>
+          // materialized once: the md5-synthesized frame feeds the walk
+          // AND q210's exact recall arm
+          val e0 = e0raw.localCheckpoint()
           val (topk, visited) = graphBeamSearch(s, e0)
           (regime, e0, topk, visited)
         }

