@@ -58,6 +58,12 @@ class SnapshotLogModelSpec extends SparkSpec {
       : Boolean = {
     import spark.implicits._
     val rnd = new Random(seed)
+    // delete FLAVOR (copy-on-write vs merge-on-read) draws from its own
+    // stream so adding it never perturbs the recorded seeds' op layout;
+    // the two flavors share one contract, so the model doesn't care —
+    // any divergence is a DV bug interacting with whatever the main
+    // stream interleaved around it
+    val morRnd = new Random(seed * 31 + 7)
     val dir = Files.createTempDirectory(
       s"snaplog_model_${seed}_ci$checkpointInterval").toString
     SnapshotLog.reset(dir, checkpointInterval)
@@ -120,8 +126,10 @@ class SnapshotLogModelSpec extends SparkSpec {
           val before = SnapshotLog.version(dir)
           val snap = versions.last.snapshot
           val doomed = snap.filter(_._1 % m == r)
-          val v = SnapshotLog.delete(spark, dir,
-            pmod(col("k"), lit(m.toLong)) === r.toLong, col("k"))
+          val pred = pmod(col("k"), lit(m.toLong)) === r.toLong
+          val v =
+            if (morRnd.nextBoolean()) SnapshotLog.deleteMor(spark, dir, pred)
+            else SnapshotLog.delete(spark, dir, pred, col("k"))
           if (doomed.isEmpty)
             assert(v === before && SnapshotLog.version(dir) === before,
               s"seed=$seed op=$opIx empty delete must not commit")
