@@ -296,6 +296,15 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       statsCol: org.apache.spark.sql.Column): Int =
     graft.ext.SnapshotLog.merge(spark, src, dir, key, statsCol)
 
+  /** Merge-on-read MERGE (q216's kernel): src lands as one dataChange
+    * segment, replaced old images are tombstoned (delete-sized DV)
+    * instead of rewriting touched segments — commit cost src +
+    * matched-rows. Semantics identical to `snapshotMerge`.
+    */
+  def snapshotMergeMor(src: DataFrame, dir: String, key: String,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.mergeMor(spark, src, dir, key, statsCol)
+
   /** Full change-data feed over (fromV, toV]: `snapshotChanges`'
     * inserts plus delete/merge removals, tagged `_change_type`
     * ('insert' | 'delete') and `_commit_version` (order changes per

@@ -290,7 +290,11 @@ object ScaleStress {
       // WALK's per-query cost is entries + hops·beam·degree —
       // corpus-size-INDEPENDENT, the row that proves it; the exact
       // recall arm is the one q50-shaped corpus pass
-      "q210_graph_ann_recall")
+      "q210_graph_ann_recall",
+      // MoR merge commit cost is src + matched-rows (q193's CoW row
+      // beside it prices the touched-segment rewrite it avoids); the
+      // trailing compact is the one write-linear rewrite
+      "q216_snapshot_merge_mor")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

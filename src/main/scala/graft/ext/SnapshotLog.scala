@@ -1027,6 +1027,61 @@ object SnapshotLog {
       predicate: Column, maxAttempts: Int = 5): Int =
     commitWithRetry(maxAttempts)(deleteMor(spark, dir, predicate))
 
+  /** Merge-on-read MERGE — `merge`'s upsert with `deleteMor`'s
+    * economy: src lands as one ordinary dataChange segment (inserts
+    * flow through the change feed unchanged), and the REPLACED old
+    * images are tombstoned instead of rewriting their segments — one
+    * key-semi-join pruned scan writes a delete-sized DV segment
+    * (doubling as `#cdcdel`, so readCdc's delete(old)+insert(new)
+    * encoding is bit-identical to the copy-on-write path). Commit cost
+    * is src + matched-rows, NEVER touched-segment bytes; the read rent
+    * and its compaction bound are deleteMor's. Same contracts as
+    * `merge`: add-only schema gate before any data lands, src
+    * materialized once and every phase reads the written parquet back,
+    * src must be key-unique. Returns the new version number.
+    */
+  def mergeMor(spark: SparkSession, src: DataFrame, dir: String,
+      key: String, statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to merge into in $dir — append first")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val prevMeta = meta(dir, prev)
+    val snapSchema = evolvedSchema(
+      gateSchema(spark, dir, prev), src.schema,
+      spark.sessionState.analyzer.resolver)
+    val srcRel = s"seg-$v-${writerToken()}"
+    val srcPath = absPath(dir, srcRel)
+    src.write.mode("overwrite").parquet(srcPath)
+    val srcM = spark.read.schema(src.schema).parquet(srcPath)
+    val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
+    val srcKeys = srcM.select(col(key)).distinct()
+    // old images of matched keys, DV-applied (a key merged twice
+    // tombstones the FIRST merge's src row, not a ghost)
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    val matched = all.join(srcKeys, Seq(key), "left_semi")
+    val dvRel = s"seg-$v-dv-${writerToken()}"
+    val dvPath = absPath(dir, dvRel)
+    matched.write.mode("overwrite").parquet(dvPath)
+    val anyMatched = spark.read.parquet(dvPath).count() > 0L
+    if (!anyMatched)
+      walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+    publish(dir, v, commitLines(dir, v,
+      segs :+ Segment(srcRel, smn, smx), segs,
+      prevMeta.copy(
+        cdcDel = if (anyMatched) Set(dvRel) else Set.empty,
+        dvs = if (anyMatched) prevMeta.dvs + dvRel else prevMeta.dvs),
+      Some(s"#schema\t${snapSchema.json}")))
+    v
+  }
+
+  /** mergeMor with serializable re-run-on-conflict. */
+  def mergeMorWithRetry(spark: SparkSession, src: DataFrame, dir: String,
+      key: String, statsCol: Column, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(mergeMor(spark, src, dir, key, statsCol))
+
   /** MERGE (upsert by key) as a copy-on-write commit — the operation
     * behind q189's CDC dedup gate becoming a real table write: every
     * `src` row whose `key` matches an existing row REPLACES it; the

@@ -1780,6 +1780,97 @@ object Relational {
         "UNION ALL SELECT 'pre_scan_segments', CAST(4 AS BIGINT) " +
         "UNION ALL SELECT 'pre_total_segments', CAST(4 AS BIGINT) " +
         "UNION ALL SELECT 'time_travel_rows', n_rows FROM tt " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q216_snapshot_merge_mor",
+      "Merge-on-read MERGE (round-14, completing the DV family): q193's " +
+        "copy-on-write merge rewrites every touched segment to retire the " +
+        "replaced old images — `SnapshotLog.mergeMor` instead lands src as " +
+        "one ordinary dataChange segment and TOMBSTONES the matched old " +
+        "rows (a delete-sized DV segment that doubles as #cdcdel), so " +
+        "commit cost is src + matched-rows, never touched-segment bytes. " +
+        "The audit runs q193's exact upsert (price corrections for " +
+        "o_orderkey % 50 = 7 + late-arriving inserts for % 997 = 3, keys " +
+        "shifted +1e8) and pins the identical contract: v2 pre-merge " +
+        "untouched, v3 post-merge mass = old - replaced + corrected + " +
+        "inserted, the change feed delivering delete(old)+insert(new) — " +
+        "PLUS the MoR-specific structure: `prev_segments_carried` proves " +
+        "every pre-merge segment survived by reference (no rewrite " +
+        "segment exists), and a trailing compact materializes the " +
+        "tombstones away (dv_count 1 -> 0) with content identical. At " +
+        "100 TB this is how a CDC upsert stream lands continuously " +
+        "without ever re-paying the table's write amplification.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "mmor")
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val updates = o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(997L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        val preSegs = SnapshotLog.segments(dir, 2).map(_.relPath)
+        val vM = SnapshotLog.mergeMor(s, updates.unionByName(inserts), dir,
+          "o_orderkey", unix_timestamp(col("o_orderdate")))
+        val postSegs = SnapshotLog.segments(dir, vM).map(_.relPath)
+        val carried = postSegs.size == preSegs.size + 1 &&
+          postSegs.startsWith(preSegs)
+        val dvPre = SnapshotLog.meta(dir, vM).dvs.size
+        val vCpt = SnapshotLog.compact(s, dir,
+          unix_timestamp(col("o_orderdate")))
+        val dvPost = SnapshotLog.meta(dir, vCpt).dvs.size
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"), col("price_cents"))
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n_rows"),
+            lit(0L).as("price_cents"))
+        val cdc = SnapshotLog.readCdc(s, dir, 2, vM)
+        profile(cdc.filter(col("_change_type") === "delete"), "cdc_deletes")
+          .unionByName(profile(
+            cdc.filter(col("_change_type") === "insert"), "cdc_inserts"))
+          .unionByName(flag("dv_count_post_compact", dvPost.toLong))
+          .unionByName(flag("dv_count_pre_compact", dvPre.toLong))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vCpt),
+            "post_compact"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vM),
+            "post_merge_v3"))
+          .unionByName(flag("prev_segments_carried",
+            if (carried) 1L else 0L))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, 2),
+            "pre_merge_v2"))
+          .orderBy(col("state"))
+      },
+      Some("WITH pre AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders), " +
+        "upd AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c_old, " +
+        "sum(CAST(round((o_totalprice + 1000.0)*100) AS BIGINT)) AS c_new " +
+        "FROM orders WHERE o_orderkey % 50 = 7), " +
+        "ins AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_orderkey % 997 = 3) " +
+        "SELECT 'cdc_deletes' AS state, CAST(upd.n AS BIGINT) AS n_rows, " +
+        "CAST(upd.c_old AS BIGINT) AS price_cents FROM upd " +
+        "UNION ALL SELECT 'cdc_inserts', CAST(upd.n + ins.n AS BIGINT), " +
+        "CAST(upd.c_new + ins.c AS BIGINT) FROM upd, ins " +
+        "UNION ALL SELECT 'dv_count_post_compact', CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'dv_count_pre_compact', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'post_compact', CAST(pre.n + ins.n AS BIGINT), " +
+        "CAST(pre.c - upd.c_old + upd.c_new + ins.c AS BIGINT) " +
+        "FROM pre, upd, ins " +
+        "UNION ALL SELECT 'post_merge_v3', CAST(pre.n + ins.n AS BIGINT), " +
+        "CAST(pre.c - upd.c_old + upd.c_new + ins.c AS BIGINT) " +
+        "FROM pre, upd, ins " +
+        "UNION ALL SELECT 'prev_segments_carried', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'pre_merge_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM pre " +
         "ORDER BY state"))
   )
 

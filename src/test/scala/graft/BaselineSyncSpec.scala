@@ -51,7 +51,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q212_wordpiece_encode",
       "q213_stats_evolution",
       "q214_wordpiece_segmentation",
-      "q215_graph_ann_topk")
+      "q215_graph_ann_topk",
+      "q216_snapshot_merge_mor")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -156,7 +156,10 @@ class SnapshotLogModelSpec extends SparkSpec {
           val src =
             if (wide) srcRows.map { case (k, x) => (k, x.get) }.toDF("k", "x")
             else srcRows.map(_._1).toDF("k")
-          val v = SnapshotLog.merge(spark, src, dir, "k", col("k"))
+          val v =
+            if (morRnd.nextBoolean())
+              SnapshotLog.mergeMor(spark, src, dir, "k", col("k"))
+            else SnapshotLog.merge(spark, src, dir, "k", col("k"))
           val updSet = updKeys.toSet
           versions :+= V(srcRows, snap.filter(p => updSet(p._1)),
             (snap.filterNot(p => updSet(p._1)) ++ srcRows).sortBy(_._1))
