@@ -386,12 +386,27 @@ object VectorOps {
   private[graft] def graphBeamSearch(s: SparkSession, e0: DataFrame,
       beam: Int = 8, hops: Int = 4, entries: Int = 8,
       degree: Int = 8): (DataFrame, DataFrame) = {
+    val (topk, scored) = graphBeamGrouped(s,
+      e0.select(lit(0).as("__grp"), col("vec_id"), col("embedding")),
+      beam, hops, entries, degree)
+    (topk.drop("__grp"), scored.drop("__grp"))
+  }
+
+  /** The walk, GROUPED on `__grp` — every stage keys on the group, so
+    * independent corpora (q210's two regimes) walk in ONE set of Spark
+    * jobs instead of one per corpus: at these state sizes the cost is
+    * job-scheduling overhead, not data, so co-walking halves the wall.
+    * Input (`__grp`, vec_id, embedding); outputs carry `__grp`.
+    */
+  private def graphBeamGrouped(s: SparkSession, eg: DataFrame,
+      beam: Int, hops: Int, entries: Int,
+      degree: Int): (DataFrame, DataFrame) = {
     CosineSimilarity.ensureRegistered(s)
     def topN(scored: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("q_id"))
+      val w = Window.partitionBy(col("__grp"), col("q_id"))
         .orderBy(col("cos_r").desc, col("vec_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .select(col("q_id"), col("vec_id"), col("cos_r"))
+        .select(col("__grp"), col("q_id"), col("vec_id"), col("cos_r"))
     }
     // the NAVIGATION graph: the q51/q183 bucketed kernel at `degree`
     // out-edges per node, built from THREE sign-hash FAMILIES (dim
@@ -409,8 +424,9 @@ object VectorOps {
     // the entry select and a score() per hop — q210's clustered regime
     // synthesizes embeddings from 64 md5 draws per row, and re-deriving
     // that in every consumer was 6× the 10× row (53 s → 8.5 s).
-    val base = e0.select(col("vec_id"), col("embedding")).localCheckpoint()
-    val nAgg = base.groupBy().agg(count(lit(1)).as("n"))
+    val base = eg.select(col("__grp"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val nAgg = base.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
     // CLUSTERED corpora concentrate whole clusters into a few sign
     // buckets (the point of LSH — and a quadratic trap for the
     // self-join: measured 26M pairs/family on the 8-cluster 10×
@@ -427,63 +443,72 @@ object VectorOps {
     // cost is fixed protocol overhead at any corpus size; job count
     // IS the cost).
     val tall = Seq(0, 8, 16).map { off =>
-      base.crossJoin(broadcast(nAgg))
+      base.join(broadcast(nAgg), Seq("__grp"))
         .withColumn("fam", lit(off))
         .withColumn("bucket",
           signBucketAt(col("embedding"), bitsFor(col("n")), off))
         .drop("n")
     }.reduce(_.unionByName(_))
-    val sz = tall.groupBy(col("fam"), col("bucket"))
+    val sz = tall.groupBy(col("__grp"), col("fam"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
-    val ec = tall.join(sz, Seq("fam", "bucket"))
+    val ec = tall.join(sz, Seq("__grp", "fam", "bucket"))
       .withColumn("cell", pmod(xxhash64(col("vec_id"), col("fam")),
         greatest(lit(1L), ceil(col("bn") / lit(32.0)).cast("long"))))
       .drop("bn")
-    val le = ec.select(col("fam"), col("bucket"), col("cell"),
+    val le = ec.select(col("__grp"), col("fam"), col("bucket"), col("cell"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val re = ec.select(col("fam"), col("bucket"), col("cell"),
+    val re = ec.select(col("__grp"), col("fam"), col("bucket"), col("cell"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val we = Window.partitionBy(col("fam"), col("a_id"))
+    val we = Window.partitionBy(col("__grp"), col("fam"), col("a_id"))
       .orderBy(col("cos_r").desc, col("b_id"))
-    val edges = le.join(re, Seq("fam", "bucket", "cell"))
+    val edges = le.join(re, Seq("__grp", "fam", "bucket", "cell"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos_r", round(expr("cosine_sim(a_emb, b_emb)"), 6))
       .withColumn("rn", row_number().over(we)).filter(col("rn") <= degree)
-      .select(col("a_id"), col("b_id"))
+      .select(col("__grp"), col("a_id"), col("b_id"))
     // symmetrize: graph navigability needs the back links (NSG/HNSW
     // keep them explicitly)
-    val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val adj = edges.select(col("__grp"), col("a_id").as("src"),
+        col("b_id").as("dst"))
+      .union(edges.select(col("__grp"), col("b_id").as("src"),
+        col("a_id").as("dst")))
       .distinct()
       .localCheckpoint()
     val q = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("__grp"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
     def score(cand: DataFrame): DataFrame =
-      cand.join(base, Seq("vec_id"))
-        .join(broadcast(q), Seq("q_id"))
+      cand.join(base, Seq("__grp", "vec_id"))
+        .join(broadcast(q), Seq("__grp", "q_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
-        .select(col("q_id"), col("vec_id"), col("cos_r"))
+        .select(col("__grp"), col("q_id"), col("vec_id"), col("cos_r"))
     // entry points are part of the INDEX, disjoint from the query set
     // (vec_id < 10): an entry that IS the query gets excluded from
     // scoring, which silently left those queries with no entry in
     // their own neighborhood (measured: recall 0.2 → healthy after)
-    val entry = q.select(col("q_id"))
-      .crossJoin(base.select(col("vec_id")).filter(col("vec_id") >= 10)
-        .orderBy(col("vec_id")).limit(entries))
-    // the per-hop state is queries·beam·degree rows — single-partition
-    // frames, so each hop's eager checkpoint schedules 1 task per
-    // stage instead of shuffle.partitions of them (the walk's cost is
-    // job/task overhead, not data)
+    val wE = Window.partitionBy(col("__grp")).orderBy(col("vec_id"))
+    val entryIds = base.filter(col("vec_id") >= 10)
+      .select(col("__grp"), col("vec_id"))
+      .withColumn("rn", row_number().over(wE)).filter(col("rn") <= entries)
+      .drop("rn")
+    val entry = q.select(col("__grp"), col("q_id"))
+      .join(entryIds, Seq("__grp"))
+    // the per-hop state is groups·queries·beam·degree rows —
+    // single-partition frames, so each hop's eager checkpoint
+    // schedules 1 task per stage instead of shuffle.partitions of
+    // them (the walk's cost is job/task overhead, not data)
     var scored = score(entry).repartition(1).localCheckpoint()
     var beamDf = topN(scored, beam)
     (1 to hops).foreach { _ =>
-      val expand = beamDf.select(col("q_id"), col("vec_id").as("src"))
-        .join(adj, Seq("src"))
-        .select(col("q_id"), col("dst").as("vec_id"))
+      val expand = beamDf.select(col("__grp"), col("q_id"),
+          col("vec_id").as("src"))
+        .join(adj, Seq("__grp", "src"))
+        .select(col("__grp"), col("q_id"), col("dst").as("vec_id"))
         .distinct()
-      val unseen = expand.join(scored.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
+      val unseen = expand.join(
+        scored.select(col("__grp"), col("q_id"), col("vec_id")),
+        Seq("__grp", "q_id", "vec_id"), "left_anti")
       scored = scored.unionByName(score(unseen))
         .repartition(1).localCheckpoint()
       beamDf = topN(scored, beam)
@@ -497,18 +522,27 @@ object VectorOps {
   private[graft] def graphBeamRegimes(s: SparkSession,
       d: String): Seq[(String, DataFrame, DataFrame, DataFrame)] =
     served(s, d, "gbeam") {
-      Seq(
+      // one tagged frame, one grouped walk: both regimes' adjacency
+      // builds and hops run in the SAME jobs (the grouped kernel) —
+      // the per-regime sequential form paid the whole job-overhead
+      // bill twice. The checkpoint also pins the md5-synthesized
+      // clustered frame for q210's exact recall arm.
+      val tagged = Seq(
         ("clustered",
           synClustered(s, d).select(col("vec_id"), col("embedding"))),
         ("isotropic",
           t(s, d, "embeddings").select(col("vec_id"), col("embedding"))))
-        .map { case (regime, e0raw) =>
-          // materialized once: the md5-synthesized frame feeds the walk
-          // AND q210's exact recall arm
-          val e0 = e0raw.localCheckpoint()
-          val (topk, visited) = graphBeamSearch(s, e0)
-          (regime, e0, topk, visited)
-        }
+        .map { case (regime, f) => f.select(lit(regime).as("__grp"),
+          col("vec_id"), col("embedding")) }
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val (topk, visited) = graphBeamGrouped(s, tagged,
+        beam = 8, hops = 4, entries = 8, degree = 8)
+      Seq("clustered", "isotropic").map { regime =>
+        (regime,
+          tagged.filter(col("__grp") === regime).drop("__grp"),
+          topk.filter(col("__grp") === regime).drop("__grp"),
+          visited.filter(col("__grp") === regime).drop("__grp"))
+      }
     }
 
   /** q187's body over ANY (vec_id, embedding) frame — incremental
