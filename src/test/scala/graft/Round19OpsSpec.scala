@@ -206,6 +206,41 @@ class Round19OpsSpec extends SparkSpec {
     assert(end.filter(col("k") === 1000L).count() === 1L)
   }
 
+  test("DV reads keep predicate pushdown and broadcast the tombstone side") {
+    val dir = morFixture("plan")
+    val v = SnapshotLog.deleteMor(spark, dir, col("m") === 3)
+    staticPlan {
+      val df = SnapshotLog.readAsOf(spark, dir, v).filter(col("k") >= 100L)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size === 2, "expected a data scan and a DV scan")
+      // the data-side predicate pushes THROUGH the anti-join into the
+      // parquet scan — a 100 TB DV read must still prune/push like a
+      // plain read
+      assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThanOrEqual(k,100"))),
+        s"filter not pushed: ${scans.map(_.metadata.get("PushedFilters"))}")
+      // the tombstone side is delete-sized: planned as the BROADCAST
+      // side of the anti-join, and column-pruned to its key pair
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.exists(_.joinType ==
+        org.apache.spark.sql.catalyst.plans.LeftAnti),
+        "DV application must plan as a broadcast LEFT ANTI join")
+      val dvScan = scans.find(_.schema.fieldNames.contains("__graft_dv_file"))
+      assert(dvScan.isDefined, "no DV-side scan found")
+      assert(dvScan.get.schema.fieldNames.toSet ===
+        Set("__graft_dv_file", "__graft_dv_pos"),
+        s"DV scan not column-pruned: ${dvScan.get.schema.fieldNames.toSeq}")
+      // and the plan is not just shapely — it answers correctly
+      assert(df.count() ===
+        (100L until 300L).count(_ % 7 != 3))
+    }
+  }
+
   test("vacuum keeps referenced DV segments; compact materializes and frees them") {
     val dir = morFixture("vac")
     val vDel = SnapshotLog.deleteMor(spark, dir, col("m") === 2)
