@@ -256,6 +256,13 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def snapshotChanges(dir: String, fromV: Int, toV: Int): DataFrame =
     graft.ext.SnapshotLog.readChanges(spark, dir, fromV, toV)
 
+  /** Timestamp time travel (Delta's `timestampAsOf`): the table as of
+    * a wall-clock instant — the latest version committed at or before
+    * it. Loud when the instant predates the retention horizon.
+    */
+  def snapshotAsOfTimestamp(dir: String, tsMillis: Long): DataFrame =
+    graft.ext.SnapshotLog.readAsOfTimestamp(spark, dir, tsMillis)
+
   /** Rewrite the current snapshot as one segment (new version); old
     * versions keep reading their original layout (q177's kernel).
     */

@@ -459,7 +459,16 @@ object SnapshotLog {
 
   private[graft] def publish(dir: String, v: Int, lines: Seq[String]): Unit = {
     val tmp = logDir(dir).resolve(s".v$v.manifest.tmp-${writerToken()}")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // every commit stamps its wall-clock time (`#ts`, epoch millis) —
+    // the single choke point, so timestamp time travel (`versionAt`)
+    // works for every commit kind without each caller remembering to.
+    // Readers ignore unknown # lines; vacuum's horizon materialization
+    // preserves them. Write-side metadata only: no query output ever
+    // derives from it (the engine's determinism rules are untouched).
+    val stamped =
+      if (lines.exists(_.startsWith("#ts\t"))) lines
+      else lines :+ s"#ts\t${System.currentTimeMillis()}"
+    Files.write(tmp, stamped.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = logDir(dir).resolve(s"v$v.manifest")
     try Files.createLink(target, tmp)
     catch {
@@ -692,6 +701,44 @@ object SnapshotLog {
       }
     }
   }
+
+  /** A version's commit wall-clock time (epoch ms): the `#ts` stamp
+    * when present, the manifest file's mtime for legacy manifests
+    * written before stamping (close enough for retention decisions;
+    * note a vacuum's horizon materialization rewrites the file, so
+    * legacy-mtime fidelity ends there — stamped logs are exact).
+    */
+  def commitTimeOf(dir: String, v: Int): Long =
+    manifestLines(dir, v).collectFirst {
+      case l if l.startsWith("#ts\t") => l.split('\t')(1).toLong
+    }.getOrElse(
+      Files.getLastModifiedTime(logDir(dir).resolve(s"v$v.manifest"))
+        .toMillis)
+
+  /** Timestamp time travel (Delta's `timestampAsOf`): the LATEST
+    * version committed at or before `tsMillis` — what the table looked
+    * like at a wall-clock instant, for reproducing a training run
+    * pinned by date rather than by version number. Fails loudly when
+    * every surviving version is newer (the instant predates the
+    * retention horizon, or the log entirely). Wall clocks are not
+    * monotone across writers; max-version-at-or-before is the standard
+    * resolution (Delta's), and a single-writer log is exact.
+    */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val latest = version(dir)
+    require(latest >= 0, s"no snapshots in $dir")
+    val candidates = (0 to latest).filter { v =>
+      Files.exists(logDir(dir).resolve(s"v$v.manifest"))
+    }.filter(v => commitTimeOf(dir, v) <= tsMillis)
+    require(candidates.nonEmpty,
+      s"no snapshot in $dir at or before ts=$tsMillis " +
+        "(predates the log or its retention horizon)")
+    candidates.max
+  }
+
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame =
+    readAsOf(spark, dir, versionAt(dir, tsMillis))
 
   /** The table exactly as of snapshot `v`, under the schema logged AT
     * v: segments written before a column was added null-fill it, no

@@ -380,6 +380,38 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
+  // == Timestamp time travel ==
+
+  test("versionAt resolves wall-clock instants; stamps survive materialization and vacuum") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ts-travel").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    val times = (0 until 4).map { i =>
+      SnapshotLog.append(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+        dir, col("k"))
+      Thread.sleep(15L)
+      SnapshotLog.commitTimeOf(dir, i)
+    }
+    assert(times == times.sorted, "single-writer stamps must be monotone")
+    // an instant between v1 and v2 reads v1; exactly at v2 reads v2
+    assert(SnapshotLog.versionAt(dir, (times(1) + times(2)) / 2) === 1)
+    assert(SnapshotLog.versionAt(dir, times(2)) === 2)
+    assert(SnapshotLog.versionAt(dir, Long.MaxValue) === 3)
+    assert(SnapshotLog.readAsOfTimestamp(spark, dir, times(1)).count() === 2L)
+    // before the log: loud
+    intercept[IllegalArgumentException] {
+      SnapshotLog.versionAt(dir, times(0) - 1000L)
+    }
+    // vacuum materializes the horizon (v1 is a delta) — its stamp must
+    // survive, and pre-horizon instants fail loudly, not silently-v0
+    SnapshotLog.vacuum(dir, 1)
+    assert(SnapshotLog.commitTimeOf(dir, 1) === times(1))
+    assert(SnapshotLog.versionAt(dir, times(2)) === 2)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.versionAt(dir, times(0))
+    }
+  }
+
   // == WordPiece tokenizer (q211/q212/q214) ==
 
   test("wordpiece greedy matcher: longest-match-first, ## continuation, UNK on gap") {
