@@ -186,8 +186,7 @@ object SnapshotLog {
     Files.createDirectories(logDir(dir))
     val lines = s"interval=$checkpointInterval" +:
       statsCols.map { case (n, e) =>
-        require(!n.contains('\t') && !e.contains('\t') && !e.contains('\n'),
-          s"stats name/expr must be tab/newline-free: $n")
+        requireStatLine(n, e)
         s"stat\t$n\t$e"
       }
     Files.write(configPath(dir),
@@ -212,31 +211,53 @@ object SnapshotLog {
     * segments silently (the exact wrong-skip zone maps must never
     * make). Re-adding an identical (name, expr) pair is a no-op.
     */
+  /** BOTH fields tab/newline-free: a newline in the NAME would split
+    * the config entry across lines and poison every later statsColsOf
+    * parse — i.e. every subsequent write to the table.
+    */
+  private def requireStatLine(n: String, e: String): Unit =
+    require(!n.contains('\t') && !n.contains('\n') &&
+      !e.contains('\t') && !e.contains('\n'),
+      s"stats name/expr must be tab/newline-free: $n")
+
+  /** Config evolution is a read-modify-write; it serializes per path
+    * WITHIN the JVM (the in-process race two engine threads can
+    * actually hit). Cross-process concurrent evolutions follow the
+    * file's documented cluster posture — swap the whole metadata layer
+    * for a CAS service; the single-writer deployment is exact.
+    */
+  private val configLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def evolveStatsCols(dir: String, add: Seq[(String, String)]): Unit = {
     val p = configPath(dir)
     require(Files.exists(p),
       s"no table config in $dir — legacy config-less logs have no stats " +
         "schema to evolve; reset first")
-    val existing = statsColsOf(dir).toMap
-    add.foreach { case (n, e) =>
-      require(!n.contains('\t') && !e.contains('\t') && !e.contains('\n'),
-        s"stats name/expr must be tab/newline-free: $n")
-      existing.get(n).foreach { old =>
-        require(old == e,
-          s"stat '$n' is already recorded as '$old' — stats evolution is " +
-            s"add-only by name; '$e' would change its meaning under old " +
-            "sidecars")
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      val existing = statsColsOf(dir).toMap
+      add.foreach { case (n, e) =>
+        requireStatLine(n, e)
+        existing.get(n).foreach { old =>
+          require(old == e,
+            s"stat '$n' is already recorded as '$old' — stats evolution is " +
+              s"add-only by name; '$e' would change its meaning under old " +
+              "sidecars")
+        }
       }
-    }
-    val fresh = add.filterNot { case (n, _) => existing.contains(n) }
-    if (fresh.nonEmpty) {
-      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq ++
-        fresh.map { case (n, e) => s"stat\t$n\t$e" }
-      val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
-      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val fresh = add.filterNot { case (n, _) => existing.contains(n) }
+      if (fresh.nonEmpty) {
+        val lines =
+          Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq ++
+            fresh.map { case (n, e) => s"stat\t$n\t$e" }
+        val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+        Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     }
   }
 
@@ -1318,10 +1339,22 @@ object SnapshotLog {
       listed(root0)(_.filter(p =>
         p.getFileName.toString.startsWith(".opt-") && Files.isDirectory(p))
         .toSeq).foreach { p =>
-        val newest = walked(p)(_.map(q =>
-          Files.getLastModifiedTime(q).toMillis).foldLeft(0L)(math.max))
-        if (now - newest > staleOptimizeAgeMs)
-          walked(p)(_.toSeq).reverse.foreach(Files.deleteIfExists)
+        // a LIVE optimize moves its bucket dirs out of staging while
+        // we walk — paths legitimately vanish mid-stat. A vanished
+        // entry means the dir is ACTIVE, the opposite of stale: skip
+        // it rather than crash the whole vacuum (the exact concurrent
+        // scenario the age horizon exists to tolerate).
+        try {
+          val newest = walked(p)(_.map { q =>
+            try Files.getLastModifiedTime(q).toMillis
+            catch { case _: java.io.IOException => now } // active → fresh
+          }.foldLeft(0L)(math.max))
+          if (now - newest > staleOptimizeAgeMs)
+            walked(p)(_.toSeq).reverse.foreach(Files.deleteIfExists)
+        } catch {
+          case _: java.io.IOException => ()
+          case _: java.io.UncheckedIOException => ()
+        }
       }
     }
     // incremental manifests: the horizon must become self-contained

@@ -157,9 +157,12 @@ object EventOps {
         "needs for exactly-once on top of at-least-once delivery.",
       (s, d) => {
         import graft.ext.SnapshotLog
+        // pid in the path: two processes sharing /tmp must not race
+        // each other's private log (the round-14 q207/q213 rule)
         val dir = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          "graft-snaplog-replay-" + Integer.toHexString(d.hashCode)).toString
+          "graft-snaplog-replay-" + Integer.toHexString(d.hashCode) +
+            s"-p${ProcessHandle.current().pid()}").toString
         SnapshotLog.reset(dir, checkpointInterval = 3)
         val ev = t(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),

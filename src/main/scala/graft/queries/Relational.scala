@@ -919,15 +919,25 @@ object Relational {
   private[graft] val snapCut1 = "1997-01-01"
   private[graft] val snapCut2 = "1999-01-01"
 
+  /** Per-process scratch dir for the private snapshot logs the
+    * versioned-table queries build: keyed by data dir AND pid, so two
+    * processes sharing /tmp (a Bench and a Verify run on one box)
+    * never reset/append into each other's live log — the q207 path
+    * race, fixed at the one place every log builder names its dir.
+    */
+  private def logTmpDir(prefix: String, d: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"$prefix-" + Integer.toHexString(d.hashCode) +
+        s"-p${ProcessHandle.current().pid()}").toString
+
   /** Builds the 3-commit orders snapshot log q173 and the spec read;
     * returns the log dir. Rebuilt from scratch per call — three small
     * segment writes — so the query is self-contained in any session.
     */
   private[graft] def buildOrdersLog(s: SparkSession, d: String): String = {
     import graft.ext.SnapshotLog
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-snaplog-" + Integer.toHexString(d.hashCode)).toString
+    val dir = logTmpDir("graft-snaplog", d)
     SnapshotLog.reset(dir)
     val o = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
@@ -949,9 +959,7 @@ object Relational {
     */
   private[graft] def buildEvolvedOrdersLog(s: SparkSession, d: String): String = {
     import graft.ext.SnapshotLog
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-snaplog-evo-" + Integer.toHexString(d.hashCode)).toString
+    val dir = logTmpDir("graft-snaplog-evo", d)
     SnapshotLog.reset(dir)
     val o = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -974,9 +982,7 @@ object Relational {
   private[graft] def buildMutableOrdersLog(s: SparkSession, d: String,
       suffix: String): String = {
     import graft.ext.SnapshotLog
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-snaplog-$suffix-" + Integer.toHexString(d.hashCode)).toString
+    val dir = logTmpDir(s"graft-snaplog-$suffix", d)
     SnapshotLog.reset(dir)
     val o = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
@@ -1292,9 +1298,7 @@ object Relational {
         "repeats.",
       (s, d) => {
         import graft.ext.SnapshotLog
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-snaplog-retry-" + Integer.toHexString(d.hashCode)).toString
+        val dir = logTmpDir("graft-snaplog-retry", d)
         SnapshotLog.reset(dir, checkpointInterval = 3)
         val o = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -1362,9 +1366,7 @@ object Relational {
         "(SnapshotLogModelSpec interleaves that with every other op).",
       (s, d) => {
         import graft.ext.SnapshotLog
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-snaplog-inc-" + Integer.toHexString(d.hashCode)).toString
+        val dir = logTmpDir("graft-snaplog-inc", d)
         SnapshotLog.reset(dir, checkpointInterval = 3)
         val o = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -1538,9 +1540,7 @@ object Relational {
         "without a second index.",
       (s, d) => {
         import graft.ext.SnapshotLog
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-snaplog-mdz-" + Integer.toHexString(d.hashCode)).toString
+        val dir = logTmpDir("graft-snaplog-mdz", d)
         SnapshotLog.reset(dir, checkpointInterval = 3,
           statsCols = Seq("ck" -> "o_custkey"))
         val o = t(s, d, "orders")
@@ -1705,9 +1705,7 @@ object Relational {
         "segments mean.",
       (s, d) => {
         import graft.ext.SnapshotLog
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-snaplog-spe-" + Integer.toHexString(d.hashCode)).toString
+        val dir = logTmpDir("graft-snaplog-spe", d)
         SnapshotLog.reset(dir, checkpointInterval = 3,
           statsCols = Seq("ck" -> "o_custkey"))
         val o = t(s, d, "orders")

@@ -431,9 +431,12 @@ object TextOps {
     */
   private[graft] def buildDocsLog(s: SparkSession, d: String): String = {
     import graft.ext.SnapshotLog
+    // pid in the path: two processes sharing /tmp must not race
+    // each other's private log (the round-14 q207/q213 rule)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft-snaplog-docs-" + Integer.toHexString(d.hashCode)).toString
+      "graft-snaplog-docs-" + Integer.toHexString(d.hashCode) +
+        s"-p${ProcessHandle.current().pid()}").toString
     SnapshotLog.reset(dir)
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("text"))
@@ -3705,7 +3708,7 @@ object TextOps {
         "trained vocabulary (NOT the trained segmentation: the standard " +
         "WordPiece contract, and the property that distinguishes it from " +
         "q136/q199's serve-the-training-table kernels), run as pure " +
-        "declarative columns: bounded (start, len ≤ 11) candidate spans over " +
+        "declarative columns: bounded (start, len ≤ vocab-max) candidate spans over " +
         "every distinct word, one broadcast membership join against the " +
         "vocabulary, and a per-word aggregate fold that repeatedly takes the " +
         "longest token at the cursor — no UDF, vocab-sized work. The corpus " +
@@ -4226,7 +4229,11 @@ object TextOps {
           Seq("lhs"))
         .join(symFreq.select(col("sym").as("rhs"), col("nsym").as("nr")),
           Seq("rhs"))
-        .withColumn("score", col("n") / (col("nl") * col("nr")))
+        // double BEFORE multiplying: nl·nr as long×long overflows at
+        // corpus scale (two ~3e9-frequency symbols exceed 2^63 — an
+        // ArithmeticException under ANSI mode, silent wrap without)
+        .withColumn("score",
+          col("n") / (col("nl").cast("double") * col("nr").cast("double")))
         .orderBy(col("score").desc, col("lhs"), col("rhs"))
         .limit(1)
         .localCheckpoint()
@@ -4246,8 +4253,17 @@ object TextOps {
     // intermediate tokens)
     val vocab = initSyms
       .union(merges.select(col("merged").as("sym"))).distinct()
+      .localCheckpoint()
+    // the matcher's span cap is the vocab's TRUE max consumed length
+    // (raw chars, ## marker excluded): merge lengths can DOUBLE per
+    // round (l and r both multi-char), so a rounds+1 cap silently
+    // stopped proposing long tokens and the "longest-match" contract
+    // broke exactly where merging had succeeded most
+    val maxConsumed = vocab.agg(max(length(col("sym")) -
+      when(col("sym").startsWith("##"), lit(2)).otherwise(lit(0))))
+      .head().getInt(0)
     val seg = wordpieceGreedy(words.select(col("w"), col("freq")), vocab,
-      maxLen = rounds + 1).localCheckpoint()
+      maxLen = maxConsumed).localCheckpoint()
     (merges, seg)
   }
 

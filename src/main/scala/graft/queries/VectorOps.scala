@@ -55,11 +55,27 @@ object VectorOps {
     * release).
     */
   def releaseCaches(): Unit = {
+    // localCheckpoint frames pin RDD blocks that the ContextCleaner
+    // frees only at GC — explicit unpersist here (the unigramMemo
+    // lesson: GC alone is too slow to bound a long session's storage)
+    def unpin(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     servedIndexes.drain().foreach {
       case i: graft.ext.IvfPq.Index => i.close()
       case i: graft.ext.PqIndex.Index => i.close()
       case df: DataFrame => df.unpersist(blocking = false) // knn graph
-      case _ => () // AnnIndex pins no cache
+      case _ => () // AnnIndex pins no cache; gbeam walks release below
+    }
+    // every checkpoint the graph walks made (input frames, adjacency,
+    // per-hop scored states — the returned frames reference only the
+    // LAST of these, so walking their plans would miss the rest)
+    walkPinned.synchronized {
+      walkPinned.foreach(unpin)
+      walkPinned.clear()
     }
     // facade-built kNN graphs (knnGraphOf on caller frames) are
     // memoized outside servedIndexes — release them too
@@ -392,6 +408,19 @@ object VectorOps {
     (topk.drop("__grp"), scored.drop("__grp"))
   }
 
+  /** Checkpoints made by the graph walks, tracked for explicit release
+    * (`releaseCaches`): the walk's RESULT frames reference only the
+    * final scored checkpoint, so the adjacency and per-hop
+    * intermediates would otherwise linger until GC.
+    */
+  private val walkPinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def walkCkpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    walkPinned.synchronized { walkPinned += c }
+    c
+  }
+
   /** The walk, GROUPED on `__grp` — every stage keys on the group, so
     * independent corpora (q210's two regimes) walk in ONE set of Spark
     * jobs instead of one per corpus: at these state sizes the cost is
@@ -424,8 +453,8 @@ object VectorOps {
     // the entry select and a score() per hop — q210's clustered regime
     // synthesizes embeddings from 64 md5 draws per row, and re-deriving
     // that in every consumer was 6× the 10× row (53 s → 8.5 s).
-    val base = eg.select(col("__grp"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
+    val base = walkCkpt(
+      eg.select(col("__grp"), col("vec_id"), col("embedding")))
     val nAgg = base.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
     // CLUSTERED corpora concentrate whole clusters into a few sign
     // buckets (the point of LSH — and a quadratic trap for the
@@ -468,12 +497,12 @@ object VectorOps {
       .select(col("__grp"), col("a_id"), col("b_id"))
     // symmetrize: graph navigability needs the back links (NSG/HNSW
     // keep them explicitly)
-    val adj = edges.select(col("__grp"), col("a_id").as("src"),
-        col("b_id").as("dst"))
-      .union(edges.select(col("__grp"), col("b_id").as("src"),
-        col("a_id").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val adj = walkCkpt(
+      edges.select(col("__grp"), col("a_id").as("src"),
+          col("b_id").as("dst"))
+        .union(edges.select(col("__grp"), col("b_id").as("src"),
+          col("a_id").as("dst")))
+        .distinct())
     val q = base.filter(col("vec_id") < 10)
       .select(col("__grp"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"))
@@ -486,9 +515,19 @@ object VectorOps {
     // entry points are part of the INDEX, disjoint from the query set
     // (vec_id < 10): an entry that IS the query gets excluded from
     // scoring, which silently left those queries with no entry in
-    // their own neighborhood (measured: recall 0.2 → healthy after)
+    // their own neighborhood (measured: recall 0.2 → healthy after).
+    // Candidates come from a deterministic HASH PREFILTER (expected
+    // ~4·entries ids per group) so the exact smallest-of pick sorts a
+    // bounded set — a bare per-group row_number window funneled each
+    // regime's whole id column through ONE task, a single-task
+    // corpus-sized sort on a path whose pitch is corpus-independence.
+    // The prefilter is id-determined (xxhash), so the entry SET is
+    // rerun-stable; tiny corpora (n ≲ 4·entries) keep everything.
     val wE = Window.partitionBy(col("__grp")).orderBy(col("vec_id"))
     val entryIds = base.filter(col("vec_id") >= 10)
+      .join(broadcast(nAgg), Seq("__grp"))
+      .filter(pmod(xxhash64(col("vec_id")),
+        greatest(lit(1L), (col("n") / lit(4L * entries)).cast("long"))) === 0L)
       .select(col("__grp"), col("vec_id"))
       .withColumn("rn", row_number().over(wE)).filter(col("rn") <= entries)
       .drop("rn")
@@ -498,7 +537,7 @@ object VectorOps {
     // single-partition frames, so each hop's eager checkpoint
     // schedules 1 task per stage instead of shuffle.partitions of
     // them (the walk's cost is job/task overhead, not data)
-    var scored = score(entry).repartition(1).localCheckpoint()
+    var scored = walkCkpt(score(entry).repartition(1))
     var beamDf = topN(scored, beam)
     (1 to hops).foreach { _ =>
       val expand = beamDf.select(col("__grp"), col("q_id"),
@@ -509,8 +548,8 @@ object VectorOps {
       val unseen = expand.join(
         scored.select(col("__grp"), col("q_id"), col("vec_id")),
         Seq("__grp", "q_id", "vec_id"), "left_anti")
-      scored = scored.unionByName(score(unseen))
-        .repartition(1).localCheckpoint()
+      scored = walkCkpt(scored.unionByName(score(unseen))
+        .repartition(1))
       beamDf = topN(scored, beam)
     }
     (topN(scored, 3), scored)
@@ -527,16 +566,24 @@ object VectorOps {
       // the per-regime sequential form paid the whole job-overhead
       // bill twice. The checkpoint also pins the md5-synthesized
       // clustered frame for q210's exact recall arm.
-      val tagged = Seq(
+      val tagged0 = Seq(
         ("clustered",
           synClustered(s, d).select(col("vec_id"), col("embedding"))),
         ("isotropic",
           t(s, d, "embeddings").select(col("vec_id"), col("embedding"))))
         .map { case (regime, f) => f.select(lit(regime).as("__grp"),
           col("vec_id"), col("embedding")) }
-        .reduce(_.unionByName(_)).localCheckpoint()
+        .reduce(_.unionByName(_))
+      val tagged = walkCkpt(tagged0)
+      // 24 entry points (vs the kernel's default 8): entries are
+      // hash-spread, not cluster-aware, so coverage of a corpus's
+      // natural clusters is probabilistic — more entries is the
+      // single-layer stand-in for HNSW's hierarchy, at one scored row
+      // per query each (measured: 8 hash-picked entries covered 6-7 of
+      // the 8 synthetic clusters and clustered recall read 0.8; 24
+      // restores 1.0)
       val (topk, visited) = graphBeamGrouped(s, tagged,
-        beam = 8, hops = 4, entries = 8, degree = 8)
+        beam = 8, hops = 4, entries = 24, degree = 8)
       Seq("clustered", "isotropic").map { regime =>
         (regime,
           tagged.filter(col("__grp") === regime).drop("__grp"),

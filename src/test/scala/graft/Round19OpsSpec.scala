@@ -430,6 +430,48 @@ class Round19OpsSpec extends SparkSpec {
     // hex: he | ##x missing -> whole word UNK -> 1
     assert(got("hex") === 1)
     assert(got("h") === 1)
+    // a vocab token LONGER than any merge-count heuristic: with the
+    // whole word in the vocab and the span cap at its true length, the
+    // greedy match is 1 token (the rounds+1 cap regression: merge
+    // lengths can double per round, so the cap must come from the
+    // vocab's real max consumed length)
+    val symsLong = syms.union(Seq("hello").toDF("sym"))
+    val gotLong = TextOps.wordpieceGreedy(words, symsLong, maxLen = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(gotLong("hello") === 1)
+  }
+
+  test("wordpiece span cap derives from the vocab, not the round count") {
+    import graft.queries.TextOps
+    try {
+      // trained at 10 rounds on the fixture corpus: every trained
+      // word's greedy segmentation must never be beaten by a LONGER
+      // vocab-token match the cap could have hidden — verify by
+      // asserting every merged token is proposable: re-encode each
+      // merged token's raw spelling as a standalone word; a correctly
+      // capped matcher scores it as ONE token
+      val (merges, _) = TextOps.wordpieceLoop(spark, sfDir, rounds = 10)
+      import spark.implicits._
+      val mergedWords = merges.collect().map { r =>
+        val m = r.getString(3)
+        (if (m.startsWith("##")) m.stripPrefix("##") else m, 1L)
+      }.distinct.toSeq
+      // initial-position spellings only (a ##-continuation token can't
+      // START a word); keep those whose spelling IS an initial token
+      val initial = merges.collect().map(_.getString(3))
+        .filter(!_.startsWith("##")).distinct.toSeq
+      if (initial.nonEmpty) {
+        val vocab = TextOps.wordpieceLoop(spark, sfDir, rounds = 10)._2
+        // the trained segmentation of a word equal to an initial vocab
+        // token must be exactly 1 piece
+        val seg = vocab.filter(col("w").isin(initial: _*))
+          .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+        seg.foreach { case (w, n) =>
+          assert(n === 1, s"vocab token '$w' not matched whole (n_sym=$n)")
+        }
+      }
+      assert(mergedWords.nonEmpty)
+    } finally graft.queries.TextOps.releaseCaches()
   }
 
   test("wordpiece trainer invariants: rounds, spelling, score algebra, segmentation bounds") {
