@@ -107,6 +107,48 @@ class SnapshotLogRetrySpec extends SparkSpec {
     assert(outcomes.nonEmpty)
   }
 
+  test("MoR delete raced with append is serializable (one of the two serial orders)") {
+    import spark.implicits._
+    (0 until 6).foreach { round =>
+      val dir = Files.createTempDirectory(s"snaplog_retry_mor$round").toString
+      SnapshotLog.reset(dir, checkpointInterval = 3)
+      SnapshotLog.append((0L until 10L).toDF("k"), dir, col("k"))
+      inParallel(Seq(
+        () => { SnapshotLog.deleteMorWithRetry(spark, dir,
+          pmod(col("k"), lit(2L)) === 0, maxAttempts = 50); () },
+        () => { SnapshotLog.appendWithRetry((100L until 104L).toDF("k"),
+          dir, col("k"), maxAttempts = 50); () }
+      ))
+      val got = SnapshotLog.readAsOf(spark, dir, SnapshotLog.version(dir))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // serial order A (delete, then append): odds + all of 100..103
+      val a = Seq(1L, 3L, 5L, 7L, 9L) ++ (100L until 104L)
+      // serial order B (append, then delete): odds + the odd appends
+      val b = Seq(1L, 3L, 5L, 7L, 9L, 101L, 103L)
+      assert(got === a || got === b,
+        s"round=$round non-serializable MoR outcome: $got")
+    }
+  }
+
+  test("MoR merge raced with compact: tombstones survive whichever order wins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snaplog_retry_mmc").toString
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append((0L until 8L).toDF("k"), dir, col("k"))
+    inParallel(Seq(
+      () => { SnapshotLog.mergeMorWithRetry(spark,
+        Seq(2L, 50L).toDF("k"), dir, "k", col("k"), maxAttempts = 50); () },
+      () => { SnapshotLog.compactWithRetry(spark, dir, col("k"),
+        maxAttempts = 50); () }
+    ))
+    // both committed in some order: key 2 replaced exactly once (its
+    // old image tombstoned OR compacted away), 50 inserted once
+    val got = SnapshotLog.readAsOf(spark, dir, SnapshotLog.version(dir))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === ((0L until 8L) :+ 50L).sorted)
+    assert(SnapshotLog.version(dir) === 2)
+  }
+
   test("merge and compact retries re-run against the new head") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snaplog_retry_mc").toString
