@@ -65,7 +65,12 @@ object Bench {
     // prefix pairs) — without this line the screen row re-prices the
     // df groupBy + rarity windows + prefix join every sweep
     "containment_screen" ->
-      ((s, d) => graft.queries.TextOps.warmContainmentScreen(s, d))
+      ((s, d) => graft.queries.TextOps.warmContainmentScreen(s, d)),
+    // the two-regime graph-ANN adjacency builds + beam walks shared by
+    // q210/q215 — without this line q210 (alphabetically first)
+    // absorbs both regimes' graph construction into its serving row
+    // (the round-14 verdict's accounting finding)
+    "graph_adj" -> ((s, d) => graft.queries.VectorOps.warmGraphWalks(s, d))
   )
 
   def main(args: Array[String]): Unit = {

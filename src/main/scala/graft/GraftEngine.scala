@@ -434,6 +434,42 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       dims: Seq[org.apache.spark.sql.Column], bucketBits: Int = 2): Int =
     graft.ext.SnapshotLog.optimize(spark, logDir, statsCol, dims, bucketBits)
 
+  /** Per-segment health metrics of a snapshot version (round-15
+    * item 7; q220's kernel): rows, bytes, active DV tombstones, the
+    * tombstone ratio, and sidecar-stats coverage per live segment —
+    * the metadata-priced audit `optimizeIncrementalSnapshot`'s
+    * selection policy reads before touching any data.
+    */
+  def snapshotSegmentHealth(logDir: String,
+      v: Int): Seq[graft.ext.SnapshotLog.SegmentHealth] =
+    graft.ext.SnapshotLog.segmentHealth(spark, logDir, v)
+
+  /** Incremental OPTIMIZE on a snapshot log (round-15 item 2; q218's
+    * kernel): rewrite ONLY the segments the health policy selects
+    * (small files, tombstone-heavy), carry the rest by reference —
+    * maintenance cost ∝ selected bytes, never table bytes.
+    */
+  def optimizeIncrementalSnapshot(logDir: String,
+      statsCol: org.apache.spark.sql.Column,
+      dims: Seq[org.apache.spark.sql.Column], bucketBits: Int = 2,
+      smallBytes: Long = 64L << 20, minTombstoneRatio: Double = 0.1): Int =
+    graft.ext.SnapshotLog.optimizeIncremental(spark, logDir, statsCol,
+      dims, bucketBits, smallBytes = smallBytes,
+      minTombstoneRatio = minTombstoneRatio)
+
+  /** Checkpointed streaming TAIL of a snapshot log (round-15 item 1):
+    * plan-durably / process / commit per micro-batch — a crash before
+    * the commit replays the same version range under the same batch
+    * id, so a batch-id-keyed sink body is exactly-once. See
+    * streaming/SnapshotSource for modes (cdc vs insert-only).
+    */
+  def tailSnapshot(logDir: String, checkpointDir: String,
+      cdc: Boolean = true, ignoreDeletes: Boolean = false,
+      maxBatches: Int = Int.MaxValue)(
+      process: (DataFrame, Long) => Unit): Seq[Long] =
+    graft.streaming.SnapshotSource.run(spark, logDir, checkpointDir, cdc,
+      ignoreDeletes, maxBatches)(process)
+
   /** Pruned snapshot read on any SIDECAR stats column recorded by the
     * log's table-property stats schema (q208's kernel): segments whose
     * recorded range misses [lo, hi] are skipped before file listing;
@@ -517,6 +553,26 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def incrementalKnn(vectors: DataFrame,
       isIncrement: org.apache.spark.sql.Column): DataFrame =
     graft.queries.VectorOps.incrementalKnnOf(spark, vectors, isIncrement)
+
+  /** CDC-driven incremental kNN (round-15 item 5; q219's kernel): the
+    * nightly refresh wired to the REAL change feed instead of a
+    * predicate — the corpus is a versioned snapshot log of
+    * (vec_id, embedding), the increment is exactly the rows versions
+    * (fromV, toV] appended (`readChanges` — reads ONLY the delta
+    * segments, never standing history), and only the neighbor lists
+    * of LSH buckets those rows land in recompute against the toV
+    * corpus. Returns the refreshed (a_id, b_id, cos_r, rn) lists —
+    * bit-identical to a full rebuild restricted to affected buckets.
+    */
+  def incrementalKnnFromLog(logDir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.ext.SnapshotLog.readAsOf(spark, logDir, toV)
+      .select(col("vec_id"), col("embedding"))
+    val incrementIds = graft.ext.SnapshotLog
+      .readChanges(spark, logDir, fromV, toV).select(col("vec_id"))
+    graft.queries.VectorOps.incrementalKnnIds(spark, corpus, incrementIds)
+  }
 
   /** Soft-dedup yield accounting on ANY (doc_id, source, text) frame —
     * q185's kernel: near-dup clusters downweighted to 1/cluster_size

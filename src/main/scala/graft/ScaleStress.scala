@@ -294,7 +294,16 @@ object ScaleStress {
       // MoR merge commit cost is src + matched-rows (q193's CoW row
       // beside it prices the touched-segment rewrite it avoids); the
       // trailing compact is the one write-linear rewrite
-      "q216_snapshot_merge_mor")
+      "q216_snapshot_merge_mor",
+      // round-15: the streaming source's per-trigger cost is the
+      // CHANGE volume (manifest walks + delta-segment scans), and the
+      // incremental optimize's is the SELECTED bytes — at 10× the
+      // q218 row rewrites the same small post-1999 slice while the
+      // big segments (90%+ of the table) carry by reference; compare
+      // against q206's full-rewrite row beside it. q220's health scan
+      // projects only _metadata.file_path — metadata-linear.
+      "q217_stream_source_audit", "q218_incremental_optimize",
+      "q219_incremental_knn_cdc", "q220_segment_health")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

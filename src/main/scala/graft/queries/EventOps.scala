@@ -1,5 +1,6 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -197,6 +198,107 @@ object EventOps {
         "CAST(sum(c) AS BIGINT) AS value_cents, " +
         "CAST(3 AS BIGINT) AS n_versions " +
         "FROM s GROUP BY b ORDER BY batch_id")),
+
+    GraftQuery(
+      "q217_stream_source_audit",
+      "Streaming SOURCE exactly-once replay audit (round-15 item 1 — the q200 " +
+        "pattern driven from the READ side): q200 proved the snapshot SINK's " +
+        "batch-id gate; this query proves the new checkpointed log TAIL " +
+        "(streaming/SnapshotSource — plan-offsets-durably, process, commit, the " +
+        "MicroBatchExecution WAL recipe) delivers an append/compact/delete " +
+        "history exactly once THROUGH a crash. Schedule: batch 0 tails the " +
+        "initial snapshot (one appended events slice); a second slice lands " +
+        "plus a compaction (dataChange = false), and the tail CRASHES after " +
+        "its sink body ran but before the batch committed — the restart " +
+        "replays the SAME version range under the SAME batch id into the " +
+        "batch-id-keyed sink, which overwrites itself (exactly-once on top of " +
+        "at-least-once); then the third slice plus a merge-on-read DELETE " +
+        "land and the tail delivers insert AND delete rows tagged with their " +
+        "commit versions. Every audited number is recomputable by the oracle " +
+        "from base events: per batch the attempt count (the injected " +
+        "schedule), insert/delete row counts and exact-cents masses, and the " +
+        "distinct commit versions delivered (compaction contributes NONE — a " +
+        "leak would both raise n_versions and double n_ins into a hash " +
+        "mismatch; a replay double-land would double batch 1's rows the same " +
+        "way). At 100 TB this is the tail a downstream training pipeline " +
+        "hangs off the table: cost per trigger = the change volume, with " +
+        "recovery semantics identical to Spark's own streaming engine.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        import graft.streaming.SnapshotSource
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-snapsrc-" + Integer.toHexString(d.hashCode) +
+            s"-p${ProcessHandle.current().pid()}").toString
+        val dir = s"$base/log"; val ck = s"$base/ck"; val sink = s"$base/sink"
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        Seq(ck, sink).foreach { p =>
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.isDirectory(root)) {
+            val st = java.nio.file.Files.walk(root)
+            try st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+            finally st.close()
+          }
+        }
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        def slice(b: Long): DataFrame =
+          ev.filter(pmod(col("event_id"), lit(3L)) === b)
+        def land(df: DataFrame, bid: Long): Unit =
+          df.write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+        SnapshotLog.append(slice(0), dir, col("event_id")) // v0
+        SnapshotSource.run(s, dir, ck)(land) // batch 0: initial snapshot
+        SnapshotLog.append(slice(1), dir, col("event_id")) // v1
+        SnapshotLog.compact(s, dir, col("event_id")) // v2, silent
+        // the crash: sink body lands batch 1, the commit never does
+        try SnapshotSource.run(s, dir, ck) { (df, bid) =>
+          land(df, bid)
+          throw new RuntimeException("injected crash before commit")
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected") => () }
+        SnapshotSource.run(s, dir, ck)(land) // restart: replays batch 1
+        SnapshotLog.append(slice(2), dir, col("event_id")) // v3
+        SnapshotLog.deleteMor(s, dir,
+          pmod(col("event_id"), lit(7L)) === 2) // v4
+        SnapshotSource.run(s, dir, ck)(land) // batch 2: (2, 4]
+        val attempts = when(col("batch_id") === 0, 1L)
+          .when(col("batch_id") === 1, 2L).otherwise(1L)
+        val isIns = col("_change_type") === "insert"
+        s.read.parquet(sink)
+          .groupBy(col("batch_id").cast("long").as("batch_id"))
+          .agg(
+            sum(when(isIns, 1L).otherwise(0L)).cast("long").as("n_ins"),
+            sum(when(isIns, cents(col("value"))).otherwise(0L))
+              .cast("long").as("ins_cents"),
+            sum(when(!isIns, 1L).otherwise(0L)).cast("long").as("n_del"),
+            sum(when(!isIns, cents(col("value"))).otherwise(0L))
+              .cast("long").as("del_cents"),
+            countDistinct(col("_commit_version")).cast("long")
+              .as("n_versions"))
+          .withColumn("n_attempts", attempts)
+          .select(col("batch_id"), col("n_attempts"), col("n_ins"),
+            col("ins_cents"), col("n_del"), col("del_cents"),
+            col("n_versions"))
+          .orderBy(col("batch_id"))
+      },
+      Some("WITH s AS (SELECT event_id % 3 AS b, event_id % 7 AS d7, " +
+        "CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+        "i AS (SELECT b, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS cc FROM s GROUP BY b), " +
+        "dl AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS cc FROM s WHERE d7 = 2) " +
+        "SELECT CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS " +
+        "n_attempts, n AS n_ins, cc AS ins_cents, CAST(0 AS BIGINT) AS " +
+        "n_del, CAST(0 AS BIGINT) AS del_cents, CAST(1 AS BIGINT) AS " +
+        "n_versions FROM i WHERE b = 0 " +
+        "UNION ALL SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), n, cc, " +
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT) " +
+        "FROM i WHERE b = 1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), i.n, " +
+        "i.cc, dl.n, dl.cc, CAST(2 AS BIGINT) FROM i, dl WHERE i.b = 2 " +
+        "ORDER BY batch_id")),
 
     GraftQuery(
       "q171_asof_native",

@@ -665,6 +665,19 @@ object VectorOps {
   def warmKnnGraph(s: SparkSession, d: String): Unit =
     knnGraph(s, d).write.format("noop").mode("overwrite").save()
 
+  /** Explicit bench setup for the graph-ANN walks (round-15 item 4):
+    * both regimes' corpus synthesis, adjacency builds and beam walks
+    * memoize per (session, dir) — the one shared artifact q210 (recall
+    * calibration) and q215 (state export) both serve from, and the
+    * most expensive build in the registry. Named `graph_adj` under the
+    * bench accounting rule (the warmPairKernel pattern), so q210's row
+    * prices the exact recall arms + calibration comparison only — the
+    * serving cost, not two regimes' graph construction.
+    */
+  def warmGraphWalks(s: SparkSession, d: String): Unit = {
+    graphBeamRegimes(s, d); ()
+  }
+
   /** DuckDB twin of `knnGraph` as a CTE chain ending in
     * k(a_id, b_id, cos_r) — the top-3 in-bucket neighbor list.
     */
@@ -677,6 +690,28 @@ object VectorOps {
       "r AS (SELECT a_id, b_id, cos_r, " +
       "row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS rn FROM p), " +
       "k AS (SELECT a_id, b_id, cos_r FROM r WHERE rn <= 3)"
+
+  /** q187's DuckDB twin — also q219's: the CDC-driven refresh reads
+    * the identical increment cohort from the log's delta segment, so
+    * the refreshed lists must reproduce this oracle bit-for-bit.
+    */
+  private val incrementalKnnOracle: String =
+    s"WITH $bucketCteSql, " +
+      "aff AS (SELECT DISTINCT bucket FROM e WHERE " +
+      "CAST((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),1,1))-1)*4096 " +
+      "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),2,1))-1)*256 " +
+      "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),3,1))-1)*16 " +
+      "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),4,1))-1) " +
+      "AS BIGINT) % 10 = 0), " +
+      "m AS (SELECT e.* FROM e JOIN aff USING (bucket)), " +
+      "p AS (SELECT m.vec_id AS a_id, b.vec_id AS b_id, " +
+      "round(list_inner_product(m.emb, b.emb)/" +
+      "(sqrt(list_inner_product(m.emb, m.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
+      "FROM m JOIN e b ON m.bucket = b.bucket AND m.vec_id <> b.vec_id), " +
+      "r AS (SELECT a_id, b_id, cos_r, " +
+      "CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS INTEGER) AS rn FROM p) " +
+      "SELECT a_id, b_id, cos_r, rn FROM r WHERE rn <= 3 " +
+      "ORDER BY a_id, rn"
 
   /** q50's DuckDB twin — also the oracle for q139, whose full-probe
     * IVF-PQ search must reproduce the brute-force answer bit-for-bit.
@@ -1384,22 +1419,46 @@ object VectorOps {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         conv(substring(md5(col("vec_id").cast("string")), 1, 4),
           16, 10).cast("long") % 10 === 0),
-      Some(s"WITH $bucketCteSql, " +
-        "aff AS (SELECT DISTINCT bucket FROM e WHERE " +
-        "CAST((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),1,1))-1)*4096 " +
-        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),2,1))-1)*256 " +
-        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),3,1))-1)*16 " +
-        "+ (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)),4,1))-1) " +
-        "AS BIGINT) % 10 = 0), " +
-        "m AS (SELECT e.* FROM e JOIN aff USING (bucket)), " +
-        "p AS (SELECT m.vec_id AS a_id, b.vec_id AS b_id, " +
-        "round(list_inner_product(m.emb, b.emb)/" +
-        "(sqrt(list_inner_product(m.emb, m.emb))*sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos_r " +
-        "FROM m JOIN e b ON m.bucket = b.bucket AND m.vec_id <> b.vec_id), " +
-        "r AS (SELECT a_id, b_id, cos_r, " +
-        "CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos_r DESC, b_id) AS INTEGER) AS rn FROM p) " +
-        "SELECT a_id, b_id, cos_r, rn FROM r WHERE rn <= 3 " +
-        "ORDER BY a_id, rn")),
+      Some(incrementalKnnOracle)),
+
+    GraftQuery(
+      "q219_incremental_knn_cdc",
+      "CDC-DRIVEN incremental kNN (round-15 item 5): q187's nightly refresh with " +
+        "the increment wired to the REAL change feed instead of an md5-split " +
+        "predicate — the embeddings corpus lives in a versioned snapshot log " +
+        "(v0 = the standing corpus, v1 = the newly-landed batch, the SAME md5 " +
+        "cohort q187 marks, so both share one oracle), and the refresh consumes " +
+        "`readChanges(0, 1)`: the increment ids come from scanning ONLY the " +
+        "delta segment (never standing history — Round20OpsSpec pins the " +
+        "row-count identity), flow into `incrementalKnnIds` as a left-semi " +
+        "mark (no driver-side id collection), and only the LSH buckets those " +
+        "vectors land in recompute against the full v1 corpus. Output is " +
+        "bit-identical to the full-rebuild answer restricted to affected " +
+        "buckets — the q187 oracle verbatim, now proving the log-driven path. " +
+        "At 100 TB this is the production wiring: the vector store's ingest " +
+        "commits through the log, and the index maintenance job reads the " +
+        "version window it last processed — the q189 CDC-gate pattern applied " +
+        "to ANN maintenance, with `GraftEngine.incrementalKnnFromLog` as the " +
+        "facade.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-knnlog-" + Integer.toHexString(d.hashCode) +
+            s"-p${ProcessHandle.current().pid()}").toString
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val isIncrement = conv(
+          substring(md5(col("vec_id").cast("string")), 1, 4),
+          16, 10).cast("long") % 10 === 0
+        SnapshotLog.append(e.filter(!isIncrement), dir, col("vec_id")) // v0
+        SnapshotLog.append(e.filter(isIncrement), dir, col("vec_id")) // v1
+        val corpus = SnapshotLog.readAsOf(s, dir, 1)
+          .select(col("vec_id"), col("embedding"))
+        val ids = SnapshotLog.readChanges(s, dir, 0, 1).select(col("vec_id"))
+        incrementalKnnIds(s, corpus, ids)
+      },
+      Some(incrementalKnnOracle)),
 
     GraftQuery(
       "q191_matryoshka_audit",

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.SnapshotLog
+
+/** Streaming SOURCE over a SnapshotLog — the missing half of the
+  * lakehouse loop (the engine had nine sinks/transforms and zero log
+  * sources; every streaming consumer polled batch CDC by hand). This
+  * is the `spark.readStream.format("delta")` posture re-expressed in
+  * the engine's foreachBatch-first architecture: a checkpointed
+  * micro-batch tail whose recovery contract is EXACTLY Spark's
+  * MicroBatchExecution write-ahead log —
+  *
+  *  1. PLAN: the next batch's version range (lastSeenV, head] is made
+  *     DURABLE in the checkpoint (`offsets/<batchId>`) BEFORE any row
+  *     is processed. Offsets publish with the same exclusive
+  *     hard-link discipline as manifest commits, so two tails racing
+  *     one checkpoint fail loudly instead of splitting a batch id.
+  *  2. PROCESS: the batch frame is handed to the caller's sink body.
+  *     Rows come from `readCdc(fromV, toV)` — per-version manifest
+  *     walks, so compaction/optimize rewrites (`dataChange = false`)
+  *     never re-deliver, deletion-vector deletes surface as tagged
+  *     delete rows, and every row carries `_commit_version` (and, in
+  *     cdc mode, `_change_type`). The first batch of a fresh
+  *     checkpoint is the INITIAL SNAPSHOT (fromV = -1): the table's
+  *     net state as inserts, Delta's starting semantics.
+  *  3. COMMIT: only after the sink body returns does
+  *     `commits/<batchId>` land. A crash between 1 and 3 leaves a
+  *     planned-but-uncommitted batch; the next run REPLAYS the same
+  *     version range under the SAME batch id, so a batch-id-keyed
+  *     idempotent sink (`manifestSink` / `snapshotCommitBatch` — every
+  *     sink in StreamOps) makes the pipeline exactly-once on top of
+  *     this source's at-least-once delivery.
+  *
+  * Delivery modes (Delta's source options):
+  *  - `cdc = true`: the full change feed — inserts AND deletes, each
+  *    tagged `_change_type` + `_commit_version`. The mode a
+  *    downstream keyed sink applies idempotently.
+  *  - `cdc = false`: insert-only (`_commit_version` still tagged). A
+  *    range containing a row-level delete REFUSES loudly unless
+  *    `ignoreDeletes = true` — silently skipping deletes would let an
+  *    insert-only consumer drift from the table (Delta's
+  *    `ignoreDeletes` contract, verbatim).
+  *
+  * Scale: one trigger costs O(window) driver-side manifest reads plus
+  * pruned parquet scans of exactly the delta/#cdcdel segments — never
+  * standing history, never a table diff. The checkpoint is two tiny
+  * files per batch. At 100 TB the tail's cost is the change volume,
+  * which is the definition of an incremental consumer.
+  */
+object SnapshotSource {
+
+  final case class PlannedBatch(batchId: Long, fromV: Int, toV: Int)
+
+  private def offsetsDir(ck: String): Path = Paths.get(ck, "offsets")
+  private def commitsDir(ck: String): Path = Paths.get(ck, "commits")
+
+  private def listed[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private def maxId(dir: Path): Long =
+    if (!Files.isDirectory(dir)) -1L
+    else listed(dir)(_.map(_.getFileName.toString)
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong).foldLeft(-1L)(math.max))
+
+  /** Publish a checkpoint file atomically AND exclusively (the
+    * SnapshotLog manifest discipline): a fully-written temp hard-links
+    * into place; a second tail racing the same batch id fails loudly.
+    */
+  private def publishFile(dir: Path, name: String, content: String): Unit = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp-${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    val target = dir.resolve(name)
+    try Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"checkpoint entry $target was written by another tail — one " +
+            "reader per checkpoint dir (Spark's own streaming contract)", e)
+      case _: UnsupportedOperationException => Files.move(tmp, target)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The last PLANNED batch (offsets WAL), committed or not. */
+  def lastPlanned(ckDir: String): Option[PlannedBatch] = {
+    val id = maxId(offsetsDir(ckDir))
+    if (id < 0) None
+    else {
+      val Array(fromV, toV) = Files.readAllLines(
+        offsetsDir(ckDir).resolve(id.toString), StandardCharsets.UTF_8)
+        .asScala.head.split('\t')
+      Some(PlannedBatch(id, fromV.toInt, toV.toInt))
+    }
+  }
+
+  /** The last batch whose sink body COMPLETED, or -1. */
+  def lastCommitted(ckDir: String): Long = maxId(commitsDir(ckDir))
+
+  /** Plan the next micro-batch: a planned-but-uncommitted batch
+    * replays VERBATIM (same id, same version range — recovery);
+    * otherwise the new range (lastToV, head], or None when caught up.
+    * The offsets entry is durable before this returns — the WAL step.
+    */
+  def planNext(logDir: String, ckDir: String): Option[PlannedBatch] = {
+    val planned = lastPlanned(ckDir)
+    planned match {
+      case Some(b) if b.batchId > lastCommitted(ckDir) => Some(b)
+      case _ =>
+        val lastToV = planned.map(_.toV).getOrElse(-1)
+        val head = SnapshotLog.version(logDir)
+        if (head <= lastToV) None
+        else {
+          val b = PlannedBatch(planned.map(_.batchId + 1).getOrElse(0L),
+            lastToV, head)
+          publishFile(offsetsDir(ckDir), b.batchId.toString,
+            s"${b.fromV}\t${b.toV}")
+          Some(b)
+        }
+    }
+  }
+
+  /** The rows of a planned batch. cdc mode = the full change feed;
+    * insert-only mode refuses ranges containing row-level deletes
+    * unless `ignoreDeletes` (see object doc). Both modes tag
+    * `_commit_version`.
+    */
+  def batchFrame(spark: SparkSession, logDir: String, b: PlannedBatch,
+      cdc: Boolean, ignoreDeletes: Boolean): DataFrame = {
+    val feed = SnapshotLog.readCdc(spark, logDir, b.fromV, b.toV)
+    if (cdc) feed
+    else {
+      // the INITIAL snapshot (fromV = -1) is net state — rows deleted
+      // before toV are already absent, so there is nothing to drift
+      // from (Delta's starting-snapshot semantics) and no manifest
+      // below the retention horizon is ever opened
+      if (!ignoreDeletes && b.fromV >= 0) {
+        val deleted = ((b.fromV + 1) to b.toV)
+          .filter(v => SnapshotLog.meta(logDir, v).cdcDel.nonEmpty)
+        require(deleted.isEmpty,
+          s"versions ${deleted.mkString(",")} of $logDir contain row-level " +
+            "deletes — an insert-only tail would silently drift from the " +
+            "table; use cdc = true, or ignoreDeletes = true to accept the " +
+            "drift explicitly (Delta's ignoreDeletes contract)")
+      }
+      feed.filter(col("_change_type") === "insert").drop("_change_type")
+    }
+  }
+
+  /** Mark a batch's sink body complete — after this the batch never
+    * replays.
+    */
+  def commitBatch(ckDir: String, batchId: Long): Unit =
+    publishFile(commitsDir(ckDir), batchId.toString, "")
+
+  /** ONE trigger: plan → read → process → commit. Returns the batch id
+    * processed, None when caught up. A `process` that throws leaves
+    * the batch planned-but-uncommitted — the next trigger replays it.
+    */
+  def trigger(spark: SparkSession, logDir: String, ckDir: String,
+      cdc: Boolean = true, ignoreDeletes: Boolean = false)(
+      process: (DataFrame, Long) => Unit): Option[Long] =
+    planNext(logDir, ckDir).map { b =>
+      process(batchFrame(spark, logDir, b, cdc, ignoreDeletes), b.batchId)
+      commitBatch(ckDir, b.batchId)
+      b.batchId
+    }
+
+  /** Run triggers until the tail catches up with the log head (or
+    * `maxBatches`). Availability-triggered execution — the
+    * `Trigger.AvailableNow` shape; a production deployment loops this
+    * on a schedule or a log-watch. Returns the batch ids processed
+    * this run (replays included — their ids repeat across runs, never
+    * within one).
+    */
+  def run(spark: SparkSession, logDir: String, ckDir: String,
+      cdc: Boolean = true, ignoreDeletes: Boolean = false,
+      maxBatches: Int = Int.MaxValue)(
+      process: (DataFrame, Long) => Unit): Seq[Long] = {
+    val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var more = true
+    while (more && done.size < maxBatches)
+      trigger(spark, logDir, ckDir, cdc, ignoreDeletes)(process) match {
+        case Some(id) => done += id
+        case None => more = false
+      }
+    done.toSeq
+  }
+
+  /** Log-to-log MIRROR: tail `srcLogDir` and land every batch in
+    * `dstLogDir` via the idempotent snapshot sink (`appendWithRetry`
+    * under the batch-id gate). Source WAL replay composes with the
+    * sink's manifest-checked batch gate, so the pipeline is
+    * exactly-once end-to-end even when BOTH sides crash: a replayed
+    * batch re-reads the same version range and the sink skips the id
+    * it already committed. Insert-only by construction (a mirror of a
+    * table with row-level deletes needs a keyed MERGE sink, not an
+    * append log) — refuses delete-bearing ranges like every
+    * insert-only tail.
+    */
+  def mirror(spark: SparkSession, srcLogDir: String, ckDir: String,
+      dstLogDir: String, statsCol: String,
+      maxBatches: Int = Int.MaxValue): Seq[Long] =
+    run(spark, srcLogDir, ckDir, cdc = false, ignoreDeletes = false,
+      maxBatches = maxBatches) { (df, bid) =>
+      StreamOps.snapshotCommitBatch(df.drop("_commit_version"),
+        dstLogDir, statsCol, bid)
+    }
+}

@@ -251,6 +251,28 @@ object StreamOps {
     }
   }
 
+  /** Streaming SOURCE over a SnapshotLog — the read-side twin of
+    * `snapshotSinkStream`, closing the lakehouse loop: a checkpointed
+    * micro-batch tail of the log (SnapshotSource) that plans each
+    * trigger's version range into a write-ahead offsets file, reads
+    * the range via `readCdc` (compaction/optimize rewrites are
+    * dataChange = false and never re-deliver; DV deletes surface as
+    * tagged delete rows; every row carries `_commit_version`), hands
+    * it to `process(df, batchId)`, and commits the batch id — a crash
+    * anywhere before the commit replays the SAME range under the SAME
+    * id, so any batch-id-keyed idempotent sink body is exactly-once.
+    * `cdc = false` delivers inserts only and REFUSES delete-bearing
+    * ranges unless `ignoreDeletes` (Delta's source contract). Runs
+    * until caught up (Trigger.AvailableNow shape); loop it for a
+    * continuous tail. Returns the batch ids processed this run.
+    */
+  def snapshotSourceStream(spark: org.apache.spark.sql.SparkSession,
+      logDir: String, checkpointDir: String, cdc: Boolean = true,
+      ignoreDeletes: Boolean = false, maxBatches: Int = Int.MaxValue)(
+      process: (DataFrame, Long) => Unit): Seq[Long] =
+    SnapshotSource.run(spark, logDir, checkpointDir, cdc, ignoreDeletes,
+      maxBatches)(process)
+
   /** Streaming ANN-index ingest — keeping a standing IVF-PQ index fresh
     * as new vectors arrive, the maintenance path of a production vector
     * store: each micro-batch pushes through `IvfPq.encode` against the

@@ -52,7 +52,12 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q213_stats_evolution",
       "q214_wordpiece_segmentation",
       "q215_graph_ann_topk",
-      "q216_snapshot_merge_mor")
+      "q216_snapshot_merge_mor",
+      // round 15
+      "q217_stream_source_audit",
+      "q218_incremental_optimize",
+      "q219_incremental_knn_cdc",
+      "q220_segment_health")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.ext.SnapshotLog
 
@@ -98,6 +99,10 @@ class Round19OpsSpec extends SparkSpec {
     val memo = new KeyedMemo[Long, Integer]
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val nextKey = new java.util.concurrent.atomic.AtomicLong(0L)
+    // every key whose getOrBuild RETURNED — the set the no-leak
+    // property below is stated over (keys are unique per call, so
+    // every call is a fresh build and value == key)
+    val returned = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     (0 until 4).foreach { _ =>
       pool.submit(new Runnable {
@@ -105,28 +110,41 @@ class Round19OpsSpec extends SparkSpec {
           while (!stop.get()) {
             val k = nextKey.incrementAndGet()
             memo.getOrBuild(k)(Integer.valueOf(k.toInt))
+            returned.add(k)
           }
       })
     }
-    try {
-      Thread.sleep(100L)
-      // the old global-counter wait never reached zero under this load;
-      // the per-generation counter only waits on builds that entered
-      // the detached map, so drain returns promptly mid-flood
-      val t0 = System.nanoTime()
-      val drained = memo.drain()
-      val waitedMs = (System.nanoTime() - t0) / 1000000L
-      assert(waitedMs < 5000L,
-        s"drain blocked ${waitedMs}ms under continuous traffic")
-      assert(drained.nonEmpty)
-    } finally {
-      stop.set(true)
-      pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
-    }
-    // nothing leaked: every built value is in some drain or the memo
+    val drained =
+      try {
+        Thread.sleep(100L)
+        // the old global-counter wait never reached zero under this
+        // load; the per-generation counter only waits on builds that
+        // entered the detached map, so drain returns promptly mid-flood
+        val t0 = System.nanoTime()
+        val d = memo.drain()
+        val waitedMs = (System.nanoTime() - t0) / 1000000L
+        assert(waitedMs < 5000L,
+          s"drain blocked ${waitedMs}ms under continuous traffic")
+        assert(d.nonEmpty)
+        d
+      } finally {
+        stop.set(true)
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    // with traffic quiesced, the second drain holds exactly the rest:
+    // the two drains are DISJOINT (no value surfaces twice) and their
+    // union covers every returned key (no build slipped between the
+    // generation swap and the counter wait — the leak drain() closes).
+    // Builds that entered the memo but whose `returned.add` had not run
+    // at a drain boundary can only make the drains a SUPERSET of
+    // `returned`, never smaller — the quiesced snapshot sees all adds.
     val leftover = memo.drain()
-    assert(leftover.size + 1 >= 1) // drains disjoint by construction
+    val all = (drained ++ leftover).map(_.longValue())
+    assert(all.size === all.distinct.size, "drains must be disjoint")
+    val returnedSet = returned.asScala.toSet
+    assert(returnedSet.subsetOf(all.toSet),
+      s"${(returnedSet -- all.toSet).size} built values leaked past both drains")
   }
 
   // == Deletion vectors (merge-on-read DELETE) ==
@@ -396,7 +414,13 @@ class Round19OpsSpec extends SparkSpec {
     // an instant between v1 and v2 reads v1; exactly at v2 reads v2
     assert(SnapshotLog.versionAt(dir, (times(1) + times(2)) / 2) === 1)
     assert(SnapshotLog.versionAt(dir, times(2)) === 2)
-    assert(SnapshotLog.versionAt(dir, Long.MaxValue) === 3)
+    // exactly at the newest commit resolves the head; PAST it fails
+    // loudly (Delta's timestampAsOf contract — a typo'd future date
+    // must not silently read HEAD; the round-14 advice finding)
+    assert(SnapshotLog.versionAt(dir, times(3)) === 3)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.versionAt(dir, times(3) + 60000L)
+    }
     assert(SnapshotLog.readAsOfTimestamp(spark, dir, times(1)).count() === 2L)
     // before the log: loud
     intercept[IllegalArgumentException] {
@@ -413,6 +437,53 @@ class Round19OpsSpec extends SparkSpec {
   }
 
   // == WordPiece tokenizer (q211/q212/q214) ==
+
+  test("wordpiece greedy property: single-char words, all-UNK, literal-## collisions (seeded)") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    // the input class the enumerated tests don't generate: words
+    // containing literal '#' runs, whose continuation candidates spell
+    // "##" + "#…" and collide with ##-prefixed vocab entries; plus
+    // 1-char words and words with no match at all (→ [UNK], n_sym 1)
+    val maxLen = 5
+    val vocab = Set("a", "b", "#", "ab", "##a", "##b", "###", "####",
+      "##ab", "aa", "##ba")
+    val rnd = new scala.util.Random(20260816)
+    val alphabet = "ab#c" // 'c' is in no vocab entry — the UNK driver
+    val seeded = (1 to 120).map { _ =>
+      val len = 1 + rnd.nextInt(6)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val edge = Seq("a", "b", "#", "c", "##", "###", "a##b", "##ab",
+      "#a", "a#", "ba##", "####")
+    val words = (seeded ++ edge).distinct
+    // the reference: the WordPiece contract stated directly — greedy
+    // longest-match at the cursor over (pos==0 ? s : "##"+s), whole
+    // word → [UNK] on any gap
+    def ref(w: String): Int = {
+      var pos = 0; var n = 0
+      while (pos < w.length) {
+        val pre = if (pos == 0) "" else "##"
+        (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(ln => vocab(pre + w.substring(pos, pos + ln))) match {
+          case Some(ln) => n += 1; pos += ln
+          case None => return 1
+        }
+      }
+      n
+    }
+    val got = TextOps.wordpieceGreedy(
+        words.map(w => (w, 1L)).toDF("w", "freq"),
+        vocab.toSeq.toDF("sym"), maxLen)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    words.foreach { w =>
+      assert(got(w) === ref(w), s"word '$w' diverged from the contract")
+    }
+    // the named classes really occurred (not vacuous)
+    assert(words.exists(_.length == 1))
+    assert(words.exists(w => ref(w) == 1 && w.exists(_ == 'c')))
+    assert(words.exists(w => w.contains("##") && ref(w) > 1))
+  }
 
   test("wordpiece greedy matcher: longest-match-first, ## continuation, UNK on gap") {
     import spark.implicits._

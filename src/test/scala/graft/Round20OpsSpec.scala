@@ -1,0 +1,300 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.SnapshotLog
+import graft.streaming.SnapshotSource
+
+/** Round-15 surfaces: the SnapshotLog streaming SOURCE (checkpointed
+  * micro-batch tail, q217), its insert-only/ignoreDeletes contract,
+  * the log-to-log mirror, and the round-14 advice regressions
+  * (legacy-log CDC DV-column leak, reserved __graft_dv_* namespace).
+  */
+class Round20OpsSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-r20-$tag").toString
+
+  private def rows(n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n).map(k => (k.toLong, k.toLong % 7, s"r$k"))
+      .toDF("k", "m", "s")
+  }
+
+  // == SnapshotSource: the checkpointed tail ==
+
+  test("source tails append/compact/delete history exactly once through a crash") {
+    val dir = tmp("src-log"); val ck = tmp("src-ck"); val sink = tmp("src-sink")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    def land(df: DataFrame, bid: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+    SnapshotLog.append(rows(40), dir, col("k"))
+    assert(SnapshotSource.run(spark, dir, ck)(land) === Seq(0L))
+    // caught up: no batch, no offsets churn
+    assert(SnapshotSource.run(spark, dir, ck)(land) === Seq.empty)
+    SnapshotLog.append(rows(20, from = 40), dir, col("k"))
+    SnapshotLog.compact(spark, dir, col("k"))
+    // the crash: sink body runs, commit does not
+    intercept[RuntimeException] {
+      SnapshotSource.run(spark, dir, ck) { (df, bid) =>
+        land(df, bid); throw new RuntimeException("crash")
+      }
+    }
+    assert(SnapshotSource.lastPlanned(ck).map(_.batchId) === Some(1L))
+    assert(SnapshotSource.lastCommitted(ck) === 0L)
+    // restart replays batch 1 with the SAME id and range
+    assert(SnapshotSource.run(spark, dir, ck)(land) === Seq(1L))
+    SnapshotLog.deleteMor(spark, dir, col("m") === 3)
+    assert(SnapshotSource.run(spark, dir, ck)(land) === Seq(2L))
+    val out = spark.read.parquet(sink)
+    // batch 0: the 40-row initial snapshot; batch 1: the 20-row append
+    // once (compaction silent, replay not double-landed); batch 2: the
+    // m==3 rows as deletes
+    val byBatch = out.groupBy(col("batch_id"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byBatch === Map(
+      (0, "insert") -> 40L, (1, "insert") -> 20L,
+      (2, "delete") -> rows(60).filter(col("m") === 3).count()))
+    // versions tagged truthfully: the compacted v2 contributed nothing
+    assert(out.filter(col("batch_id") === 1)
+      .select(col("_commit_version")).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("insert-only tail refuses delete-bearing ranges unless ignoreDeletes") {
+    val dir = tmp("insonly-log"); val ck = tmp("insonly-ck")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(30), dir, col("k"))
+    var seen = 0L
+    SnapshotSource.run(spark, dir, ck, cdc = false) { (df, _) =>
+      seen += df.count()
+      assert(!df.columns.contains("_change_type"))
+      assert(df.columns.contains("_commit_version"))
+    }
+    assert(seen === 30L)
+    SnapshotLog.deleteMor(spark, dir, col("m") === 1)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSource.run(spark, dir, ck, cdc = false)((_, _) => ())
+    }
+    assert(e.getMessage.contains("ignoreDeletes"))
+    // refusal leaves the batch uncommitted: ignoreDeletes then drains
+    // the SAME planned range, delivering only inserts (none here)
+    var n = 0L
+    SnapshotSource.run(spark, dir, ck, cdc = false,
+      ignoreDeletes = true)((df, _) => n += df.count())
+    assert(n === 0L)
+    assert(SnapshotSource.lastCommitted(ck) === 1L)
+  }
+
+  test("insert-only initial snapshot of a delete-bearing, vacuumed log is net state") {
+    val dir = tmp("init-log"); val ck = tmp("init-ck")
+    SnapshotLog.reset(dir, checkpointInterval = 1)
+    SnapshotLog.append(rows(30), dir, col("k"))
+    SnapshotLog.deleteMor(spark, dir, col("m") === 1)
+    SnapshotLog.compact(spark, dir, col("k"))
+    SnapshotLog.vacuum(dir, 2) // manifests v0/v1 are gone
+    // the initial snapshot is NET state: historical deletes are already
+    // absent (Delta's starting-snapshot semantics) — the insert-only
+    // refusal must not fire, and no pre-horizon manifest may be opened
+    var n = 0L
+    SnapshotSource.run(spark, dir, ck, cdc = false)((df, _) => n += df.count())
+    assert(n === 30L - rows(30).filter(col("m") === 1).count())
+  }
+
+  test("two tails racing one checkpoint fail loudly, not split-brain") {
+    val dir = tmp("race-log"); val ck = tmp("race-ck")
+    SnapshotLog.reset(dir)
+    SnapshotLog.append(rows(10), dir, col("k"))
+    // tail A plans batch 0 but has not committed; tail B (same ck dir)
+    // must not plan a conflicting batch 0 offsets entry
+    val planned = SnapshotSource.planNext(dir, ck)
+    assert(planned.map(_.batchId) === Some(0L))
+    // B's planNext sees the uncommitted WAL entry and replays it — the
+    // single defined recovery path
+    assert(SnapshotSource.planNext(dir, ck) === planned)
+  }
+
+  test("mirror: log-to-log tail is exactly-once end-to-end through a sink crash") {
+    val src = tmp("mir-src"); val ck = tmp("mir-ck"); val dst = tmp("mir-dst")
+    SnapshotLog.reset(src, checkpointInterval = 3)
+    SnapshotLog.reset(dst, checkpointInterval = 3)
+    SnapshotLog.append(rows(25), src, col("k"))
+    assert(SnapshotSource.mirror(spark, src, ck, dst, "k") === Seq(0L))
+    SnapshotLog.append(rows(25, from = 25), src, col("k"))
+    // crash AFTER the dst commit, BEFORE the source checkpoint commit:
+    // the worst case — the replayed batch must hit dst's batch-id gate
+    intercept[RuntimeException] {
+      SnapshotSource.run(spark, src, ck, cdc = false) { (df, bid) =>
+        graft.streaming.StreamOps.snapshotCommitBatch(
+          df.drop("_commit_version"), dst, "k", bid)
+        throw new RuntimeException("crash after dst commit")
+      }
+    }
+    assert(SnapshotSource.mirror(spark, src, ck, dst, "k") === Seq(1L))
+    val srcRows = SnapshotLog.readAsOf(spark, src, SnapshotLog.version(src))
+      .collect().map(_.toString).sorted.toSeq
+    val dstRows = SnapshotLog.readAsOf(spark, dst, SnapshotLog.version(dst))
+      .collect().map(_.toString).sorted.toSeq
+    assert(dstRows === srcRows)
+    // exactly one dst commit per source batch — no replay double-land
+    assert(SnapshotLog.version(dst) === 1)
+  }
+
+  // == Round-14 advice regressions ==
+
+  test("readCdc on a schema-less legacy log drops the reserved DV key columns") {
+    val dir = tmp("legacy-cdc")
+    SnapshotLog.reset(dir, checkpointInterval = 1)
+    SnapshotLog.append(rows(30), dir, col("k"))
+    // forge a LEGACY log: strip #schema lines from every manifest (the
+    // pre-schema-logging layout external logs may still carry)
+    val log = java.nio.file.Paths.get(dir, "_log")
+    val st = Files.list(log)
+    try st.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".manifest"))
+      .foreach { mf =>
+        val kept = Files.readAllLines(mf).asScala
+          .filterNot(_.startsWith("#schema\t"))
+        Files.write(mf, kept.mkString("\n").getBytes("UTF-8"))
+      }
+    finally st.close()
+    assert(SnapshotLog.schemaOf(dir, 0).isEmpty)
+    val v = SnapshotLog.deleteMor(spark, dir, col("m") === 2)
+    val cdc = SnapshotLog.readCdc(spark, dir, v - 1, v)
+    // before the fix this threw on unionByName (or leaked the columns)
+    assert(!cdc.columns.exists(_.startsWith("__graft_dv_")))
+    assert(cdc.filter(col("_change_type") === "delete").count() ===
+      rows(30).filter(col("m") === 2).count())
+  }
+
+  // == Incremental OPTIMIZE (q218's kernel) ==
+
+  test("optimizeIncremental coalesces small segments; big segments carry byte-identical") {
+    val dir = tmp("incopt")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(1000), dir, col("k")) // the big segment
+    SnapshotLog.append(rows(5, from = 1000), dir, col("k")) // tiny
+    SnapshotLog.append(rows(5, from = 1005), dir, col("k")) // tiny
+    SnapshotLog.append(rows(5, from = 1010), dir, col("k")) // tiny
+    val health = SnapshotLog.segmentHealth(spark, dir, 3)
+    val bigRel = health.maxBy(_.bytes).relPath
+    assert(health.head.relPath === bigRel, "first commit must be the big one")
+    // the big segment's exact on-disk file listing, to prove untouched
+    def listing(rel: String): Seq[(String, Long)] = {
+      val st = Files.walk(java.nio.file.Paths.get(dir, rel))
+      try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.size(p)).toSeq.sorted
+      finally st.close()
+    }
+    val bigBefore = listing(bigRel)
+    // threshold between tiny and big: the size-arm selects the three
+    // tiny segments only (no tombstones anywhere)
+    val v = SnapshotLog.optimizeIncremental(spark, dir, col("k"),
+      Seq(col("k")), bucketBits = 1,
+      smallBytes = health.maxBy(_.bytes).bytes,
+      minTombstoneRatio = 0.1)
+    val post = SnapshotLog.segments(dir, v).map(_.relPath)
+    assert(post.head === bigRel, "big segment must carry by reference")
+    assert(post.size <= 1 + 2, "three tiny segments coalesce into <=2^1")
+    assert(listing(bigRel) === bigBefore, "carried segment files changed")
+    assert(SnapshotLog.readAsOf(spark, dir, v).count() === 1015L)
+    // maintenance rewrite: the change feed must stay silent
+    assert(SnapshotLog.readChanges(spark, dir, 3, v).count() === 0L)
+  }
+
+  test("a DV spanning kept and selected files survives; a fully-replaced DV drops") {
+    val dir = tmp("incopt-dv")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(100), dir, col("k")) // segment A
+    SnapshotLog.append(rows(100, from = 100), dir, col("k")) // segment B
+    val vDel = SnapshotLog.deleteMor(spark, dir,
+      pmod(col("k"), lit(10L)) === 5) // one DV touching BOTH segments
+    assert(SnapshotLog.meta(dir, vDel).dvs.size === 1)
+    val segB = SnapshotLog.segments(dir, vDel)(1).relPath
+    val v1 = SnapshotLog.optimizeSegments(spark, dir, col("k"),
+      Seq(col("k")), Set(segB), bucketBits = 1)
+    // B's tombstones materialized into its rewrite, but the DV still
+    // tombstones segment A's files — it must stay active
+    assert(SnapshotLog.meta(dir, v1).dvs.size === 1,
+      "DV still referencing a kept file must survive")
+    assert(SnapshotLog.readAsOf(spark, dir, v1).count() === 180L)
+    // now rewrite A too: every DV key points at a replaced file — the
+    // active set empties (read rent gone), content unchanged
+    val segA = SnapshotLog.segments(dir, v1).head.relPath
+    assert(segA === SnapshotLog.segments(dir, vDel).head.relPath)
+    val v2 = SnapshotLog.optimizeSegments(spark, dir, col("k"),
+      Seq(col("k")), Set(segA), bucketBits = 1)
+    assert(SnapshotLog.meta(dir, v2).dvs.isEmpty,
+      "fully-replaced DV must leave the active set")
+    assert(SnapshotLog.readAsOf(spark, dir, v2).count() === 180L)
+  }
+
+  test("segmentHealth: stale DV entries never count against rewritten segments") {
+    val dir = tmp("health-stale")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(100), dir, col("k"))
+    SnapshotLog.deleteMor(spark, dir, col("m") === 1)
+    val h1 = SnapshotLog.segmentHealth(spark, dir, 1)
+    val expectDv = rows(100).filter(col("m") === 1).count()
+    assert(h1.map(_.dvRows).sum === expectDv)
+    assert(h1.forall(h => h.tombstoneRatio > 0.0))
+    // a copy-on-write delete rewrites the touched segment; the DV
+    // carries forward but its keys name the REPLACED file — health
+    // must report the fresh segment clean, not inherit ghosts
+    val v = SnapshotLog.delete(spark, dir, col("k") < 10, col("k"))
+    val h2 = SnapshotLog.segmentHealth(spark, dir, v)
+    assert(h2.forall(_.dvRows === 0L),
+      s"stale DV counted against a rewrite: $h2")
+    assert(h2.map(_.rows).sum ===
+      SnapshotLog.readAsOf(spark, dir, v).count())
+    assert(h2.forall(_.bytes > 0L))
+  }
+
+  // == CDC-driven incremental kNN (q219's kernel) ==
+
+  test("incrementalKnnFromLog: the increment reads ONLY the delta segment") {
+    val dir = tmp("knncdc")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    SnapshotLog.append(e.filter(col("vec_id") % 5 =!= 0), dir, col("vec_id"))
+    SnapshotLog.append(e.filter(col("vec_id") % 5 === 0), dir, col("vec_id"))
+    val deltaRel = SnapshotLog.segments(dir, 1).last.relPath
+    val ch = SnapshotLog.readChanges(spark, dir, 0, 1)
+    assert(ch.inputFiles.nonEmpty &&
+      ch.inputFiles.forall(_.contains(deltaRel)),
+      "increment must open only the delta segment's files")
+    assert(ch.count() === e.filter(col("vec_id") % 5 === 0).count())
+    // the facade path ≡ the predicate path on the same increment set
+    val fromLog = new GraftEngine(spark, sfDir)
+      .incrementalKnnFromLog(dir, 0, 1)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = graft.queries.VectorOps.incrementalKnnOf(spark, e,
+        col("vec_id") % 5 === 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromLog === direct)
+  }
+
+  test("appends refuse columns in the reserved __graft_dv_* namespace") {
+    import spark.implicits._
+    val dir = tmp("reserved")
+    SnapshotLog.reset(dir)
+    val bad = Seq((1L, "x")).toDF("k", "__graft_dv_file")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.append(bad, dir, col("k"))
+    }
+    assert(e.getMessage.contains("__graft_dv_"))
+    // the refusal left nothing behind — the log is still pristine
+    assert(SnapshotLog.version(dir) === -1)
+    SnapshotLog.append(rows(5), dir, col("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.merge(spark,
+        Seq((1L, 9L, "u", "z")).toDF("k", "m", "s", "__graft_dv_pos"),
+        dir, "k", col("k"))
+    }
+    assert(e2.getMessage.contains("__graft_dv_"))
+  }
+}

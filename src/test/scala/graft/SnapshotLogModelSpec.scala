@@ -64,6 +64,11 @@ class SnapshotLogModelSpec extends SparkSpec {
     // any divergence is a DV bug interacting with whatever the main
     // stream interleaved around it
     val morRnd = new Random(seed * 31 + 7)
+    // same trick for the compact FLAVOR (plain compact vs OPTIMIZE —
+    // both content-preserving dataChange=false rewrites) and for the
+    // streaming tail's injected crashes (round-15 item 6)
+    val optRnd = new Random(seed * 17 + 3)
+    val crashRnd = new Random(seed * 101 + 13)
     val dir = Files.createTempDirectory(
       s"snaplog_model_${seed}_ci$checkpointInterval").toString
     SnapshotLog.reset(dir, checkpointInterval)
@@ -74,6 +79,50 @@ class SnapshotLogModelSpec extends SparkSpec {
     var wideSince: Option[Int] = None // first version whose schema has x
 
     def latest: Int = versions.size - 1
+
+    // == The streaming SOURCE rides the same interleaving (round-15
+    // item 6): a checkpointed CDC tail (graft.streaming.SnapshotSource)
+    // drains after every op into a batch-id-keyed sink model, with
+    // randomly injected crashes between the sink body and the batch
+    // commit. Exactly-once delivery = the sink's cumulative inserts are
+    // EXACTLY every version's added rows (the first batch is the
+    // initial snapshot, which at drain-every-op cadence is v0's adds)
+    // and its deletes exactly every version's removed rows — across
+    // MoR deletes/merges, compaction, OPTIMIZE, vacuum and the
+    // column-add, a double-delivery or a dataChange leak breaks the
+    // multiset equality immediately.
+    val ckDir = Files.createTempDirectory(
+      s"snaplog_model_ck_${seed}_ci$checkpointInterval").toString
+    val sinkModel = scala.collection.mutable.Map
+      .empty[Long, Seq[(String, Long, Option[Long])]]
+    def recordBatch(df: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+      val hasX = df.columns.contains("x")
+      sinkModel(bid) = df.select(
+          col("_change_type"), col("k"),
+          (if (hasX) col("x") else lit(null).cast("long")).as("x"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    }
+    def drainTail(opIx: Int): Unit = {
+      import graft.streaming.SnapshotSource
+      if (crashRnd.nextInt(4) == 0) {
+        // crash AFTER the sink body, BEFORE the commit — the replayed
+        // batch id overwrites its own sink entry (idempotent apply)
+        try SnapshotSource.trigger(spark, dir, ckDir) { (df, bid) =>
+          recordBatch(df, bid)
+          throw new RuntimeException("injected tail crash")
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected") => () }
+      }
+      SnapshotSource.run(spark, dir, ckDir)(recordBatch)
+      val got = sinkModel.values.flatten.toSeq
+      val gotIns = got.collect { case ("insert", k, x) => (k, x) }.sorted
+      val gotDel = got.collect { case ("delete", k, x) => (k, x) }.sorted
+      assert(gotIns === versions.flatMap(_.rowsAdded).sorted,
+        s"seed=$seed op=$opIx source tail inserts diverged")
+      assert(gotDel === versions.flatMap(_.rowsDeleted).sorted,
+        s"seed=$seed op=$opIx source tail deletes diverged")
+    }
 
     (1 to opCount).foreach { opIx =>
       val op =
@@ -103,9 +152,26 @@ class SnapshotLogModelSpec extends SparkSpec {
           versions :+= V(rows, Nil, snap.sortBy(_._1))
           assert(v === latest, s"seed=$seed op=$opIx version drift")
         case 2 =>
-          SnapshotLog.compact(spark, dir, col("k"))
-          versions :+= V(Nil, Nil, versions.last.snapshot)
+          // flavor from its own stream (seed-layout-stable): plain
+          // compact vs OPTIMIZE ZORDER — both content-preserving
+          // dataChange=false rewrites the feed must stay silent across.
+          // An empty-snapshot optimize skips its commit (returns prev).
+          if (optRnd.nextBoolean()) {
+            val before = SnapshotLog.version(dir)
+            val v = SnapshotLog.optimize(spark, dir, col("k"),
+              Seq(col("k")), bucketBits = 1)
+            if (v > before) versions :+= V(Nil, Nil, versions.last.snapshot)
+            else assert(versions.last.snapshot.isEmpty,
+              s"seed=$seed op=$opIx optimize skipped a non-empty snapshot")
+          } else {
+            SnapshotLog.compact(spark, dir, col("k"))
+            versions :+= V(Nil, Nil, versions.last.snapshot)
+          }
         case 3 =>
+          // retention coordinates with consumer lag (the Delta
+          // posture): the tail drains any planned-but-uncommitted
+          // batch BEFORE manifests below its offset can be dropped
+          drainTail(opIx)
           val newHorizon = horizon + rnd.nextInt(latest - horizon + 1)
           SnapshotLog.vacuum(dir, newHorizon)
           horizon = newHorizon
@@ -274,6 +340,10 @@ class SnapshotLogModelSpec extends SparkSpec {
         intercept[Exception] {
           SnapshotLog.readAsOf(spark, dir, horizon - 1).count()
         }
+
+      // the streaming tail consumes this op's commits exactly once
+      // (crashes injected at random — see drainTail)
+      drainTail(opIx)
     }
     wideSince.isDefined
   }

@@ -129,4 +129,74 @@ class StreamRecoverySpec extends SparkSpec {
       assert(SnapshotLog.readAsOf(spark, logDir, v).count() > 0L)
     }
   }
+
+  test("snapshot source: a checkpoint restart replays the in-doubt batch exactly once") {
+    import graft.ext.SnapshotLog
+    import graft.streaming.SnapshotSource
+    // the full lakehouse loop: a REAL streaming query lands events in
+    // log A (snapshotSinkStream, proven above), and the round-15
+    // SOURCE tails A into log B (mirror). The crash topology is the
+    // source-side twin of the sink test: the mirror processed a batch
+    // (B committed it), then died before the SOURCE checkpoint's
+    // commits/<N> marker landed — the restart replays the same version
+    // range under the same batch id and B's manifest-checked batch
+    // gate must skip it.
+    val root = Files.createTempDirectory("graft-source-recovery")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt")
+    val logA = root.resolve("logA").toString
+    val logB = root.resolve("logB").toString
+    val srcCk = root.resolve("srcCk").toString
+    SnapshotLog.reset(logB, checkpointInterval = 3)
+
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.writeString(src.resolve(name), rows.mkString("\n"))
+    def runSinkOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).json(src.toString)
+      val q = StreamOps.snapshotSinkStream(
+          stream.select(col("event_id"), col("user_id"), col("value")),
+          logA, "event_id")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    writeFile("f1.json", (1L to 3L).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-01 00:0$i:00","user_id":$i,"event_type":"click","value":$i.0}"""))
+    runSinkOnce()
+    assert(SnapshotSource.mirror(spark, logA, srcCk, logB, "event_id")
+      === Seq(0L))
+    assert(SnapshotLog.readAsOf(spark, logB, SnapshotLog.version(logB))
+      .count() === 3L)
+
+    // the crash window: drop the source checkpoint's newest commit
+    // marker — batch 0 is now planned-but-uncommitted, exactly the
+    // state a crash between the sink body and commitBatch leaves
+    val commits = java.nio.file.Paths.get(srcCk, "commits")
+    val newest = Files.list(commits).toArray.map(_.toString)
+      .map(java.nio.file.Paths.get(_))
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(newest)
+
+    writeFile("f2.json", (4L to 5L).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-01 01:0$i:00","user_id":$i,"event_type":"click","value":$i.0}"""))
+    runSinkOnce()
+    // restart: batch 0 REPLAYS (same id, same range — B's gate skips
+    // it), then the new batch 1 lands exactly once
+    assert(SnapshotSource.mirror(spark, logA, srcCk, logB, "event_id")
+      === Seq(0L, 1L))
+
+    val vB = SnapshotLog.version(logB)
+    assert(vB === 1, "replay must not add a B version")
+    val all = SnapshotLog.readAsOf(spark, logB, vB)
+    assert(all.count() === 5L, "replayed batch double-landed or new batch lost")
+    assert(all.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to 5L))
+    // B's content is exactly A's — the mirror contract
+    val aRows = SnapshotLog.readAsOf(spark, logA, SnapshotLog.version(logA))
+      .collect().map(_.toString).sorted.toSeq
+    assert(all.collect().map(_.toString).sorted.toSeq === aRows)
+  }
 }
