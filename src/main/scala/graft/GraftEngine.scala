@@ -470,6 +470,23 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.streaming.SnapshotSource.run(spark, logDir, checkpointDir, cdc,
       ignoreDeletes, maxBatches)(process)
 
+  /** Incremental materialized-view maintenance (round-15 extension;
+    * q221's kernel): keep a keyed aggregate view of a source snapshot
+    * log fresh by tailing its change feed — each refresh recomputes
+    * only the groups the delta touched against the WAL-pinned source
+    * version, merge-on-reads them into the view log, and deletes
+    * groups whose every source row vanished. Refresh cost ∝ change
+    * volume + affected groups, never table or view size.
+    */
+  def maintainSnapshotView(srcLogDir: String, checkpointDir: String,
+      viewDir: String, viewKey: String,
+      keyExpr: org.apache.spark.sql.Column,
+      statsCol: org.apache.spark.sql.Column,
+      maxBatches: Int = Int.MaxValue)(
+      viewOf: DataFrame => DataFrame): Seq[Long] =
+    graft.streaming.SnapshotSource.maintainView(spark, srcLogDir,
+      checkpointDir, viewDir, viewKey, keyExpr, statsCol, maxBatches)(viewOf)
+
   /** Pruned snapshot read on any SIDECAR stats column recorded by the
     * log's table-property stats schema (q208's kernel): segments whose
     * recorded range misses [lo, hi] are skipped before file listing;

@@ -303,12 +303,66 @@ object ScaleStress {
       // against q206's full-rewrite row beside it. q220's health scan
       // projects only _metadata.file_path — metadata-linear.
       "q217_stream_source_audit", "q218_incremental_optimize",
-      "q219_incremental_knn_cdc", "q220_segment_health")
+      "q219_incremental_knn_cdc", "q220_segment_health",
+      // IVM refresh cost = change volume + affected groups' source
+      // rows; at 10× each refresh touches the same month cohorts with
+      // 10× the rows — write-volume-linear, never view- or table-sized
+      "q221_incremental_view")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
     require(unknown.isEmpty,
       s"unknown ScaleStress queries: ${unknown.mkString(",")}")
+
+    // --opt-compare: the round-15 cost∝selected-bytes proof, isolated
+    // from fixture builds — two IDENTICAL 10x orders logs (two big
+    // date segments, two small post-1999 segments, a MoR delete
+    // tombstoning only the small pair), then time (a) the FULL
+    // clustering rewrite vs (b) the incremental rewrite of just the
+    // selected pair. The ratio is the claim: maintenance pays for
+    // what it fixes, not for the table.
+    if (flagArgs.contains("--opt-compare")) {
+      import graft.ext.SnapshotLog
+      val o = Tables.load(spark, out, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val ts = unix_timestamp(col("o_orderdate"))
+      // the small pair is the post-2001 tail (~8% of rows) — the
+      // realistic shape: a long-lived table whose recent ingest is
+      // fragmented and tombstoned while history is clean
+      val c1 = lit("1997-01-01").cast("timestamp")
+      val c2 = lit("2001-01-01").cast("timestamp")
+      def build(dir: String): Int = {
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          dir, ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2 &&
+          pmod(col("o_orderkey"), lit(2L)) === 0), dir, ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2 &&
+          pmod(col("o_orderkey"), lit(2L)) === 1), dir, ts)
+        SnapshotLog.deleteMor(spark, dir,
+          col("o_orderdate") >= c2 && pmod(col("o_custkey"), lit(7L)) === 3)
+      }
+      val dims = Seq(col("o_custkey"), ts / 86400L)
+      val full = s"$out/optlog-full"; val inc = s"$out/optlog-inc"
+      build(full); build(inc)
+      val t0 = System.nanoTime()
+      SnapshotLog.optimize(spark, full, ts, dims, bucketBits = 2)
+      println(f"SCALE optimize_full_rewrite ${(System.nanoTime() - t0) / 1e9}%.2f")
+      val t1 = System.nanoTime()
+      SnapshotLog.optimizeIncremental(spark, inc, ts, dims, bucketBits = 2,
+        smallBytes = 1L, minTombstoneRatio = 1e-9)
+      println(f"SCALE optimize_selected_only ${(System.nanoTime() - t1) / 1e9}%.2f")
+      val nFull = SnapshotLog.readAsOf(spark, full,
+        SnapshotLog.version(full)).count()
+      val nInc = SnapshotLog.readAsOf(spark, inc,
+        SnapshotLog.version(inc)).count()
+      require(nFull == nInc,
+        s"full vs incremental content diverged: $nFull vs $nInc")
+      println(s"SCALE optimize_content_rows $nFull")
+    }
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()

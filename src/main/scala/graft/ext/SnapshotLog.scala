@@ -215,10 +215,15 @@ object SnapshotLog {
     * the config entry across lines and poison every later statsColsOf
     * parse — i.e. every subsequent write to the table.
     */
-  private def requireStatLine(n: String, e: String): Unit =
+  private def requireStatLine(n: String, e: String): Unit = {
     require(!n.contains('\t') && !n.contains('\n') &&
       !e.contains('\t') && !e.contains('\n'),
       s"stats name/expr must be tab/newline-free: $n")
+    // "__" prefixes the sidecar's RESERVED entries (__rows) — a user
+    // stat by such a name would collide with them
+    require(!n.startsWith("__"),
+      s"stat name '$n' collides with the sidecar's reserved __ namespace")
+  }
 
   /** Config evolution is a read-modify-write; it serializes per path
     * WITHIN the JVM (the in-process race two engine threads can
@@ -587,6 +592,16 @@ object SnapshotLog {
     * added by later evolution starts recording once segments carry it
     * — absent stats only mean "never skipped", never a wrong skip).
     */
+  /** Reserved sidecar entry: the segment's ROW COUNT, recorded by the
+    * same one-pass stat aggregate every writer already runs (min = max
+    * = count). Delta logs numRecords per file for exactly this —
+    * `segmentHealth` reads table row counts as METADATA instead of
+    * scanning, and only legacy segments (written before the entry
+    * existed) fall back to a scan. Never a pruning stat; the "__"
+    * namespace is refused for user stat names at reset/evolve.
+    */
+  private val RowsStatName = "__rows"
+
   private def statsAndSidecar(spark: SparkSession, dir: String,
       segPath: String, statsCol: Column): (Long, Long) = {
     val df = spark.read.parquet(segPath)
@@ -594,20 +609,21 @@ object SnapshotLog {
       scala.util.Try(df.select(expr(e))).isSuccess
     }
     val aggs = Seq(min(statsCol).cast("long").as("__mn"),
-      max(statsCol).cast("long").as("__mx")) ++
+      max(statsCol).cast("long").as("__mx"),
+      count(lit(1)).as("__cnt")) ++
       resolved.zipWithIndex.flatMap { case ((_, e), i) =>
         Seq(min(expr(e)).cast("long").as(s"__amn$i"),
           max(expr(e)).cast("long").as(s"__amx$i"))
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    if (resolved.nonEmpty) {
-      val lines = resolved.zipWithIndex.collect {
-        case ((n, _), i) if !r.isNullAt(2 + 2 * i) =>
-          s"$n\t${r.getLong(2 + 2 * i)}\t${r.getLong(2 + 2 * i + 1)}"
+    val cnt = r.getLong(2)
+    val lines = s"$RowsStatName\t$cnt\t$cnt" +:
+      resolved.zipWithIndex.collect {
+        case ((n, _), i) if !r.isNullAt(3 + 2 * i) =>
+          s"$n\t${r.getLong(3 + 2 * i)}\t${r.getLong(3 + 2 * i + 1)}"
       }
-      Files.write(Paths.get(segPath, ZoneStatsFile),
-        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    }
+    Files.write(Paths.get(segPath, ZoneStatsFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
     else (r.getLong(0), r.getLong(1))
   }
@@ -972,10 +988,17 @@ object SnapshotLog {
       df.select(regexp_extract(fileCol, "(seg-[^/]+)/[^/]+$", 1).as("seg"))
         .groupBy(col("seg")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rowsBySeg =
-      if (segs.isEmpty) Map.empty[String, Long]
+    // row counts come from the sidecar's reserved __rows entry —
+    // recorded by every writer's one-pass stat aggregate, so the
+    // health scan is pure metadata at any table size; only LEGACY
+    // segments (written before the entry) pay a column-free scan
+    val sidecars = segs.map(s => s.relPath -> sidecarStats(dir, s.relPath))
+      .toMap
+    val legacy = segs.filterNot(s => sidecars(s.relPath).contains(RowsStatName))
+    val scanned =
+      if (legacy.isEmpty) Map.empty[String, Long]
       else bySeg(
-        readSegs(spark, dir, v, segs.map(s => absPath(dir, s.relPath))),
+        readSegs(spark, dir, v, legacy.map(s => absPath(dir, s.relPath))),
         col("_metadata.file_path"))
     val dvBySeg =
       if (dvs.isEmpty) Map.empty[String, Long]
@@ -985,13 +1008,14 @@ object SnapshotLog {
     segs.map { s =>
       val bytes = walked(Paths.get(dir, s.relPath))(
         _.filter(Files.isRegularFile(_)).map(Files.size).sum)
-      val raw = rowsBySeg.getOrElse(s.relPath, 0L)
+      val raw = sidecars(s.relPath).get(RowsStatName).map(_._1)
+        .getOrElse(scanned.getOrElse(s.relPath, 0L))
       // tombstones only count against files the segment still owns
       // (stale DV entries for rewritten-away names match nothing)
       val dv = math.min(dvBySeg.getOrElse(s.relPath, 0L), raw)
       SegmentHealth(s.relPath, raw, bytes, dv,
         if (raw == 0) 0.0 else dv.toDouble / raw,
-        sidecarStats(dir, s.relPath).size)
+        (sidecars(s.relPath) - RowsStatName).size)
     }
   }
 

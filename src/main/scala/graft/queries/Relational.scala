@@ -2033,7 +2033,88 @@ object Relational {
         "CAST(sum(purged) * 1000000 // count(*) AS BIGINT) AS tomb_ppm, " +
         "CAST(1 AS BIGINT) AS stats_covered, " +
         "CAST(1 AS BIGINT) AS bytes_pos " +
-        "FROM s GROUP BY seg_ix ORDER BY seg_ix"))
+        "FROM s GROUP BY seg_ix ORDER BY seg_ix")),
+
+    GraftQuery(
+      "q221_incremental_view",
+      "INCREMENTAL MATERIALIZED-VIEW maintenance (round-15 extension — the " +
+        "Delta Live Tables / IVM posture, composing the new streaming source " +
+        "with merge-on-read): a per-month orders rollup (n_orders, exact " +
+        "cents) lives in its OWN snapshot log and is maintained by tailing " +
+        "the source log's change feed — each refresh recomputes ONLY the " +
+        "months the delta touched (affected keys from the batch, a " +
+        "left-semi-scoped read of the WAL-PINNED toV snapshot), " +
+        "merge-on-reads them into the view, and DELETES view groups whose " +
+        "every source row vanished. The query drives the full lifecycle: " +
+        "three date-sliced appends refresh disjoint month cohorts (the " +
+        "shape where IVM wins — a day's ingest touches a day's groups), " +
+        "then a MoR purge of everything from 2001 on makes eight whole " +
+        "months VANISH, and the final refresh retires exactly those view " +
+        "rows. The oracle recomputes the surviving view from base orders " +
+        "— so a stale group (refresh missed a touched month), a ghost " +
+        "group (vanish-delete missed), or a replay double-count all " +
+        "hash-mismatch. Recompute reads the version-pinned snapshot, not " +
+        "the live head, so crash-replays regenerate byte-identical group " +
+        "images and the upsert is idempotent by value (Round20OpsSpec " +
+        "pins refresh-cost ∝ affected groups and the crash path). At " +
+        "100 TB this is the standing-aggregate pattern: the view never " +
+        "re-reads the table, only the change volume plus affected " +
+        "groups' rows.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        import graft.streaming.SnapshotSource
+        val base = logTmpDir("graft-ivm", d)
+        // wipe the WHOLE scratch root: the tail's checkpoint must not
+        // survive the log resets, or a second in-session run would see
+        // "all batches already committed" against the fresh log and
+        // plan nothing (the q217 hygiene, learned here the hard way)
+        val root = java.nio.file.Paths.get(base)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val st = java.nio.file.Files.walk(root)
+          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally st.close()
+        }
+        val src = s"$base/src"; val ck = s"$base/ck"; val view = s"$base/view"
+        SnapshotLog.reset(src, checkpointInterval = 3)
+        SnapshotLog.reset(view, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c2 = lit(snapCut2).cast("timestamp")
+        val monthKey = date_format(col("o_orderdate"), "yyyy-MM")
+        def viewOf(scoped: DataFrame): DataFrame =
+          scoped.groupBy(col("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+        def refresh(): Unit = {
+          SnapshotSource.maintainView(s, src, ck, view, "month",
+            monthKey, col("n_orders"))(viewOf)
+          ()
+        }
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), src, ts)
+        refresh()
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          src, ts)
+        refresh()
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2), src, ts)
+        refresh()
+        SnapshotLog.deleteMor(s, src,
+          col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        refresh()
+        SnapshotLog.readAsOf(s, view, SnapshotLog.version(view))
+          .select(col("month"), col("n_orders"), col("price_cents"))
+          .orderBy(col("month"))
+      },
+      Some("SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS price_cents " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' " +
+        "GROUP BY month ORDER BY month"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -57,7 +57,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q217_stream_source_audit",
       "q218_incremental_optimize",
       "q219_incremental_knn_cdc",
-      "q220_segment_health")
+      "q220_segment_health",
+      "q221_incremental_view")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

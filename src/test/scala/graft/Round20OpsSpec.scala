@@ -143,6 +143,60 @@ class Round20OpsSpec extends SparkSpec {
     assert(SnapshotLog.version(dst) === 1)
   }
 
+  // == Incremental materialized-view maintenance (q221's kernel) ==
+
+  test("maintainView recomputes only affected groups, survives crash-replay, retires vanished groups") {
+    import spark.implicits._
+    val src = tmp("ivm-src"); val ck = tmp("ivm-ck"); val view = tmp("ivm-view")
+    SnapshotLog.reset(src, checkpointInterval = 3)
+    SnapshotLog.reset(view, checkpointInterval = 3)
+    def srcRows(ks: Range) = ks.map(k => (k.toLong, k.toLong % 10, k * 2L))
+      .toDF("k", "g", "v")
+    def viewOf(scoped: org.apache.spark.sql.DataFrame) =
+      scoped.groupBy(col("g2")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("v_sum"))
+    def refresh() = SnapshotSource.maintainView(spark, src, ck, view,
+      "g2", col("g"), col("n"))(viewOf)
+    def viewContent(): Map[Long, (Long, Long)] =
+      SnapshotLog.readAsOf(spark, view, SnapshotLog.version(view))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    def expect(pred: Long => Boolean, ks: Range*): Map[Long, (Long, Long)] = {
+      val all = ks.flatMap(_.toSeq).filter(k => pred(k % 10))
+      all.groupBy(_ % 10).map { case (g, s) =>
+        g.toLong -> (s.size.toLong, s.map(_ * 2L).sum)
+      }
+    }
+    SnapshotLog.append(srcRows(0 until 50), src, col("k"))
+    refresh()
+    assert(viewContent() === expect(_ => true, 0 until 50))
+    // batch B touches groups 0..4 only — the refresh must merge
+    // EXACTLY those 5 group images, not the view
+    SnapshotLog.append(srcRows(50 until 55), src, col("k"))
+    refresh()
+    val vMerge = SnapshotLog.version(view)
+    val cdc = SnapshotLog.readCdc(spark, view, vMerge - 1, vMerge)
+    assert(cdc.filter(col("_change_type") === "insert").count() === 5L,
+      "refresh must upsert only the 5 affected groups")
+    assert(viewContent() === expect(_ => true, 0 until 55))
+    // crash-replay: the source checkpoint's newest commit marker is
+    // lost AFTER the view was updated — the replay recomputes from the
+    // WAL-pinned toV and upserts byte-identical images
+    val commits = java.nio.file.Paths.get(ck, "commits")
+    val newest = Files.list(commits).toArray.map(_.toString)
+      .map(java.nio.file.Paths.get(_))
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(newest)
+    refresh()
+    assert(viewContent() === expect(_ => true, 0 until 55),
+      "crash-replay must be idempotent by value")
+    // a whole group vanishes from the source: the refresh retires it
+    SnapshotLog.deleteMor(spark, src, col("g") === 7)
+    refresh()
+    assert(viewContent() === expect(_ != 7L, 0 until 55))
+  }
+
   // == Round-14 advice regressions ==
 
   test("readCdc on a schema-less legacy log drops the reserved DV key columns") {
@@ -251,6 +305,29 @@ class Round20OpsSpec extends SparkSpec {
     assert(h2.map(_.rows).sum ===
       SnapshotLog.readAsOf(spark, dir, v).count())
     assert(h2.forall(_.bytes > 0L))
+  }
+
+  test("segment row counts ride the sidecar; legacy segments fall back to a scan") {
+    val dir = tmp("rows-sidecar")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(50), dir, col("k"))
+    val seg0 = SnapshotLog.segments(dir, 0).head.relPath
+    // the writer's one-pass stat aggregate recorded the count — health
+    // reads it as metadata, no row scan
+    assert(SnapshotLog.sidecarStats(dir, seg0).get("__rows")
+      .map(_._1) === Some(50L))
+    assert(SnapshotLog.segmentHealth(spark, dir, 0).map(_.rows) === Seq(50L))
+    // a LEGACY segment (no sidecar) falls back to a column-free scan —
+    // same answer, mixed histories stay safe
+    Files.delete(java.nio.file.Paths.get(dir, seg0, "_zonestats"))
+    val h = SnapshotLog.segmentHealth(spark, dir, 0)
+    assert(h.map(_.rows) === Seq(50L))
+    assert(h.head.statsCovered === 0)
+    // the reserved __ namespace is refused for user stat names
+    val dir2 = tmp("rows-reserved")
+    intercept[IllegalArgumentException] {
+      SnapshotLog.reset(dir2, statsCols = Seq("__rows" -> "k"))
+    }
   }
 
   // == CDC-driven incremental kNN (q219's kernel) ==
