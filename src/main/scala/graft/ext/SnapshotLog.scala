@@ -1038,11 +1038,18 @@ object SnapshotLog {
     *
     * `optimizeIncremental` applies the default policy over
     * `segmentHealth`: rewrite segments under `smallBytes` OR at/above
-    * `minTombstoneRatio`. `optimizeSegments` takes the selection
-    * explicitly (a production scheduler supplies its own policy).
-    * Selecting nothing — or one segment that is neither tombstoned nor
-    * joined by a sibling worth coalescing with — commits nothing.
-    * Returns the new (or unchanged) version number.
+    * `minTombstoneRatio`. The SIZE arm skips segments a clustering /
+    * compaction rewrite already produced (`#compacted`) — otherwise a
+    * scheduled maintenance job whose own output stays under the
+    * threshold re-selects it forever, growing versions and vacuum debt
+    * while doing zero useful work (Delta's optimize marks output files
+    * for the same reason); rewritten segments re-enter the pool only
+    * when tombstoned. So a maintenance loop CONVERGES: with no new
+    * ingest and no new deletes, the second run selects nothing and
+    * commits nothing. `optimizeSegments` takes the selection
+    * explicitly (a production scheduler supplies its own policy) and
+    * rewrites exactly what it is told. Returns the new (or unchanged)
+    * version number.
     */
   def optimizeIncremental(spark: SparkSession, dir: String,
       statsCol: Column, dims: Seq[Column], bucketBits: Int = 2,
@@ -1050,8 +1057,9 @@ object SnapshotLog {
       minTombstoneRatio: Double = 0.1): Int = {
     val prev = version(dir)
     require(prev >= 0, s"nothing to optimize in $dir")
+    val compacted = meta(dir, prev).compacted
     val picked = segmentHealth(spark, dir, prev).filter(h =>
-      h.bytes < smallBytes ||
+      (h.bytes < smallBytes && !compacted(h.relPath)) ||
         (h.dvRows > 0 && h.tombstoneRatio >= minTombstoneRatio))
       .map(_.relPath).toSet
     optimizeSegments(spark, dir, statsCol, dims, picked, bucketBits, bits)
@@ -1070,8 +1078,9 @@ object SnapshotLog {
       s"selection names segments not in v$prev: " +
         s"${(selected -- segs.map(_.relPath)).mkString(",")}")
     val keep = segs.filterNot(s => selected(s.relPath))
-    // a single clean segment coalesces with nothing and tombstones
-    // nothing — rewriting it buys no health; skip like an empty select
+    // explicit selection rewrites exactly what it is told; an empty
+    // selection commits nothing (convergence for the POLICY layer
+    // lives in optimizeIncremental's compacted-skip, not here)
     if (sel.isEmpty) return prev
     val prevMeta = meta(dir, prev)
     val v = prev + 1
@@ -1085,27 +1094,28 @@ object SnapshotLog {
     // manifest would be unreadable — skip, exactly like empty optimize
     if (newSegs.isEmpty && keep.isEmpty) return prev
     // DV retention: a DV segment stays active only while it tombstones
-    // a file some KEPT segment still owns; one delete-sized read
-    // decides (stale entries are inert but cost read-side anti-join
+    // a file some KEPT segment still owns; ONE delete-sized read over
+    // all DV segments decides — each key row carries its own DV
+    // segment name (from _metadata) and its target segment (the key's
+    // path prefix), so a single grouped aggregate classifies every DV
+    // segment (stale entries are inert but cost read-side anti-join
     // rent — dropping fully-dead DV segments is the bounded-rent half
     // of the MoR design applied incrementally)
     val keptFiles = keep.map(_.relPath).toSet
     val liveDvs =
-      if (prevMeta.dvs.isEmpty) prevMeta.dvs
-      else {
-        val refd = spark.read
-          .parquet(prevMeta.dvs.toSeq.sorted.map(r => absPath(dir, r)): _*)
-          .select(col(DvFileCol)).distinct()
-          .collect().map(_.getString(0))
-          .filter(f => keptFiles.exists(k => f.startsWith(k + "/")))
-          .toSet
-        prevMeta.dvs.filter { dvRel =>
-          val keys = spark.read.parquet(absPath(dir, dvRel))
-            .select(col(DvFileCol)).distinct()
-            .collect().map(_.getString(0))
-          keys.exists(refd)
-        }
-      }
+      if (prevMeta.dvs.isEmpty || keptFiles.isEmpty) Set.empty[String]
+      else spark.read
+        .parquet(prevMeta.dvs.toSeq.sorted.map(r => absPath(dir, r)): _*)
+        .select(
+          regexp_extract(col("_metadata.file_path"),
+            "(seg-[^/]+)/[^/]+$", 1).as("dv_seg"),
+          substring_index(col(DvFileCol), "/", 1).as("target_seg"))
+        .groupBy(col("dv_seg"))
+        .agg(max(col("target_seg")
+          .isInCollection(keptFiles.toSeq).cast("int")).as("any_kept"))
+        .collect()
+        .collect { case r if r.getInt(1) == 1 => r.getString(0) }
+        .toSet
     publish(dir, v, commitLines(dir, v, keep ++ newSegs, segs,
       ManifestMeta(
         prevMeta.batches ++ sel.flatMap(_.tag),

@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -226,21 +225,12 @@ object EventOps {
       (s, d) => {
         import graft.ext.SnapshotLog
         import graft.streaming.SnapshotSource
-        val base = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-snapsrc-" + Integer.toHexString(d.hashCode) +
-            s"-p${ProcessHandle.current().pid()}").toString
+        // shared scratch recipe (pid-scoped path + full wipe): the
+        // tail's checkpoint and sink must not survive into a second
+        // in-session run against the freshly-reset log
+        val base = Relational.freshScratch("graft-snapsrc", d)
         val dir = s"$base/log"; val ck = s"$base/ck"; val sink = s"$base/sink"
         SnapshotLog.reset(dir, checkpointInterval = 3)
-        Seq(ck, sink).foreach { p =>
-          val root = java.nio.file.Paths.get(p)
-          if (java.nio.file.Files.isDirectory(root)) {
-            val st = java.nio.file.Files.walk(root)
-            try st.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)
-            finally st.close()
-          }
-        }
         val ev = t(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))

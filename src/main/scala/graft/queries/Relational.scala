@@ -925,11 +925,30 @@ object Relational {
     * never reset/append into each other's live log — the q207 path
     * race, fixed at the one place every log builder names its dir.
     */
-  private def logTmpDir(prefix: String, d: String): String =
+  private[graft] def logTmpDir(prefix: String, d: String): String =
     java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"$prefix-" + Integer.toHexString(d.hashCode) +
         s"-p${ProcessHandle.current().pid()}").toString
+
+  /** logTmpDir + a recursive wipe: the scratch root for queries that
+    * keep MORE than a SnapshotLog under it (tail checkpoints, sinks) —
+    * `SnapshotLog.reset` only clears its own log dir, and a surviving
+    * checkpoint against a reset log plans nothing on the next
+    * in-session run (the q221 lesson). One shared recipe so the q207
+    * pid-scoping fix can never be missed by a hand copy.
+    */
+  private[graft] def freshScratch(prefix: String, d: String): String = {
+    val base = logTmpDir(prefix, d)
+    val root = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val st = java.nio.file.Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally st.close()
+    }
+    base
+  }
 
   /** Builds the 3-commit orders snapshot log q173 and the spec read;
     * returns the log dir. Rebuilt from scratch per call — three small
@@ -2063,18 +2082,7 @@ object Relational {
       (s, d) => {
         import graft.ext.SnapshotLog
         import graft.streaming.SnapshotSource
-        val base = logTmpDir("graft-ivm", d)
-        // wipe the WHOLE scratch root: the tail's checkpoint must not
-        // survive the log resets, or a second in-session run would see
-        // "all batches already committed" against the fresh log and
-        // plan nothing (the q217 hygiene, learned here the hard way)
-        val root = java.nio.file.Paths.get(base)
-        if (java.nio.file.Files.isDirectory(root)) {
-          val st = java.nio.file.Files.walk(root)
-          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.delete(p))
-          finally st.close()
-        }
+        val base = freshScratch("graft-ivm", d)
         val src = s"$base/src"; val ck = s"$base/ck"; val view = s"$base/view"
         SnapshotLog.reset(src, checkpointInterval = 3)
         SnapshotLog.reset(view, checkpointInterval = 3)

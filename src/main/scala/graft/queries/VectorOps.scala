@@ -1442,10 +1442,8 @@ object VectorOps {
         "facade.",
       (s, d) => {
         import graft.ext.SnapshotLog
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft-knnlog-" + Integer.toHexString(d.hashCode) +
-            s"-p${ProcessHandle.current().pid()}").toString
+        // the shared pid-scoped scratch recipe (the q207 rule)
+        val dir = Relational.logTmpDir("graft-knnlog", d)
         SnapshotLog.reset(dir, checkpointInterval = 3)
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val isIncrement = conv(

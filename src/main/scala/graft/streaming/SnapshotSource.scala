@@ -80,13 +80,19 @@ object SnapshotSource {
       s"${Thread.currentThread().getId}")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     val target = dir.resolve(name)
+    def lose(e: Throwable): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"checkpoint entry $target was written by another tail — one " +
+          "reader per checkpoint dir (Spark's own streaming contract)", e)
     try Files.createLink(target, tmp)
     catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"checkpoint entry $target was written by another tail — one " +
-            "reader per checkpoint dir (Spark's own streaming contract)", e)
-      case _: UnsupportedOperationException => Files.move(tmp, target)
+      case e: java.nio.file.FileAlreadyExistsException => lose(e)
+      case _: UnsupportedOperationException =>
+        // no-hardlink filesystems fall back to a no-replace move — the
+        // loser must still get the DOCUMENTED exception type, exactly
+        // like SnapshotLog.publish's fallback
+        try Files.move(tmp, target)
+        catch { case e: java.nio.file.FileAlreadyExistsException => lose(e) }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -232,29 +238,44 @@ object SnapshotSource {
         case Some(b) =>
           val delta = batchFrame(spark, srcLogDir, b, cdc = true,
             ignoreDeletes = false)
+          // group keys must be NON-NULL: a null key never matches the
+          // equi semi-join below or the vanish predicate, so a null
+          // group would silently diverge from a from-scratch recompute
+          // — refuse loudly instead (wrap keyExpr in coalesce(...) to
+          // give the null group an explicit key)
+          require(delta.filter(keyExpr.isNull).limit(1).isEmpty,
+            "maintainView group keys must be non-null — wrap keyExpr " +
+              "in coalesce(...) to give the null group an explicit key")
           val aff = delta.select(keyExpr.as(viewKey)).distinct()
           val scoped = SnapshotLog.readAsOf(spark, srcLogDir, b.toV)
             .withColumn(viewKey, keyExpr)
             .join(aff, Seq(viewKey), "left_semi")
-          val refreshed = viewOf(scoped)
-          val hasRows = !refreshed.isEmpty
-          if (SnapshotLog.version(viewDir) < 0) {
-            if (hasRows) SnapshotLog.append(refreshed, viewDir, statsCol)
-          } else if (hasRows) {
-            SnapshotLog.mergeMor(spark, refreshed, viewDir, viewKey,
-              statsCol)
-          }
-          // groups the delta touched that no longer exist in the
-          // source: delete their view rows. The key list is
-          // delta-bounded (affected groups, not table groups) — a
-          // driver-side collection the same size class as delete's
-          // touched-file list.
-          val vanished = aff
-            .join(refreshed.select(col(viewKey)), Seq(viewKey), "left_anti")
-            .collect().map(_.get(0)).toSeq
-          if (vanished.nonEmpty && SnapshotLog.version(viewDir) >= 0)
-            SnapshotLog.deleteMor(spark, viewDir,
-              col(viewKey).isInCollection(vanished))
+          // ONE evaluation of the refresh aggregate: isEmpty, the merge
+          // src and the vanish anti-join below all read this cache —
+          // without it each pays the CDC read + pruned snapshot scan +
+          // aggregate again
+          val refreshed = viewOf(scoped).persist()
+          try {
+            val hasRows = !refreshed.isEmpty
+            if (SnapshotLog.version(viewDir) < 0) {
+              if (hasRows) SnapshotLog.append(refreshed, viewDir, statsCol)
+            } else if (hasRows) {
+              SnapshotLog.mergeMor(spark, refreshed, viewDir, viewKey,
+                statsCol)
+            }
+            // groups the delta touched that no longer exist in the
+            // source: delete their view rows. The key list is
+            // delta-bounded (affected groups, not table groups) — a
+            // driver-side collection the same size class as delete's
+            // touched-file list.
+            val vanished = aff
+              .join(refreshed.select(col(viewKey)), Seq(viewKey),
+                "left_anti")
+              .collect().map(_.get(0)).toSeq
+            if (vanished.nonEmpty && SnapshotLog.version(viewDir) >= 0)
+              SnapshotLog.deleteMor(spark, viewDir,
+                col(viewKey).isInCollection(vanished))
+          } finally refreshed.unpersist(false)
           commitBatch(ckDir, b.batchId)
           done += b.batchId
       }

@@ -197,6 +197,46 @@ class Round20OpsSpec extends SparkSpec {
     assert(viewContent() === expect(_ != 7L, 0 until 55))
   }
 
+  test("a scheduled optimizeIncremental converges: its own output is never re-selected") {
+    val dir = tmp("incopt-conv")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(5), dir, col("k"))
+    SnapshotLog.append(rows(5, from = 5), dir, col("k"))
+    def run() = SnapshotLog.optimizeIncremental(spark, dir, col("k"),
+      Seq(col("k")), bucketBits = 1, smallBytes = Long.MaxValue,
+      minTombstoneRatio = 0.1)
+    val v1 = run()
+    assert(v1 === 2, "first run coalesces the two small ingest segments")
+    // the rewrite's own output is tiny too — but it is #compacted, so
+    // the size arm skips it and the maintenance loop terminates
+    assert(run() === v1, "second run must select nothing and commit nothing")
+    assert(SnapshotLog.readAsOf(spark, dir, v1).count() === 10L)
+    // a tombstone re-opens the pool: the next run rewrites again
+    SnapshotLog.deleteMor(spark, dir, col("m") === 1)
+    assert(run() > v1 + 1)
+  }
+
+  test("maintainView refuses null group keys loudly") {
+    import spark.implicits._
+    val src = tmp("ivm-null-src"); val ck = tmp("ivm-null-ck")
+    val view = tmp("ivm-null-view")
+    SnapshotLog.reset(src, checkpointInterval = 3)
+    SnapshotLog.reset(view, checkpointInterval = 3)
+    SnapshotLog.append(
+      Seq((1L, Some(1L), 2L), (2L, None, 4L)).toDF("k", "g", "v"),
+      src, col("k"))
+    // a null key never matches the equi semi-join or the vanish
+    // predicate — silent divergence from a from-scratch recompute; the
+    // contract demands a loud refusal instead
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSource.maintainView(spark, src, ck, view, "g2", col("g"),
+        col("n")) { scoped =>
+        scoped.groupBy(col("g2")).agg(count(lit(1)).as("n"))
+      }
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
   // == Round-14 advice regressions ==
 
   test("readCdc on a schema-less legacy log drops the reserved DV key columns") {
