@@ -465,10 +465,11 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     */
   def tailSnapshot(logDir: String, checkpointDir: String,
       cdc: Boolean = true, ignoreDeletes: Boolean = false,
-      maxBatches: Int = Int.MaxValue)(
+      maxBatches: Int = Int.MaxValue,
+      maxVersionsPerTrigger: Int = Int.MaxValue)(
       process: (DataFrame, Long) => Unit): Seq[Long] =
     graft.streaming.SnapshotSource.run(spark, logDir, checkpointDir, cdc,
-      ignoreDeletes, maxBatches)(process)
+      ignoreDeletes, maxBatches, maxVersionsPerTrigger)(process)
 
   /** Incremental materialized-view maintenance (round-15 extension;
     * q221's kernel): keep a keyed aggregate view of a source snapshot

@@ -113,10 +113,19 @@ object SnapshotSource {
 
   /** Plan the next micro-batch: a planned-but-uncommitted batch
     * replays VERBATIM (same id, same version range — recovery);
-    * otherwise the new range (lastToV, head], or None when caught up.
-    * The offsets entry is durable before this returns — the WAL step.
+    * otherwise the new range (lastToV, min(head, lastToV +
+    * maxVersionsPerTrigger)], or None when caught up. The rate limit
+    * (Delta's maxFilesPerTrigger posture, by versions) keeps a
+    * backfill tail's batches bounded — a consumer pointed at a long
+    * history drains it in capped chunks instead of one table-sized
+    * batch; the replay path ignores the limit, since a planned range
+    * is already durable and must re-deliver verbatim. The offsets
+    * entry is durable before this returns — the WAL step.
     */
-  def planNext(logDir: String, ckDir: String): Option[PlannedBatch] = {
+  def planNext(logDir: String, ckDir: String,
+      maxVersionsPerTrigger: Int = Int.MaxValue): Option[PlannedBatch] = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
     val planned = lastPlanned(ckDir)
     planned match {
       case Some(b) if b.batchId > lastCommitted(ckDir) => Some(b)
@@ -125,8 +134,12 @@ object SnapshotSource {
         val head = SnapshotLog.version(logDir)
         if (head <= lastToV) None
         else {
+          val toV =
+            if (head - lastToV > maxVersionsPerTrigger)
+              lastToV + maxVersionsPerTrigger
+            else head
           val b = PlannedBatch(planned.map(_.batchId + 1).getOrElse(0L),
-            lastToV, head)
+            lastToV, toV)
           publishFile(offsetsDir(ckDir), b.batchId.toString,
             s"${b.fromV}\t${b.toV}")
           Some(b)
@@ -172,9 +185,10 @@ object SnapshotSource {
     * the batch planned-but-uncommitted — the next trigger replays it.
     */
   def trigger(spark: SparkSession, logDir: String, ckDir: String,
-      cdc: Boolean = true, ignoreDeletes: Boolean = false)(
+      cdc: Boolean = true, ignoreDeletes: Boolean = false,
+      maxVersionsPerTrigger: Int = Int.MaxValue)(
       process: (DataFrame, Long) => Unit): Option[Long] =
-    planNext(logDir, ckDir).map { b =>
+    planNext(logDir, ckDir, maxVersionsPerTrigger).map { b =>
       process(batchFrame(spark, logDir, b, cdc, ignoreDeletes), b.batchId)
       commitBatch(ckDir, b.batchId)
       b.batchId
@@ -189,12 +203,14 @@ object SnapshotSource {
     */
   def run(spark: SparkSession, logDir: String, ckDir: String,
       cdc: Boolean = true, ignoreDeletes: Boolean = false,
-      maxBatches: Int = Int.MaxValue)(
+      maxBatches: Int = Int.MaxValue,
+      maxVersionsPerTrigger: Int = Int.MaxValue)(
       process: (DataFrame, Long) => Unit): Seq[Long] = {
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
     var more = true
     while (more && done.size < maxBatches)
-      trigger(spark, logDir, ckDir, cdc, ignoreDeletes)(process) match {
+      trigger(spark, logDir, ckDir, cdc, ignoreDeletes,
+        maxVersionsPerTrigger)(process) match {
         case Some(id) => done += id
         case None => more = false
       }

@@ -268,10 +268,11 @@ object StreamOps {
     */
   def snapshotSourceStream(spark: org.apache.spark.sql.SparkSession,
       logDir: String, checkpointDir: String, cdc: Boolean = true,
-      ignoreDeletes: Boolean = false, maxBatches: Int = Int.MaxValue)(
+      ignoreDeletes: Boolean = false, maxBatches: Int = Int.MaxValue,
+      maxVersionsPerTrigger: Int = Int.MaxValue)(
       process: (DataFrame, Long) => Unit): Seq[Long] =
     SnapshotSource.run(spark, logDir, checkpointDir, cdc, ignoreDeletes,
-      maxBatches)(process)
+      maxBatches, maxVersionsPerTrigger)(process)
 
   /** Streaming ANN-index ingest — keeping a standing IVF-PQ index fresh
     * as new vectors arrive, the maintenance path of a production vector

@@ -104,6 +104,28 @@ class Round20OpsSpec extends SparkSpec {
     assert(n === 30L - rows(30).filter(col("m") === 1).count())
   }
 
+  test("maxVersionsPerTrigger chunks a long catch-up into bounded batches") {
+    val dir = tmp("rate-log"); val ck = tmp("rate-ck")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    (0 until 5).foreach(i => SnapshotLog.append(rows(10, from = i * 10),
+      dir, col("k")))
+    var ranges = Seq.empty[(Int, Int)]
+    var n = 0L
+    SnapshotSource.run(spark, dir, ck, maxVersionsPerTrigger = 2) {
+      (df, _) =>
+        n += df.count()
+        val p = SnapshotSource.lastPlanned(ck).get
+        ranges :+= (p.fromV, p.toV)
+    }
+    // 5 versions drain as (−1,1], (1,3], (3,4] — each batch ≤ 2
+    // versions; the union is exactly-once over the full history
+    assert(ranges === Seq((-1, 1), (1, 3), (3, 4)))
+    assert(n === 50L)
+    // caught up: nothing more, and the cap never replans a done range
+    assert(SnapshotSource.run(spark, dir, ck,
+      maxVersionsPerTrigger = 2)((_, _) => ()) === Seq.empty)
+  }
+
   test("two tails racing one checkpoint fail loudly, not split-brain") {
     val dir = tmp("race-log"); val ck = tmp("race-ck")
     SnapshotLog.reset(dir)
