@@ -104,6 +104,27 @@ class Round20OpsSpec extends SparkSpec {
     assert(n === 30L - rows(30).filter(col("m") === 1).count())
   }
 
+  test("a tail lagging behind vacuum fails loudly instead of skipping data") {
+    val dir = tmp("lag-log"); val ck = tmp("lag-ck")
+    SnapshotLog.reset(dir, checkpointInterval = 1)
+    SnapshotLog.append(rows(10), dir, col("k"))
+    // the tail consumes v0, then falls behind while the log advances
+    SnapshotSource.run(spark, dir, ck)((_, _) => ())
+    (1 to 3).foreach(i => SnapshotLog.append(rows(10, from = i * 10),
+      dir, col("k")))
+    // retention overtakes the tail's offset: manifests v0/v1 drop
+    SnapshotLog.vacuum(dir, 2)
+    // the planned range (0, 3] needs v0's manifest — delivering a
+    // partial feed would silently lose v1's rows, so the walk must
+    // fail loudly (the Delta "files were deleted by retention" error;
+    // retention policy coordinates with consumer lag, never the
+    // reverse)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSource.run(spark, dir, ck)((_, _) => ())
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("maxVersionsPerTrigger chunks a long catch-up into bounded batches") {
     val dir = tmp("rate-log"); val ck = tmp("rate-ck")
     SnapshotLog.reset(dir, checkpointInterval = 3)
