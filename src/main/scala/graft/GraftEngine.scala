@@ -434,6 +434,15 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       dims: Seq[org.apache.spark.sql.Column], bucketBits: Int = 2): Int =
     graft.ext.SnapshotLog.optimize(spark, logDir, statsCol, dims, bucketBits)
 
+  /** RESTORE a snapshot log to an earlier version (round-15
+    * continuation; q222's kernel — Delta's RESTORE TABLE): commit a
+    * new version whose content is exactly `v`'s, losing no history.
+    * Cost ∝ the churned files + tombstone images, never the table.
+    */
+  def snapshotRestore(logDir: String, v: Int,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.restore(spark, logDir, v, statsCol)
+
   /** Per-segment health metrics of a snapshot version (round-15
     * item 7; q220's kernel): rows, bytes, active DV tombstones, the
     * tombstone ratio, and sidecar-stats coverage per live segment —

@@ -307,7 +307,11 @@ object ScaleStress {
       // IVM refresh cost = change volume + affected groups' source
       // rows; at 10× each refresh touches the same month cohorts with
       // 10× the rows — write-volume-linear, never view- or table-sized
-      "q221_incremental_view")
+      "q221_incremental_view",
+      // restore cost ∝ the churned files (the bad write's rewrite +
+      // the originals it replaced), never the table — at 10× the CoW
+      // purge touches every segment, so this row prices the worst case
+      "q222_snapshot_restore")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

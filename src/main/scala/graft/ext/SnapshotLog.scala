@@ -1510,6 +1510,147 @@ object SnapshotLog {
     }
   }
 
+  /** == RESTORE (round-15 continuation — Delta's
+    * `RESTORE TABLE ... TO VERSION`) ==
+    * Roll the table BACK to version `v` by committing a NEW version
+    * whose content is exactly v's — the bad-write escape hatch that
+    * loses no history: every version including the bad one still time
+    * travels, and the restore itself is just another commit (vacuum
+    * applies its normal retention later).
+    *
+    * Commit shape, sized like the change it undoes (never the table):
+    * segments v and prev SHARE carry by reference; v-only segments'
+    * LIVE content (DV-applied as of v) — plus the row images of any
+    * tombstones prev added over v (those rows come back) —
+    * materialize into ONE fresh dataChange segment, so the change
+    * feed delivers the reappearing content as inserts; prev-only
+    * segments' live content (DV-applied as of prev) is written as the
+    * `#cdcdel` change segment, and any DV segments v carried beyond
+    * prev are listed beside it — so the feed delivers what disappears
+    * as deletes. The active DV set becomes v's, restricted to kept
+    * files. Feed granularity is the FILE + DV diff (Delta's restore
+    * posture): rows living in churned files re-assert themselves as
+    * delete(image)+insert(image), so a KEYED idempotent apply
+    * converges to v's state, while CONTENT equality — readAsOf(new) ≡
+    * readAsOf(v) — is exact unconditionally (the spec pins it across
+    * CoW deletes, MoR deletes and merges). The snapshot schema stays
+    * PREV's (add-only evolution: restore never narrows a reader's
+    * schema — the one documented divergence from Delta, which
+    * restores the old schema too); v's rows null-fill columns added
+    * after v. Restoring to the head is a no-op. Returns the new (or
+    * unchanged) version.
+    */
+  def restore(spark: SparkSession, dir: String, v: Int,
+      statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to restore in $dir")
+    require(v >= 0 && v <= prev, s"restore target v$v outside [0, $prev]")
+    if (v == prev) return prev
+    val vNew = prev + 1
+    val segsV = segments(dir, v)
+    val segsP = segments(dir, prev)
+    val setV = segsV.map(_.relPath).toSet
+    val setP = segsP.map(_.relPath).toSet
+    val shared = segsV.filter(s => setP(s.relPath))
+    val readded = segsV.filterNot(s => setP(s.relPath))
+    val dropped = segsP.filterNot(s => setV(s.relPath))
+    val sharedNames = shared.map(_.relPath)
+    val dvsV = meta(dir, v).dvs
+    val dvsP = meta(dir, prev).dvs
+    val dvsComeBack = (dvsP -- dvsV).toSeq.sorted // prev-only tombstones
+    val dvsGoAway = (dvsV -- dvsP).toSeq.sorted   // v-only tombstones
+    val sc = schemaOf(dir, prev)
+    def readUnderPrev(paths: Seq[String]): DataFrame = sc match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    // Row images of DV tombstones, RESTRICTED to entries targeting a
+    // SHARED file: entries into re-added/dropped files are already
+    // settled by those files' own materialization/removal, and
+    // delivering them again would double-count (a re-added file's live
+    // content is DV-applied at read, so its tombstoned rows never
+    // surface twice).
+    def dvImages(rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty || sharedNames.isEmpty) None
+      else {
+        // RAW read (footer schema): the key columns the filter needs
+        // are exactly the ones the table schema excludes; after the
+        // filter the images conform to prev's schema, null-filling
+        // columns added after their era
+        val raw = spark.read.parquet(rels.map(r => absPath(dir, r)): _*)
+          .filter(substring_index(col(DvFileCol), "/", 1)
+            .isInCollection(sharedNames))
+          .drop(DvFileCol, DvPosCol)
+        Some(sc match {
+          case Some(s) => raw.select(s.fields.toSeq.map { f =>
+            if (raw.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          case None => raw
+        })
+      }
+    // the fresh INSERTS segment: v-only files' live content (DV-applied
+    // as of v) + shared-file row images of tombstones prev added over v
+    // — both under prev's schema, so evolution never narrows
+    val insertParts =
+      (if (readded.isEmpty) Nil
+       else Seq(applyDvs(spark, dir, dvsV,
+         readUnderPrev(readded.map(s => absPath(dir, s.relPath)))))) ++
+        dvImages(dvsComeBack).toSeq
+    val insertSeg = insertParts.reduceOption(_.unionByName(_)).flatMap { df =>
+      val rel = s"seg-$vNew-${writerToken()}"
+      val p = absPath(dir, rel)
+      df.write.mode("overwrite").parquet(p)
+      // a 0-row fresh segment only matters when NOTHING else composes
+      // the manifest (restoring to a delete-all state must stay
+      // readable); otherwise drop it
+      if (shared.nonEmpty && spark.read.parquet(p).count() == 0L) {
+        walked(Paths.get(p))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+        None
+      } else {
+        val (mn, mx) = statsAndSidecar(spark, dir, p, statsCol)
+        Some(Segment(rel, mn, mx))
+      }
+    }
+    // the DELETES (#cdcdel): prev-only files' live content (DV-applied
+    // as of prev) + shared-file row images of tombstones v adds over
+    // prev, as ONE change segment
+    val deleteParts =
+      (if (dropped.isEmpty) Nil
+       else Seq(applyDvs(spark, dir, dvsP,
+         readUnderPrev(dropped.map(s => absPath(dir, s.relPath)))))) ++
+        dvImages(dvsGoAway).toSeq
+    val delRel = deleteParts.reduceOption(_.unionByName(_)).flatMap { df =>
+      val rel = s"seg-$vNew-cdc-${writerToken()}"
+      val p = absPath(dir, rel)
+      df.write.mode("overwrite").parquet(p)
+      if (spark.read.parquet(p).count() == 0L) {
+        walked(Paths.get(p))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+        None
+      } else Some(rel)
+    }
+    // active DVs: v's own set (shared-file entries live, the rest
+    // inert) PLUS the comeback DVs — their shared-file copies were
+    // re-delivered as images in the fresh segment, so the raw
+    // duplicates still sitting in shared files must stay suppressed.
+    // With nothing shared, everything was materialized: no DV applies.
+    val liveDvs =
+      if (sharedNames.isEmpty) Set.empty[String]
+      else dvsV ++ dvsComeBack
+    val newSegs = shared ++ insertSeg.toSeq
+    require(newSegs.nonEmpty,
+      s"restore to v$v of $dir yields an empty manifest")
+    publish(dir, vNew, commitLines(dir, vNew, newSegs, segsP,
+      ManifestMeta(
+        meta(dir, prev).batches ++ dropped.flatMap(_.tag),
+        // shared segments keep their dataChange flags AS OF v; the
+        // fresh inserts segment is dataChange = true by omission
+        metaOf(manifestLines(dir, v)).compacted intersect sharedNames.toSet,
+        delRel.toSet, liveDvs),
+      sc.map(s => s"#schema\t${s.json}")))
+    vNew
+  }
+
   /** Retention enforcement: drop manifests BELOW `horizon` and delete
     * every segment directory no manifest ≥ horizon references. Time
     * travel to versions before the horizon is gone afterwards — the

@@ -2122,7 +2122,70 @@ object Relational {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
         "AS price_cents " +
         "FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01' " +
-        "GROUP BY month ORDER BY month"))
+        "GROUP BY month ORDER BY month")),
+
+    GraftQuery(
+      "q222_snapshot_restore",
+      "RESTORE TO VERSION (round-15 continuation — Delta's RESTORE TABLE, " +
+        "the bad-write escape hatch that loses no history): into the " +
+        "3-commit orders log a copy-on-write DELETE lands the q192 purge " +
+        "(o_custkey % 97 = 13) as version 3 — the 'bad write' — and " +
+        "`SnapshotLog.restore(2)` rolls the table back as version 4. The " +
+        "audit pins the full contract, all oracle-recomputable: the " +
+        "restored head holds EXACTLY the pre-purge table (count + exact " +
+        "cents); the bad version is UNTOUCHED (time travel to v3 still " +
+        "reads the survivors — restore is a new commit, never a rewrite " +
+        "of history); v2 still reads the original table; and the change " +
+        "feed across the restore delivers the file-diff truth — the " +
+        "purge's rewrite segments disappear as deletes (their live " +
+        "content: every survivor) and the original segments' content " +
+        "returns as inserts (the full table), so a keyed idempotent " +
+        "consumer replaying the feed converges on the restored state. " +
+        "Commit cost ∝ the churned files (the segments the bad write " +
+        "touched), never the table; the restore keeps the CURRENT " +
+        "(possibly evolved) schema — add-only evolution never narrows a " +
+        "reader. Round20OpsSpec pins the merge-on-read twin: restoring " +
+        "across a DV delete re-delivers exactly the tombstone images as " +
+        "row-level inserts with content identical.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = buildMutableOrdersLog(s, d, "rst")
+        val purged = pmod(col("o_custkey"), lit(97L)) === 13
+        val ts = unix_timestamp(col("o_orderdate"))
+        val vBad = SnapshotLog.delete(s, dir, purged, ts)
+        val vRst = SnapshotLog.restore(s, dir, 2, ts)
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"), col("price_cents"))
+        val cdc = SnapshotLog.readCdc(s, dir, vBad, vRst)
+        profile(cdc.filter(col("_change_type") === "delete"), "cdc_deletes")
+          .unionByName(profile(
+            cdc.filter(col("_change_type") === "insert"), "cdc_inserts"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vBad),
+            "bad_version_intact"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, vRst),
+            "restored_head"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, dir, 2),
+            "time_travel_v2"))
+          .orderBy(col("state"))
+      },
+      Some("WITH full_t AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders), " +
+        "surv AS (SELECT count(*) AS n, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) AS c FROM orders " +
+        "WHERE o_custkey % 97 <> 13) " +
+        "SELECT 'bad_version_intact' AS state, CAST(n AS BIGINT) AS " +
+        "n_rows, CAST(c AS BIGINT) AS price_cents FROM surv " +
+        "UNION ALL SELECT 'cdc_deletes', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM surv " +
+        "UNION ALL SELECT 'cdc_inserts', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM full_t " +
+        "UNION ALL SELECT 'restored_head', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM full_t " +
+        "UNION ALL SELECT 'time_travel_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM full_t " +
+        "ORDER BY state"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

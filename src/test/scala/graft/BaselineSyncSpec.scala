@@ -58,7 +58,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q218_incremental_optimize",
       "q219_incremental_knn_cdc",
       "q220_segment_health",
-      "q221_incremental_view")
+      "q221_incremental_view",
+      "q222_snapshot_restore")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -280,6 +280,73 @@ class Round20OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-null"))
   }
 
+  // == RESTORE (q222's kernel) ==
+
+  private def content(dir: String, v: Int): Seq[String] =
+    SnapshotLog.readAsOf(spark, dir, v)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("restore across a MoR delete: content exact, tombstone images flow as inserts") {
+    val dir = tmp("rst-mor")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(60), dir, col("k"))
+    SnapshotLog.append(rows(40, from = 60), dir, col("k"))
+    val before = content(dir, 1)
+    val vBad = SnapshotLog.deleteMor(spark, dir, col("m") === 2)
+    val vRst = SnapshotLog.restore(spark, dir, 1, col("k"))
+    assert(content(dir, vRst) === before, "restored content must equal v1")
+    // the bad version still time-travels
+    assert(SnapshotLog.readAsOf(spark, dir, vBad).count() ===
+      100L - rows(100).filter(col("m") === 2).count())
+    // row-level CDC on the pure-MoR path: the reappearing rows are
+    // EXACTLY the tombstone images, nothing disappears
+    val cdc = SnapshotLog.readCdc(spark, dir, vBad, vRst)
+    assert(cdc.filter(col("_change_type") === "delete").count() === 0L)
+    assert(cdc.filter(col("_change_type") === "insert")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 100L).filter(_ % 7 == 2))
+    // the restore composes forward: append + compact + read stay exact
+    SnapshotLog.append(rows(10, from = 100), dir, col("k"))
+    val vCpt = SnapshotLog.compact(spark, dir, col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, vCpt).count() === 110L)
+  }
+
+  test("restore across schema evolution keeps the evolved (wider) schema") {
+    import spark.implicits._
+    val dir = tmp("rst-evo")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append((0L until 20L).toDF("k"), dir, col("k"))
+    SnapshotLog.append((20L until 30L).map(k => (k, k * 7))
+      .toDF("k", "x"), dir, col("k"))
+    val vRst = SnapshotLog.restore(spark, dir, 0, col("k"))
+    val df = SnapshotLog.readAsOf(spark, dir, vRst)
+    // add-only evolution: restore never narrows a reader's schema —
+    // v0's rows come back null-filled under the evolved shape
+    assert(df.columns.toSeq === Seq("k", "x"))
+    assert(df.count() === 20L)
+    assert(df.filter(col("x").isNull).count() === 20L)
+    // a wide append after the restore still gates correctly
+    SnapshotLog.append(Seq((99L, 1L)).toDF("k", "x"), dir, col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, vRst + 1).count() === 21L)
+  }
+
+  test("restore to the head is a no-op; vacuum reclaims the rolled-back files") {
+    val dir = tmp("rst-vac")
+    SnapshotLog.reset(dir, checkpointInterval = 1)
+    SnapshotLog.append(rows(30), dir, col("k"))
+    val vBad = SnapshotLog.delete(spark, dir, col("m") === 1, col("k"))
+    assert(SnapshotLog.restore(spark, dir, vBad, col("k")) === vBad)
+    val vRst = SnapshotLog.restore(spark, dir, 0, col("k"))
+    assert(content(dir, vRst) === content(dir, 0))
+    // retention applies normally: pre-restore versions drop, the
+    // restored head keeps reading
+    SnapshotLog.vacuum(dir, vRst)
+    assert(SnapshotLog.readAsOf(spark, dir, vRst).count() === 30L)
+    intercept[Exception] {
+      SnapshotLog.readAsOf(spark, dir, vBad).count()
+    }
+  }
+
   // == Round-14 advice regressions ==
 
   test("readCdc on a schema-less legacy log drops the reserved DV key columns") {
