@@ -32,18 +32,23 @@ object BenchOne {
       graft.queries.RecoOps.releaseCaches()
     }
     args.foreach { name =>
-      val run: () => Unit =
+      // (pre, work): pre runs OUTSIDE the timer — for build steps the
+      // cache release must not be billed to the build being measured
+      // (round-15 advice), it only exists so run 2+ re-measures real
+      // work instead of a memo hit
+      val (pre, run): (() => Unit, () => Unit) =
         if (name.startsWith("build:")) {
           val step = name.stripPrefix("build:")
           val fn = Bench.buildSteps.toMap.getOrElse(step,
             throw new NoSuchElementException(s"unknown build step: $step"))
-          // a warm memo would make run 2+ a no-op — re-measure for real
-          () => { releaseAll(); fn(spark, sfDir) }
+          (() => releaseAll(), () => fn(spark, sfDir))
         } else {
           val fn = SparkEntry.queries(name)
-          () => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (() => (),
+            () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
       (1 to runs).foreach { i =>
+        pre()
         val t0 = System.nanoTime()
         run()
         println(f"[benchone] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

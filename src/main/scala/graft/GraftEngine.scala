@@ -90,6 +90,18 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.queries.VectorOps.annTopK(spark, dataDir, queries, topK, nProbe,
       shortlist, excludeSelf)
 
+  /** Recall-targeted ANN serving (round-16): instead of hand-picking
+    * nProbe, pass the recall you need — the probe configuration comes
+    * from the measured per-index calibration table (q225;
+    * `VectorOps.annCalibration`), cheapest grid point meeting the
+    * target, exact-probe fallback when none does. The fixed-dial
+    * `annTopK` above is unchanged.
+    */
+  def annTopKAuto(queries: DataFrame, topK: Int = 5,
+      targetRecall: Double = 0.9, excludeSelf: Boolean = true): DataFrame =
+    graft.queries.VectorOps.annTopKAuto(spark, dataDir, queries, topK,
+      targetRecall, excludeSelf)
+
   /** Hybrid retrieval serving: reciprocal-rank fusion (k=60) of the
     * q156 lexical idf arm — served from memoized corpus token/df
     * statistics (built once per session, like the ANN indexes) — and

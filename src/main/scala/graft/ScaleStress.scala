@@ -311,7 +311,13 @@ object ScaleStress {
       // restore cost ∝ the churned files (the bad write's rewrite +
       // the originals it replaced), never the table — at 10× the CoW
       // purge touches every segment, so this row prices the worst case
-      "q222_snapshot_restore")
+      "q222_snapshot_restore",
+      // round-16: UPDATE commit cost — CoW ∝ touched segments, MoR ∝
+      // matched rows (the q223 row runs both + a compact); clone cost
+      // is O(files) link calls — the q224 row's wall time is dominated
+      // by building its source log, the clone itself is metadata (the
+      // --merge-prune flag isolates both claims)
+      "q223_snapshot_update", "q224_snapshot_clone")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
@@ -366,6 +372,61 @@ object ScaleStress {
       require(nFull == nInc,
         s"full vs incremental content diverged: $nFull vs $nInc")
       println(s"SCALE optimize_content_rows $nFull")
+    }
+    // --merge-prune: the round-16 discovery-cost∝touched-segments
+    // proof — two IDENTICAL 10x orders logs, key-clustered into four
+    // orderkey-range segments, ONE with a recorded key stat and one
+    // without; the same single-slice keyed merge runs against both.
+    // The stats log's discovery opens only the overlapping segment
+    // (mergeCandidateSegs prints the count); the stat-less log pays
+    // the full scan — the delta is the pruning win, isolated from
+    // rewrite cost (identical on both sides). Plus the clone-cost
+    // claim: cloning the 10x log is timed alone — O(files) link
+    // calls, no data bytes.
+    if (flagArgs.contains("--merge-prune")) {
+      import graft.ext.SnapshotLog
+      val o = Tables.load(spark, out, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val ts = unix_timestamp(col("o_orderdate"))
+      val bounds = o.agg(min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx")).head()
+      val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = (kHi - kLo) / 4 + 1
+      def build(dir: String, withStat: Boolean): Unit = {
+        SnapshotLog.reset(dir, checkpointInterval = 8,
+          statsCols = if (withStat) Seq("ok" -> "o_orderkey") else Nil)
+        (0L until 4L).foreach { i =>
+          SnapshotLog.append(o.filter(
+            col("o_orderkey") >= kLo + i * span &&
+              col("o_orderkey") < kLo + (i + 1) * span), dir, ts)
+        }
+      }
+      val pruned = s"$out/mergelog-stat"; val full = s"$out/mergelog-plain"
+      build(pruned, withStat = true); build(full, withStat = false)
+      // src touches only the second key slice
+      val src = o.filter(col("o_orderkey") >= kLo + span &&
+          col("o_orderkey") < kLo + span + span / 10)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val nCand = SnapshotLog.mergeCandidateSegs(spark, pruned, 3,
+        "o_orderkey", src).size
+      println(s"SCALE merge_discovery_candidates $nCand of 4")
+      val t0 = System.nanoTime()
+      SnapshotLog.mergeMor(spark, src, pruned, "o_orderkey", ts)
+      println(f"SCALE merge_mor_pruned_discovery ${(System.nanoTime() - t0) / 1e9}%.2f")
+      val t1 = System.nanoTime()
+      SnapshotLog.mergeMor(spark, src, full, "o_orderkey", ts)
+      println(f"SCALE merge_mor_full_discovery ${(System.nanoTime() - t1) / 1e9}%.2f")
+      val nP = SnapshotLog.readAsOf(spark, pruned,
+        SnapshotLog.version(pruned)).count()
+      val nF = SnapshotLog.readAsOf(spark, full,
+        SnapshotLog.version(full)).count()
+      require(nP == nF, s"pruned vs full merge diverged: $nP vs $nF")
+      println(s"SCALE merge_content_rows $nP")
+      // clone the 4-segment 10x log: wall time is link calls only
+      val t2 = System.nanoTime()
+      SnapshotLog.cloneShallow(pruned, s"$out/mergelog-clone")
+      println(f"SCALE clone_shallow_10x ${(System.nanoTime() - t2) / 1e9}%.2f")
     }
     // warm-up
     spark.range(1000000).selectExpr("id % 7 as k").groupBy("k").count()

@@ -80,8 +80,34 @@ object SnapshotLog {
     * entries pointing at replaced files simply stop matching (segment
     * names are writer-unique), so staleness is inert, never wrong.
     */
+  /** `cdcPre`/`cdcPost` (round 16) are UPDATE's typed change segments —
+    * per-version event records like cdcDel, never carried: cdcPre
+    * names the segment holding the replaced old images
+    * (`_change_type = update_preimage` in the feed), cdcPost names the
+    * new-image segment (a live dataChange segment of the snapshot that
+    * the feed tags `update_postimage` instead of plain insert —
+    * Delta's four-valued _change_type column). `opType` records which
+    * operation produced the version (append/compact/optimize/delete/
+    * merge/update/restore/clone) — the streaming gate classifies
+    * delete-bearing vs update-bearing versions from it instead of
+    * guessing from cdcDel (legacy manifests have None and classify as
+    * their pre-round-16 behavior).
+    */
   final case class ManifestMeta(batches: Set[Long], compacted: Set[String],
-      cdcDel: Set[String] = Set.empty, dvs: Set[String] = Set.empty)
+      cdcDel: Set[String] = Set.empty, dvs: Set[String] = Set.empty,
+      cdcPre: Set[String] = Set.empty, cdcPost: Set[String] = Set.empty,
+      opType: Option[String] = None) {
+    /** The STANDING state a successor commit carries forward — batch
+      * ids, compaction flags and active DVs; the per-version event
+      * fields (cdcDel/cdcPre/cdcPost/opType) reset. Every commit that
+      * starts from its predecessor's meta must go through this — a
+      * bare .copy leaks the previous version's change-event record
+      * into the new manifest.
+      */
+    def carried: ManifestMeta =
+      copy(cdcDel = Set.empty, cdcPre = Set.empty, cdcPost = Set.empty,
+        opType = None)
+  }
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
 
@@ -368,7 +394,11 @@ object SnapshotLog {
         l.split('\t')(1).split(',').toSeq.filter(_.nonEmpty)
     }.flatten
     ManifestMeta(vals("batches").map(_.toLong).toSet, vals("compacted").toSet,
-      vals("cdcdel").toSet, vals("dvs").toSet)
+      vals("cdcdel").toSet, vals("dvs").toSet,
+      vals("cdcpre").toSet, vals("cdcpost").toSet,
+      lines.collectFirst {
+        case l if l.startsWith("#optype\t") => l.split('\t')(1)
+      })
   }
 
   def meta(dir: String, v: Int): ManifestMeta = metaOf(manifestLines(dir, v))
@@ -460,7 +490,12 @@ object SnapshotLog {
       (if (m.cdcDel.isEmpty) Nil
        else Seq(s"#cdcdel\t${m.cdcDel.toSeq.sorted.mkString(",")}")) ++
       (if (m.dvs.isEmpty) Nil
-       else Seq(s"#dvs\t${m.dvs.toSeq.sorted.mkString(",")}"))
+       else Seq(s"#dvs\t${m.dvs.toSeq.sorted.mkString(",")}")) ++
+      (if (m.cdcPre.isEmpty) Nil
+       else Seq(s"#cdcpre\t${m.cdcPre.toSeq.sorted.mkString(",")}")) ++
+      (if (m.cdcPost.isEmpty) Nil
+       else Seq(s"#cdcpost\t${m.cdcPost.toSeq.sorted.mkString(",")}")) ++
+      m.opType.map(o => s"#optype\t$o").toSeq
 
   /** Writer tags already committed (streaming idempotency: a replayed
     * micro-batch checks its batchId against the LOG, not local state —
@@ -617,10 +652,17 @@ object SnapshotLog {
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val cnt = r.getLong(2)
+    // a resolved-but-ALL-NULL stat records a SENTINEL line ("-") — the
+    // segment DID record under the current spec, there is just no range
+    // to prune on. Without it, coverage audits read the segment as
+    // pre-evolution and a selection policy could rewrite it pointlessly
+    // (round-15 advice); sidecarStats skips sentinels, so pruning never
+    // sees a fake range.
     val lines = s"$RowsStatName\t$cnt\t$cnt" +:
-      resolved.zipWithIndex.collect {
+      resolved.zipWithIndex.map {
         case ((n, _), i) if !r.isNullAt(3 + 2 * i) =>
           s"$n\t${r.getLong(3 + 2 * i)}\t${r.getLong(3 + 2 * i + 1)}"
+        case ((n, _), _) => s"$n\t-\t-"
       }
     Files.write(Paths.get(segPath, ZoneStatsFile),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -628,16 +670,35 @@ object SnapshotLog {
     else (r.getLong(0), r.getLong(1))
   }
 
-  /** The sidecar stats of a segment — empty when none were recorded. */
+  /** The sidecar stats of a segment — empty when none were recorded.
+    * Sentinel ("-") lines — resolved-but-all-null stats — are skipped:
+    * they carry coverage, never a prunable range (`sidecarCovered`
+    * reads them).
+    */
   def sidecarStats(dir: String, rel: String): Map[String, (Long, Long)] = {
     val p = Paths.get(dir, rel, ZoneStatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.endsWith("\t-\t-"))
       .map { l =>
         val Array(n, mn, mx) = l.split('\t')
         n -> (mn.toLong, mx.toLong)
       }.toMap
+  }
+
+  /** The stat names a segment RECORDED under the spec it was written
+    * with — real ranges AND all-null sentinels, minus the reserved
+    * __rows entry. The coverage signal `segmentHealth` reports (a
+    * recorded-but-all-null column must not read as pre-evolution).
+    */
+  def sidecarCovered(dir: String, rel: String): Set[String] = {
+    val p = Paths.get(dir, rel, ZoneStatsFile)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+      .map(_.split('\t')(0))
+      .filterNot(_ == RowsStatName)
+      .toSet
   }
 
   /** Zone-map-pruned read on a SIDECAR column: segments whose recorded
@@ -696,8 +757,8 @@ object SnapshotLog {
     val carried = if (prev < 0) Nil else segments(dir, prev)
     // batches/compacted carry forward; cdcDel does NOT — it records
     // what its OWN version deleted, never standing state
-    val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
-      else meta(dir, prev).copy(cdcDel = Set.empty)
+    val carriedMeta = (if (prev < 0) ManifestMeta(Set.empty, Set.empty)
+      else meta(dir, prev).carried).copy(opType = Some("append"))
     publish(dir, v, commitLines(dir, v,
       carried :+ Segment(rel, mn, mx, batchTag), carried, carriedMeta,
       Some(s"#schema\t${snapSchema.json}")))
@@ -874,7 +935,8 @@ object SnapshotLog {
     // the snapshot schema carries forward unchanged
     publish(dir, v, commitLines(dir, v, Seq(Segment(rel, mn, mx)),
       segments(dir, prev),
-      ManifestMeta(committedBatches(dir), Set(rel)),
+      ManifestMeta(committedBatches(dir), Set(rel),
+        opType = Some("compact")),
       schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
     v
   }
@@ -924,7 +986,8 @@ object SnapshotLog {
     // cluster → skip the commit entirely.
     if (newSegs.isEmpty) return prev
     publish(dir, v, commitLines(dir, v, newSegs, segments(dir, prev),
-      ManifestMeta(committedBatches(dir), newSegs.map(_.relPath).toSet),
+      ManifestMeta(committedBatches(dir), newSegs.map(_.relPath).toSet,
+        opType = Some("optimize")),
       schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
     v
   }
@@ -1015,7 +1078,7 @@ object SnapshotLog {
       val dv = math.min(dvBySeg.getOrElse(s.relPath, 0L), raw)
       SegmentHealth(s.relPath, raw, bytes, dv,
         if (raw == 0) 0.0 else dv.toDouble / raw,
-        (sidecars(s.relPath) - RowsStatName).size)
+        sidecarCovered(dir, s.relPath).size)
     }
   }
 
@@ -1121,7 +1184,7 @@ object SnapshotLog {
         prevMeta.batches ++ sel.flatMap(_.tag),
         (prevMeta.compacted intersect keptFiles) ++
           newSegs.map(_.relPath),
-        Set.empty, liveDvs),
+        Set.empty, liveDvs, opType = Some("optimize")),
       schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
     v
   }
@@ -1241,7 +1304,7 @@ object SnapshotLog {
           prevMeta.batches ++ touched.flatMap(_.tag),
           (prevMeta.compacted intersect untouched.map(_.relPath).toSet) +
             rewriteRel,
-          Set(delRel), prevMeta.dvs),
+          Set(delRel), prevMeta.dvs, opType = Some("delete")),
         schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
       v
     }
@@ -1292,7 +1355,8 @@ object SnapshotLog {
       prev
     } else {
       publish(dir, v, commitLines(dir, v, segs, segs,
-        prevMeta.copy(cdcDel = Set(dvRel), dvs = prevMeta.dvs + dvRel),
+        prevMeta.carried.copy(cdcDel = Set(dvRel),
+          dvs = prevMeta.dvs + dvRel, opType = Some("delete")),
         schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
       v
     }
@@ -1336,22 +1400,34 @@ object SnapshotLog {
     val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
     val srcKeys = srcM.select(col(key)).distinct()
     // old images of matched keys, DV-applied (a key merged twice
-    // tombstones the FIRST merge's src row, not a ghost)
-    val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
-      keepPos = true)
-    val matched = all.join(srcKeys, Seq(key), "left_semi")
+    // tombstones the FIRST merge's src row, not a ghost); the scan
+    // opens only the key-range-overlapping candidates — a segment
+    // whose recorded key range misses the src range cannot hold a
+    // matched row (mergeCandidateSegs)
+    val candidates = mergeCandidateSegs(spark, dir, prev, key, srcM)
     val dvRel = s"seg-$v-dv-${writerToken()}"
     val dvPath = absPath(dir, dvRel)
-    matched.write.mode("overwrite").parquet(dvPath)
-    val anyMatched = spark.read.parquet(dvPath).count() > 0L
-    if (!anyMatched)
-      walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+    val anyMatched =
+      if (candidates.isEmpty) false
+      else {
+        val all = applyDvs(spark, dir, prevMeta.dvs,
+          readSegs(spark, dir, prev,
+            candidates.map(s => absPath(dir, s.relPath))),
+          keepPos = true)
+        val matched = all.join(srcKeys, Seq(key), "left_semi")
+        matched.write.mode("overwrite").parquet(dvPath)
+        val any = spark.read.parquet(dvPath).count() > 0L
+        if (!any)
+          walked(Paths.get(dvPath))(_.toSeq).reverse
+            .foreach(Files.deleteIfExists)
+        any
+      }
     publish(dir, v, commitLines(dir, v,
       segs :+ Segment(srcRel, smn, smx), segs,
-      prevMeta.copy(
+      prevMeta.carried.copy(
         cdcDel = if (anyMatched) Set(dvRel) else Set.empty,
-        dvs = if (anyMatched) prevMeta.dvs + dvRel else prevMeta.dvs),
+        dvs = if (anyMatched) prevMeta.dvs + dvRel else prevMeta.dvs,
+        opType = Some("merge")),
       Some(s"#schema\t${snapSchema.json}")))
     v
   }
@@ -1360,6 +1436,66 @@ object SnapshotLog {
   def mergeMorWithRetry(spark: SparkSession, src: DataFrame, dir: String,
       key: String, statsCol: Column, maxAttempts: Int = 5): Int =
     commitWithRetry(maxAttempts)(mergeMor(spark, src, dir, key, statsCol))
+
+  /** == MERGE touched-key discovery pruning (round-16 item 1) ==
+    * Both merge flavors used to open EVERY segment's key column to
+    * find touched files even when the src keys span one day's
+    * partitions — at 100 TB the one real scale defect the round-15
+    * audit found. The engine already owns the fix: per-segment
+    * sidecar zone maps (q208). When the table's stats spec records a
+    * stat whose expression depends ONLY on the merge key, the frozen
+    * src's [min, max] of that expression (one 1-row aggregate over
+    * the already-materialized src segment) bounds every possibly-
+    * matching key: equal keys give equal expression values, so a
+    * segment whose recorded range cannot overlap the src range cannot
+    * hold a matched row and is skipped BEFORE the discovery semi-join
+    * ever lists its files (Delta prunes merge files against source
+    * min/max exactly this way). Safety rules are zone-map law: a
+    * segment with NO recorded range for the stat is never skipped; a
+    * key with no matching recorded stat, a non-deterministic or
+    * multi-column stat expression, or an all-null src range falls
+    * back to full discovery. Pure optimization — the discovery
+    * semi-join re-applies exact key equality, so the answer is
+    * independent of which segments carried stats.
+    *
+    * Public so Round21OpsSpec can pin the skip decision itself; merge
+    * and mergeMor scan exactly this candidate list.
+    */
+  def mergeCandidateSegs(spark: SparkSession, dir: String, v: Int,
+      key: String, srcM: DataFrame): Seq[Segment] = {
+    val segs = segments(dir, v)
+    val resolver = spark.sessionState.analyzer.resolver
+    val stat = statsColsOf(dir).find { case (_, e) =>
+      scala.util.Try {
+        // resolving against a key-only projection proves the stat
+        // depends on no other column, and the expression must be
+        // deterministic for equal keys to imply equal stat values
+        // (read off the analyzed Project — Column hides its
+        // expression in Spark 4, the delete-predicate technique)
+        srcM.select(col(key)).select(expr(e)).queryExecution.analyzed
+          .collectFirst {
+            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+              p.projectList.forall(_.deterministic)
+          }.getOrElse(true)
+      }.getOrElse(false)
+    }
+    stat match {
+      case None => segs
+      case Some((n, e)) =>
+        val r = srcM.agg(min(expr(e)).cast("long").as("mn"),
+          max(expr(e)).cast("long").as("mx")).head()
+        if (r.isNullAt(0)) segs // all-null src keys: no range to prune on
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          segs.filter { s =>
+            sidecarStats(dir, s.relPath).get(n) match {
+              case Some((mn, mx)) => mn <= hi && mx >= lo
+              case None => true // absent stats never skip (q208 rule)
+            }
+          }
+        }
+    }
+  }
 
   /** MERGE (upsert by key) as a copy-on-write commit — the operation
     * behind q189's CDC dedup gate becoming a real table write: every
@@ -1409,16 +1545,23 @@ object SnapshotLog {
     val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
     val srcKeys = srcM.select(col(key)).distinct()
     val prevMeta = meta(dir, prev)
-    // the file key is projected BELOW the semi-join (input_file_name()
-    // is refused above a multi-source plan) and the scan is DV-applied:
-    // a tombstoned old row must not mark its segment touched, nor
+    // discovery opens ONLY the key-range-overlapping candidates (see
+    // mergeCandidateSegs — a non-overlapping segment cannot hold a
+    // matched key, so it is untouched by construction); the file key
+    // is projected BELOW the semi-join (input_file_name() is refused
+    // above a multi-source plan) and the scan is DV-applied: a
+    // tombstoned old row must not mark its segment touched, nor
     // resurrect into the rewrite below
-    val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
-      keepPos = true)
-    val touchedFiles = all.join(srcKeys, Seq(key), "left_semi")
-      .select(col(DvFileCol)).distinct()
-      .collect().map(_.getString(0)).toSet
+    val candidates = mergeCandidateSegs(spark, dir, prev, key, srcM)
+    val touchedFiles =
+      if (candidates.isEmpty) Set.empty[String]
+      else applyDvs(spark, dir, prevMeta.dvs,
+        readSegs(spark, dir, prev,
+          candidates.map(s => absPath(dir, s.relPath))),
+        keepPos = true)
+        .join(srcKeys, Seq(key), "left_semi")
+        .select(col(DvFileCol)).distinct()
+        .collect().map(_.getString(0)).toSet
     val touched = segs.filter(s =>
       touchedFiles.exists(_.startsWith(s.relPath + "/")))
     val touchedSet = touched.map(_.relPath).toSet
@@ -1446,14 +1589,197 @@ object SnapshotLog {
         prevMeta.batches ++ touched.flatMap(_.tag),
         (prevMeta.compacted intersect untouched.map(_.relPath).toSet) ++
           rewriteSegs.map(_.relPath),
-        cdcDel, prevMeta.dvs),
+        cdcDel, prevMeta.dvs, opType = Some("merge")),
       Some(s"#schema\t${snapSchema.json}")))
     v
   }
 
+  /** == First-class UPDATE (round-16 item 2) ==
+    * `UPDATE SET col = expr WHERE pred` as a log commit — before this,
+    * an updating user hand-built a merge source from `readAsOf`, and
+    * the change feed could only encode the result as delete + insert.
+    * Both flavors emit TYPED change rows: the replaced old images
+    * surface in `readCdc` as `_change_type = update_preimage`, the new
+    * images as `update_postimage` (Delta's four-valued column), so a
+    * downstream view maintainer can tell a moved row from churn.
+    *
+    * Shared contracts: assignments target EXISTING columns only
+    * (UPDATE never evolves schema — the expression casts back to the
+    * column's recorded type, so the snapshot schema is bit-identical
+    * before and after); predicate AND assignment expressions must be
+    * deterministic (both are re-evaluated under retry, and the CoW
+    * flavor re-scans the predicate per write phase — SQL UPDATE's
+    * contract); NULL-predicate rows are untouched (an update only
+    * rewrites rows the predicate PROVES true); a predicate matching
+    * nothing commits nothing. New images derive from the WRITTEN
+    * preimage segment, never a re-evaluated source scan — pre/post
+    * pair 1:1 by construction.
+    */
+  private def updatePlan(spark: SparkSession, dir: String, prev: Int,
+      set: Seq[(String, Column)]): DataFrame => DataFrame = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val resolver = spark.sessionState.analyzer.resolver
+    val fields = gateSchema(spark, dir, prev)
+      .getOrElse(readAsOf(spark, dir, prev).schema).fields.toSeq
+    val bound = set.map { case (c, e) =>
+      val f = fields.find(fd => resolver(fd.name, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE assigns to unknown column '$c' — updates never add " +
+            "columns (append an evolved frame for that)"))
+      (f.name, e.cast(f.dataType))
+    }
+    df => bound.foldLeft(df) { case (acc, (c, e)) => acc.withColumn(c, e) }
+  }
+
+  /** Both the filter predicate and every assignment projection must be
+    * deterministic — read off the analyzed plan (Column hides its
+    * expression in Spark 4).
+    */
+  private def requireDeterministicUpdate(hits: DataFrame,
+      applied: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val predDet = hits.queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition.deterministic
+    }.getOrElse(true)
+    require(predDet, s"$what predicate must be deterministic — it is " +
+      "re-evaluated per write phase and under retry (SQL UPDATE contract)")
+    val setDet = applied.queryExecution.analyzed.collect {
+      case p: Project => p.projectList.forall(_.deterministic)
+    }.forall(identity)
+    require(setDet, s"$what assignment expressions must be deterministic " +
+      "(re-evaluated under retry)")
+  }
+
+  /** Copy-on-write UPDATE: touched-segment discovery is one pruned
+    * DV-applied scan (delete's mechanics); touched segments rewrite
+    * into a survivor segment (`#compacted`, dataChange = false) plus a
+    * NEW-IMAGE segment — a live dataChange segment the feed tags
+    * `update_postimage` via `#cdcpost` — while the old images land as
+    * the `#cdcpre` change segment; untouched segments carry by
+    * reference. Returns the new (or unchanged) version.
+    */
+  def update(spark: SparkSession, dir: String, predicate: Column,
+      set: Seq[(String, Column)], statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to update in $dir")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val prevMeta = meta(dir, prev)
+    val applySet = updatePlan(spark, dir, prev, set)
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    val hits = all.filter(predicate)
+    requireDeterministicUpdate(hits,
+      applySet(hits.drop(DvFileCol, DvPosCol)), "update")
+    val touchedFiles = hits
+      .select(col(DvFileCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = segs.filter(s =>
+      touchedFiles.exists(_.startsWith(s.relPath + "/")))
+    if (touched.isEmpty) prev
+    else {
+      val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
+        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
+      val preRel = s"seg-$v-cdcpre-${writerToken()}"
+      touchedDf.filter(predicate).write.mode("overwrite")
+        .parquet(absPath(dir, preRel))
+      // new images derive from the WRITTEN preimages — the predicate
+      // never re-evaluates between pre and post, so the pair is exact
+      val postRel = s"seg-$v-post-${writerToken()}"
+      val postPath = absPath(dir, postRel)
+      applySet(readSegs(spark, dir, prev, Seq(absPath(dir, preRel))))
+        .write.mode("overwrite").parquet(postPath)
+      val (pmn, pmx) = statsAndSidecar(spark, dir, postPath, statsCol)
+      val rwRel = s"seg-$v-rw-${writerToken()}"
+      val rwPath = absPath(dir, rwRel)
+      touchedDf.filter(!coalesce(predicate, lit(false)))
+        .write.mode("overwrite").parquet(rwPath)
+      val (mn, mx) = statsAndSidecar(spark, dir, rwPath, statsCol)
+      val touchedSet = touched.map(_.relPath).toSet
+      val untouched = segs.filterNot(s => touchedSet(s.relPath))
+      publish(dir, v, commitLines(dir, v,
+        untouched :+ Segment(rwRel, mn, mx) :+ Segment(postRel, pmn, pmx),
+        segs,
+        ManifestMeta(
+          prevMeta.batches ++ touched.flatMap(_.tag),
+          (prevMeta.compacted intersect untouched.map(_.relPath).toSet) +
+            rwRel,
+          Set.empty, prevMeta.dvs,
+          cdcPre = Set(preRel), cdcPost = Set(postRel),
+          opType = Some("update")),
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
+      v
+    }
+  }
+
+  /** Merge-on-read UPDATE — deleteMor's economy for updates: ONE
+    * predicate-pushed scan writes the matched old images as a
+    * tombstone segment (doubling as `#cdcpre`), the new images —
+    * derived from the written tombstones, so the predicate evaluates
+    * exactly once — land as one update-sized dataChange segment
+    * (`#cdcpost`), and every read anti-joins the tombstones away.
+    * Commit cost ∝ matched rows, never touched-segment bytes; the
+    * read rent and its compaction bound are deleteMor's. Returns the
+    * new (or unchanged) version.
+    */
+  def updateMor(spark: SparkSession, dir: String, predicate: Column,
+      set: Seq[(String, Column)], statsCol: Column): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to update in $dir")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val prevMeta = meta(dir, prev)
+    val applySet = updatePlan(spark, dir, prev, set)
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    val hits = all.filter(predicate)
+    requireDeterministicUpdate(hits,
+      applySet(hits.drop(DvFileCol, DvPosCol)), "updateMor")
+    val dvRel = s"seg-$v-dv-${writerToken()}"
+    val dvPath = absPath(dir, dvRel)
+    hits.write.mode("overwrite").parquet(dvPath)
+    if (spark.read.parquet(dvPath).count() == 0L) {
+      walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+      prev
+    } else {
+      // key columns ride at the END of the tombstone write (applyDvs
+      // appends them), so dropping them restores the snapshot shape
+      val pre = spark.read.parquet(dvPath).drop(DvFileCol, DvPosCol)
+      val postRel = s"seg-$v-post-${writerToken()}"
+      val postPath = absPath(dir, postRel)
+      applySet(pre).write.mode("overwrite").parquet(postPath)
+      val (pmn, pmx) = statsAndSidecar(spark, dir, postPath, statsCol)
+      publish(dir, v, commitLines(dir, v,
+        segs :+ Segment(postRel, pmn, pmx), segs,
+        prevMeta.carried.copy(
+          cdcPre = Set(dvRel), cdcPost = Set(postRel),
+          dvs = prevMeta.dvs + dvRel, opType = Some("update")),
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
+      v
+    }
+  }
+
+  /** update with serializable re-run-on-conflict. */
+  def updateWithRetry(spark: SparkSession, dir: String, predicate: Column,
+      set: Seq[(String, Column)], statsCol: Column,
+      maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(update(spark, dir, predicate, set, statsCol))
+
+  /** updateMor with serializable re-run-on-conflict. */
+  def updateMorWithRetry(spark: SparkSession, dir: String,
+      predicate: Column, set: Seq[(String, Column)], statsCol: Column,
+      maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(
+      updateMor(spark, dir, predicate, set, statsCol))
+
   /** Full change-data feed over (fromV, toV]: `readChanges`' inserts
     * PLUS the rows row-level deletes/merges removed, each row tagged
-    * with `_change_type` ('insert' | 'delete') AND `_commit_version`
+    * with `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    * 'update_postimage' — the typed pair comes from first-class
+    * UPDATE commits; deletes/merges keep their delete+insert
+    * encoding) AND `_commit_version`
     * (the version whose commit produced it). The version column is
     * what makes the by-key idempotent-apply contract real: a key
     * modified in more than one version inside the window (two merges
@@ -1486,11 +1812,20 @@ object SnapshotLog {
       // O(window) manifest reads on delta layouts.
       val walk = segmentsWalk(dir, fromV, toV)
       val perVersion = ((fromV + 1) to toV).flatMap { w =>
+        val m = meta(dir, w)
         val prevSet = walk(w - 1 - fromV).map(_.relPath).toSet
+        // an UPDATE's new-image segment is a live dataChange segment of
+        // the snapshot, but the feed must tag it update_postimage, not
+        // insert — exclude it from the plain-insert list (Delta's
+        // four-valued _change_type column, round 16)
         val ins = walk(w - fromV).filter(_.dataChange)
           .filterNot(s => prevSet(s.relPath)).map(_.relPath)
-        val dels = meta(dir, w).cdcDel.toSeq.sorted
-        Seq(("insert", w, ins), ("delete", w, dels)).filter(_._3.nonEmpty)
+          .filterNot(m.cdcPost)
+        Seq(("insert", w, ins),
+          ("delete", w, m.cdcDel.toSeq.sorted),
+          ("update_preimage", w, m.cdcPre.toSeq.sorted),
+          ("update_postimage", w, m.cdcPost.toSeq.sorted))
+          .filter(_._3.nonEmpty)
       }
       if (perVersion.isEmpty)
         readAsOf(spark, dir, toV).limit(0)
@@ -1573,14 +1908,22 @@ object SnapshotLog {
     def dvImages(rels: Seq[String]): Option[DataFrame] =
       if (rels.isEmpty || sharedNames.isEmpty) None
       else {
-        // RAW read (footer schema): the key columns the filter needs
+        // RAW reads (footer schema): the key columns the filter needs
         // are exactly the ones the table schema excludes; after the
         // filter the images conform to prev's schema, null-filling
-        // columns added after their era
-        val raw = spark.read.parquet(rels.map(r => absPath(dir, r)): _*)
-          .filter(substring_index(col(DvFileCol), "/", 1)
-            .isInCollection(sharedNames))
-          .drop(DvFileCol, DvPosCol)
+        // columns added after their era. Each DV segment reads under
+        // its OWN footer and the set combines via unionByName with
+        // allowMissingColumns — a single multi-path read adopts ONE
+        // sampled footer, so DV segments straddling a schema evolution
+        // would silently null-fill columns only some of them carry
+        // (round-15 advice; per-segment footers make the invariant
+        // structural instead of relying on shared-file luck)
+        val raw = rels.map { r =>
+            spark.read.parquet(absPath(dir, r))
+              .filter(substring_index(col(DvFileCol), "/", 1)
+                .isInCollection(sharedNames))
+              .drop(DvFileCol, DvPosCol)
+          }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         Some(sc match {
           case Some(s) => raw.select(s.fields.toSeq.map { f =>
             if (raw.columns.contains(f.name)) col(f.name)
@@ -1646,9 +1989,71 @@ object SnapshotLog {
         // shared segments keep their dataChange flags AS OF v; the
         // fresh inserts segment is dataChange = true by omission
         metaOf(manifestLines(dir, v)).compacted intersect sharedNames.toSet,
-        delRel.toSet, liveDvs),
+        delRel.toSet, liveDvs, opType = Some("restore")),
       sc.map(s => s"#schema\t${s.json}")))
     vNew
+  }
+
+  /** == Shallow CLONE (round-16 item 3 — Delta's CLONE / Iceberg
+    * snapshot refs) ==
+    * A zero-copy table copy: the dev/test-against-prod workflow where
+    * a writable replica of a 100 TB table must cost metadata, not
+    * bytes. Segments are immutable, so the clone's v0 manifest lists
+    * the source's segments (and active DVs) as of `asOfV` — but
+    * instead of cross-directory path references, every segment FILE
+    * HARD-LINKS into the clone's own directory: zero data copied
+    * (links are O(files) metadata ops), yet the clone is fully
+    * SELF-CONTAINED — vacuum on the source only unlinks its own
+    * directory entries (the shared inodes survive through the
+    * clone's links), vacuum on the clone likewise, and neither side
+    * can ever dangle the other (the refcount the round-15 verdict
+    * asked for, supplied by the filesystem's link count; an
+    * object-store deployment swaps links for manifest refcounts, the
+    * same CAS-service swap the commit path documents). Divergent
+    * writes land in whichever log they are committed to — the logs
+    * share no mutable state. Table properties (checkpoint interval,
+    * stats spec) copy with the config, batch ids carry (a replayed
+    * micro-batch skips on both sides), compaction flags and the DV
+    * set carry as of `asOfV`, and the clone's feed starts with v0 as
+    * the initial snapshot. Filesystems without hard links degrade to
+    * a per-file copy — correct, just not zero-copy. Returns the
+    * clone's version (always 0).
+    */
+  def cloneShallow(srcDir: String, dstDir: String, asOfV: Int = -1): Int = {
+    val head = version(srcDir)
+    require(head >= 0, s"nothing to clone in $srcDir")
+    val v = if (asOfV < 0) head else asOfV
+    require(v <= head, s"clone source version v$v outside [0, $head]")
+    require(version(dstDir) < 0,
+      s"clone target $dstDir already holds a log — clone only creates " +
+        "fresh tables")
+    Files.createDirectories(logDir(dstDir))
+    if (Files.exists(configPath(srcDir)))
+      Files.copy(configPath(srcDir), configPath(dstDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val m = meta(srcDir, v)
+    val segs = segments(srcDir, v)
+    (segs.map(_.relPath) ++ m.dvs.toSeq.sorted).distinct.foreach { rel =>
+      val from = Paths.get(srcDir, rel)
+      val to = Paths.get(dstDir, rel)
+      walked(from)(_.toSeq).foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          try Files.createLink(t, p)
+          catch {
+            case _: UnsupportedOperationException => Files.copy(p, t)
+          }
+        }
+      }
+    }
+    publish(dstDir, 0, commitLines(dstDir, 0, segs, Nil,
+      ManifestMeta(segs.flatMap(_.tag).toSet ++ m.batches,
+        m.compacted intersect segs.map(_.relPath).toSet,
+        Set.empty, m.dvs, opType = Some("clone")),
+      schemaOf(srcDir, v).map(sc => s"#schema\t${sc.json}")))
+    0
   }
 
   /** Retention enforcement: drop manifests BELOW `horizon` and delete
@@ -1721,12 +2126,13 @@ object SnapshotLog {
     // cdcDel change segments are referenced by meta lines, not segment
     // lines — they must survive exactly as long as their manifest does.
     // One forward walk resolves all kept versions' lists.
-    // cdcDel AND deletion-vector segments are referenced by meta lines,
-    // not segment lines — each must survive as long as a kept manifest
-    // references it
+    // cdcDel/cdcPre AND deletion-vector segments are referenced by meta
+    // lines, not segment lines — each must survive as long as a kept
+    // manifest references it (cdcPost segments are live segment lines
+    // and ride the walk)
     val keep = (segmentsWalk(dir, horizon, latest).flatMap(_.map(_.relPath)) ++
       (horizon to latest).flatMap { v =>
-        val m = meta(dir, v); m.cdcDel ++ m.dvs
+        val m = meta(dir, v); m.cdcDel ++ m.dvs ++ m.cdcPre ++ m.cdcPost
       }).toSet
     val root = Paths.get(dir)
     val segDirs = listed(root)(
@@ -1816,8 +2222,8 @@ object SnapshotLog {
         t
       }
       val carried = if (prev < 0) Nil else segments(dir, prev)
-      val carriedMeta = if (prev < 0) ManifestMeta(Set.empty, Set.empty)
-        else meta(dir, prev).copy(cdcDel = Set.empty)
+      val carriedMeta = (if (prev < 0) ManifestMeta(Set.empty, Set.empty)
+        else meta(dir, prev).carried).copy(opType = Some("append"))
       try {
         publish(dir, v, commitLines(dir, v,
           carried :+ Segment(rel, mn, mx, batchTag), carried, carriedMeta,

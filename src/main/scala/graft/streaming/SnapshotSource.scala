@@ -37,14 +37,21 @@ import graft.ext.SnapshotLog
   *     this source's at-least-once delivery.
   *
   * Delivery modes (Delta's source options):
-  *  - `cdc = true`: the full change feed — inserts AND deletes, each
-  *    tagged `_change_type` + `_commit_version`. The mode a
-  *    downstream keyed sink applies idempotently.
-  *  - `cdc = false`: insert-only (`_commit_version` still tagged). A
-  *    range containing a row-level delete REFUSES loudly unless
-  *    `ignoreDeletes = true` — silently skipping deletes would let an
-  *    insert-only consumer drift from the table (Delta's
-  *    `ignoreDeletes` contract, verbatim).
+  *  - `cdc = true`: the full change feed — inserts, deletes AND typed
+  *    update pre/post images, each tagged `_change_type` +
+  *    `_commit_version`. The mode a downstream keyed sink applies
+  *    idempotently.
+  *  - `cdc = false`: insert-only (`_commit_version` still tagged).
+  *    Versions are CLASSIFIED by the op that produced them (`#optype`,
+  *    round 16): a PURE-DELETE version refuses loudly unless
+  *    `ignoreDeletes = true` (Delta's ignoreDeletes — accept that
+  *    deleted rows silently stay downstream); an UPDATE/MERGE version
+  *    refuses unless `ignoreChanges = true` (Delta's ignoreChanges —
+  *    new images deliver as inserts, the replaced old images silently
+  *    drop, so the consumer must dedupe by key; ignoreChanges
+  *    subsumes ignoreDeletes, Delta's rule). Legacy manifests without
+  *    an optype classify by cdcDel alone — their pre-round-16
+  *    behavior, under the ignoreDeletes flag.
   *
   * Scale: one trigger costs O(window) driver-side manifest reads plus
   * pruned parquet scans of exactly the delta/#cdcdel segments — never
@@ -148,12 +155,14 @@ object SnapshotSource {
   }
 
   /** The rows of a planned batch. cdc mode = the full change feed;
-    * insert-only mode refuses ranges containing row-level deletes
-    * unless `ignoreDeletes` (see object doc). Both modes tag
+    * insert-only mode classifies each version by its op and refuses
+    * pure deletes without `ignoreDeletes` and updates/merges without
+    * `ignoreChanges` (see object doc). Both modes tag
     * `_commit_version`.
     */
   def batchFrame(spark: SparkSession, logDir: String, b: PlannedBatch,
-      cdc: Boolean, ignoreDeletes: Boolean): DataFrame = {
+      cdc: Boolean, ignoreDeletes: Boolean,
+      ignoreChanges: Boolean = false): DataFrame = {
     val feed = SnapshotLog.readCdc(spark, logDir, b.fromV, b.toV)
     if (cdc) feed
     else {
@@ -161,16 +170,38 @@ object SnapshotSource {
       // before toV are already absent, so there is nothing to drift
       // from (Delta's starting-snapshot semantics) and no manifest
       // below the retention horizon is ever opened
-      if (!ignoreDeletes && b.fromV >= 0) {
-        val deleted = ((b.fromV + 1) to b.toV)
-          .filter(v => SnapshotLog.meta(logDir, v).cdcDel.nonEmpty)
-        require(deleted.isEmpty,
-          s"versions ${deleted.mkString(",")} of $logDir contain row-level " +
-            "deletes — an insert-only tail would silently drift from the " +
-            "table; use cdc = true, or ignoreDeletes = true to accept the " +
-            "drift explicitly (Delta's ignoreDeletes contract)")
+      if (b.fromV >= 0) {
+        val metas = ((b.fromV + 1) to b.toV)
+          .map(v => v -> SnapshotLog.meta(logDir, v))
+        def isChange(m: SnapshotLog.ManifestMeta): Boolean =
+          m.opType.exists(o => o == "merge" || o == "update") &&
+            (m.cdcDel.nonEmpty || m.cdcPre.nonEmpty)
+        // ignoreChanges subsumes ignoreDeletes (Delta's rule)
+        if (!ignoreChanges) {
+          val changed = metas.collect { case (v, m) if isChange(m) => v }
+          require(changed.isEmpty,
+            s"versions ${changed.mkString(",")} of $logDir contain " +
+              "updates/merges — an insert-only tail would deliver their " +
+              "new images while silently dropping the replaced old ones; " +
+              "use cdc = true, or ignoreChanges = true to accept that " +
+              "drift explicitly (Delta's ignoreChanges contract)")
+        }
+        if (!ignoreDeletes && !ignoreChanges) {
+          val deleted = metas.collect {
+            case (v, m) if m.cdcDel.nonEmpty && !isChange(m) => v
+          }
+          require(deleted.isEmpty,
+            s"versions ${deleted.mkString(",")} of $logDir contain " +
+              "row-level deletes — an insert-only tail would silently " +
+              "drift from the table; use cdc = true, or ignoreDeletes = " +
+              "true to accept the drift explicitly (Delta's ignoreDeletes " +
+              "contract)")
+        }
       }
-      feed.filter(col("_change_type") === "insert").drop("_change_type")
+      // update NEW images deliver as inserts (only reachable under
+      // ignoreChanges or when no gate fired — i.e. never silently)
+      feed.filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
     }
   }
 
@@ -186,10 +217,12 @@ object SnapshotSource {
     */
   def trigger(spark: SparkSession, logDir: String, ckDir: String,
       cdc: Boolean = true, ignoreDeletes: Boolean = false,
-      maxVersionsPerTrigger: Int = Int.MaxValue)(
+      maxVersionsPerTrigger: Int = Int.MaxValue,
+      ignoreChanges: Boolean = false)(
       process: (DataFrame, Long) => Unit): Option[Long] =
     planNext(logDir, ckDir, maxVersionsPerTrigger).map { b =>
-      process(batchFrame(spark, logDir, b, cdc, ignoreDeletes), b.batchId)
+      process(batchFrame(spark, logDir, b, cdc, ignoreDeletes,
+        ignoreChanges), b.batchId)
       commitBatch(ckDir, b.batchId)
       b.batchId
     }
@@ -204,13 +237,14 @@ object SnapshotSource {
   def run(spark: SparkSession, logDir: String, ckDir: String,
       cdc: Boolean = true, ignoreDeletes: Boolean = false,
       maxBatches: Int = Int.MaxValue,
-      maxVersionsPerTrigger: Int = Int.MaxValue)(
+      maxVersionsPerTrigger: Int = Int.MaxValue,
+      ignoreChanges: Boolean = false)(
       process: (DataFrame, Long) => Unit): Seq[Long] = {
     val done = scala.collection.mutable.ArrayBuffer.empty[Long]
     var more = true
     while (more && done.size < maxBatches)
       trigger(spark, logDir, ckDir, cdc, ignoreDeletes,
-        maxVersionsPerTrigger)(process) match {
+        maxVersionsPerTrigger, ignoreChanges)(process) match {
         case Some(id) => done += id
         case None => more = false
       }
@@ -262,7 +296,33 @@ object SnapshotSource {
           require(delta.filter(keyExpr.isNull).limit(1).isEmpty,
             "maintainView group keys must be non-null — wrap keyExpr " +
               "in coalesce(...) to give the null group an explicit key")
-          val aff = delta.select(keyExpr.as(viewKey)).distinct()
+          // == Churn suppression (round-16 item 6 — DLT's change-aware
+          // refresh) == a group is affected only when the batch CHANGES
+          // its source multiset: per (key, full row values), inserts +
+          // update postimages count +1, deletes + update preimages
+          // count -1; a key whose every row-value group nets to zero
+          // (an UPDATE SET x = x, a delete+re-insert of identical
+          // rows, a replayed no-op merge) left the group's content
+          // bit-identical, so ANY aggregate of it is unchanged and the
+          // refresh skips it. Exact, not heuristic: grouping is on the
+          // actual column values, never a hash. Unorderable columns
+          // (maps) cannot group — fall back to every-key-affected,
+          // which is the pre-round-16 behavior and always safe.
+          val dataCols = delta.columns
+            .filterNot(c => c == "_change_type" || c == "_commit_version")
+          val groupable = delta.schema.fields
+            .filter(f => dataCols.contains(f.name))
+            .forall(f => !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType])
+          val aff =
+            if (!groupable) delta.select(keyExpr.as(viewKey)).distinct()
+            else delta
+              .groupBy(keyExpr.as(viewKey) +: dataCols.map(col): _*)
+              .agg(sum(when(col("_change_type")
+                .isin("insert", "update_postimage"), 1L)
+                .otherwise(-1L)).as("__net"))
+              .filter(col("__net") =!= 0L)
+              .select(col(viewKey)).distinct()
           val scoped = SnapshotLog.readAsOf(spark, srcLogDir, b.toV)
             .withColumn(viewKey, keyExpr)
             .join(aff, Seq(viewKey), "left_semi")

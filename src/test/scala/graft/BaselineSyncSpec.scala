@@ -59,7 +59,11 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q219_incremental_knn_cdc",
       "q220_segment_health",
       "q221_incremental_view",
-      "q222_snapshot_restore")
+      "q222_snapshot_restore",
+      // round 16
+      "q223_snapshot_update",
+      "q224_snapshot_clone",
+      "q225_ann_autotune")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")
