@@ -324,11 +324,40 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       statsCol: org.apache.spark.sql.Column): Int =
     graft.ext.SnapshotLog.mergeMor(spark, src, dir, key, statsCol)
 
+  /** First-class UPDATE as a copy-on-write commit (round-16, q223's
+    * kernel): `UPDATE SET col = expr WHERE pred` — touched segments
+    * rewrite, the feed delivers typed update_preimage/update_postimage
+    * rows. Assignments target existing columns only.
+    */
+  def snapshotUpdate(dir: String, predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.update(spark, dir, predicate, set, statsCol)
+
+  /** Merge-on-read UPDATE (q223's MoR flavor): matched old images
+    * tombstone, new images land as one update-sized segment — commit
+    * cost ∝ matched rows. Semantics identical to `snapshotUpdate`.
+    */
+  def snapshotUpdateMor(dir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.updateMor(spark, dir, predicate, set, statsCol)
+
+  /** Shallow CLONE (round-16, q224's kernel): zero-copy writable
+    * replica of `srcDir` as of `asOfV` (default head) at `dstDir` —
+    * per-file hard links, self-contained, vacuum-safe both directions.
+    */
+  def snapshotClone(srcDir: String, dstDir: String, asOfV: Int = -1): Int =
+    graft.ext.SnapshotLog.cloneShallow(srcDir, dstDir, asOfV)
+
   /** Full change-data feed over (fromV, toV]: `snapshotChanges`'
-    * inserts plus delete/merge removals, tagged `_change_type`
-    * ('insert' | 'delete') and `_commit_version` (order changes per
-    * key by it — last wins); updates arrive as delete + insert under
-    * one version.
+    * inserts plus delete/merge removals and typed update pre/post
+    * images, tagged `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage') and `_commit_version`
+    * (order changes per key by it — last wins); merges arrive as
+    * delete + insert under one version, first-class updates as their
+    * typed pair.
     */
   def snapshotCdc(dir: String, fromV: Int, toV: Int): DataFrame =
     graft.ext.SnapshotLog.readCdc(spark, dir, fromV, toV)
@@ -487,10 +516,25 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def tailSnapshot(logDir: String, checkpointDir: String,
       cdc: Boolean = true, ignoreDeletes: Boolean = false,
       maxBatches: Int = Int.MaxValue,
-      maxVersionsPerTrigger: Int = Int.MaxValue)(
+      maxVersionsPerTrigger: Int = Int.MaxValue,
+      ignoreChanges: Boolean = false)(
       process: (DataFrame, Long) => Unit): Seq[Long] =
     graft.streaming.SnapshotSource.run(spark, logDir, checkpointDir, cdc,
-      ignoreDeletes, maxBatches, maxVersionsPerTrigger)(process)
+      ignoreDeletes, maxBatches, maxVersionsPerTrigger,
+      ignoreChanges)(process)
+
+  /** Keyed CDC APPLY (round-16 continuation; q226's kernel — DLT's
+    * APPLY CHANGES INTO): continuously replicate a MUTATING source log
+    * into a replica log under the last-change-wins consumer contract —
+    * deletes, merges, first-class updates and restores all converge.
+    * Per-trigger cost ∝ change volume + matched replica rows.
+    */
+  def applySnapshotChanges(srcLogDir: String, checkpointDir: String,
+      dstLogDir: String, key: String,
+      statsCol: org.apache.spark.sql.Column,
+      maxBatches: Int = Int.MaxValue): Seq[Long] =
+    graft.streaming.SnapshotSource.applyChanges(spark, srcLogDir,
+      checkpointDir, dstLogDir, key, statsCol, maxBatches)
 
   /** Incremental materialized-view maintenance (round-15 extension;
     * q221's kernel): keep a keyed aggregate view of a source snapshot

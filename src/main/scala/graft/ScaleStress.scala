@@ -317,7 +317,10 @@ object ScaleStress {
       // is O(files) link calls — the q224 row's wall time is dominated
       // by building its source log, the clone itself is metadata (the
       // --merge-prune flag isolates both claims)
-      "q223_snapshot_update", "q224_snapshot_clone")
+      "q223_snapshot_update", "q224_snapshot_clone",
+      // keyed CDC apply: four incremental batches, each ∝ its change
+      // volume + matched replica rows — never either table's size
+      "q226_cdc_apply")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)
@@ -402,30 +405,55 @@ object ScaleStress {
               col("o_orderkey") < kLo + (i + 1) * span), dir, ts)
         }
       }
-      val pruned = s"$out/mergelog-stat"; val full = s"$out/mergelog-plain"
-      build(pruned, withStat = true); build(full, withStat = false)
-      // src touches only the second key slice
+      // src touches only the second key slice — every 10th EXISTING
+      // key of it (a range-arithmetic window can fall into the
+      // replicated fixture's key gaps and silently merge nothing)
       val src = o.filter(col("o_orderkey") >= kLo + span &&
-          col("o_orderkey") < kLo + span + span / 10)
+          col("o_orderkey") < kLo + 2 * span &&
+          pmod(col("o_orderkey"), lit(10L)) === 1)
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-      val nCand = SnapshotLog.mergeCandidateSegs(spark, pruned, 3,
+      // min-of-2 per arm on FRESH logs (a merge mutates its log), full
+      // arm first so the pruned arm never absorbs JIT/page-cache
+      // warm-up — the first cut of this block timed pruned first and
+      // read slower-than-full on pure cold-start
+      def timeArm(withStat: Boolean): (Double, String) = {
+        val arm = if (withStat) "stat" else "plain"
+        val times = (1 to 2).map { i =>
+          val dir = s"$out/mergelog-$arm-$i"
+          build(dir, withStat)
+          val t = System.nanoTime()
+          SnapshotLog.mergeMor(spark, src, dir, "o_orderkey", ts)
+          (System.nanoTime() - t) / 1e9
+        }
+        (times.min, s"$out/mergelog-$arm-2")
+      }
+      val (tFull, fullDir) = timeArm(withStat = false)
+      val (tPruned, prunedDir) = timeArm(withStat = true)
+      // the skip decision itself, on a pre-merge twin of the stat log
+      val probe = s"$out/mergelog-probe"
+      build(probe, withStat = true)
+      val nCand = SnapshotLog.mergeCandidateSegs(spark, probe, 3,
         "o_orderkey", src).size
       println(s"SCALE merge_discovery_candidates $nCand of 4")
-      val t0 = System.nanoTime()
-      SnapshotLog.mergeMor(spark, src, pruned, "o_orderkey", ts)
-      println(f"SCALE merge_mor_pruned_discovery ${(System.nanoTime() - t0) / 1e9}%.2f")
-      val t1 = System.nanoTime()
-      SnapshotLog.mergeMor(spark, src, full, "o_orderkey", ts)
-      println(f"SCALE merge_mor_full_discovery ${(System.nanoTime() - t1) / 1e9}%.2f")
-      val nP = SnapshotLog.readAsOf(spark, pruned,
-        SnapshotLog.version(pruned)).count()
-      val nF = SnapshotLog.readAsOf(spark, full,
-        SnapshotLog.version(full)).count()
+      // the rows below are only evidence if the skip actually happened
+      require(nCand == 1, s"expected 1 candidate segment, got $nCand")
+      println(f"SCALE merge_mor_pruned_discovery $tPruned%.2f")
+      println(f"SCALE merge_mor_full_discovery $tFull%.2f")
+      val nP = SnapshotLog.readAsOf(spark, prunedDir,
+        SnapshotLog.version(prunedDir)).count()
+      val nF = SnapshotLog.readAsOf(spark, fullDir,
+        SnapshotLog.version(fullDir)).count()
       require(nP == nF, s"pruned vs full merge diverged: $nP vs $nF")
       println(s"SCALE merge_content_rows $nP")
+      val pruned = prunedDir
       // clone the 4-segment 10x log: wall time is link calls only
+      // (clone refuses a non-empty target — wipe a prior run's dir)
+      val cloneDir = Paths.get(s"$out/mergelog-clone")
+      if (Files.exists(cloneDir))
+        Files.walk(cloneDir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
       val t2 = System.nanoTime()
-      SnapshotLog.cloneShallow(pruned, s"$out/mergelog-clone")
+      SnapshotLog.cloneShallow(pruned, cloneDir.toString)
       println(f"SCALE clone_shallow_10x ${(System.nanoTime() - t2) / 1e9}%.2f")
     }
     // warm-up

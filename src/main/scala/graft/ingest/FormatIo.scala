@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   * partitioned write already emits many files, so a 100 TB export
   * still reads back wide. Contrast the gz-TSV single-task caveat
   * TsvIngest documents.
+  *
+  * AVRO is a CONTAINER LIMIT, not an omission (round-16 item 7): the
+  * `avro`/`avro-mapred` jars in /opt/spark/jars are the serialization
+  * library only — the `spark-avro` DataSource module is not shipped
+  * and the sandbox resolves nothing beyond the local cache, so
+  * `df.write.format("avro")` fails with DATA_SOURCE_NOT_FOUND here
+  * (verified). On a cluster with the module on the classpath, Avro
+  * slots into this object exactly like ORC (every engine type is
+  * native to Avro except the same map-key caveats ORC has; add
+  * "avro" to `Formats`, no encoding branch needed) — the same
+  * documented-stub posture as the video codec in MediaOps.
   */
 object FormatIo {
 

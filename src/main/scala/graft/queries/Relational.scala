@@ -2403,6 +2403,107 @@ object Relational {
         "CAST(c AS BIGINT) FROM s2 " +
         "UNION ALL SELECT 'zero_copy', CAST(1 AS BIGINT), " +
         "CAST(0 AS BIGINT) " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q226_cdc_apply",
+      "Keyed CDC APPLY — continuous replication of a MUTATING table (round-16 " +
+        "continuation; DLT's APPLY CHANGES INTO): `mirror` is insert-only by " +
+        "construction, so a table taking deletes/merges/updates had no " +
+        "replication path — `SnapshotSource.applyChanges` tails the source's " +
+        "full change feed and applies each WAL-planned batch under the " +
+        "readCdc consumer contract (per key, last `_commit_version` wins; " +
+        "within a version the new image beats the removed one — exactly the " +
+        "delete-before-insert encoding merges and restores emit): winning new " +
+        "images MERGE-on-read into the replica, keys whose last change is a " +
+        "removal DELETE-on-read. The query drives four incremental batches " +
+        "through every write path the log has: initial snapshot (3 appends), " +
+        "a MoR purge (o_custkey % 97 = 13), a MoR merge (price+1000 " +
+        "for o_orderkey % 50 = 7 — re-asserting any purged rows in that " +
+        "cohort — plus % 997 = 3 inserts under shifted keys), and a " +
+        "first-class MoR UPDATE (price+500 where o_custkey % 97 = 20, typed " +
+        "pre/post rows resolved by the apply). The oracle recomputes the " +
+        "final state from base orders through the same four steps, and " +
+        "`replica_head` / `src_head` must land the identical profile — a " +
+        "drifted replica (a dropped delete, a double-applied update, a " +
+        "postimage mistaken for an insert) hash-mismatches. `caught_up_noop` " +
+        "pins that a drained tail applies nothing. Replay is idempotent BY " +
+        "VALUE (Round21OpsSpec drives the crash window and a restore). At " +
+        "100 TB per-trigger cost is change volume + matched replica rows — " +
+        "never either table.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        import graft.streaming.SnapshotSource
+        val base = freshScratch("graft-cdcapply", d)
+        val src = s"$base/src"; val ck = s"$base/ck"
+        val rep = s"$base/replica"
+        SnapshotLog.reset(src, checkpointInterval = 3)
+        SnapshotLog.reset(rep, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c2 = lit(snapCut2).cast("timestamp")
+        def apply0(): Seq[Long] = SnapshotSource.applyChanges(
+          s, src, ck, rep, "o_orderkey", ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), src, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          src, ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2), src, ts)
+        val b0 = apply0() // batch 0: initial snapshot
+        SnapshotLog.deleteMor(s, src,
+          pmod(col("o_custkey"), lit(97L)) === 13)
+        val b1 = apply0() // batch 1: pure deletes (MoR — the CDC
+        // encoding is identical to CoW; Round21OpsSpec's apply test
+        // drives the CoW flavor, and a delete-sized commit keeps this
+        // lifecycle row priced at its changes, not a table rewrite)
+        val updates = o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(997L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        SnapshotLog.mergeMor(s, updates.unionByName(inserts), src,
+          "o_orderkey", ts)
+        val b2 = apply0() // batch 2: delete(old)+insert(new) resolution
+        SnapshotLog.updateMor(s, src,
+          pmod(col("o_custkey"), lit(97L)) === 20,
+          Seq("o_totalprice" -> (col("o_totalprice") + 500.0)), ts)
+        val b3 = apply0() // batch 3: typed pre/post resolution
+        val repV = SnapshotLog.version(rep)
+        val drained = apply0() // caught up: nothing planned, nothing applied
+        val noop = drained.isEmpty && SnapshotLog.version(rep) == repV
+        val nBatches = (b0 ++ b1 ++ b2 ++ b3).distinct.size
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n_rows"),
+            lit(0L).as("price_cents"))
+        flag("caught_up_noop", if (noop) 1L else 0L)
+          .unionByName(flag("n_batches", nBatches.toLong))
+          .unionByName(profile0(s,
+            SnapshotLog.readAsOf(s, rep, SnapshotLog.version(rep)),
+            "replica_head"))
+          .unionByName(profile0(s,
+            SnapshotLog.readAsOf(s, src, SnapshotLog.version(src)),
+            "src_head"))
+          .orderBy(col("state"))
+      },
+      Some("WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck, " +
+        "o_totalprice AS p FROM orders), " +
+        "s1 AS (SELECT * FROM base WHERE ck % 97 <> 13), " +
+        "upd AS (SELECT k, ck, p + 1000.0 AS p FROM base WHERE k % 50 = 7), " +
+        "ins AS (SELECT k + 100000000 AS k, ck, p FROM base " +
+        "WHERE k % 997 = 3), " +
+        "s2 AS (SELECT * FROM s1 WHERE k % 50 <> 7 " +
+        "UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins), " +
+        "s3 AS (SELECT k, ck, CASE WHEN ck % 97 = 20 THEN p + 500.0 " +
+        "ELSE p END AS p FROM s2), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(p*100) AS BIGINT)) AS BIGINT) AS c FROM s3) " +
+        "SELECT 'caught_up_noop' AS state, CAST(1 AS BIGINT) AS n_rows, " +
+        "CAST(0 AS BIGINT) AS price_cents " +
+        "UNION ALL SELECT 'n_batches', CAST(4 AS BIGINT), CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'replica_head', n, c FROM f " +
+        "UNION ALL SELECT 'src_head', n, c FROM f " +
         "ORDER BY state"))
   )
 

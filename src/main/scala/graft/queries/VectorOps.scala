@@ -203,6 +203,18 @@ object VectorOps {
       }
     }
 
+  /** Bench build step: measure both regimes' calibration tables (and
+    * build the clustered index they need) so q225's row is
+    * serving-priced — the warmPairKernel/graph_adj accounting rule;
+    * without this line q225 absorbs the clustered IVF-PQ build + 12
+    * calibration searches every sweep.
+    */
+  def warmAnnCalibration(s: SparkSession, d: String): Unit = {
+    annCalibration(s, d, "isotropic")
+    annCalibration(s, d, "clustered")
+    ()
+  }
+
   /** The tuned (nProbe, shortlist) for a recall target: cheapest grid
     * point whose measured recall meets it, else the exact-probe
     * fallback.

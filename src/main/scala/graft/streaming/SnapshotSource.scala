@@ -359,6 +359,72 @@ object SnapshotSource {
     done.toSeq
   }
 
+  /** == Keyed CDC APPLY (round-16 continuation — DLT's APPLY CHANGES
+    * INTO) ==
+    * `mirror` is insert-only by construction; replicating a table that
+    * takes row-level deletes, merges and updates needs the keyed apply
+    * the readCdc scaladoc contracts: per key, order change rows by
+    * `_commit_version` and the LAST change wins — within one version,
+    * the new image (insert / update_postimage) beats the removed one
+    * (delete / update_preimage), which is exactly the delete-before-
+    * insert encoding merges and restores emit. `applyCdcBatch` lands
+    * ONE batch: winners that are new images MERGE-on-read into the
+    * destination (src-unique by the resolution itself), keys whose
+    * last change is a removal DELETE-on-read. Replay is idempotent BY
+    * VALUE — a replayed merge replaces rows with themselves and a
+    * replayed delete matches nothing — so composing with the WAL tail
+    * gives a replica that is exactly-once in CONTENT across crashes
+    * (replays may add content-identical versions to the replica log,
+    * the same contract maintainView documents).
+    *
+    * The deleted-key list is batch-delete-sized driver data (the
+    * maintainView vanished-key class); at 100 TB apply cost per
+    * trigger is change volume + matched destination rows — never
+    * either table. Keys must be unique per version on the source (the
+    * keyed-table contract every merge already demands).
+    */
+  def applyCdcBatch(spark: SparkSession, changes: DataFrame,
+      dstLogDir: String, key: String,
+      statsCol: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_commit_version").desc, col("__up").desc)
+    val last = changes
+      .withColumn("__up", col("_change_type")
+        .isin("insert", "update_postimage").cast("int"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val upserts = last.filter(col("__up") === 1)
+      .drop("_change_type", "_commit_version", "__up", "__rn")
+    val dels = last.filter(col("__up") === 0)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    val hasDst = SnapshotLog.version(dstLogDir) >= 0
+    if (!hasDst) {
+      if (!upserts.isEmpty)
+        SnapshotLog.append(upserts, dstLogDir, statsCol)
+    } else if (!upserts.isEmpty) {
+      SnapshotLog.mergeMor(spark, upserts, dstLogDir, key, statsCol)
+    }
+    if (dels.nonEmpty && SnapshotLog.version(dstLogDir) >= 0)
+      SnapshotLog.deleteMor(spark, dstLogDir,
+        col(key).isInCollection(dels))
+  }
+
+  /** Continuous keyed replication: tail `srcLogDir`'s full change feed
+    * and apply each batch into `dstLogDir` — the replica converges to
+    * the source's head state through appends, CoW/MoR deletes, merges,
+    * first-class updates and restores (every one of readCdc's
+    * encodings resolves under last-change-wins). Returns the batch ids
+    * processed this run.
+    */
+  def applyChanges(spark: SparkSession, srcLogDir: String, ckDir: String,
+      dstLogDir: String, key: String,
+      statsCol: org.apache.spark.sql.Column,
+      maxBatches: Int = Int.MaxValue): Seq[Long] =
+    run(spark, srcLogDir, ckDir, cdc = true, maxBatches = maxBatches) {
+      (df, _) => applyCdcBatch(spark, df, dstLogDir, key, statsCol)
+    }
+
   /** Log-to-log MIRROR: tail `srcLogDir` and land every batch in
     * `dstLogDir` via the idempotent snapshot sink (`appendWithRetry`
     * under the batch-id gate). Source WAL replay composes with the

@@ -63,7 +63,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       // round 16
       "q223_snapshot_update",
       "q224_snapshot_clone",
-      "q225_ann_autotune")
+      "q225_ann_autotune",
+      "q226_cdc_apply")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

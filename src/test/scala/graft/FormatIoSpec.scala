@@ -61,6 +61,21 @@ class FormatIoSpec extends SparkSpec {
     roundTrips(df, "asset_id")
   }
 
+  test("avro is a documented container limit: the DataSource module is absent") {
+    // /opt/spark/jars ships avro/avro-mapred (the serialization lib)
+    // but NOT spark-avro (the DataSource) and the sandbox resolves
+    // nothing beyond the local cache — FormatIo's scaladoc documents
+    // the limit; this pin notices if a future container adds the
+    // module (then Avro joins Formats like ORC, no encoding branch)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "v").write.format("avro")
+        .mode("overwrite").save(s"${tmp()}/avro")
+    }
+    assert(e.getMessage.contains("avro"),
+      s"unexpected failure shape: ${e.getMessage.take(200)}")
+  }
+
   test("encoded columns decode only when selected (pruning persists)") {
     val dir = s"${tmp()}/csv"
     val df = Tables.load(spark, sfDir, "embeddings")

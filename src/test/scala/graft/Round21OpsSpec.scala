@@ -344,6 +344,58 @@ class Round21OpsSpec extends SparkSpec {
     finally walked.close()
   }
 
+  // == Keyed CDC APPLY (round-16 continuation) ==
+
+  test("applyChanges replicates deletes/merges/updates/restores, crash-safe") {
+    val base = tmp("apply")
+    val src = s"$base/src"; val ck = s"$base/ck"; val rep = s"$base/rep"
+    SnapshotLog.reset(src, checkpointInterval = 4)
+    SnapshotLog.reset(rep, checkpointInterval = 4)
+    def sync(): Seq[Long] =
+      SnapshotSource.applyChanges(spark, src, ck, rep, "k", col("k"))
+    def srcState = sortedRows(SnapshotLog.readAsOf(spark, src,
+      SnapshotLog.version(src)))
+    def repState = sortedRows(SnapshotLog.readAsOf(spark, rep,
+      SnapshotLog.version(rep)))
+    // initial snapshot
+    SnapshotLog.append(rows(40), src, col("k"))
+    assert(sync() === Seq(0L))
+    assert(repState === srcState)
+    // CoW delete + MoR merge + first-class update, one batch each
+    SnapshotLog.delete(spark, src, col("m") === 2, col("k"))
+    sync()
+    assert(repState === srcState)
+    SnapshotLog.mergeMor(spark,
+      rows(10).withColumn("s", lit("merged"))
+        .unionByName(rows(5, from = 900)), src, "k", col("k"))
+    sync()
+    assert(repState === srcState)
+    SnapshotLog.updateMor(spark, src, col("m") === 5,
+      Seq("s" -> concat(col("s"), lit("+"))), col("k"))
+    sync()
+    assert(repState === srcState)
+    // a RESTORE emits delete(survivors)+insert(full) per churned file;
+    // last-change-wins converges the replica to the restored state
+    SnapshotLog.restore(spark, src, 1, col("k"))
+    sync()
+    assert(repState === srcState)
+    // crash window: sink body applies, commit marker never lands —
+    // the replay re-applies by value and content stays exact
+    SnapshotLog.append(rows(7, from = 950), src, col("k"))
+    intercept[RuntimeException] {
+      SnapshotSource.run(spark, src, ck, cdc = true) { (df, _) =>
+        SnapshotSource.applyCdcBatch(spark, df, rep, "k", col("k"))
+        throw new RuntimeException("crash after apply, before commit")
+      }
+    }
+    assert(sync().size === 1) // the replayed batch
+    assert(repState === srcState)
+    // caught up: nothing planned, replica untouched
+    val v = SnapshotLog.version(rep)
+    assert(sync() === Seq.empty)
+    assert(SnapshotLog.version(rep) === v)
+  }
+
   // == Recall-targeted ANN auto-tuning (round-16 item 5) ==
 
   test("annTuned meets the recall target at minimal probe cost, both regimes") {
@@ -385,6 +437,25 @@ class Round21OpsSpec extends SparkSpec {
         spark, sfDir, q, topK = 3, nProbe = 12, shortlist = 96)
       assert(fixed.count() === 9L)
     } finally graft.queries.VectorOps.releaseCaches()
+  }
+
+  // == Column rename: today's contract (round-16 item 8 design note) ==
+
+  test("a column rename is refused as drop+add (the add-only contract)") {
+    import spark.implicits._
+    val dir = tmp("rename")
+    SnapshotLog.reset(dir, checkpointInterval = 4)
+    SnapshotLog.append(rows(20), dir, col("k"))
+    // same data, `s` renamed to `txt`: parses as dropping `s` — the
+    // ARCHITECTURE.md column-mapping note is the path to allowing this
+    // without a rewrite; until ids exist the refusal is the contract
+    val renamed = (0 until 20).map(k => (k.toLong, k.toLong % 7, s"r$k"))
+      .toDF("k", "m", "txt")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.append(renamed, dir, col("k"))
+    }
+    assert(e.getMessage.contains("drops column"))
+    assert(SnapshotLog.version(dir) === 0) // the refused append left nothing
   }
 
   // == Sidecar sentinel for all-null stats (round-15 advice) ==
