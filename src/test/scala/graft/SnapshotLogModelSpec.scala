@@ -35,7 +35,9 @@ class SnapshotLogModelSpec extends SparkSpec {
     */
   private case class V(rowsAdded: Seq[(Long, Option[Long])],
       rowsDeleted: Seq[(Long, Option[Long])],
-      snapshot: Seq[(Long, Option[Long])])
+      snapshot: Seq[(Long, Option[Long])],
+      updPre: Seq[(Long, Option[Long])] = Nil,
+      updPost: Seq[(Long, Option[Long])] = Nil)
 
   private def readKeys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
@@ -69,6 +71,10 @@ class SnapshotLogModelSpec extends SparkSpec {
     // streaming tail's injected crashes (round-15 item 6)
     val optRnd = new Random(seed * 17 + 3)
     val crashRnd = new Random(seed * 101 + 13)
+    // first-class UPDATE (round-16) rides the former read-only op 7;
+    // its cohort, image and flavor draw from THIS stream so no
+    // recorded seed's main/mor/opt/crash layout moves
+    val updRnd = new Random(seed * 53 + 29)
     val dir = Files.createTempDirectory(
       s"snaplog_model_${seed}_ci$checkpointInterval").toString
     SnapshotLog.reset(dir, checkpointInterval)
@@ -118,10 +124,18 @@ class SnapshotLogModelSpec extends SparkSpec {
       val got = sinkModel.values.flatten.toSeq
       val gotIns = got.collect { case ("insert", k, x) => (k, x) }.sorted
       val gotDel = got.collect { case ("delete", k, x) => (k, x) }.sorted
+      val gotPre = got.collect { case ("update_preimage", k, x) => (k, x) }
+        .sorted
+      val gotPost = got.collect { case ("update_postimage", k, x) => (k, x) }
+        .sorted
       assert(gotIns === versions.flatMap(_.rowsAdded).sorted,
         s"seed=$seed op=$opIx source tail inserts diverged")
       assert(gotDel === versions.flatMap(_.rowsDeleted).sorted,
         s"seed=$seed op=$opIx source tail deletes diverged")
+      assert(gotPre === versions.flatMap(_.updPre).sorted,
+        s"seed=$seed op=$opIx source tail preimages diverged")
+      assert(gotPost === versions.flatMap(_.updPost).sorted,
+        s"seed=$seed op=$opIx source tail postimages diverged")
     }
 
     (1 to opCount).foreach { opIx =>
@@ -129,7 +143,7 @@ class SnapshotLogModelSpec extends SparkSpec {
         if (versions.isEmpty) rnd.nextInt(2) // only appends make sense yet
         else rnd.nextInt(9) // 0 append, 1 wide append, 2 compact, 3 vacuum,
                             // 4 refused narrow-after-wide, 5 delete,
-                            // 6 merge, 7-8 read-only
+                            // 6 merge, 7 first-class update, 8 read-only
       op match {
         case 0 | 1 =>
           val n = 1 + rnd.nextInt(5)
@@ -230,6 +244,39 @@ class SnapshotLogModelSpec extends SparkSpec {
           versions :+= V(srcRows, snap.filter(p => updSet(p._1)),
             (snap.filterNot(p => updSet(p._1)) ++ srcRows).sortBy(_._1))
           assert(v === latest, s"seed=$seed op=$opIx merge version drift")
+        case 7 =>
+          // first-class UPDATE of a residue class: in the wide regime
+          // a real image change (x = k*29+2); in the narrow regime the
+          // only column IS the key, so the update is an IDENTITY churn
+          // (k = k) — preimage == postimage, the exact no-op-churn
+          // shape the IVM gate suppresses, and the feed must still
+          // deliver the typed pair. An empty match commits nothing.
+          val m = 2 + updRnd.nextInt(3)
+          val r = updRnd.nextInt(m)
+          val before = SnapshotLog.version(dir)
+          val snap = versions.last.snapshot
+          val matched = snap.filter(_._1 % m == r)
+          val pred = pmod(col("k"), lit(m.toLong)) === r.toLong
+          val wide = wideSince.isDefined
+          val set: Seq[(String, org.apache.spark.sql.Column)] =
+            if (wide) Seq("x" -> (col("k") * 29L + 2L))
+            else Seq("k" -> col("k"))
+          val v =
+            if (updRnd.nextBoolean())
+              SnapshotLog.updateMor(spark, dir, pred, set, col("k"))
+            else SnapshotLog.update(spark, dir, pred, set, col("k"))
+          if (matched.isEmpty)
+            assert(v === before && SnapshotLog.version(dir) === before,
+              s"seed=$seed op=$opIx empty update must not commit")
+          else {
+            val post: Seq[(Long, Option[Long])] =
+              if (wide) matched.map { case (k, _) => k -> Some(k * 29 + 2) }
+              else matched
+            versions :+= V(Nil, Nil,
+              (snap.filterNot(_._1 % m == r) ++ post).sortBy(_._1),
+              updPre = matched.sorted, updPost = post.sorted)
+            assert(v === latest, s"seed=$seed op=$opIx update version drift")
+          }
         case _ => () // read-only step: the checks below are the op
       }
 
@@ -265,12 +312,20 @@ class SnapshotLogModelSpec extends SparkSpec {
         if (fromV < 0) versions(toV).snapshot
         else ((fromV + 1) to toV).flatMap(w => versions(w).rowsAdded)
           .sorted
+      // the insert-feed surface ALSO delivers update postimages (they
+      // are live dataChange segments — the documented ignoreChanges
+      // drift shape), while the typed feed tags them update_postimage
+      val expWithPost =
+        if (fromV < 0) versions(toV).snapshot
+        else ((fromV + 1) to toV)
+          .flatMap(w => versions(w).rowsAdded ++ versions(w).updPost)
+          .sorted
       val delta = SnapshotLog.readChanges(spark, dir, fromV, toV)
       if (wideSince.exists(_ <= toV))
-        assert(readPairs(delta) === expected,
+        assert(readPairs(delta) === expWithPost,
           s"seed=$seed op=$opIx readChanges($fromV, $toV)")
       else
-        assert(readKeys(delta) === expected.map(_._1),
+        assert(readKeys(delta) === expWithPost.map(_._1),
           s"seed=$seed op=$opIx readChanges($fromV, $toV)")
 
       // the FULL feed over the same window: the identical inserts plus
@@ -283,6 +338,25 @@ class SnapshotLogModelSpec extends SparkSpec {
           .sorted
       val cdcIns = cdc.filter(col("_change_type") === "insert")
       val cdcDel = cdc.filter(col("_change_type") === "delete")
+      val cdcPre = cdc.filter(col("_change_type") === "update_preimage")
+      val cdcPost = cdc.filter(col("_change_type") === "update_postimage")
+      val expPre =
+        if (fromV < 0) Nil
+        else ((fromV + 1) to toV).flatMap(w => versions(w).updPre).sorted
+      val expPost =
+        if (fromV < 0) Nil
+        else ((fromV + 1) to toV).flatMap(w => versions(w).updPost).sorted
+      if (wideSince.exists(_ <= toV)) {
+        assert(readPairs(cdcPre) === expPre,
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) preimages")
+        assert(readPairs(cdcPost) === expPost,
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) postimages")
+      } else {
+        assert(readKeys(cdcPre) === expPre.map(_._1),
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) preimages")
+        assert(readKeys(cdcPost) === expPost.map(_._1),
+          s"seed=$seed op=$opIx readCdc($fromV, $toV) postimages")
+      }
       if (wideSince.exists(_ <= toV)) {
         assert(readPairs(cdcIns) === expected,
           s"seed=$seed op=$opIx readCdc($fromV, $toV) inserts")
