@@ -1370,6 +1370,58 @@ object SnapshotLog {
       predicate: Column, maxAttempts: Int = 5): Int =
     commitWithRetry(maxAttempts)(deleteMor(spark, dir, predicate))
 
+  /** Merge-on-read DELETE BY KEY SET (round-16): tombstone every row
+    * whose `key` appears in `keys` (any frame carrying the key column)
+    * — deleteMor's economy WITHOUT materializing the key list on the
+    * driver. The CDC-apply and view-maintenance consumers hand
+    * batch-derived key frames that at 100 TB can be delete-sized; an
+    * `isInCollection` predicate would drag them through the driver,
+    * this path keeps them distributed (a semi-join the planner
+    * broadcasts when small). Two structural wins over the predicate
+    * flavor: discovery PRUNES by key range when the table records a
+    * key-only sidecar stat (`mergeCandidateSegs` — the merge rule
+    * applied to deletes), and NULL keys never match (semi-join = SQL
+    * IN semantics, same as the predicate form). `keys` must be
+    * DETERMINISTIC (it is read once per attempt — parquet-backed CDC
+    * batches are; a rand()-derived frame is the caller's bug, the
+    * merge-src materialization caveat). An empty or non-overlapping
+    * key set commits nothing. Returns the new (or unchanged) version.
+    */
+  def deleteMorKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to delete from in $dir")
+    val v = prev + 1
+    val prevMeta = meta(dir, prev)
+    val keySet = keys.select(col(key)).distinct()
+    val candidates = mergeCandidateSegs(spark, dir, prev, key, keySet)
+    if (candidates.isEmpty) return prev
+    val all = applyDvs(spark, dir, prevMeta.dvs,
+      readSegs(spark, dir, prev,
+        candidates.map(s => absPath(dir, s.relPath))),
+      keepPos = true)
+    val hits = all.join(keySet, Seq(key), "left_semi")
+    val dvRel = s"seg-$v-dv-${writerToken()}"
+    val dvPath = absPath(dir, dvRel)
+    hits.write.mode("overwrite").parquet(dvPath)
+    if (spark.read.parquet(dvPath).count() == 0L) {
+      walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
+      prev
+    } else {
+      val segs = segments(dir, prev)
+      publish(dir, v, commitLines(dir, v, segs, segs,
+        prevMeta.carried.copy(cdcDel = Set(dvRel),
+          dvs = prevMeta.dvs + dvRel, opType = Some("delete")),
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
+      v
+    }
+  }
+
+  /** deleteMorKeys with serializable re-run-on-conflict. */
+  def deleteMorKeysWithRetry(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(deleteMorKeys(spark, dir, keys, key))
+
   /** Merge-on-read MERGE — `merge`'s upsert with `deleteMor`'s
     * economy: src lands as one ordinary dataChange segment (inserts
     * flow through the change feed unchanged), and the REPLACED old

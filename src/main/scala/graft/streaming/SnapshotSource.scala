@@ -340,17 +340,14 @@ object SnapshotSource {
                 statsCol)
             }
             // groups the delta touched that no longer exist in the
-            // source: delete their view rows. The key list is
-            // delta-bounded (affected groups, not table groups) — a
-            // driver-side collection the same size class as delete's
-            // touched-file list.
+            // source: delete their view rows. The key set stays a
+            // distributed frame — deleteMorKeys semi-joins it away
+            // (round-16; the old isInCollection path collected it)
             val vanished = aff
               .join(refreshed.select(col(viewKey)), Seq(viewKey),
                 "left_anti")
-              .collect().map(_.get(0)).toSeq
-            if (vanished.nonEmpty && SnapshotLog.version(viewDir) >= 0)
-              SnapshotLog.deleteMor(spark, viewDir,
-                col(viewKey).isInCollection(vanished))
+            if (SnapshotLog.version(viewDir) >= 0 && !vanished.isEmpty)
+              SnapshotLog.deleteMorKeys(spark, viewDir, vanished, viewKey)
           } finally refreshed.unpersist(false)
           commitBatch(ckDir, b.batchId)
           done += b.batchId
@@ -396,8 +393,10 @@ object SnapshotSource {
       .filter(col("__rn") === 1)
     val upserts = last.filter(col("__up") === 1)
       .drop("_change_type", "_commit_version", "__up", "__rn")
-    val dels = last.filter(col("__up") === 0)
-      .select(col(key)).collect().map(_.get(0)).toSeq
+    // removal keys stay a DISTRIBUTED frame end-to-end: deleteMorKeys
+    // semi-joins them away (and key-range-prunes its discovery), so a
+    // delete-heavy batch never drags its key list through the driver
+    val dels = last.filter(col("__up") === 0).select(col(key))
     val hasDst = SnapshotLog.version(dstLogDir) >= 0
     if (!hasDst) {
       if (!upserts.isEmpty)
@@ -405,9 +404,8 @@ object SnapshotSource {
     } else if (!upserts.isEmpty) {
       SnapshotLog.mergeMor(spark, upserts, dstLogDir, key, statsCol)
     }
-    if (dels.nonEmpty && SnapshotLog.version(dstLogDir) >= 0)
-      SnapshotLog.deleteMor(spark, dstLogDir,
-        col(key).isInCollection(dels))
+    if (SnapshotLog.version(dstLogDir) >= 0 && !dels.isEmpty)
+      SnapshotLog.deleteMorKeys(spark, dstLogDir, dels, key)
   }
 
   /** Continuous keyed replication: tail `srcLogDir`'s full change feed

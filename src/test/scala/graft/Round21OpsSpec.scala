@@ -344,6 +344,39 @@ class Round21OpsSpec extends SparkSpec {
     finally walked.close()
   }
 
+  // == deleteMorKeys: distributed key-set deletes ==
+
+  test("deleteMorKeys ≡ deleteMor(isin): same content, CDC, and pruning") {
+    import spark.implicits._
+    val (predDir, _) = keyClusteredLog("dmk-pred", withStats = true)
+    val (keysDir, keysSegs) = keyClusteredLog("dmk-keys", withStats = true)
+    val doomed = Seq(120L, 125L, 130L, 999L) // 999 matches nothing
+    val vP = SnapshotLog.deleteMor(spark, predDir,
+      col("k").isInCollection(doomed))
+    val keysDf = doomed.toDF("k")
+      .unionByName(Seq(Option.empty[Long]).toDF("k")) // null never matches
+    val vK = SnapshotLog.deleteMorKeys(spark, keysDir, keysDf, "k")
+    assert(sortedRows(SnapshotLog.readAsOf(spark, keysDir, vK)) ===
+      sortedRows(SnapshotLog.readAsOf(spark, predDir, vP)))
+    def cdcRows(dir: String, v: Int) =
+      SnapshotLog.readCdc(spark, dir, 2, v)
+        .select(col("_change_type"), col("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(cdcRows(keysDir, vK) === cdcRows(predDir, vP))
+    // MoR structure: no segment rewritten
+    assert(SnapshotLog.segments(keysDir, vK).map(_.relPath) === keysSegs)
+    // the key set prunes discovery by range (the merge rule): a set
+    // inside one slice yields one candidate
+    val cand = SnapshotLog.mergeCandidateSegs(spark, keysDir, vK, "k",
+      Seq(110L, 115L).toDF("k"))
+    assert(cand.size === 1)
+    // an empty / non-overlapping key set commits nothing
+    assert(SnapshotLog.deleteMorKeys(spark, keysDir,
+      Seq(5000L).toDF("k"), "k") === vK)
+    assert(SnapshotLog.deleteMorKeys(spark, keysDir,
+      spark.range(0).select(col("id").as("k")), "k") === vK)
+  }
+
   // == Keyed CDC APPLY (round-16 continuation) ==
 
   test("applyChanges replicates deletes/merges/updates/restores, crash-safe") {

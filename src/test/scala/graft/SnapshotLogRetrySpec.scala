@@ -130,6 +130,42 @@ class SnapshotLogRetrySpec extends SparkSpec {
     }
   }
 
+  test("update raced with append is serializable (one of the two serial orders)") {
+    import spark.implicits._
+    (0 until 6).foreach { round =>
+      val dir = Files.createTempDirectory(s"snaplog_retry_ua$round").toString
+      SnapshotLog.reset(dir, checkpointInterval = 3)
+      SnapshotLog.append((0L until 10L).map(k => (k, 0L)).toDF("k", "x"),
+        dir, col("k"))
+      // flavor alternates so both UPDATE paths ride the race machinery
+      val mor = round % 2 == 0
+      inParallel(Seq(
+        () => {
+          val pred = pmod(col("k"), lit(2L)) === 0
+          val set = Seq("x" -> (col("k") + 100L))
+          if (mor) SnapshotLog.updateMorWithRetry(spark, dir, pred, set,
+            col("k"), maxAttempts = 50)
+          else SnapshotLog.updateWithRetry(spark, dir, pred, set,
+            col("k"), maxAttempts = 50)
+          ()
+        },
+        () => { SnapshotLog.appendWithRetry(
+          (100L until 104L).map(k => (k, 0L)).toDF("k", "x"),
+          dir, col("k"), maxAttempts = 50); () }
+      ))
+      val got = SnapshotLog.readAsOf(spark, dir, SnapshotLog.version(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      def img(k: Long) = (k, if (k % 2 == 0) k + 100L else 0L)
+      // serial order A (update, then append): appended evens untouched
+      val a = ((0L until 10L).map(img) ++
+        (100L until 104L).map(k => (k, 0L))).sorted
+      // serial order B (append, then update): appended evens updated too
+      val b = ((0L until 10L) ++ (100L until 104L)).map(img).sorted
+      assert(got === a || got === b,
+        s"round=$round non-serializable update outcome: $got")
+    }
+  }
+
   test("MoR merge raced with compact: tombstones survive whichever order wins") {
     import spark.implicits._
     val dir = Files.createTempDirectory("snaplog_retry_mmc").toString
