@@ -523,6 +523,27 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       ignoreDeletes, maxBatches, maxVersionsPerTrigger,
       ignoreChanges)(process)
 
+  /** DESCRIBE HISTORY (round-16; q227's kernel): one CommitInfo per
+    * surviving version — op type, commit time, segment/row/DV/change
+    * accounting, all driver-side metadata (no data scan).
+    */
+  def snapshotHistory(dir: String): Seq[graft.ext.SnapshotLog.CommitInfo] =
+    graft.ext.SnapshotLog.history(dir)
+
+  /** CHECK constraint (round-16; q228's kernel — Delta's ADD
+    * CONSTRAINT): validates existing rows, then every future write
+    * enforces the predicate inside its existing one-pass stat
+    * aggregate — violating commits refuse before any manifest lands.
+    */
+  def snapshotAddCheck(dir: String, name: String, exprSql: String): Unit =
+    graft.ext.SnapshotLog.addCheck(spark, dir, name, exprSql)
+
+  /** What a vacuum at `horizon` WOULD reclaim (Delta's VACUUM DRY
+    * RUN): (doomed segment dirs, manifests that would drop).
+    */
+  def snapshotVacuumDryRun(dir: String, horizon: Int): (Seq[String], Int) =
+    graft.ext.SnapshotLog.vacuumDryRun(dir, horizon)
+
   /** Keyed CDC APPLY (round-16 continuation; q226's kernel — DLT's
     * APPLY CHANGES INTO): continuously replicate a MUTATING source log
     * into a replica log under the last-change-wins consumer contract —

@@ -320,7 +320,11 @@ object ScaleStress {
       "q223_snapshot_update", "q224_snapshot_clone",
       // keyed CDC apply: four incremental batches, each ∝ its change
       // volume + matched replica rows — never either table's size
-      "q226_cdc_apply")
+      "q226_cdc_apply",
+      // history is a driver-side metadata walk (sidecar row counts,
+      // no data scan); the constraint row's cost is the same one-pass
+      // stat aggregate every write already pays
+      "q227_snapshot_history", "q228_check_constraints")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -292,6 +292,75 @@ object SnapshotLog {
     }
   }
 
+  /** == CHECK constraints (round-16 continuation — Delta's
+    * ALTER TABLE ADD CONSTRAINT) ==
+    * Per-table row predicates stored in `_log/config`
+    * (`check<TAB>name<TAB>sqlExpr`) and enforced at the ONE choke
+    * point every data segment already passes through: the one-pass
+    * stat aggregate (`statsAndSidecar`) gains a violation counter per
+    * check — `sum(expr IS FALSE)`, SQL CHECK semantics, null passes —
+    * so enforcement costs ZERO extra scans on append, compact,
+    * optimize, merge (src + rewrite), and update (post + survivor)
+    * alike. A violating commit throws BEFORE any manifest publishes;
+    * the already-written segment is an unreferenced orphan `vacuum`
+    * reclaims (the same economy failed commits and lost retry races
+    * already rely on — a CHECK needs the data scanned, so unlike the
+    * schema gate it cannot refuse before bytes land; Delta's write
+    * transactions abort the same way). `addCheck` first validates the
+    * CURRENT head (one scan) and refuses if existing rows violate —
+    * after that, the invariant is table-wide: rewrites only move
+    * checked rows, and the only paths that create NEW row images
+    * (append/merge src/update postimages/restore comebacks) all run
+    * the counter. A check that does not resolve against a segment's
+    * schema fails LOUDLY — silently skipping a constraint is how bad
+    * rows land unreported.
+    */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Unit = {
+    val p = configPath(dir)
+    require(Files.exists(p),
+      s"no table config in $dir — reset first (checks are table properties)")
+    requireStatLine(name, exprSql)
+    val head = version(dir)
+    if (head >= 0) {
+      val bad = readAsOf(spark, dir, head)
+        .filter(expr(exprSql).isNotNull && !expr(exprSql)).count()
+      require(bad == 0L,
+        s"cannot add check '$name': $bad existing rows violate $exprSql")
+    }
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      val existing = checksOf(dir).toMap
+      existing.get(name).foreach { old =>
+        require(old == exprSql,
+          s"check '$name' is already recorded as '$old' — drop-and-re-add " +
+            "is not supported; pick a new name")
+      }
+      if (!existing.contains(name)) {
+        val lines =
+          Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq :+
+            s"check\t$name\t$exprSql"
+        val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+        Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
+  /** The table's CHECK constraints, as recorded in the config. */
+  def checksOf(dir: String): Seq[(String, String)] = {
+    val p = configPath(dir)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .collect { case l if l.startsWith("check\t") =>
+        val Array(_, n, e) = l.split('\t')
+        (n, e)
+      }.toSeq
+  }
+
   /** The table's sidecar stats schema, as recorded at reset. */
   def statsColsOf(dir: String): Seq[(String, String)] = {
     val p = configPath(dir)
@@ -643,14 +712,33 @@ object SnapshotLog {
     val resolved = statsColsOf(dir).filter { case (_, e) =>
       scala.util.Try(df.select(expr(e))).isSuccess
     }
+    // CHECK constraints ride the SAME one-row aggregate — zero extra
+    // scans; a check that cannot resolve fails loudly here (silently
+    // skipping a constraint is how bad rows land unreported)
+    val checks = checksOf(dir)
     val aggs = Seq(min(statsCol).cast("long").as("__mn"),
       max(statsCol).cast("long").as("__mx"),
       count(lit(1)).as("__cnt")) ++
       resolved.zipWithIndex.flatMap { case ((_, e), i) =>
         Seq(min(expr(e)).cast("long").as(s"__amn$i"),
           max(expr(e)).cast("long").as(s"__amx$i"))
+      } ++
+      checks.zipWithIndex.map { case ((_, e), i) =>
+        // SQL CHECK semantics: only a row where the expression is
+        // provably FALSE violates; null passes
+        sum(when(expr(e).isNotNull && !expr(e), 1L).otherwise(0L))
+          .as(s"__chk$i")
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val chkBase = 3 + 2 * resolved.size
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (r.isNullAt(chkBase + i)) 0L else r.getLong(chkBase + i)
+      if (bad > 0L)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) violated by $bad rows — the commit " +
+            "is refused before any manifest publishes; the orphan segment " +
+            "is reclaimed by vacuum")
+    }
     val cnt = r.getLong(2)
     // a resolved-but-ALL-NULL stat records a SENTINEL line ("-") — the
     // segment DID record under the current spec, there is just no range
@@ -2106,6 +2194,71 @@ object SnapshotLog {
         Set.empty, m.dvs, opType = Some("clone")),
       schemaOf(srcDir, v).map(sc => s"#schema\t${sc.json}")))
     0
+  }
+
+  /** == DESCRIBE HISTORY (round-16 continuation — Delta's surface) ==
+    * One row per SURVIVING version: the op that produced it (`#optype`,
+    * None on pre-round-16 manifests), commit wall-clock, live segment
+    * count, segments added/removed vs the predecessor, the number of
+    * rows those added segments hold (from their `__rows` sidecar
+    * entries — metadata, no data scan; None when any added segment
+    * predates the entry), active DV count, and this version's change
+    * segments (cdcDel/cdcPre/cdcPost counts). Cost: one forward
+    * `segmentsWalk` + O(versions) manifest metas — driver-side
+    * metadata at any table size, the same class as the audit ops
+    * beside it. The earliest surviving version reports its FULL list
+    * as added (its true predecessor is below the vacuum horizon).
+    */
+  final case class CommitInfo(version: Int, tsMillis: Long,
+      opType: Option[String], segments: Int, segmentsAdded: Int,
+      segmentsRemoved: Int, rowsAdded: Option[Long], dvCount: Int,
+      cdcDelSegs: Int, cdcPreSegs: Int, cdcPostSegs: Int)
+
+  def history(dir: String): Seq[CommitInfo] = {
+    val latest = version(dir)
+    require(latest >= 0, s"no snapshots in $dir")
+    val lowest = (0 to latest).find(v =>
+      Files.exists(logDir(dir).resolve(s"v$v.manifest"))).get
+    val walk = segmentsWalk(dir, lowest, latest)
+    (lowest to latest).map { v =>
+      val cur = walk(v - lowest)
+      val prevSet =
+        if (v == lowest) Set.empty[String]
+        else walk(v - 1 - lowest).map(_.relPath).toSet
+      val curSet = cur.map(_.relPath).toSet
+      val added = cur.filterNot(s => prevSet(s.relPath))
+      val removed =
+        if (v == lowest) 0 else prevSet.count(r => !curSet(r))
+      val addedRows = added.map(s =>
+        sidecarStats(dir, s.relPath).get(RowsStatName).map(_._1))
+      val m = meta(dir, v)
+      CommitInfo(v, commitTimeOf(dir, v), m.opType, cur.size, added.size,
+        removed,
+        if (addedRows.exists(_.isEmpty)) None
+        else Some(addedRows.flatten.sum),
+        m.dvs.size, m.cdcDel.size, m.cdcPre.size, m.cdcPost.size)
+    }
+  }
+
+  /** What `vacuum(dir, horizon)` WOULD reclaim, without touching
+    * anything (Delta's VACUUM DRY RUN): the doomed segment directory
+    * names and the count of manifests that would drop. Runs the exact
+    * keep-set computation the real vacuum runs.
+    */
+  def vacuumDryRun(dir: String, horizon: Int): (Seq[String], Int) = {
+    val latest = version(dir)
+    require(horizon >= 0 && horizon <= latest,
+      s"horizon $horizon outside [0, $latest]")
+    val keep = (segmentsWalk(dir, horizon, latest).flatMap(_.map(_.relPath)) ++
+      (horizon to latest).flatMap { v =>
+        val m = meta(dir, v); m.cdcDel ++ m.dvs ++ m.cdcPre ++ m.cdcPost
+      }).toSet
+    val doomed = listed(Paths.get(dir))(
+      _.filter(p => p.getFileName.toString.startsWith("seg-")).toSeq)
+      .map(_.getFileName.toString).filterNot(keep).sorted
+    val mfs = (0 until horizon)
+      .count(v => Files.exists(logDir(dir).resolve(s"v$v.manifest")))
+    (doomed, mfs)
   }
 
   /** Retention enforcement: drop manifests BELOW `horizon` and delete

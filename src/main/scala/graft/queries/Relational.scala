@@ -2504,6 +2504,182 @@ object Relational {
         "UNION ALL SELECT 'n_batches', CAST(4 AS BIGINT), CAST(0 AS BIGINT) " +
         "UNION ALL SELECT 'replica_head', n, c FROM f " +
         "UNION ALL SELECT 'src_head', n, c FROM f " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q227_snapshot_history",
+      "DESCRIBE HISTORY (round-16 continuation — Delta's audit surface, " +
+        "possible now that every commit stamps `#optype`): one row per " +
+        "version with the op that produced it, live/added/removed segment " +
+        "counts, the ROWS those added segments hold (pure metadata — the " +
+        "`__rows` sidecar entries, no data scan), active-DV count and the " +
+        "version's typed change segments. The query drives one of every " +
+        "commit kind through a private orders log — three date-sliced " +
+        "appends, a MoR purge (o_custkey % 97 = 13), a MoR merge " +
+        "(price+1000 for o_orderkey % 50 = 7 + % 997 = 3 inserts), a " +
+        "first-class MoR UPDATE (price+500 where o_custkey % 97 = 20) and " +
+        "a compact — and dumps the history. Every column is " +
+        "oracle-recomputable from base orders: per-version rows_added are " +
+        "the slice/src/postimage/snapshot counts (the update cohort is " +
+        "base %97=20 rows plus the shifted inserts that kept their " +
+        "custkey), segment/DV/change-segment counts are structural " +
+        "constants of the op sequence. At 100 TB this is a driver-side " +
+        "metadata walk — the operational audit every table format ships.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-snaplog-hist", d)
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c2 = lit(snapCut2).cast("timestamp")
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          dir, ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2), dir, ts)
+        SnapshotLog.deleteMor(s, dir,
+          pmod(col("o_custkey"), lit(97L)) === 13)
+        val updates = o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(997L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        SnapshotLog.mergeMor(s, updates.unionByName(inserts), dir,
+          "o_orderkey", ts)
+        SnapshotLog.updateMor(s, dir,
+          pmod(col("o_custkey"), lit(97L)) === 20,
+          Seq("o_totalprice" -> (col("o_totalprice") + 500.0)), ts)
+        SnapshotLog.compact(s, dir, ts)
+        import s.implicits._
+        SnapshotLog.history(dir).map { h =>
+          (h.version.toLong, h.opType.getOrElse("?"), h.segments.toLong,
+            h.segmentsAdded.toLong, h.segmentsRemoved.toLong,
+            h.rowsAdded.getOrElse(-1L), h.dvCount.toLong,
+            h.cdcDelSegs.toLong, h.cdcPreSegs.toLong, h.cdcPostSegs.toLong)
+        }.toDF("version", "op_type", "n_segments", "n_added", "n_removed",
+            "rows_added", "dv_count", "n_cdc_del", "n_cdc_pre", "n_cdc_post")
+          .orderBy(col("version"))
+      },
+      Some("WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck, " +
+        "o_orderdate AS dt FROM orders), " +
+        "n0 AS (SELECT count(*) AS n FROM o WHERE dt < TIMESTAMP " +
+        "'1997-01-01'), " +
+        "n1 AS (SELECT count(*) AS n FROM o WHERE dt >= TIMESTAMP " +
+        "'1997-01-01' AND dt < TIMESTAMP '1999-01-01'), " +
+        "n2 AS (SELECT count(*) AS n FROM o WHERE dt >= TIMESTAMP " +
+        "'1999-01-01'), " +
+        "mu AS (SELECT (SELECT count(*) FROM o WHERE k % 50 = 7) + " +
+        "(SELECT count(*) FROM o WHERE k % 997 = 3) AS n), " +
+        "uu AS (SELECT (SELECT count(*) FROM o WHERE ck % 97 = 20) + " +
+        "(SELECT count(*) FROM o WHERE k % 997 = 3 AND ck % 97 = 20) AS n), " +
+        "fc AS (SELECT (SELECT count(*) FROM o) - " +
+        "(SELECT count(*) FROM o WHERE ck % 97 = 13) + " +
+        "(SELECT count(*) FROM o WHERE ck % 97 = 13 AND k % 50 = 7) + " +
+        "(SELECT count(*) FROM o WHERE k % 997 = 3) AS n) " +
+        "SELECT CAST(0 AS BIGINT) AS version, 'append' AS op_type, " +
+        "CAST(1 AS BIGINT) AS n_segments, CAST(1 AS BIGINT) AS n_added, " +
+        "CAST(0 AS BIGINT) AS n_removed, CAST(n0.n AS BIGINT) AS " +
+        "rows_added, CAST(0 AS BIGINT) AS dv_count, CAST(0 AS BIGINT) AS " +
+        "n_cdc_del, CAST(0 AS BIGINT) AS n_cdc_pre, CAST(0 AS BIGINT) AS " +
+        "n_cdc_post FROM n0 " +
+        "UNION ALL SELECT 1, 'append', 2, 1, 0, n1.n, 0, 0, 0, 0 FROM n1 " +
+        "UNION ALL SELECT 2, 'append', 3, 1, 0, n2.n, 0, 0, 0, 0 FROM n2 " +
+        "UNION ALL SELECT 3, 'delete', 3, 0, 0, 0, 1, 1, 0, 0 " +
+        "UNION ALL SELECT 4, 'merge', 4, 1, 0, mu.n, 2, 1, 0, 0 FROM mu " +
+        "UNION ALL SELECT 5, 'update', 5, 1, 0, uu.n, 3, 0, 1, 1 FROM uu " +
+        "UNION ALL SELECT 6, 'compact', 1, 1, 5, fc.n, 0, 0, 0, 0 FROM fc " +
+        "ORDER BY version")),
+
+    GraftQuery(
+      "q228_check_constraints",
+      "CHECK constraints (round-16 continuation — Delta's ALTER TABLE ADD " +
+        "CONSTRAINT): a per-table row predicate stored in the table config " +
+        "and enforced at the ONE choke point every data segment passes " +
+        "through — the one-pass stat aggregate — so enforcement costs ZERO " +
+        "extra scans on any write path. The audit drives the full " +
+        "lifecycle on a private orders log: `addCheck('pos_price', " +
+        "o_totalprice > 0)` on the live table (validates existing rows " +
+        "first); a clean append COMMITS; an append carrying negated " +
+        "prices for the o_custkey % 97 = 13 cohort is REFUSED with the " +
+        "table left exactly where it was (version unchanged, content " +
+        "bit-identical — the oracle recomputes it); a violating MoR " +
+        "UPDATE (price -> -price) and a violating merge src are refused " +
+        "the same way; and adding a check the CURRENT rows already " +
+        "violate is refused up front (Delta's ADD CONSTRAINT scan). " +
+        "Orphan bytes from refused commits are invisible to every read " +
+        "and reclaimed by vacuum (`orphans_reclaimed` counts them — " +
+        "exactly the refused appends' segments). At 100 TB the constraint " +
+        "is how a mutating gold table stays trustworthy without a " +
+        "downstream audit job.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-snaplog-chk", d)
+        SnapshotLog.reset(dir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        SnapshotLog.addCheck(s, dir, "pos_price", "o_totalprice > 0")
+        val vGood = SnapshotLog.append(o.filter(col("o_orderdate") >= c1),
+          dir, ts)
+        def refused(body: => Unit): Boolean =
+          try { body; false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("CHECK constraint") ||
+              e.getMessage.contains("cannot add check") }
+        val badRows = o.withColumn("o_totalprice",
+          when(pmod(col("o_custkey"), lit(97L)) === 13,
+            -col("o_totalprice")).otherwise(col("o_totalprice")))
+          .withColumn("o_orderkey", col("o_orderkey") + 300000000L)
+        val r1 = refused(SnapshotLog.append(badRows, dir, ts))
+        val r2 = refused(SnapshotLog.updateMor(s, dir,
+          pmod(col("o_custkey"), lit(97L)) === 13,
+          Seq("o_totalprice" -> -col("o_totalprice")), ts))
+        val r3 = refused(SnapshotLog.mergeMor(s,
+          o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+            .withColumn("o_totalprice", -col("o_totalprice")),
+          dir, "o_orderkey", ts))
+        val r4 = refused(SnapshotLog.addCheck(s, dir, "impossible",
+          "o_totalprice < 0"))
+        val unchanged = SnapshotLog.version(dir) == vGood
+        // the refused commits' orphan segments are invisible to reads
+        // and reclaimable: dry-run names them, vacuum takes them
+        val (doomed, _) = SnapshotLog.vacuumDryRun(dir, 0)
+        val (reclaimed, _) = SnapshotLog.vacuum(dir, 0)
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n_rows"),
+            lit(0L).as("price_cents"))
+        flag("add_check_on_dirty_refused", if (r4) 1L else 0L)
+          .unionByName(flag("bad_append_refused", if (r1) 1L else 0L))
+          .unionByName(flag("bad_merge_refused", if (r3) 1L else 0L))
+          .unionByName(flag("bad_update_refused", if (r2) 1L else 0L))
+          .unionByName(profile0(s, SnapshotLog.readAsOf(s, dir, vGood),
+            "head_intact"))
+          .unionByName(flag("orphans_reclaimed",
+            if (reclaimed == doomed.size && doomed.size >= 2) 1L else 0L))
+          .unionByName(flag("version_unchanged", if (unchanged) 1L else 0L))
+          .orderBy(col("state"))
+      },
+      Some("WITH f AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS c " +
+        "FROM orders) " +
+        "SELECT 'add_check_on_dirty_refused' AS state, CAST(1 AS BIGINT) " +
+        "AS n_rows, CAST(0 AS BIGINT) AS price_cents " +
+        "UNION ALL SELECT 'bad_append_refused', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'bad_merge_refused', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'bad_update_refused', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'head_intact', n, c FROM f " +
+        "UNION ALL SELECT 'orphans_reclaimed', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'version_unchanged', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
         "ORDER BY state"))
   )
 

@@ -64,7 +64,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q223_snapshot_update",
       "q224_snapshot_clone",
       "q225_ann_autotune",
-      "q226_cdc_apply")
+      "q226_cdc_apply",
+      "q227_snapshot_history",
+      "q228_check_constraints")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

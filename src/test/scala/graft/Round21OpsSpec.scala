@@ -472,6 +472,84 @@ class Round21OpsSpec extends SparkSpec {
     } finally graft.queries.VectorOps.releaseCaches()
   }
 
+  // == DESCRIBE HISTORY / CHECK constraints / vacuum dry-run ==
+
+  test("history reports every op truthfully; dry-run names what vacuum takes") {
+    val dir = tmp("hist")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(30), dir, col("k"))
+    SnapshotLog.deleteMor(spark, dir, col("m") === 2)
+    SnapshotLog.merge(spark, rows(5).withColumn("s", lit("u")), dir,
+      "k", col("k"))
+    SnapshotLog.updateMor(spark, dir, col("m") === 4,
+      Seq("s" -> lit("x")), col("k"))
+    SnapshotLog.compact(spark, dir, col("k"))
+    val h = SnapshotLog.history(dir)
+    assert(h.map(_.version) === (0 to 4))
+    assert(h.map(_.opType) === Seq(Some("append"), Some("delete"),
+      Some("merge"), Some("update"), Some("compact")))
+    assert(h.head.rowsAdded === Some(30L))
+    // CoW merge adds the src segment (5) AND the survivor rewrite of
+    // the touched segment (30 rows − 4 DV-tombstoned − 4 live matched
+    // = 22): rowsAdded counts rows in ALL added segments, rewrites
+    // included (Delta's numOutputRows posture)
+    assert(h(2).rowsAdded === Some(27L))
+    assert(h(3).cdcPreSegs === 1 && h(3).cdcPostSegs === 1)
+    assert(h(1).dvCount === 1 && h.last.dvCount === 0)
+    assert(h.last.segments === 1)
+    // dry-run is the real vacuum's exact plan
+    val (doomed, mfs) = SnapshotLog.vacuumDryRun(dir, 4)
+    val (gone, mGone) = SnapshotLog.vacuum(dir, 4)
+    assert(gone === doomed.size && mGone === mfs)
+    // history starts at the horizon afterwards, full list as added
+    val h2 = SnapshotLog.history(dir)
+    assert(h2.map(_.version) === Seq(4))
+    assert(h2.head.segmentsAdded === 1)
+  }
+
+  test("a CHECK refuses violating writes at every path, table unmoved") {
+    import spark.implicits._
+    val dir = tmp("check")
+    SnapshotLog.reset(dir, checkpointInterval = 3)
+    SnapshotLog.append(rows(20), dir, col("k"))
+    SnapshotLog.addCheck(spark, dir, "m_small", "m < 100")
+    val v1 = SnapshotLog.append(rows(10, from = 20), dir, col("k"))
+    def refusedBy(body: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("CHECK constraint"))
+      assert(SnapshotLog.version(dir) === v1)
+    }
+    val bad = rows(5, from = 500).withColumn("m", lit(999L))
+    refusedBy(SnapshotLog.append(bad, dir, col("k")))
+    refusedBy(SnapshotLog.appendWithRetry(bad, dir, col("k")))
+    refusedBy(SnapshotLog.merge(spark, bad, dir, "k", col("k")))
+    refusedBy(SnapshotLog.mergeMor(spark, bad, dir, "k", col("k")))
+    refusedBy(SnapshotLog.update(spark, dir, col("m") === 1,
+      Seq("m" -> lit(500L)), col("k")))
+    refusedBy(SnapshotLog.updateMor(spark, dir, col("m") === 1,
+      Seq("m" -> lit(500L)), col("k")))
+    // null passes (SQL CHECK), and compliant writes still land
+    SnapshotLog.append(
+      Seq((600L, Option.empty[Long], "n")).toDF("k", "m", "s"),
+      dir, col("k"))
+    SnapshotLog.update(spark, dir, col("k") === 0L,
+      Seq("m" -> lit(99L)), col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, SnapshotLog.version(dir))
+      .count() === 31L)
+    // adding a check the table already violates is refused up front
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.addCheck(spark, dir, "nope", "m > 50")
+    }
+    assert(e.getMessage.contains("cannot add check"))
+    // checks carry through CLONE (config copies): the clone refuses too
+    val dst = tmp("check-clone") + "/t"
+    SnapshotLog.cloneShallow(dir, dst)
+    assert(SnapshotLog.checksOf(dst) === Seq("m_small" -> "m < 100"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(bad, dst, col("k"))
+    }
+  }
+
   // == Column rename: today's contract (round-16 item 8 design note) ==
 
   test("a column rename is refused as drop+add (the add-only contract)") {
