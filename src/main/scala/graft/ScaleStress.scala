@@ -324,7 +324,10 @@ object ScaleStress {
       // history is a driver-side metadata walk (sidecar row counts,
       // no data scan); the constraint row's cost is the same one-pass
       // stat aggregate every write already pays
-      "q227_snapshot_history", "q228_check_constraints")
+      "q227_snapshot_history", "q228_check_constraints",
+      // composite-key merge: same per-flavor economy, keys now a
+      // multi-column semi-join (10x lineitem = the real fact table)
+      "q229_composite_merge")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -1524,7 +1524,15 @@ object SnapshotLog {
     * src must be key-unique. Returns the new version number.
     */
   def mergeMor(spark: SparkSession, src: DataFrame, dir: String,
-      key: String, statsCol: Column): Int = {
+      key: String, statsCol: Column): Int =
+    mergeMorKeys(spark, src, dir, Seq(key), statsCol)
+
+  /** Composite-key merge-on-read MERGE — `mergeKeys`' semantics at
+    * `mergeMor`'s cost.
+    */
+  def mergeMorKeys(spark: SparkSession, src: DataFrame, dir: String,
+      keys: Seq[String], statsCol: Column): Int = {
+    require(keys.nonEmpty, "merge needs at least one key column")
     val prev = version(dir)
     require(prev >= 0, s"nothing to merge into in $dir — append first")
     val v = prev + 1
@@ -1538,13 +1546,13 @@ object SnapshotLog {
     src.write.mode("overwrite").parquet(srcPath)
     val srcM = spark.read.schema(src.schema).parquet(srcPath)
     val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
-    val srcKeys = srcM.select(col(key)).distinct()
+    val srcKeys = srcM.select(keys.map(col): _*).distinct()
     // old images of matched keys, DV-applied (a key merged twice
     // tombstones the FIRST merge's src row, not a ghost); the scan
     // opens only the key-range-overlapping candidates — a segment
     // whose recorded key range misses the src range cannot hold a
-    // matched row (mergeCandidateSegs)
-    val candidates = mergeCandidateSegs(spark, dir, prev, key, srcM)
+    // matched row (mergeCandidateSegsKeys)
+    val candidates = mergeCandidateSegsKeys(spark, dir, prev, keys, srcM)
     val dvRel = s"seg-$v-dv-${writerToken()}"
     val dvPath = absPath(dir, dvRel)
     val anyMatched =
@@ -1554,7 +1562,7 @@ object SnapshotLog {
           readSegs(spark, dir, prev,
             candidates.map(s => absPath(dir, s.relPath))),
           keepPos = true)
-        val matched = all.join(srcKeys, Seq(key), "left_semi")
+        val matched = all.join(srcKeys, keys, "left_semi")
         matched.write.mode("overwrite").parquet(dvPath)
         val any = spark.read.parquet(dvPath).count() > 0L
         if (!any)
@@ -1576,6 +1584,17 @@ object SnapshotLog {
   def mergeMorWithRetry(spark: SparkSession, src: DataFrame, dir: String,
       key: String, statsCol: Column, maxAttempts: Int = 5): Int =
     commitWithRetry(maxAttempts)(mergeMor(spark, src, dir, key, statsCol))
+
+  /** Composite-key retries. */
+  def mergeKeysWithRetry(spark: SparkSession, src: DataFrame, dir: String,
+      keys: Seq[String], statsCol: Column, maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(mergeKeys(spark, src, dir, keys, statsCol))
+
+  def mergeMorKeysWithRetry(spark: SparkSession, src: DataFrame,
+      dir: String, keys: Seq[String], statsCol: Column,
+      maxAttempts: Int = 5): Int =
+    commitWithRetry(maxAttempts)(
+      mergeMorKeys(spark, src, dir, keys, statsCol))
 
   /** == MERGE touched-key discovery pruning (round-16 item 1) ==
     * Both merge flavors used to open EVERY segment's key column to
@@ -1602,38 +1621,52 @@ object SnapshotLog {
     * and mergeMor scan exactly this candidate list.
     */
   def mergeCandidateSegs(spark: SparkSession, dir: String, v: Int,
-      key: String, srcM: DataFrame): Seq[Segment] = {
+      key: String, srcM: DataFrame): Seq[Segment] =
+    mergeCandidateSegsKeys(spark, dir, v, Seq(key), srcM)
+
+  /** Composite-key variant: a matching row must equal the src on
+    * EVERY key column, so a segment whose recorded range misses the
+    * src range on ANY ONE key-covered stat is skipped — the per-key
+    * prunes intersect. Each key prunes independently under the same
+    * safety rules as the single-key form.
+    */
+  def mergeCandidateSegsKeys(spark: SparkSession, dir: String, v: Int,
+      keys: Seq[String], srcM: DataFrame): Seq[Segment] = {
     val segs = segments(dir, v)
-    val resolver = spark.sessionState.analyzer.resolver
-    val stat = statsColsOf(dir).find { case (_, e) =>
-      scala.util.Try {
-        // resolving against a key-only projection proves the stat
-        // depends on no other column, and the expression must be
-        // deterministic for equal keys to imply equal stat values
-        // (read off the analyzed Project — Column hides its
-        // expression in Spark 4, the delete-predicate technique)
-        srcM.select(col(key)).select(expr(e)).queryExecution.analyzed
-          .collectFirst {
-            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-              p.projectList.forall(_.deterministic)
-          }.getOrElse(true)
-      }.getOrElse(false)
-    }
-    stat match {
-      case None => segs
-      case Some((n, e)) =>
-        val r = srcM.agg(min(expr(e)).cast("long").as("mn"),
-          max(expr(e)).cast("long").as("mx")).head()
-        if (r.isNullAt(0)) segs // all-null src keys: no range to prune on
-        else {
-          val (lo, hi) = (r.getLong(0), r.getLong(1))
-          segs.filter { s =>
-            sidecarStats(dir, s.relPath).get(n) match {
-              case Some((mn, mx)) => mn <= hi && mx >= lo
-              case None => true // absent stats never skip (q208 rule)
-            }
-          }
+    keys.foldLeft(segs) { (acc, key) =>
+      if (acc.isEmpty) acc
+      else {
+        val stat = statsColsOf(dir).find { case (_, e) =>
+          scala.util.Try {
+            // resolving against a key-only projection proves the stat
+            // depends on no other column, and the expression must be
+            // deterministic for equal keys to imply equal stat values
+            // (read off the analyzed Project — Column hides its
+            // expression in Spark 4, the delete-predicate technique)
+            srcM.select(col(key)).select(expr(e)).queryExecution.analyzed
+              .collectFirst {
+                case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                  p.projectList.forall(_.deterministic)
+              }.getOrElse(true)
+          }.getOrElse(false)
         }
+        stat match {
+          case None => acc
+          case Some((n, e)) =>
+            val r = srcM.agg(min(expr(e)).cast("long").as("mn"),
+              max(expr(e)).cast("long").as("mx")).head()
+            if (r.isNullAt(0)) acc // all-null src keys: nothing to prune on
+            else {
+              val (lo, hi) = (r.getLong(0), r.getLong(1))
+              acc.filter { s =>
+                sidecarStats(dir, s.relPath).get(n) match {
+                  case Some((mn, mx)) => mn <= hi && mx >= lo
+                  case None => true // absent stats never skip (q208 rule)
+                }
+              }
+            }
+        }
+      }
     }
   }
 
@@ -1667,7 +1700,20 @@ object SnapshotLog {
     * Returns the new version number.
     */
   def merge(spark: SparkSession, src: DataFrame, dir: String, key: String,
-      statsCol: Column): Int = {
+      statsCol: Column): Int =
+    mergeKeys(spark, src, dir, Seq(key), statsCol)
+
+  /** Composite-key MERGE (round-16): upsert matching on EVERY column
+    * of `keys` — the natural-key case (e.g. lineitem's (l_orderkey,
+    * l_linenumber)) a single-column API forces callers to synthesize
+    * concatenated keys for, losing zone-map pruning in the process.
+    * Same contracts as `merge`; `src` must be unique on the key
+    * COMBINATION. Discovery prunes on every key column with a
+    * key-covered sidecar stat (the prunes intersect).
+    */
+  def mergeKeys(spark: SparkSession, src: DataFrame, dir: String,
+      keys: Seq[String], statsCol: Column): Int = {
+    require(keys.nonEmpty, "merge needs at least one key column")
     val prev = version(dir)
     require(prev >= 0, s"nothing to merge into in $dir — append first")
     val v = prev + 1
@@ -1683,23 +1729,23 @@ object SnapshotLog {
     src.write.mode("overwrite").parquet(srcPath)
     val srcM = spark.read.schema(src.schema).parquet(srcPath)
     val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
-    val srcKeys = srcM.select(col(key)).distinct()
+    val srcKeys = srcM.select(keys.map(col): _*).distinct()
     val prevMeta = meta(dir, prev)
     // discovery opens ONLY the key-range-overlapping candidates (see
-    // mergeCandidateSegs — a non-overlapping segment cannot hold a
+    // mergeCandidateSegsKeys — a non-overlapping segment cannot hold a
     // matched key, so it is untouched by construction); the file key
     // is projected BELOW the semi-join (input_file_name() is refused
     // above a multi-source plan) and the scan is DV-applied: a
     // tombstoned old row must not mark its segment touched, nor
     // resurrect into the rewrite below
-    val candidates = mergeCandidateSegs(spark, dir, prev, key, srcM)
+    val candidates = mergeCandidateSegsKeys(spark, dir, prev, keys, srcM)
     val touchedFiles =
       if (candidates.isEmpty) Set.empty[String]
       else applyDvs(spark, dir, prevMeta.dvs,
         readSegs(spark, dir, prev,
           candidates.map(s => absPath(dir, s.relPath))),
         keepPos = true)
-        .join(srcKeys, Seq(key), "left_semi")
+        .join(srcKeys, keys, "left_semi")
         .select(col(DvFileCol)).distinct()
         .collect().map(_.getString(0)).toSet
     val touched = segs.filter(s =>
@@ -1713,11 +1759,11 @@ object SnapshotLog {
         val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
           readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
         val delRel = s"seg-$v-cdc-${writerToken()}"
-        touchedDf.join(srcKeys, Seq(key), "left_semi")
+        touchedDf.join(srcKeys, keys, "left_semi")
           .write.mode("overwrite").parquet(absPath(dir, delRel))
         val rewriteRel = s"seg-$v-rw-${writerToken()}"
         val rewritePath = absPath(dir, rewriteRel)
-        touchedDf.join(srcKeys, Seq(key), "left_anti")
+        touchedDf.join(srcKeys, keys, "left_anti")
           .write.mode("overwrite").parquet(rewritePath)
         val (mn, mx) = statsAndSidecar(spark, dir, rewritePath, statsCol)
         (Seq(Segment(rewriteRel, mn, mx)), Set(delRel))

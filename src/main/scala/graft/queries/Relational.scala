@@ -2680,6 +2680,121 @@ object Relational {
         "CAST(0 AS BIGINT) " +
         "UNION ALL SELECT 'version_unchanged', CAST(1 AS BIGINT), " +
         "CAST(0 AS BIGINT) " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q229_composite_merge",
+      "COMPOSITE-KEY MERGE (round-16 continuation): lineitem's natural key " +
+        "is (l_orderkey, l_linenumber) — a single-column merge API forces " +
+        "callers to synthesize a concatenated key, which kills zone-map " +
+        "pruning and invites collision bugs. `SnapshotLog.mergeKeys`/" +
+        "`mergeMorKeys` match on EVERY key column: the audit upserts price " +
+        "corrections for ONLY lines 1-2 of the o_orderkey % 40 = 11 cohort " +
+        "into a 3-commit shipdate-sliced lineitem log (both flavors, twin " +
+        "logs) plus late-arriving whole orders under shifted keys. The " +
+        "composite semantics are what the oracle pins: lines 3+ of matched " +
+        "orders survive UNTOUCHED (a single-key merge on l_orderkey would " +
+        "have replaced or dropped them — the bug this API prevents), the " +
+        "change feed delivers exactly the replaced line images as deletes " +
+        "beside the src rows as inserts, MoR carries every pre-merge " +
+        "segment by reference, and CoW ≡ MoR on content. Discovery prunes " +
+        "per key column with a covered sidecar stat (the prunes " +
+        "intersect — Round21OpsSpec pins the candidate list); commit cost " +
+        "follows the flavor's usual economy.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        def buildLi(suffix: String): String = {
+          val dir = logTmpDir(s"graft-snaplog-$suffix", d)
+          SnapshotLog.reset(dir, checkpointInterval = 3)
+          val li = t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate"), col("l_extendedprice"))
+          val ts = unix_timestamp(col("l_shipdate"))
+          val c1 = lit(snapCut1).cast("timestamp")
+          val c2 = lit(snapCut2).cast("timestamp")
+          SnapshotLog.append(li.filter(col("l_shipdate") < c1), dir, ts)
+          SnapshotLog.append(
+            li.filter(col("l_shipdate") >= c1 && col("l_shipdate") < c2),
+            dir, ts)
+          SnapshotLog.append(li.filter(col("l_shipdate") >= c2), dir, ts)
+          dir
+        }
+        val cowDir = buildLi("cmkc"); val morDir = buildLi("cmkm")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("l_extendedprice"))
+        val ts = unix_timestamp(col("l_shipdate"))
+        val updates = li.filter(pmod(col("l_orderkey"), lit(40L)) === 11 &&
+            col("l_linenumber") <= 2)
+          .withColumn("l_extendedprice", col("l_extendedprice") + 50.0)
+        val inserts = li.filter(pmod(col("l_orderkey"), lit(1777L)) === 5)
+          .withColumn("l_orderkey", col("l_orderkey") + 500000000L)
+        val src = updates.unionByName(inserts)
+        val keys = Seq("l_orderkey", "l_linenumber")
+        SnapshotLog.mergeKeys(s, src, cowDir, keys, ts)
+        val preSegs = SnapshotLog.segments(morDir, 2).map(_.relPath)
+        val vM = SnapshotLog.mergeMorKeys(s, src, morDir, keys, ts)
+        val postSegs = SnapshotLog.segments(morDir, vM).map(_.relPath)
+        val carried = postSegs.startsWith(preSegs) &&
+          postSegs.size == preSegs.size + 1
+        def profile(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("l_extendedprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"),
+              col("price_cents"))
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n_rows"),
+            lit(0L).as("price_cents"))
+        val cdc = SnapshotLog.readCdc(s, morDir, 2, vM)
+        profile(cdc.filter(col("_change_type") === "delete"), "cdc_deletes")
+          .unionByName(profile(
+            cdc.filter(col("_change_type") === "insert"), "cdc_inserts"))
+          .unionByName(flag("mor_segments_carried", if (carried) 1L else 0L))
+          .unionByName(profile(SnapshotLog.readAsOf(s, cowDir,
+            SnapshotLog.version(cowDir)), "post_merge_cow"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, morDir, vM),
+            "post_merge_mor"))
+          .unionByName(profile(SnapshotLog.readAsOf(s, morDir, 2),
+            "pre_merge_v2"))
+          // the composite-vs-single distinction, oracle-recomputed:
+          // untouched lines 3+ of MATCHED orders survive verbatim
+          // (original keys only — the +5e8 insert shift preserves the
+          // %40 residue, so shifted rows would leak into the cohort)
+          .unionByName(profile(SnapshotLog.readAsOf(s, morDir, vM)
+            .filter(pmod(col("l_orderkey"), lit(40L)) === 11 &&
+              col("l_orderkey") < 500000000L &&
+              col("l_linenumber") >= 3), "matched_orders_lines3plus"))
+          .orderBy(col("state"))
+      },
+      Some("WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln, " +
+        "CAST(round(l_extendedprice*100) AS BIGINT) AS c, " +
+        "l_extendedprice AS p FROM lineitem), " +
+        "pre AS (SELECT count(*) AS n, sum(c) AS c FROM li), " +
+        "upd AS (SELECT count(*) AS n, sum(c) AS c_old, " +
+        "sum(CAST(round((p + 50.0)*100) AS BIGINT)) AS c_new FROM li " +
+        "WHERE k % 40 = 11 AND ln <= 2), " +
+        "ins AS (SELECT count(*) AS n, sum(c) AS c FROM li " +
+        "WHERE k % 1777 = 5), " +
+        "l3 AS (SELECT count(*) AS n, sum(c) AS c FROM li " +
+        "WHERE k % 40 = 11 AND ln >= 3) " +
+        "SELECT 'cdc_deletes' AS state, CAST(upd.n AS BIGINT) AS n_rows, " +
+        "CAST(upd.c_old AS BIGINT) AS price_cents FROM upd " +
+        "UNION ALL SELECT 'cdc_inserts', CAST(upd.n + ins.n AS BIGINT), " +
+        "CAST(upd.c_new + ins.c AS BIGINT) FROM upd, ins " +
+        "UNION ALL SELECT 'matched_orders_lines3plus', " +
+        "CAST(n AS BIGINT), CAST(c AS BIGINT) FROM l3 " +
+        "UNION ALL SELECT 'mor_segments_carried', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'post_merge_cow', " +
+        "CAST(pre.n + ins.n AS BIGINT), " +
+        "CAST(pre.c - upd.c_old + upd.c_new + ins.c AS BIGINT) " +
+        "FROM pre, upd, ins " +
+        "UNION ALL SELECT 'post_merge_mor', " +
+        "CAST(pre.n + ins.n AS BIGINT), " +
+        "CAST(pre.c - upd.c_old + upd.c_new + ins.c AS BIGINT) " +
+        "FROM pre, upd, ins " +
+        "UNION ALL SELECT 'pre_merge_v2', CAST(n AS BIGINT), " +
+        "CAST(c AS BIGINT) FROM pre " +
         "ORDER BY state"))
   )
 

@@ -66,7 +66,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q225_ann_autotune",
       "q226_cdc_apply",
       "q227_snapshot_history",
-      "q228_check_constraints")
+      "q228_check_constraints",
+      "q229_composite_merge")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -94,6 +94,52 @@ class Round21OpsSpec extends SparkSpec {
     assert(post.startsWith(morSegs) && post.size === morSegs.size + 1)
   }
 
+  test("composite-key merge matches on every key column and still prunes") {
+    import spark.implicits._
+    def build(tag: String): String = {
+      val dir = tmp(tag)
+      SnapshotLog.reset(dir, checkpointInterval = 4,
+        statsCols = Seq("k" -> "k"))
+      def lines(from: Int, n: Int) =
+        (from until from + n).flatMap(k =>
+          Seq(1L, 2L).map(ln => (k.toLong, ln, s"r$k-$ln")))
+          .toDF("k", "ln", "s")
+      SnapshotLog.append(lines(0, 50), dir, col("k"))
+      SnapshotLog.append(lines(100, 50), dir, col("k"))
+      dir
+    }
+    val cow = build("ck-cow"); val mor = build("ck-mor")
+    // replace ONLY line 1 of keys 110..119
+    val src = (110 until 120).map(k => (k.toLong, 1L, "upd"))
+      .toDF("k", "ln", "s")
+    // pruning intersects per key column: the k stat alone prunes to
+    // the second segment
+    val cand = SnapshotLog.mergeCandidateSegsKeys(spark, cow, 1,
+      Seq("k", "ln"), src)
+    assert(cand.size === 1)
+    SnapshotLog.mergeKeys(spark, src, cow, Seq("k", "ln"), col("k"))
+    val vM = SnapshotLog.mergeMorKeys(spark, src, mor, Seq("k", "ln"),
+      col("k"))
+    def state(dir: String) = SnapshotLog.readAsOf(spark, dir,
+        SnapshotLog.version(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    assert(state(cow) === state(mor))
+    val got = state(mor)
+    assert(got.size === 200)
+    // line 1 of the cohort replaced; line 2 of the SAME keys untouched
+    // (a single-key merge on k would have dropped or replaced it)
+    assert(got.filter(r => r._1 >= 110 && r._1 < 120 && r._2 == 1L)
+      .forall(_._3 == "upd"))
+    assert(got.filter(r => r._1 >= 110 && r._1 < 120 && r._2 == 2L)
+      .forall(_._3 != "upd"))
+    // typed feed: exactly the replaced line images as deletes
+    val dels = SnapshotLog.readCdc(spark, mor, 1, vM)
+      .filter(col("_change_type") === "delete")
+    assert(dels.count() === 10L)
+    assert(dels.filter(col("ln") =!= 1L).count() === 0L)
+  }
+
   // == First-class UPDATE (round-16 item 2) ==
 
   test("update (CoW) rewrites only touched segments, emits typed CDC") {
