@@ -1814,7 +1814,16 @@ object SnapshotLog {
             "columns (append an evolved frame for that)"))
       (f.name, e.cast(f.dataType))
     }
-    df => bound.foldLeft(df) { case (acc, (c, e)) => acc.withColumn(c, e) }
+    require(bound.map(_._1).distinct.size == bound.size,
+      "UPDATE assigns the same column twice")
+    // ONE simultaneous projection, never a sequential withColumn fold:
+    // SQL UPDATE evaluates every assignment against the OLD row, so
+    // `SET a = b, b = a` must SWAP — a fold would feed the new `a`
+    // into `b`'s expression (round-16 self-review fix)
+    df => df.select(df.columns.map { c =>
+      bound.collectFirst { case (n, e) if resolver(n, c) => e.as(c) }
+        .getOrElse(col(c)): org.apache.spark.sql.Column
+    }.toSeq: _*)
   }
 
   /** Both the filter predicate and every assignment projection must be

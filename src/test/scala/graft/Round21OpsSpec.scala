@@ -209,6 +209,40 @@ class Round21OpsSpec extends SparkSpec {
     assert(sortedRows(SnapshotLog.readAsOf(spark, morDir, vC)) === before)
   }
 
+  test("multi-assignment UPDATE is simultaneous: SET k = m, m = k swaps") {
+    import spark.implicits._
+    Seq(true, false).foreach { mor =>
+      val dir = tmp(if (mor) "swap-mor" else "swap-cow")
+      SnapshotLog.reset(dir, checkpointInterval = 4)
+      SnapshotLog.append(
+        (0 until 20).map(i => (i.toLong, i.toLong + 1000L)).toDF("a", "b"),
+        dir, col("a"))
+      val pred = col("a") < 5
+      // every assignment sees the OLD row (SQL UPDATE): a fold would
+      // compute b from the already-overwritten a
+      val set = Seq("a" -> col("b"), "b" -> col("a"))
+      val v =
+        if (mor) SnapshotLog.updateMor(spark, dir, pred, set, col("a"))
+        else SnapshotLog.update(spark, dir, pred, set, col("a"))
+      val got = SnapshotLog.readAsOf(spark, dir, v)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (0 until 20).map { i =>
+        if (i < 5) (i.toLong + 1000L, i.toLong)
+        else (i.toLong, i.toLong + 1000L)
+      }.sorted
+      assert(got === expected, s"mor=$mor")
+    }
+    // assigning one column twice is ambiguous — refused
+    val dir = tmp("swap-dup")
+    SnapshotLog.reset(dir, checkpointInterval = 4)
+    SnapshotLog.append(rows(5), dir, col("k"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.update(spark, dir, col("m") === 1,
+        Seq("s" -> lit("x"), "s" -> lit("y")), col("k"))
+    }
+    assert(e.getMessage.contains("twice"))
+  }
+
   test("update refuses unknown columns and keeps the schema identical") {
     val (dir, _) = keyClusteredLog("upd-gate", withStats = true)
     val e = intercept[IllegalArgumentException] {

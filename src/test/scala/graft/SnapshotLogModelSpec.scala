@@ -56,7 +56,8 @@ class SnapshotLogModelSpec extends SparkSpec {
     * pass vacuously).
     */
   private def runSequence(seed: Int, opCount: Int,
-      checkpointInterval: Int = SnapshotLog.DefaultCheckpointInterval)
+      checkpointInterval: Int = SnapshotLog.DefaultCheckpointInterval,
+      withReplica: Boolean = false)
       : Boolean = {
     import spark.implicits._
     val rnd = new Random(seed)
@@ -109,6 +110,38 @@ class SnapshotLogModelSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
     }
+    // == Keyed CDC-apply REPLICA rides the same interleaving (round-16):
+    // a second tail replicates the log via applyChanges after every op;
+    // the replica's content must equal the model snapshot exactly —
+    // across MoR/CoW deletes, merges, typed updates, compaction,
+    // OPTIMIZE, vacuum and the column-add. Gated by withReplica (one
+    // dedicated seed) to bound suite cost.
+    val applyCk = Files.createTempDirectory(
+      s"snaplog_model_ack_${seed}_ci$checkpointInterval").toString
+    val replicaDir = Files.createTempDirectory(
+      s"snaplog_model_rep_${seed}_ci$checkpointInterval").toString + "/t"
+    def drainReplica(opIx: Int): Unit = if (withReplica) {
+      import graft.streaming.SnapshotSource
+      SnapshotSource.applyChanges(spark, dir, applyCk, replicaDir,
+        "k", col("k"))
+      val snap = versions.last.snapshot
+      if (snap.isEmpty) {
+        if (SnapshotLog.version(replicaDir) >= 0)
+          assert(SnapshotLog.readAsOf(spark, replicaDir,
+            SnapshotLog.version(replicaDir)).isEmpty,
+            s"seed=$seed op=$opIx replica not empty")
+      } else {
+        val rep = SnapshotLog.readAsOf(spark, replicaDir,
+          SnapshotLog.version(replicaDir))
+        if (wideSince.isDefined)
+          assert(readPairs(rep) === snap,
+            s"seed=$seed op=$opIx replica diverged")
+        else
+          assert(readKeys(rep) === snap.map(_._1),
+            s"seed=$seed op=$opIx replica diverged")
+      }
+    }
+
     def drainTail(opIx: Int): Unit = {
       import graft.streaming.SnapshotSource
       if (crashRnd.nextInt(4) == 0) {
@@ -186,6 +219,7 @@ class SnapshotLogModelSpec extends SparkSpec {
           // posture): the tail drains any planned-but-uncommitted
           // batch BEFORE manifests below its offset can be dropped
           drainTail(opIx)
+          drainReplica(opIx)
           val newHorizon = horizon + rnd.nextInt(latest - horizon + 1)
           SnapshotLog.vacuum(dir, newHorizon)
           horizon = newHorizon
@@ -418,6 +452,7 @@ class SnapshotLogModelSpec extends SparkSpec {
       // the streaming tail consumes this op's commits exactly once
       // (crashes injected at random — see drainTail)
       drainTail(opIx)
+      drainReplica(opIx)
     }
     wideSince.isDefined
   }
@@ -438,6 +473,10 @@ class SnapshotLogModelSpec extends SparkSpec {
     val evolved = runSequence(seed = 1234, opCount = 20)
     assert(evolved, "seed 1234 must exercise the column-add — " +
       "pick a different seed if the RNG layout changes")
+  }
+
+  test("a CDC-apply replica tracks the model through every op (seed 42)") {
+    runSequence(seed = 42, opCount = 16, withReplica = true)
   }
 
   // == Incremental (delta) manifests: the same sequences must read
