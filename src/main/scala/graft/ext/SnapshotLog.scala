@@ -1476,19 +1476,27 @@ object SnapshotLog {
     * key set commits nothing. Returns the new (or unchanged) version.
     */
   def deleteMorKeys(spark: SparkSession, dir: String, keys: DataFrame,
-      key: String): Int = {
+      key: String): Int =
+    deleteMorKeysMulti(spark, dir, keys, Seq(key))
+
+  /** Composite-key variant — the (l_orderkey, l_linenumber)-class
+    * natural keys, matching on every column of `keyCols`.
+    */
+  def deleteMorKeysMulti(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "deleteMorKeys needs at least one key column")
     val prev = version(dir)
     require(prev >= 0, s"nothing to delete from in $dir")
     val v = prev + 1
     val prevMeta = meta(dir, prev)
-    val keySet = keys.select(col(key)).distinct()
-    val candidates = mergeCandidateSegs(spark, dir, prev, key, keySet)
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    val candidates = mergeCandidateSegsKeys(spark, dir, prev, keyCols, keySet)
     if (candidates.isEmpty) return prev
     val all = applyDvs(spark, dir, prevMeta.dvs,
       readSegs(spark, dir, prev,
         candidates.map(s => absPath(dir, s.relPath))),
       keepPos = true)
-    val hits = all.join(keySet, Seq(key), "left_semi")
+    val hits = all.join(keySet, keyCols, "left_semi")
     val dvRel = s"seg-$v-dv-${writerToken()}"
     val dvPath = absPath(dir, dvRel)
     hits.write.mode("overwrite").parquet(dvPath)

@@ -382,9 +382,17 @@ object SnapshotSource {
     */
   def applyCdcBatch(spark: SparkSession, changes: DataFrame,
       dstLogDir: String, key: String,
+      statsCol: org.apache.spark.sql.Column): Unit =
+    applyCdcBatchKeys(spark, changes, dstLogDir, Seq(key), statsCol)
+
+  /** Composite-key apply — natural multi-column keys resolve the
+    * same way (last `_commit_version` wins per key TUPLE).
+    */
+  def applyCdcBatchKeys(spark: SparkSession, changes: DataFrame,
+      dstLogDir: String, keys: Seq[String],
       statsCol: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc, col("__up").desc)
     val last = changes
       .withColumn("__up", col("_change_type")
@@ -396,16 +404,16 @@ object SnapshotSource {
     // removal keys stay a DISTRIBUTED frame end-to-end: deleteMorKeys
     // semi-joins them away (and key-range-prunes its discovery), so a
     // delete-heavy batch never drags its key list through the driver
-    val dels = last.filter(col("__up") === 0).select(col(key))
+    val dels = last.filter(col("__up") === 0).select(keys.map(col): _*)
     val hasDst = SnapshotLog.version(dstLogDir) >= 0
     if (!hasDst) {
       if (!upserts.isEmpty)
         SnapshotLog.append(upserts, dstLogDir, statsCol)
     } else if (!upserts.isEmpty) {
-      SnapshotLog.mergeMor(spark, upserts, dstLogDir, key, statsCol)
+      SnapshotLog.mergeMorKeys(spark, upserts, dstLogDir, keys, statsCol)
     }
     if (SnapshotLog.version(dstLogDir) >= 0 && !dels.isEmpty)
-      SnapshotLog.deleteMorKeys(spark, dstLogDir, dels, key)
+      SnapshotLog.deleteMorKeysMulti(spark, dstLogDir, dels, keys)
   }
 
   /** Continuous keyed replication: tail `srcLogDir`'s full change feed
@@ -419,8 +427,16 @@ object SnapshotSource {
       dstLogDir: String, key: String,
       statsCol: org.apache.spark.sql.Column,
       maxBatches: Int = Int.MaxValue): Seq[Long] =
+    applyChangesKeys(spark, srcLogDir, ckDir, dstLogDir, Seq(key),
+      statsCol, maxBatches)
+
+  /** Composite-key continuous replication. */
+  def applyChangesKeys(spark: SparkSession, srcLogDir: String,
+      ckDir: String, dstLogDir: String, keys: Seq[String],
+      statsCol: org.apache.spark.sql.Column,
+      maxBatches: Int = Int.MaxValue): Seq[Long] =
     run(spark, srcLogDir, ckDir, cdc = true, maxBatches = maxBatches) {
-      (df, _) => applyCdcBatch(spark, df, dstLogDir, key, statsCol)
+      (df, _) => applyCdcBatchKeys(spark, df, dstLogDir, keys, statsCol)
     }
 
   /** Log-to-log MIRROR: tail `srcLogDir` and land every batch in

@@ -509,6 +509,41 @@ class Round21OpsSpec extends SparkSpec {
     assert(SnapshotLog.version(rep) === v)
   }
 
+  test("composite-key applyChanges replicates a line-keyed table") {
+    import spark.implicits._
+    val base = tmp("apply-ck")
+    val src = s"$base/src"; val ck = s"$base/ck"; val rep = s"$base/rep"
+    SnapshotLog.reset(src, checkpointInterval = 4)
+    SnapshotLog.reset(rep, checkpointInterval = 4)
+    def lines(from: Int, n: Int) =
+      (from until from + n).flatMap(k =>
+        Seq(1L, 2L).map(ln => (k.toLong, ln, s"r$k-$ln")))
+        .toDF("k", "ln", "s")
+    def sync(): Seq[Long] = SnapshotSource.applyChangesKeys(
+      spark, src, ck, rep, Seq("k", "ln"), col("k"))
+    def state(dir: String) = SnapshotLog.readAsOf(spark, dir,
+        SnapshotLog.version(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    SnapshotLog.append(lines(0, 30), src, col("k"))
+    sync()
+    assert(state(rep) === state(src))
+    // a merge replacing ONLY line 1 of some keys: the replica must not
+    // touch those keys' line 2 (the single-key resolution would have
+    // collapsed both lines of a key into one winner)
+    SnapshotLog.mergeMorKeys(spark,
+      (5 until 15).map(k => (k.toLong, 1L, "upd")).toDF("k", "ln", "s"),
+      src, Seq("k", "ln"), col("k"))
+    sync()
+    assert(state(rep) === state(src))
+    assert(state(rep).count(_._3 == "upd") === 10)
+    // a delete of line 2 only
+    SnapshotLog.deleteMor(spark, src, col("ln") === 2L && col("k") < 3L)
+    sync()
+    assert(state(rep) === state(src))
+    assert(state(rep).size === 57)
+  }
+
   // == Recall-targeted ANN auto-tuning (round-16 item 5) ==
 
   test("annTuned meets the recall target at minimal probe cost, both regimes") {
