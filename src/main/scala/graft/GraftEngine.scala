@@ -544,6 +544,24 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def snapshotVacuumDryRun(dir: String, horizon: Int): (Seq[String], Int) =
     graft.ext.SnapshotLog.vacuumDryRun(dir, horizon)
 
+  /** NOT NULL column constraint (round-16): null-refusing flavor of
+    * `snapshotAddCheck` — SQL CHECK passes null, this does not.
+    */
+  def snapshotAddNotNull(dir: String, colName: String): Unit =
+    graft.ext.SnapshotLog.addNotNull(spark, dir, colName)
+
+  /** Time-based retention (Delta's VACUUM RETAIN): keep every snapshot
+    * a reader could time-travel to within `retainMs` of `nowMillis`.
+    */
+  def snapshotVacuumRetain(dir: String, retainMs: Long,
+      nowMillis: Long = System.currentTimeMillis()): (Int, Int) =
+    graft.ext.SnapshotLog.vacuumRetain(dir, retainMs, nowMillis)
+
+  /** Zero-copy clone of the table as of a wall-clock instant. */
+  def snapshotCloneAtTimestamp(srcDir: String, dstDir: String,
+      tsMillis: Long): Int =
+    graft.ext.SnapshotLog.cloneShallowAtTimestamp(srcDir, dstDir, tsMillis)
+
   /** Keyed CDC APPLY (round-16 continuation; q226's kernel — DLT's
     * APPLY CHANGES INTO): continuously replicate a MUTATING source log
     * into a replica log under the last-change-wins consumer contract —

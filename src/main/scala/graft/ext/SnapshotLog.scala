@@ -350,6 +350,58 @@ object SnapshotLog {
     }
   }
 
+  /** NOT NULL constraint (Delta's column constraint, distinct from
+    * CHECK: SQL CHECK passes null, NOT NULL refuses it). Validated
+    * against the current head first — which also catches the
+    * evolution trap: a column added after old segments existed is
+    * null-filled on read, so it can never become NOT NULL until those
+    * segments are rewritten. Enforcement rides the same one-pass
+    * aggregate as CHECK (`sum(col IS NULL)`); the LOGGED schema stays
+    * nullable throughout (old-segment null-fill is a read-path
+    * contract), the constraint governs what writers may land.
+    */
+  def addNotNull(spark: SparkSession, dir: String, colName: String): Unit = {
+    val p = configPath(dir)
+    require(Files.exists(p),
+      s"no table config in $dir — reset first (constraints are table " +
+        "properties)")
+    requireStatLine(colName, colName)
+    val head = version(dir)
+    if (head >= 0) {
+      val snap = readAsOf(spark, dir, head)
+      require(snap.columns.exists(c =>
+        spark.sessionState.analyzer.resolver(c, colName)),
+        s"cannot add NOT NULL on unknown column '$colName'")
+      val bad = snap.filter(col(colName).isNull).count()
+      require(bad == 0L,
+        s"cannot add NOT NULL on '$colName': $bad existing rows are null " +
+          "(segments predating a column-add null-fill it — rewrite first)")
+    }
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      if (!notNullsOf(dir).contains(colName)) {
+        val lines =
+          Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq :+
+            s"notnull\t$colName"
+        val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+        Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
+  /** The table's NOT NULL columns, as recorded in the config. */
+  def notNullsOf(dir: String): Seq[String] = {
+    val p = configPath(dir)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .collect { case l if l.startsWith("notnull\t") => l.split('\t')(1) }
+      .toSeq
+  }
+
   /** The table's CHECK constraints, as recorded in the config. */
   def checksOf(dir: String): Seq[(String, String)] = {
     val p = configPath(dir)
@@ -716,6 +768,11 @@ object SnapshotLog {
     // scans; a check that cannot resolve fails loudly here (silently
     // skipping a constraint is how bad rows land unreported)
     val checks = checksOf(dir)
+    // NOT NULL columns absent from this segment's schema are the
+    // null-fill case the addNotNull head-scan refuses up front; a
+    // segment written after the constraint always carries the column
+    val notNulls = notNullsOf(dir).filter(c => df.columns.exists(
+      spark.sessionState.analyzer.resolver(_, c)))
     val aggs = Seq(min(statsCol).cast("long").as("__mn"),
       max(statsCol).cast("long").as("__mx"),
       count(lit(1)).as("__cnt")) ++
@@ -728,6 +785,9 @@ object SnapshotLog {
         // provably FALSE violates; null passes
         sum(when(expr(e).isNotNull && !expr(e), 1L).otherwise(0L))
           .as(s"__chk$i")
+      } ++
+      notNulls.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i")
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val chkBase = 3 + 2 * resolved.size
@@ -738,6 +798,15 @@ object SnapshotLog {
           s"CHECK constraint '$n' ($e) violated by $bad rows — the commit " +
             "is refused before any manifest publishes; the orphan segment " +
             "is reclaimed by vacuum")
+    }
+    val nnBase = chkBase + checks.size
+    notNulls.zipWithIndex.foreach { case (c, i) =>
+      val bad = if (r.isNullAt(nnBase + i)) 0L else r.getLong(nnBase + i)
+      if (bad > 0L)
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated: NOT NULL column '$c' received " +
+            s"$bad null rows — the commit is refused before any manifest " +
+            "publishes")
     }
     val cnt = r.getLong(2)
     // a resolved-but-ALL-NULL stat records a SENTINEL line ("-") — the
@@ -2349,6 +2418,39 @@ object SnapshotLog {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
+
+  /** Time-based retention (Delta's VACUUM ... RETAIN): the horizon is
+    * the version that was CURRENT at `nowMillis - retainMs` — every
+    * snapshot a reader could time-travel to within the retention
+    * window stays readable, everything older goes. A cutoff predating
+    * the log keeps everything; a cutoff after the newest commit keeps
+    * only the head. `nowMillis` is explicit so retention decisions are
+    * reproducible (and testable) — pass the wall clock in production.
+    */
+  def retentionHorizon(dir: String, retainMs: Long, nowMillis: Long): Int = {
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
+    val latest = version(dir)
+    require(latest >= 0, s"no snapshots in $dir")
+    val cutoff = nowMillis - retainMs
+    val surviving = (0 to latest).filter(v =>
+      Files.exists(logDir(dir).resolve(s"v$v.manifest")))
+    val atOrBefore = surviving.filter(v => commitTimeOf(dir, v) <= cutoff)
+    if (atOrBefore.isEmpty) surviving.min // cutoff predates the log
+    else atOrBefore.max // the version current at the cutoff instant
+  }
+
+  def vacuumRetain(dir: String, retainMs: Long,
+      nowMillis: Long = System.currentTimeMillis(),
+      staleOptimizeAgeMs: Long = Long.MaxValue): (Int, Int) =
+    vacuum(dir, retentionHorizon(dir, retainMs, nowMillis),
+      staleOptimizeAgeMs)
+
+  /** Clone as of a wall-clock instant (timestampAsOf composed with
+    * cloneShallow): reproduce-the-table-your-job-saw-last-Tuesday.
+    */
+  def cloneShallowAtTimestamp(srcDir: String, dstDir: String,
+      tsMillis: Long): Int =
+    cloneShallow(srcDir, dstDir, versionAt(srcDir, tsMillis))
 
   /** `staleOptimizeAgeMs` additionally reclaims crashed-`optimize`
     * staging dirs (hidden `.opt-*`) whose NEWEST file is older than the

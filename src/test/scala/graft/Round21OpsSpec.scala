@@ -665,6 +665,69 @@ class Round21OpsSpec extends SparkSpec {
     }
   }
 
+  test("NOT NULL refuses null writes; the evolution null-fill trap is caught") {
+    import spark.implicits._
+    val dir = tmp("notnull")
+    SnapshotLog.reset(dir, checkpointInterval = 4)
+    SnapshotLog.append(rows(10), dir, col("k"))
+    SnapshotLog.addNotNull(spark, dir, "s")
+    val v1 = SnapshotLog.version(dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.append(
+        Seq((100L, 1L, null: String)).toDF("k", "m", "s"), dir, col("k"))
+    }
+    assert(e.getMessage.contains("NOT NULL"))
+    assert(SnapshotLog.version(dir) === v1)
+    // compliant writes land; CHECK-style null-pass does NOT apply here
+    SnapshotLog.append(Seq((100L, 1L, "ok")).toDF("k", "m", "s"),
+      dir, col("k"))
+    // the evolution trap: a column added AFTER old segments existed is
+    // null-filled on read — NOT NULL on it must be refused up front
+    SnapshotLog.append(rows(3, from = 200)
+      .withColumn("x", col("k") * 2), dir, col("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.addNotNull(spark, dir, "x")
+    }
+    assert(e2.getMessage.contains("null-fill") ||
+      e2.getMessage.contains("existing rows are null"))
+    // unknown column refused
+    intercept[IllegalArgumentException] {
+      SnapshotLog.addNotNull(spark, dir, "nope")
+    }
+  }
+
+  test("vacuumRetain keeps exactly the retention window; timestamp clone") {
+    val dir = tmp("retain")
+    SnapshotLog.reset(dir, checkpointInterval = 4)
+    SnapshotLog.append(rows(10), dir, col("k"))
+    Thread.sleep(15)
+    SnapshotLog.append(rows(10, from = 10), dir, col("k"))
+    Thread.sleep(15)
+    val t1 = SnapshotLog.commitTimeOf(dir, 1)
+    SnapshotLog.append(rows(10, from = 20), dir, col("k"))
+    val t2 = SnapshotLog.commitTimeOf(dir, 2)
+    // timestamp clone BEFORE retention trims: the table the cutoff saw
+    val dst = tmp("retain-clone") + "/t"
+    SnapshotLog.cloneShallowAtTimestamp(dir, dst, t1)
+    assert(sortedRows(SnapshotLog.readAsOf(spark, dst, 0)) ===
+      sortedRows(rows(20)))
+    // cutoff predating the log keeps everything
+    assert(SnapshotLog.retentionHorizon(dir, retainMs = 1L << 40,
+      nowMillis = t2) === 0)
+    // cutoff at t1: v1 was current then — v0 goes, v1 stays readable
+    assert(SnapshotLog.retentionHorizon(dir, retainMs = t2 - t1,
+      nowMillis = t2) === 1)
+    SnapshotLog.vacuumRetain(dir, retainMs = t2 - t1, nowMillis = t2)
+    assert(sortedRows(SnapshotLog.readAsOf(spark, dir, 1)) ===
+      sortedRows(rows(20)))
+    intercept[Exception] {
+      SnapshotLog.readAsOf(spark, dir, 0).count()
+    }
+    // cutoff after the newest commit keeps only the head
+    assert(SnapshotLog.retentionHorizon(dir, retainMs = 0L,
+      nowMillis = t2 + 1000L) === 2)
+  }
+
   // == Column rename: today's contract (round-16 item 8 design note) ==
 
   test("a column rename is refused as drop+add (the add-only contract)") {
