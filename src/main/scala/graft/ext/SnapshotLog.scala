@@ -321,16 +321,29 @@ object SnapshotLog {
     require(Files.exists(p),
       s"no table config in $dir — reset first (checks are table properties)")
     requireStatLine(name, exprSql)
-    val head = version(dir)
-    if (head >= 0) {
-      val bad = readAsOf(spark, dir, head)
-        .filter(expr(exprSql).isNotNull && !expr(exprSql)).count()
-      require(bad == 0L,
-        s"cannot add check '$name': $bad existing rows violate $exprSql")
-    }
     val lock = configLocks.computeIfAbsent(
       p.toAbsolutePath.toString, _ => new Object)
     lock.synchronized {
+      // head validation runs INSIDE the config lock and the head is
+      // re-checked after the scan (round-17 advice): a commit landing
+      // mid-scan would otherwise slip unvalidated rows under a
+      // constraint that then reads as table-wide. The re-check closes
+      // the scan-to-publish window; a writer already past its own
+      // config read but not yet published remains the caller's to
+      // serialize (constraint-add is single-writer-vs-in-flight-
+      // commits, the same contract as config evolution — Delta closes
+      // it by running ADD CONSTRAINT inside a table transaction, a
+      // protocol this log reserves for data commits).
+      val head = version(dir)
+      if (head >= 0) {
+        val bad = readAsOf(spark, dir, head)
+          .filter(expr(exprSql).isNotNull && !expr(exprSql)).count()
+        require(bad == 0L,
+          s"cannot add check '$name': $bad existing rows violate $exprSql")
+      }
+      require(version(dir) == head,
+        s"table advanced past v$head while validating check '$name' — " +
+          "the scan no longer proves the head is clean; retry")
       val existing = checksOf(dir).toMap
       existing.get(name).foreach { old =>
         require(old == exprSql,
@@ -366,20 +379,25 @@ object SnapshotLog {
       s"no table config in $dir — reset first (constraints are table " +
         "properties)")
     requireStatLine(colName, colName)
-    val head = version(dir)
-    if (head >= 0) {
-      val snap = readAsOf(spark, dir, head)
-      require(snap.columns.exists(c =>
-        spark.sessionState.analyzer.resolver(c, colName)),
-        s"cannot add NOT NULL on unknown column '$colName'")
-      val bad = snap.filter(col(colName).isNull).count()
-      require(bad == 0L,
-        s"cannot add NOT NULL on '$colName': $bad existing rows are null " +
-          "(segments predating a column-add null-fill it — rewrite first)")
-    }
     val lock = configLocks.computeIfAbsent(
       p.toAbsolutePath.toString, _ => new Object)
     lock.synchronized {
+      // validated inside the config lock with a post-scan head
+      // re-check, same rationale and residual contract as addCheck
+      val head = version(dir)
+      if (head >= 0) {
+        val snap = readAsOf(spark, dir, head)
+        require(snap.columns.exists(c =>
+          spark.sessionState.analyzer.resolver(c, colName)),
+          s"cannot add NOT NULL on unknown column '$colName'")
+        val bad = snap.filter(col(colName).isNull).count()
+        require(bad == 0L,
+          s"cannot add NOT NULL on '$colName': $bad existing rows are null " +
+            "(segments predating a column-add null-fill it — rewrite first)")
+      }
+      require(version(dir) == head,
+        s"table advanced past v$head while validating NOT NULL " +
+          s"'$colName' — the scan no longer proves the head is clean; retry")
       if (!notNullsOf(dir).contains(colName)) {
         val lines =
           Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq :+
@@ -603,6 +621,271 @@ object SnapshotLog {
     if (prev < 0) None
     else schemaOf(dir, prev).orElse(Some(readAsOf(spark, dir, prev).schema))
 
+  /** == Stable column ids (round-17 — Delta's column-mapping `name`
+    * mode, the ARCHITECTURE.md design note built) ==
+    * Every column gets an integer id at first appearance; the id — not
+    * the name — is the column's identity. A RENAME binds a new name to
+    * an existing id: zero parquet bytes move, old versions keep
+    * reading under their old names (each manifest pins its own
+    * name↔id table), and segments keep the PHYSICAL names they were
+    * written under, resolved per segment at read time.
+    *
+    * Persistence, all metadata-sized:
+    *  - `#colids<TAB>id=n1>n2>...` in EVERY manifest: per id, the full
+    *    name HISTORY (URL-encoded; first = the name at id creation,
+    *    last = current). History length 1 for every id ⇒ no rename has
+    *    ever happened ⇒ the read path takes today's exact fast path
+    *    (zero overhead; the history also disambiguates a rename-back
+    *    a>b>a, where cur == orig but mid-history segments exist).
+    *  - `_colids` INSIDE each segment dir (one `id<TAB>physName` line
+    *    per column, written beside `_zonestats` at segment-write
+    *    time): the segment's physical names keyed by id. Written only
+    *    once ids exist in the manifest — segments predating the
+    *    introduction resolve by each id's CREATION name (their
+    *    physical names are exactly the names current at introduction,
+    *    since renames require ids).
+    *
+    * What renames deliberately do NOT touch: sidecar zone-map entries
+    * key by STAT NAME (never by column name), so `renameColumn`
+    * re-binds the stat EXPRESSIONS in the config and every recorded
+    * range stays valid — merge discovery pruning keeps opening 1-of-N
+    * on the renamed key (the orphaned-zone-map trap the design note's
+    * step 4 warns about). External `spark.read.parquet` of segment
+    * dirs sees stale physical names after a rename — Delta documents
+    * the same caveat for column mapping; the manifest is the truth.
+    */
+  final case class ColId(id: Int, history: Seq[String]) {
+    def cur: String = history.last
+    def orig: String = history.head
+  }
+
+  private def encName(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Case-insensitive name equality — the engine's default resolver
+    * posture (colids must not depend on a live session, so the
+    * default rule is pinned here rather than read from a config).
+    */
+  private def ciEq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+
+  private def colidsLine(ids: Seq[ColId]): String =
+    "#colids\t" + ids.sortBy(_.id)
+      .map(c => s"${c.id}=${c.history.map(encName).mkString(">")}")
+      .mkString(",")
+
+  /** The name↔id table as of version v — None on manifests written
+    * before ids existed.
+    */
+  def colidsOf(dir: String, v: Int): Option[Seq[ColId]] =
+    manifestLines(dir, v).collectFirst {
+      case l if l.startsWith("#colids\t") =>
+        l.split('\t')(1).split(',').toSeq.filter(_.nonEmpty).map { tok =>
+          val eq = tok.indexOf('=')
+          ColId(tok.substring(0, eq).toInt,
+            tok.substring(eq + 1).split('>').toSeq.map(decName))
+        }
+    }
+
+  /** Assign ids for `names` against the previous table: existing
+    * (current-name) matches keep their id, new names get maxId+1,
+    * maxId+2, … in `names` order. Deterministic given (prev, names) —
+    * the per-segment writer and the manifest writer MUST agree, and
+    * both derive new-column order from the written frame's column
+    * order.
+    */
+  private def colIdsFor(prev: Option[Seq[ColId]],
+      names: Seq[String]): Seq[ColId] = prev match {
+    case None => names.zipWithIndex.map { case (n, i) => ColId(i, Seq(n)) }
+    case Some(ids) =>
+      val next = ids.map(_.id).maxOption.getOrElse(-1) + 1
+      val added = names.filterNot(n => ids.exists(c => ciEq(c.cur, n)))
+      ids ++ added.zipWithIndex.map { case (n, i) => ColId(next + i, Seq(n)) }
+  }
+
+  private def renamedEver(ids: Seq[ColId]): Boolean =
+    ids.exists(_.history.size > 1)
+
+  private val ColIdsFile = "_colids"
+
+  /** Record a freshly written segment's physical column names keyed by
+    * id. No-op until the manifest carries ids (pre-introduction
+    * segments resolve by creation name). Reserved `__graft_dv_*` key
+    * columns are never user-renamable and carry no entry.
+    */
+  private def writeSegColIds(dir: String, segPath: String,
+      cols: Seq[String]): Unit = {
+    val head = version(dir)
+    if (head >= 0) colidsOf(dir, head).foreach { prev =>
+      val user = cols.filterNot(_.startsWith("__graft_dv_"))
+      val ids = colIdsFor(Some(prev), user)
+      val lines = user.map { c =>
+        val cid = ids.find(x => ciEq(x.cur, c)).get
+        s"${cid.id}\t${encName(c)}"
+      }
+      Files.write(Paths.get(segPath, ColIdsFile),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** A segment's id→physicalName record, None for segments written
+    * before ids existed.
+    */
+  private def readSegColIds(dir: String, rel: String): Option[Map[Int, String]] = {
+    val p = Paths.get(dir, rel, ColIdsFile)
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { l =>
+        val t = l.indexOf('\t')
+        l.substring(0, t).toInt -> decName(l.substring(t + 1))
+      }.toMap)
+  }
+
+  /** For each field of the CURRENT schema (in order), the physical
+    * name to request from this segment's parquet. A column the segment
+    * predates maps to a reserved absent name (`__graft_absent_<id>`) —
+    * parquet null-fills it, and the name can never collide with a
+    * physical column. Legacy (no `_colids`) segments resolve by each
+    * id's creation name; when two ids share a creation name (rename
+    * away + re-add), only the OLDER id can physically exist in a
+    * pre-introduction file, so later duplicates resolve absent.
+    */
+  private def segPhysNames(dir: String, rel: String, cids: Seq[ColId],
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val fieldIds = schema.fields.toSeq.map { f =>
+      cids.find(c => ciEq(c.cur, f.name)).getOrElse(
+        throw new IllegalStateException(
+          s"column '${f.name}' of the logged schema has no recorded id " +
+            s"in $dir — the manifest is inconsistent"))
+    }
+    readSegColIds(dir, rel) match {
+      case Some(m) =>
+        fieldIds.map(c => m.getOrElse(c.id, s"__graft_absent_${c.id}"))
+      case None =>
+        val seen = scala.collection.mutable.Set.empty[String]
+        val byId = fieldIds.sortBy(_.id).map { c =>
+          val phys =
+            if (seen.contains(c.orig.toLowerCase)) s"__graft_absent_${c.id}"
+            else c.orig
+          seen += c.orig.toLowerCase
+          c.id -> phys
+        }.toMap
+        fieldIds.map(c => byId(c.id))
+    }
+  }
+
+  /** Re-bind a config SQL expression from `oldName` to `newName`:
+    * parse, rename every single-part attribute that resolves to the
+    * old name, and render back to SQL. A shape whose rendered SQL does
+    * not round-trip through the parser REFUSES the rename (before
+    * anything publishes) — a silently broken stat expression would
+    * poison every later write to the table.
+    */
+  private def rebindSql(spark: SparkSession, exprSql: String,
+      oldName: String, newName: String): String = {
+    val resolver = spark.sessionState.analyzer.resolver
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val rebound = parsed.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 && resolver(a.nameParts.head, oldName) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(newName))
+    }
+    val out = rebound.sql
+    if (scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(out)).isFailure)
+      throw new IllegalArgumentException(
+        s"cannot re-bind config expression '$exprSql' across the rename " +
+          s"'$oldName' -> '$newName' (rendered form does not re-parse) — " +
+          "drop to an equivalent simpler expression first")
+    out
+  }
+
+  /** == RENAME COLUMN (round-17 — the design note's five steps,
+    * built) ==
+    * Bind a new name to the column's stable id in ONE metadata commit:
+    * zero parquet bytes move, zero segments rewrite. Old versions keep
+    * reading under their old names (each manifest pins its own
+    * name↔id table); segments keep their physical names and the read
+    * path resolves them per segment. The same commit re-binds every
+    * config expression that references the old name — stat
+    * expressions (sidecar zone-map entries key by STAT NAME, so every
+    * recorded range stays valid and merge discovery keeps pruning on
+    * the renamed key), CHECK expressions, and NOT NULL column names.
+    * Everything is validated BEFORE the manifest publishes; the
+    * config rewrite lands immediately after, under the config lock
+    * (same single-writer-vs-in-flight contract as constraint adds).
+    * Drops remain refused — a drop needs a retention story for the
+    * bytes; rename needed none.
+    */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Int = {
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to rename in $dir — commit first")
+    require(oldName != newName, "rename to the identical name is a no-op")
+    val resolver = spark.sessionState.analyzer.resolver
+    val sc = schemaOf(dir, prev).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir predates schema logging — commit once under the current " +
+          "engine before renaming (rename needs the logged schema)"))
+    require(sc.fields.exists(f => resolver(f.name, oldName)),
+      s"cannot rename unknown column '$oldName'")
+    require(resolver(oldName, newName) ||
+      !sc.fields.exists(f => resolver(f.name, newName)),
+      s"cannot rename '$oldName' to '$newName' — the name is taken")
+    require(!newName.startsWith("__graft_dv_"),
+      s"'$newName' collides with the snapshot log's reserved " +
+        "deletion-vector key namespace (__graft_dv_*)")
+    require(!newName.contains('\t') && !newName.contains('\n'),
+      "column names must be tab/newline-free")
+    val ids = colidsOf(dir, prev).getOrElse(
+      colIdsFor(None, sc.fields.toSeq.map(_.name)))
+    val newIds = ids.map(c =>
+      if (ciEq(c.cur, oldName)) c.copy(history = c.history :+ newName)
+      else c)
+    val newSchema = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+      if (resolver(f.name, oldName)) f.copy(name = newName) else f))
+    val p = configPath(dir)
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      // every config rewrite validates BEFORE the manifest publishes —
+      // a refused rename must leave both the log and the config
+      // exactly as they were
+      val rewritten: Option[Seq[String]] =
+        if (!Files.exists(p)) None
+        else Some(Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+          .toSeq.map { l =>
+            val f = l.split('\t')
+            f(0) match {
+              case "stat" =>
+                s"stat\t${f(1)}\t${rebindSql(spark, f(2), oldName, newName)}"
+              case "check" =>
+                s"check\t${f(1)}\t${rebindSql(spark, f(2), oldName, newName)}"
+              case "notnull" =>
+                if (resolver(f(1), oldName)) s"notnull\t$newName" else l
+              case _ => l
+            }
+          })
+      val v = prev + 1
+      val segs = segments(dir, prev)
+      publish(dir, v, commitLines(dir, v, segs, segs,
+        meta(dir, prev).carried.copy(opType = Some("rename")),
+        Some(s"#schema\t${newSchema.json}"),
+        colidsOverride = Some(newIds)))
+      rewritten.foreach { lines =>
+        val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+        Files.write(tmp,
+          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      v
+    }
+  }
+
   private def metaLines(m: ManifestMeta): Seq[String] =
     (if (m.batches.isEmpty) Nil
      else Seq(s"#batches\t${m.batches.toSeq.sorted.mkString(",")}")) ++
@@ -697,9 +980,23 @@ object SnapshotLog {
     */
   private def commitLines(dir: String, v: Int, newSegs: Seq[Segment],
       prevSegs: Seq[Segment], m: ManifestMeta,
-      schemaLine: Option[String]): Seq[String] = {
+      schemaLine: Option[String],
+      colidsOverride: Option[Seq[ColId]] = None): Seq[String] = {
     val interval = checkpointIntervalOf(dir)
-    val fullLines = newSegs.map(segLine) ++ metaLines(m) ++ schemaLine.toSeq
+    // the name↔id table rides EVERY schema-bearing manifest (full and
+    // delta alike — meta lines are per-manifest, never inherited):
+    // carried ids keep theirs, columns this commit adds get fresh ones
+    // in frame order (the same order writeSegColIds derived them in)
+    val colLine = schemaLine.map { sl =>
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(sl.split('\t')(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      colidsLine(colidsOverride.getOrElse(colIdsFor(
+        if (v == 0) None else colidsOf(dir, v - 1),
+        schema.fields.toSeq.map(_.name))))
+    }
+    val fullLines = newSegs.map(segLine) ++ metaLines(m) ++
+      schemaLine.toSeq ++ colLine.toSeq
     if (v == 0 || interval <= 1 || v % interval == 0) fullLines
     else {
       val prevSet = prevSegs.map(_.relPath).toSet
@@ -712,7 +1009,7 @@ object SnapshotLog {
       else Seq(s"#base\t${v - 1}") ++
         removed.map(s => s"-\t${s.relPath}") ++
         added.map(s => "+\t" + segLine(s)) ++
-        metaLines(m) ++ schemaLine.toSeq
+        metaLines(m) ++ schemaLine.toSeq ++ colLine.toSeq
     }
   }
 
@@ -823,6 +1120,7 @@ object SnapshotLog {
       }
     Files.write(Paths.get(segPath, ZoneStatsFile),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    writeSegColIds(dir, segPath, df.columns.toSeq)
     if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
     else (r.getLong(0), r.getLong(1))
   }
@@ -877,9 +1175,13 @@ object SnapshotLog {
     }
     val df =
       if (hit.isEmpty) readAsOf(spark, dir, v).limit(0)
-      else applyDvs(spark, dir, meta(dir, v).dvs,
-        readSegs(spark, dir, v, hit.map(s => absPath(dir, s.relPath))))
-        .filter(statExpr >= lo && statExpr <= hi)
+      else {
+        val dvs = meta(dir, v).dvs
+        applyDvs(spark, dir, dvs,
+          readSegs(spark, dir, v, hit.map(_.relPath),
+            keepDvKeys = dvs.nonEmpty))
+          .filter(statExpr >= lo && statExpr <= hi)
+      }
     (df, hit.size, segs.size)
   }
 
@@ -953,9 +1255,13 @@ object SnapshotLog {
       df: DataFrame, keepPos: Boolean = false): DataFrame = {
     if (dvs.isEmpty && !keepPos) df
     else {
-      val tagged = df
-        .withColumn(DvFileCol, dvFileKey)
-        .withColumn(DvPosCol, col("_metadata.row_index"))
+      // a mapped (renamed-table) readSegs pre-attaches the key columns
+      // per relation — _metadata does not resolve above its union
+      val tagged =
+        if (df.columns.contains(DvFileCol)) df
+        else df
+          .withColumn(DvFileCol, dvFileKey)
+          .withColumn(DvPosCol, col("_metadata.row_index"))
       if (dvs.isEmpty) tagged
       else {
         val dvDf = spark.read
@@ -1022,8 +1328,9 @@ object SnapshotLog {
   def readAsOf(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val segs = segments(dir, v)
     require(segs.nonEmpty, s"snapshot v$v is empty")
-    applyDvs(spark, dir, meta(dir, v).dvs,
-      readSegs(spark, dir, v, segs.map(s => absPath(dir, s.relPath))))
+    val dvs = meta(dir, v).dvs
+    applyDvs(spark, dir, dvs,
+      readSegs(spark, dir, v, segs.map(_.relPath), keepDvKeys = dvs.nonEmpty))
   }
 
   /** Change-data feed: the rows ADDED in versions (fromV, toV],
@@ -1058,12 +1365,10 @@ object SnapshotLog {
         // delta rows surface under toV's schema — an incremental
         // consumer reading across a column-add sees the evolved shape
         // (pre-add segments null-fill), matching what a readAsOf(toV)
-        // of the same rows would return
-        val paths = delta.map(s => Paths.get(dir, s.relPath).toString)
-        schemaOf(dir, toV) match {
-          case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
+        // of the same rows would return; across a RENAME the same
+        // holds for names (readSegs resolves physical names per
+        // segment via the id table)
+        readSegs(spark, dir, toV, delta.map(_.relPath))
       }
     }
   }
@@ -1218,8 +1523,11 @@ object SnapshotLog {
     val scanned =
       if (legacy.isEmpty) Map.empty[String, Long]
       else bySeg(
-        readSegs(spark, dir, v, legacy.map(s => absPath(dir, s.relPath))),
-        col("_metadata.file_path"))
+        // the dv key column is the dir-relative file path — derived
+        // per relation, so it survives the mapped path's union where
+        // a bare _metadata reference would not resolve
+        readSegs(spark, dir, v, legacy.map(_.relPath), keepDvKeys = true),
+        col(DvFileCol))
     val dvBySeg =
       if (dvs.isEmpty) Map.empty[String, Long]
       else bySeg(
@@ -1307,7 +1615,8 @@ object SnapshotLog {
     // the rewrite reads ONLY the selected segments, DV-applied — the
     // tombstones of selected files materialize out here
     val live = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, sel.map(s => absPath(dir, s.relPath))))
+      readSegs(spark, dir, prev, sel.map(_.relPath),
+        keepDvKeys = prevMeta.dvs.nonEmpty))
     val newSegs = clusterRewrite(spark, dir, v, live, statsCol, dims,
       bucketBits, bits)
     // every selected row was tombstoned AND nothing is kept: an empty
@@ -1346,15 +1655,54 @@ object SnapshotLog {
     v
   }
 
-  /** Read exactly `paths` under version `v`'s logged schema (legacy
-    * manifests without one fall back to footer-merged schema).
+  /** Read exactly the segments `rels` (dir-relative) under version
+    * `v`'s logged schema (legacy manifests without one fall back to
+    * footer-merged schema). With `keepDvKeys` the reserved
+    * (`__graft_dv_file`, `__graft_dv_pos`) key columns ride along —
+    * derived from `_metadata`, which only resolves directly above a
+    * file relation, so they MUST be attached here when the mapped path
+    * below unions relations (`applyDvs` reuses them when present).
+    *
+    * The mapped path engages only on tables where a column rename ever
+    * happened (`#colids` history longer than 1 anywhere): segments
+    * group by their per-segment physical-name resolution (via `_colids`
+    * keyed by stable column id), each group reads under its physical
+    * schema, aliases back to the current names in logged-schema order,
+    * and the groups union. Group count is bounded by the number of
+    * DISTINCT name-epochs among the read segments (1-2 in practice),
+    * never data-sized; never-renamed tables take the single-relation
+    * fast path byte-identical to the pre-rename engine.
     */
   private def readSegs(spark: SparkSession, dir: String, v: Int,
-      paths: Seq[String]): DataFrame =
-    schemaOf(dir, v) match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+      rels: Seq[String], keepDvKeys: Boolean = false): DataFrame = {
+    val sc = schemaOf(dir, v)
+    val cids = sc.flatMap(_ => colidsOf(dir, v)).filter(renamedEver)
+    def tag(df: DataFrame): DataFrame = df
+      .withColumn(DvFileCol, dvFileKey)
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    (sc, cids) match {
+      case (Some(schema), Some(ids)) =>
+        val groups = rels.groupBy(rel => segPhysNames(dir, rel, ids, schema))
+        val parts = groups.toSeq.sortBy(_._2.head).map { case (phys, grp) =>
+          val physSchema = org.apache.spark.sql.types.StructType(
+            schema.fields.zip(phys).map { case (f, p) => f.copy(name = p) })
+          val base = tag(spark.read.schema(physSchema)
+            .parquet(grp.map(r => absPath(dir, r)): _*))
+          base.select(schema.fields.toSeq.zip(phys).map { case (f, p) =>
+            col(s"`$p`").as(f.name)
+          } ++ Seq(col(DvFileCol), col(DvPosCol)): _*)
+        }
+        val out = parts.reduce(_.unionByName(_))
+        if (keepDvKeys) out else out.drop(DvFileCol, DvPosCol)
+      case _ =>
+        val paths = rels.map(r => absPath(dir, r))
+        val base = sc match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        if (keepDvKeys) tag(base) else base
     }
+  }
 
   private def absPath(dir: String, rel: String): String =
     Paths.get(dir, rel).toString
@@ -1406,7 +1754,7 @@ object SnapshotLog {
     // a raw scan would re-count — and the rewrite would RESURRECT —
     // rows an earlier merge-on-read delete already tombstoned
     val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      readSegs(spark, dir, prev, segs.map(_.relPath), keepDvKeys = true),
       keepPos = true)
     // raw predicate: pushes to parquet (through the anti-join's left
     // side), and filter's null-drops ARE delete semantics for the hit
@@ -1439,10 +1787,12 @@ object SnapshotLog {
       // neither land in the survivor segment nor re-surface as a
       // "deleted" CDC row it already was
       val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
-        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
+        readSegs(spark, dir, prev, touched.map(_.relPath),
+          keepDvKeys = prevMeta.dvs.nonEmpty))
       val delRel = s"seg-$v-cdc-${writerToken()}"
       touchedDf.filter(predicate).write.mode("overwrite")
         .parquet(absPath(dir, delRel))
+      writeSegColIds(dir, absPath(dir, delRel), touchedDf.columns.toSeq)
       val rewriteRel = s"seg-$v-${writerToken()}"
       val rewritePath = absPath(dir, rewriteRel)
       // survivors = NOT proven deleted — null-predicate rows stay, so
@@ -1493,7 +1843,7 @@ object SnapshotLog {
     val segs = segments(dir, prev)
     val prevMeta = meta(dir, prev)
     val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      readSegs(spark, dir, prev, segs.map(_.relPath), keepDvKeys = true),
       keepPos = true)
     val hits = all.filter(predicate)
     val deterministic = hits.queryExecution.analyzed.collectFirst {
@@ -1511,6 +1861,7 @@ object SnapshotLog {
       walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
       prev
     } else {
+      writeSegColIds(dir, dvPath, hits.columns.toSeq)
       publish(dir, v, commitLines(dir, v, segs, segs,
         prevMeta.carried.copy(cdcDel = Set(dvRel),
           dvs = prevMeta.dvs + dvRel, opType = Some("delete")),
@@ -1563,7 +1914,7 @@ object SnapshotLog {
     if (candidates.isEmpty) return prev
     val all = applyDvs(spark, dir, prevMeta.dvs,
       readSegs(spark, dir, prev,
-        candidates.map(s => absPath(dir, s.relPath))),
+        candidates.map(_.relPath), keepDvKeys = true),
       keepPos = true)
     val hits = all.join(keySet, keyCols, "left_semi")
     val dvRel = s"seg-$v-dv-${writerToken()}"
@@ -1573,6 +1924,7 @@ object SnapshotLog {
       walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
       prev
     } else {
+      writeSegColIds(dir, dvPath, hits.columns.toSeq)
       val segs = segments(dir, prev)
       publish(dir, v, commitLines(dir, v, segs, segs,
         prevMeta.carried.copy(cdcDel = Set(dvRel),
@@ -1637,7 +1989,7 @@ object SnapshotLog {
       else {
         val all = applyDvs(spark, dir, prevMeta.dvs,
           readSegs(spark, dir, prev,
-            candidates.map(s => absPath(dir, s.relPath))),
+            candidates.map(_.relPath), keepDvKeys = true),
           keepPos = true)
         val matched = all.join(srcKeys, keys, "left_semi")
         matched.write.mode("overwrite").parquet(dvPath)
@@ -1645,6 +1997,7 @@ object SnapshotLog {
         if (!any)
           walked(Paths.get(dvPath))(_.toSeq).reverse
             .foreach(Files.deleteIfExists)
+        else writeSegColIds(dir, dvPath, matched.columns.toSeq)
         any
       }
     publish(dir, v, commitLines(dir, v,
@@ -1719,11 +2072,30 @@ object SnapshotLog {
             // depends on no other column, and the expression must be
             // deterministic for equal keys to imply equal stat values
             // (read off the analyzed Project — Column hides its
-            // expression in Spark 4, the delete-predicate technique)
+            // expression in Spark 4, the delete-predicate technique).
+            // Deterministic is NOT sufficient alone: the current-time
+            // family (current_date/current_timestamp/now/localtimestamp)
+            // is deterministic=true yet drifts between segment-write
+            // time and merge time — a stat like
+            // datediff(current_date(), key) records a range that goes
+            // stale, and a stale range can wrongly SKIP a segment
+            // holding matched keys, turning the merge into a silent
+            // duplicate-key insert (round-17 advice). Reject any stat
+            // whose analyzed expression contains one.
             srcM.select(col(key)).select(expr(e)).queryExecution.analyzed
               .collectFirst {
                 case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-                  p.projectList.forall(_.deterministic)
+                  p.projectList.forall(ne => ne.deterministic && !ne.exists {
+                    case _: org.apache.spark.sql.catalyst.expressions
+                      .CurrentDate => true
+                    case _: org.apache.spark.sql.catalyst.expressions
+                      .CurrentTimestampLike => true // CurrentTimestamp + Now
+                    case _: org.apache.spark.sql.catalyst.expressions
+                      .LocalTimestamp => true
+                    case _: org.apache.spark.sql.catalyst.expressions
+                      .CurrentTime => true
+                    case _ => false
+                  })
               }.getOrElse(true)
           }.getOrElse(false)
         }
@@ -1820,7 +2192,7 @@ object SnapshotLog {
       if (candidates.isEmpty) Set.empty[String]
       else applyDvs(spark, dir, prevMeta.dvs,
         readSegs(spark, dir, prev,
-          candidates.map(s => absPath(dir, s.relPath))),
+          candidates.map(_.relPath), keepDvKeys = true),
         keepPos = true)
         .join(srcKeys, keys, "left_semi")
         .select(col(DvFileCol)).distinct()
@@ -1834,10 +2206,12 @@ object SnapshotLog {
       if (touched.isEmpty) (Nil, Set.empty[String])
       else {
         val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
-          readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
+          readSegs(spark, dir, prev, touched.map(_.relPath),
+            keepDvKeys = prevMeta.dvs.nonEmpty))
         val delRel = s"seg-$v-cdc-${writerToken()}"
         touchedDf.join(srcKeys, keys, "left_semi")
           .write.mode("overwrite").parquet(absPath(dir, delRel))
+        writeSegColIds(dir, absPath(dir, delRel), touchedDf.columns.toSeq)
         val rewriteRel = s"seg-$v-rw-${writerToken()}"
         val rewritePath = absPath(dir, rewriteRel)
         touchedDf.join(srcKeys, keys, "left_anti")
@@ -1884,12 +2258,33 @@ object SnapshotLog {
     val resolver = spark.sessionState.analyzer.resolver
     val fields = gateSchema(spark, dir, prev)
       .getOrElse(readAsOf(spark, dir, prev).schema).fields.toSeq
+    // cast targets widen container nullability: the RECORDED type may
+    // say map value / array element / struct field non-null (the
+    // encoder that first appended knew it), but parquet read-back
+    // reports them nullable, and Catalyst refuses a nullable→non-null
+    // container cast — so `SET mp = mp` on a map column failed as
+    // "cannot cast MAP<..> to MAP<..>" (round-17 fix). Nullability is
+    // a read-path looseness here, not identity: the logged #schema is
+    // untouched and scalar casts are unchanged.
+    def widenNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(
+          widenNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(widenNullable(m.keyType),
+          widenNullable(m.valueType), valueContainsNull = true)
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(dataType = widenNullable(f.dataType), nullable = true)))
+      case other => other
+    }
     val bound = set.map { case (c, e) =>
       val f = fields.find(fd => resolver(fd.name, c)).getOrElse(
         throw new IllegalArgumentException(
           s"UPDATE assigns to unknown column '$c' — updates never add " +
             "columns (append an evolved frame for that)"))
-      (f.name, e.cast(f.dataType))
+      (f.name, e.cast(widenNullable(f.dataType)))
     }
     require(bound.map(_._1).distinct.size == bound.size,
       "UPDATE assigns the same column twice")
@@ -1939,7 +2334,7 @@ object SnapshotLog {
     val prevMeta = meta(dir, prev)
     val applySet = updatePlan(spark, dir, prev, set)
     val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      readSegs(spark, dir, prev, segs.map(_.relPath), keepDvKeys = true),
       keepPos = true)
     val hits = all.filter(predicate)
     requireDeterministicUpdate(hits,
@@ -1952,15 +2347,17 @@ object SnapshotLog {
     if (touched.isEmpty) prev
     else {
       val touchedDf = applyDvs(spark, dir, prevMeta.dvs,
-        readSegs(spark, dir, prev, touched.map(s => absPath(dir, s.relPath))))
+        readSegs(spark, dir, prev, touched.map(_.relPath),
+          keepDvKeys = prevMeta.dvs.nonEmpty))
       val preRel = s"seg-$v-cdcpre-${writerToken()}"
       touchedDf.filter(predicate).write.mode("overwrite")
         .parquet(absPath(dir, preRel))
+      writeSegColIds(dir, absPath(dir, preRel), touchedDf.columns.toSeq)
       // new images derive from the WRITTEN preimages — the predicate
       // never re-evaluates between pre and post, so the pair is exact
       val postRel = s"seg-$v-post-${writerToken()}"
       val postPath = absPath(dir, postRel)
-      applySet(readSegs(spark, dir, prev, Seq(absPath(dir, preRel))))
+      applySet(readSegs(spark, dir, prev, Seq(preRel)))
         .write.mode("overwrite").parquet(postPath)
       val (pmn, pmx) = statsAndSidecar(spark, dir, postPath, statsCol)
       val rwRel = s"seg-$v-rw-${writerToken()}"
@@ -2004,7 +2401,7 @@ object SnapshotLog {
     val prevMeta = meta(dir, prev)
     val applySet = updatePlan(spark, dir, prev, set)
     val all = applyDvs(spark, dir, prevMeta.dvs,
-      readSegs(spark, dir, prev, segs.map(s => absPath(dir, s.relPath))),
+      readSegs(spark, dir, prev, segs.map(_.relPath), keepDvKeys = true),
       keepPos = true)
     val hits = all.filter(predicate)
     requireDeterministicUpdate(hits,
@@ -2016,6 +2413,7 @@ object SnapshotLog {
       walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
       prev
     } else {
+      writeSegColIds(dir, dvPath, hits.columns.toSeq)
       // key columns ride at the END of the tombstone write (applyDvs
       // appends them), so dropping them restores the snapshot shape
       val pre = spark.read.parquet(dvPath).drop(DvFileCol, DvPosCol)
@@ -2109,7 +2507,7 @@ object SnapshotLog {
         // SCHEMA-LESS legacy log the fallback footer-merged read would
         // leak them and poison the insert/delete unionByName below
         // (schema'd logs never select them — the drop is a no-op there)
-        readSegs(spark, dir, toV, rels.map(r => absPath(dir, r)))
+        readSegs(spark, dir, toV, rels)
           .drop(DvFileCol, DvPosCol)
           .withColumn("_change_type", lit(ct))
           .withColumn("_commit_version", lit(w))
@@ -2167,10 +2565,7 @@ object SnapshotLog {
     val dvsComeBack = (dvsP -- dvsV).toSeq.sorted // prev-only tombstones
     val dvsGoAway = (dvsV -- dvsP).toSeq.sorted   // v-only tombstones
     val sc = schemaOf(dir, prev)
-    def readUnderPrev(paths: Seq[String]): DataFrame = sc match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    val cids = colidsOf(dir, prev)
     // Row images of DV tombstones, RESTRICTED to entries targeting a
     // SHARED file: entries into re-added/dropped files are already
     // settled by those files' own materialization/removal, and
@@ -2191,10 +2586,30 @@ object SnapshotLog {
         // (round-15 advice; per-segment footers make the invariant
         // structural instead of relying on shared-file luck)
         val raw = rels.map { r =>
-            spark.read.parquet(absPath(dir, r))
+            val own = spark.read.parquet(absPath(dir, r))
               .filter(substring_index(col(DvFileCol), "/", 1)
                 .isInCollection(sharedNames))
               .drop(DvFileCol, DvPosCol)
+            // physical → current names per DV segment (tombstones
+            // written before a rename carry old names; conforming
+            // by name alone would silently null-fill renamed columns)
+            cids.filter(renamedEver) match {
+              case Some(ids) =>
+                val segIds = readSegColIds(dir, r)
+                own.select(own.columns.toSeq.map { c =>
+                  val curName = segIds match {
+                    case Some(m) => m.collectFirst {
+                      case (id, phys) if ciEq(phys, c) =>
+                        ids.find(_.id == id).map(_.cur)
+                    }.flatten.getOrElse(c)
+                    case None =>
+                      ids.filter(x => ciEq(x.orig, c))
+                        .sortBy(_.id).headOption.map(_.cur).getOrElse(c)
+                  }
+                  col(s"`$c`").as(curName)
+                }: _*)
+              case None => own
+            }
           }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         Some(sc match {
           case Some(s) => raw.select(s.fields.toSeq.map { f =>
@@ -2210,7 +2625,8 @@ object SnapshotLog {
     val insertParts =
       (if (readded.isEmpty) Nil
        else Seq(applyDvs(spark, dir, dvsV,
-         readUnderPrev(readded.map(s => absPath(dir, s.relPath)))))) ++
+         readSegs(spark, dir, prev, readded.map(_.relPath),
+           keepDvKeys = dvsV.nonEmpty)))) ++
         dvImages(dvsComeBack).toSeq
     val insertSeg = insertParts.reduceOption(_.unionByName(_)).flatMap { df =>
       val rel = s"seg-$vNew-${writerToken()}"
@@ -2233,7 +2649,8 @@ object SnapshotLog {
     val deleteParts =
       (if (dropped.isEmpty) Nil
        else Seq(applyDvs(spark, dir, dvsP,
-         readUnderPrev(dropped.map(s => absPath(dir, s.relPath)))))) ++
+         readSegs(spark, dir, prev, dropped.map(_.relPath),
+           keepDvKeys = dvsP.nonEmpty)))) ++
         dvImages(dvsGoAway).toSeq
     val delRel = deleteParts.reduceOption(_.unionByName(_)).flatMap { df =>
       val rel = s"seg-$vNew-cdc-${writerToken()}"
@@ -2242,7 +2659,10 @@ object SnapshotLog {
       if (spark.read.parquet(p).count() == 0L) {
         walked(Paths.get(p))(_.toSeq).reverse.foreach(Files.deleteIfExists)
         None
-      } else Some(rel)
+      } else {
+        writeSegColIds(dir, p, df.columns.toSeq)
+        Some(rel)
+      }
     }
     // active DVs: v's own set (shared-file entries live, the rest
     // inert) PLUS the comeback DVs — their shared-file copies were
@@ -2305,26 +2725,59 @@ object SnapshotLog {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val m = meta(srcDir, v)
     val segs = segments(srcDir, v)
-    (segs.map(_.relPath) ++ m.dvs.toSeq.sorted).distinct.foreach { rel =>
-      val from = Paths.get(srcDir, rel)
-      val to = Paths.get(dstDir, rel)
-      walked(from)(_.toSeq).foreach { p =>
-        val t = to.resolve(from.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
-          Files.createDirectories(t.getParent)
-          try Files.createLink(t, p)
-          catch {
-            case _: UnsupportedOperationException => Files.copy(p, t)
+    // track everything this clone creates so a mid-walk failure can
+    // unwind: the target-must-be-fresh precondition otherwise blocks a
+    // retry against the partial, manifest-less dstDir (round-17 advice)
+    val created = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def mkDirs(d: Path): Unit = {
+      // record only dirs we newly create, outermost first
+      val missing = Iterator.iterate(d)(_.getParent)
+        .takeWhile(p => p != null && !Files.exists(p)).toSeq.reverse
+      Files.createDirectories(d)
+      created ++= missing
+    }
+    try {
+      (segs.map(_.relPath) ++ m.dvs.toSeq.sorted).distinct.foreach { rel =>
+        val from = Paths.get(srcDir, rel)
+        val to = Paths.get(dstDir, rel)
+        walked(from)(_.toSeq).foreach { p =>
+          val t = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) mkDirs(t)
+          else {
+            mkDirs(t.getParent)
+            // hard links need same-filesystem support: FS without the
+            // feature throws UnsupportedOperationException, but a
+            // cross-device target (EXDEV) or a link-count-limited mount
+            // surfaces as FileSystemException/IOException — all degrade
+            // to the documented per-file copy (round-17 advice; the
+            // pre-fix catch never engaged for the IOException family)
+            try Files.createLink(t, p)
+            catch {
+              case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(p, t)
+            }
+            created += t
           }
         }
       }
+      publish(dstDir, 0, commitLines(dstDir, 0, segs, Nil,
+        ManifestMeta(segs.flatMap(_.tag).toSet ++ m.batches,
+          m.compacted intersect segs.map(_.relPath).toSet,
+          Set.empty, m.dvs, opType = Some("clone")),
+        schemaOf(srcDir, v).map(sc => s"#schema\t${sc.json}"),
+        // the clone carries the SOURCE's name↔id table as of asOfV —
+        // a fresh identity table would lose the rename history its
+        // hard-linked segments' _colids files resolve against
+        colidsOverride = colidsOf(srcDir, v)))
+    } catch {
+      case e: Throwable =>
+        // innermost first; only paths THIS call created — a
+        // pre-existing (log-less) dstDir and its prior contents stay
+        created.reverseIterator.foreach { p =>
+          try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
+        }
+        throw e
     }
-    publish(dstDir, 0, commitLines(dstDir, 0, segs, Nil,
-      ManifestMeta(segs.flatMap(_.tag).toSet ++ m.batches,
-        m.compacted intersect segs.map(_.relPath).toSet,
-        Set.empty, m.dvs, opType = Some("clone")),
-      schemaOf(srcDir, v).map(sc => s"#schema\t${sc.json}")))
     0
   }
 
@@ -2638,9 +3091,13 @@ object SnapshotLog {
     val hit = segs.filter(s => s.min <= hi && s.max >= lo)
     val df =
       if (hit.isEmpty) readAsOf(spark, dir, v).limit(0)
-      else applyDvs(spark, dir, meta(dir, v).dvs,
-        readSegs(spark, dir, v, hit.map(s => absPath(dir, s.relPath))))
-        .filter(statsCol >= lo && statsCol <= hi)
+      else {
+        val dvs = meta(dir, v).dvs
+        applyDvs(spark, dir, dvs,
+          readSegs(spark, dir, v, hit.map(_.relPath),
+            keepDvKeys = dvs.nonEmpty))
+          .filter(statsCol >= lo && statsCol <= hi)
+      }
     (df, hit.size, segs.size)
   }
 }

@@ -305,19 +305,47 @@ object SnapshotSource {
           // rows, a replayed no-op merge) left the group's content
           // bit-identical, so ANY aggregate of it is unchanged and the
           // refresh skips it. Exact, not heuristic: grouping is on the
-          // actual column values, never a hash. Unorderable columns
-          // (maps) cannot group — fall back to every-key-affected,
-          // which is the pre-round-16 behavior and always safe.
+          // actual column values, never a hash. Map columns cannot
+          // group directly (unorderable), but a TOP-LEVEL map whose
+          // key/value types are themselves orderable has an exact
+          // canonical form — `array_sort(map_entries(c))`: map keys
+          // are unique, so the key-sorted entry array is a bijection
+          // of the map value and equal maps (any entry order)
+          // canonicalize identically (round-17 item 6). Only columns
+          // whose maps resist that rewrite (a map NESTED inside an
+          // array/struct, or a map-valued map — recursion the
+          // round-16 top-level-only test missed, flagged by round-17
+          // advice) force the every-key-affected fallback, which is
+          // the pre-round-16 behavior and always safe.
           val dataCols = delta.columns
             .filterNot(c => c == "_change_type" || c == "_commit_version")
-          val groupable = delta.schema.fields
-            .filter(f => dataCols.contains(f.name))
-            .forall(f => !f.dataType.isInstanceOf[
-              org.apache.spark.sql.types.MapType])
+          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+            dt match {
+              case _: org.apache.spark.sql.types.MapType => true
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasMap(a.elementType)
+              case s: org.apache.spark.sql.types.StructType =>
+                s.fields.exists(f => hasMap(f.dataType))
+              case _ => false
+            }
+          val fieldsByName = delta.schema.fields.map(f => f.name -> f).toMap
+          // per-column canonical group expression, or None when the
+          // column's type defeats exact canonicalization
+          val groupExprs: Seq[Option[org.apache.spark.sql.Column]] =
+            dataCols.toSeq.map { c =>
+              fieldsByName(c).dataType match {
+                case m: org.apache.spark.sql.types.MapType
+                    if !hasMap(m.keyType) && !hasMap(m.valueType) =>
+                  Some(array_sort(map_entries(col(c))).as(c))
+                case dt if hasMap(dt) => None
+                case _ => Some(col(c))
+              }
+            }
           val aff =
-            if (!groupable) delta.select(keyExpr.as(viewKey)).distinct()
+            if (groupExprs.exists(_.isEmpty))
+              delta.select(keyExpr.as(viewKey)).distinct()
             else delta
-              .groupBy(keyExpr.as(viewKey) +: dataCols.map(col): _*)
+              .groupBy(keyExpr.as(viewKey) +: groupExprs.flatten: _*)
               .agg(sum(when(col("_change_type")
                 .isin("insert", "update_postimage"), 1L)
                 .otherwise(-1L)).as("__net"))
