@@ -557,6 +557,15 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       nowMillis: Long = System.currentTimeMillis()): (Int, Int) =
     graft.ext.SnapshotLog.vacuumRetain(dir, retainMs, nowMillis)
 
+  /** RENAME COLUMN via stable column ids (round-17; q230's kernel —
+    * Delta's column-mapping `name` mode): one metadata commit, zero
+    * bytes moved, old versions read old names, config stat/check
+    * expressions re-bind in the same commit.
+    */
+  def snapshotRenameColumn(dir: String, oldName: String,
+      newName: String): Int =
+    graft.ext.SnapshotLog.renameColumn(spark, dir, oldName, newName)
+
   /** Zero-copy clone of the table as of a wall-clock instant. */
   def snapshotCloneAtTimestamp(srcDir: String, dstDir: String,
       tsMillis: Long): Int =

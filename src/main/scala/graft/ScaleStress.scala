@@ -327,7 +327,10 @@ object ScaleStress {
       "q227_snapshot_history", "q228_check_constraints",
       // composite-key merge: same per-flavor economy, keys now a
       // multi-column semi-join (10x lineitem = the real fact table)
-      "q229_composite_merge")
+      "q229_composite_merge",
+      // rename is a metadata flip: cost = the lifecycle's normal
+      // append/merge bill, the rename commit itself is O(manifest)
+      "q230_column_rename")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -2795,6 +2795,109 @@ object Relational {
         "FROM pre, upd, ins " +
         "UNION ALL SELECT 'pre_merge_v2', CAST(n AS BIGINT), " +
         "CAST(c AS BIGINT) FROM pre " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q230_column_rename",
+      "COLUMN RENAME via stable column ids (round-17 — Delta's " +
+        "column-mapping `name` mode, the ARCHITECTURE.md design note " +
+        "built): `SnapshotLog.renameColumn` binds a new name to the " +
+        "column's integer id in ONE metadata commit — zero parquet bytes " +
+        "move, old versions keep reading under their old names, and " +
+        "every segment keeps the physical names it was written under, " +
+        "resolved per segment at read time via its `_colids` sidecar (or " +
+        "its id's creation name for pre-id segments). The audit drives " +
+        "the full lifecycle on a private date-sliced orders log with an " +
+        "`o_orderkey` zone-map stat: rename the KEY column to order_id " +
+        "(the hardest case — the stat expression re-binds in the same " +
+        "commit, and the sidecar ranges recorded under the stat NAME " +
+        "must stay prunable); append late arrivals under the NEW name " +
+        "(shifted keys); MoR-merge price corrections on the renamed key " +
+        "— discovery still opens only the 2 key-overlapping date slices " +
+        "of 3 segments (the late segment's recorded range excludes the " +
+        "src keys); time-travel to the pre-rename version and read " +
+        "strictly under the OLD name; and verify the rename commit " +
+        "carried every segment by reference. The change feed across the " +
+        "whole window surfaces mixed name-epoch segments uniformly under " +
+        "the head's names. At 100 TB this is the difference between a " +
+        "metadata flip and a full-table rewrite to fix a column name.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-snaplog-ren", d)
+        SnapshotLog.reset(dir, checkpointInterval = 3,
+          statsCols = Seq("ok" -> "o_orderkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        val vOld = SnapshotLog.append(o.filter(col("o_orderdate") >= c1),
+          dir, ts)
+        val segsBefore = SnapshotLog.segments(dir, vOld).map(_.relPath)
+        val vRen = SnapshotLog.renameColumn(s, dir, "o_orderkey", "order_id")
+        val zeroCopy =
+          SnapshotLog.segments(dir, vRen).map(_.relPath) == segsBefore
+        // late arrivals land under the NEW name, keys shifted clear of
+        // the original range
+        val late = o.filter(pmod(col("o_orderkey"), lit(997L)) === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 300000000L)
+          .withColumnRenamed("o_orderkey", "order_id")
+        SnapshotLog.append(late, dir, ts)
+        // price corrections for the original %50==7 cohort, keyed on
+        // the renamed column
+        val src = o.filter(pmod(col("o_orderkey"), lit(50L)) === 7)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+          .withColumnRenamed("o_orderkey", "order_id")
+        val cand = SnapshotLog.mergeCandidateSegs(s, dir,
+          SnapshotLog.version(dir), "order_id", src)
+        val pruned = cand.size == 2
+        val vM = SnapshotLog.mergeMor(s, src, dir, "order_id", ts)
+        // the head reads under the new name across BOTH name epochs…
+        val head = SnapshotLog.readAsOf(s, dir, vM)
+          .select(col("order_id"), col("o_totalprice"))
+        // …and the pre-rename version reads strictly under the old one
+        val old = SnapshotLog.readAsOf(s, dir, vOld)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val cdc = SnapshotLog.readCdc(s, dir, vOld, vM)
+        def prof(df: DataFrame, state: String): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("price_cents"))
+            .select(lit(state).as("state"), col("n_rows"),
+              col("price_cents"))
+        def flag(state: String, b: Boolean): DataFrame =
+          s.range(1).select(lit(state).as("state"),
+            lit(if (b) 1L else 0L).as("n_rows"), lit(0L).as("price_cents"))
+        prof(cdc.filter(col("_change_type") === "delete"), "cdc_deletes")
+          .unionByName(prof(
+            cdc.filter(col("_change_type") === "insert"), "cdc_inserts"))
+          .unionByName(prof(head, "head_profile"))
+          .unionByName(prof(old, "old_version_profile"))
+          .unionByName(flag("pruned_discovery", pruned))
+          .unionByName(flag("rename_zero_copy", zeroCopy))
+          .orderBy(col("state"))
+      },
+      Some("WITH o AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+        "f AS (SELECT count(*) AS n, sum(CASE WHEN k % 50 = 7 THEN -c " +
+        "ELSE c END) AS c FROM o), " +
+        "l AS (SELECT count(*) AS n, sum(c) AS c FROM o " +
+        "WHERE k % 997 = 3), " +
+        "a AS (SELECT count(*) AS n, sum(c) AS c FROM o), " +
+        "m AS (SELECT count(*) AS n, sum(c) AS c FROM o " +
+        "WHERE k % 50 = 7) " +
+        "SELECT 'cdc_deletes' AS state, CAST(m.n AS BIGINT) AS n_rows, " +
+        "CAST(m.c AS BIGINT) AS price_cents FROM m " +
+        "UNION ALL SELECT 'cdc_inserts', CAST(l.n + m.n AS BIGINT), " +
+        "CAST(l.c - m.c AS BIGINT) FROM l, m " +
+        "UNION ALL SELECT 'head_profile', CAST(a.n + l.n AS BIGINT), " +
+        "CAST(a.c - 2*m.c + l.c AS BIGINT) FROM a, l, m " +
+        "UNION ALL SELECT 'old_version_profile', CAST(a.n AS BIGINT), " +
+        "CAST(a.c AS BIGINT) FROM a " +
+        "UNION ALL SELECT 'pruned_discovery', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'rename_zero_copy', CAST(1 AS BIGINT), " +
+        "CAST(0 AS BIGINT) " +
         "ORDER BY state"))
   )
 

@@ -67,7 +67,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q226_cdc_apply",
       "q227_snapshot_history",
       "q228_check_constraints",
-      "q229_composite_merge")
+      "q229_composite_merge",
+      // round 17
+      "q230_column_rename")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")
