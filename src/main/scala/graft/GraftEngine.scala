@@ -566,6 +566,18 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       newName: String): Int =
     graft.ext.SnapshotLog.renameColumn(spark, dir, oldName, newName)
 
+  /** Declared clustering spec (round-17; q231's kernel — Iceberg's
+    * partition-spec posture): record the table's clustering dimensions
+    * once; `snapshotOptimizeDeclared` applies them with no per-call
+    * layout knowledge, and history reports the spec each optimize used.
+    */
+  def snapshotSetClusterBy(dir: String, dims: Seq[String]): Unit =
+    graft.ext.SnapshotLog.setClusterBy(spark, dir, dims)
+
+  def snapshotOptimizeDeclared(dir: String,
+      statsCol: org.apache.spark.sql.Column): Int =
+    graft.ext.SnapshotLog.optimize(spark, dir, statsCol)
+
   /** Zero-copy clone of the table as of a wall-clock instant. */
   def snapshotCloneAtTimestamp(srcDir: String, dstDir: String,
       tsMillis: Long): Int =

@@ -330,7 +330,10 @@ object ScaleStress {
       "q229_composite_merge",
       // rename is a metadata flip: cost = the lifecycle's normal
       // append/merge bill, the rename commit itself is O(manifest)
-      "q230_column_rename")
+      "q230_column_rename",
+      // declared-spec optimize: one clustering rewrite of the snapshot
+      // (the policy path must price like the explicit-dims path)
+      "q231_declared_clustering")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -96,17 +96,17 @@ object SnapshotLog {
   final case class ManifestMeta(batches: Set[Long], compacted: Set[String],
       cdcDel: Set[String] = Set.empty, dvs: Set[String] = Set.empty,
       cdcPre: Set[String] = Set.empty, cdcPost: Set[String] = Set.empty,
-      opType: Option[String] = None) {
+      opType: Option[String] = None, cluster: Option[String] = None) {
     /** The STANDING state a successor commit carries forward — batch
       * ids, compaction flags and active DVs; the per-version event
-      * fields (cdcDel/cdcPre/cdcPost/opType) reset. Every commit that
-      * starts from its predecessor's meta must go through this — a
-      * bare .copy leaks the previous version's change-event record
-      * into the new manifest.
+      * fields (cdcDel/cdcPre/cdcPost/opType/cluster) reset. Every
+      * commit that starts from its predecessor's meta must go through
+      * this — a bare .copy leaks the previous version's change-event
+      * record into the new manifest.
       */
     def carried: ManifestMeta =
       copy(cdcDel = Set.empty, cdcPre = Set.empty, cdcPost = Set.empty,
-        opType = None)
+        opType = None, cluster = None)
   }
 
   private def logDir(dir: String): Path = Paths.get(dir, "_log")
@@ -259,6 +259,56 @@ object SnapshotLog {
     */
   private val configLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** == Declared clustering spec (round-17 item 7 — Iceberg's
+    * partition-spec / Delta's CLUSTER BY posture, lite) ==
+    * The table DECLARES its clustering dimensions once
+    * (`cluster<TAB>expr` config lines, ordered); `optimize(spark, dir,
+    * statsCol)` with no dims applies them, and the optimize commit
+    * records the spec it used (`#cluster` manifest line, surfaced by
+    * `history`). Re-clustering becomes a POLICY — a maintenance job
+    * needs no per-call knowledge of the table's layout. The spec may
+    * EVOLVE (setClusterBy replaces it): segments keep the layout that
+    * wrote them, pruning stays safe under mixed histories (absent
+    * stats never skip), and the next declared optimize re-clusters
+    * under the new spec — exactly Iceberg's spec-evolution contract.
+    * `renameColumn` re-binds the spec's expressions like every other
+    * config expression.
+    */
+  def clusterByOf(dir: String): Seq[String] = {
+    val p = configPath(dir)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.startsWith("cluster\t")).map(_.split('\t')(1)).toSeq
+  }
+
+  def setClusterBy(spark: SparkSession, dir: String,
+      dims: Seq[String]): Unit = {
+    require(dims.nonEmpty, "a clustering spec needs at least one dimension")
+    val p = configPath(dir)
+    require(Files.exists(p),
+      s"no table config in $dir — reset first (the clustering spec is a " +
+        "table property)")
+    dims.foreach { e =>
+      require(!e.contains('\t') && !e.contains('\n'),
+        s"cluster expression must be tab/newline-free: $e")
+      require(scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(e)).isSuccess,
+        s"cluster expression does not parse: $e")
+    }
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .toSeq.filterNot(_.startsWith("cluster\t")) ++
+        dims.map(e => s"cluster\t$e")
+      val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   def evolveStatsCols(dir: String, add: Seq[(String, String)]): Unit = {
     val p = configPath(dir)
@@ -537,6 +587,9 @@ object SnapshotLog {
       vals("cdcpre").toSet, vals("cdcpost").toSet,
       lines.collectFirst {
         case l if l.startsWith("#optype\t") => l.split('\t')(1)
+      },
+      lines.collectFirst {
+        case l if l.startsWith("#cluster\t") => l.split('\t')(1)
       })
   }
 
@@ -865,6 +918,8 @@ object SnapshotLog {
                 s"check\t${f(1)}\t${rebindSql(spark, f(2), oldName, newName)}"
               case "notnull" =>
                 if (resolver(f(1), oldName)) s"notnull\t$newName" else l
+              case "cluster" =>
+                s"cluster\t${rebindSql(spark, f(1), oldName, newName)}"
               case _ => l
             }
           })
@@ -899,7 +954,8 @@ object SnapshotLog {
        else Seq(s"#cdcpre\t${m.cdcPre.toSeq.sorted.mkString(",")}")) ++
       (if (m.cdcPost.isEmpty) Nil
        else Seq(s"#cdcpost\t${m.cdcPost.toSeq.sorted.mkString(",")}")) ++
-      m.opType.map(o => s"#optype\t$o").toSeq
+      m.opType.map(o => s"#optype\t$o").toSeq ++
+      m.cluster.map(c => s"#cluster\t$c").toSeq
 
   /** Writer tags already committed (streaming idempotency: a replayed
     * micro-batch checks its batchId against the LOG, not local state —
@@ -1432,7 +1488,31 @@ object SnapshotLog {
     * either way.
     */
   def optimize(spark: SparkSession, dir: String, statsCol: Column,
-      dims: Seq[Column], bucketBits: Int = 2, bits: Int = 16): Int = {
+      dims: Seq[Column], bucketBits: Int = 2, bits: Int = 16): Int =
+    optimizeImpl(spark, dir, statsCol, dims, bucketBits, bits, None)
+
+  /** OPTIMIZE with no dims: applies the table's DECLARED clustering
+    * spec (round-17 item 7) — re-clustering as a policy the table
+    * carries, not an argument every maintenance job must know. The
+    * commit records the spec it applied (`#cluster` manifest line,
+    * surfaced by `history`).
+    */
+  def optimize(spark: SparkSession, dir: String, statsCol: Column): Int =
+    optimizeDeclared(spark, dir, statsCol)
+
+  def optimizeDeclared(spark: SparkSession, dir: String, statsCol: Column,
+      bucketBits: Int = 2, bits: Int = 16): Int = {
+    val spec = clusterByOf(dir)
+    require(spec.nonEmpty,
+      s"no declared clustering spec in $dir — setClusterBy first, or " +
+        "pass dims explicitly")
+    optimizeImpl(spark, dir, statsCol, spec.map(expr), bucketBits, bits,
+      Some(spec.mkString(",")))
+  }
+
+  private def optimizeImpl(spark: SparkSession, dir: String,
+      statsCol: Column, dims: Seq[Column], bucketBits: Int, bits: Int,
+      declared: Option[String]): Int = {
     require(bucketBits >= 1 && bucketBits <= 8,
       s"bucketBits $bucketBits outside [1, 8]")
     val prev = version(dir)
@@ -1449,7 +1529,7 @@ object SnapshotLog {
     if (newSegs.isEmpty) return prev
     publish(dir, v, commitLines(dir, v, newSegs, segments(dir, prev),
       ManifestMeta(committedBatches(dir), newSegs.map(_.relPath).toSet,
-        opType = Some("optimize")),
+        opType = Some("optimize"), cluster = declared),
       schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
     v
   }
@@ -2797,7 +2877,8 @@ object SnapshotLog {
   final case class CommitInfo(version: Int, tsMillis: Long,
       opType: Option[String], segments: Int, segmentsAdded: Int,
       segmentsRemoved: Int, rowsAdded: Option[Long], dvCount: Int,
-      cdcDelSegs: Int, cdcPreSegs: Int, cdcPostSegs: Int)
+      cdcDelSegs: Int, cdcPreSegs: Int, cdcPostSegs: Int,
+      clusterBy: Option[String] = None)
 
   def history(dir: String): Seq[CommitInfo] = {
     val latest = version(dir)
@@ -2821,7 +2902,8 @@ object SnapshotLog {
         removed,
         if (addedRows.exists(_.isEmpty)) None
         else Some(addedRows.flatten.sum),
-        m.dvs.size, m.cdcDel.size, m.cdcPre.size, m.cdcPost.size)
+        m.dvs.size, m.cdcDel.size, m.cdcPre.size, m.cdcPost.size,
+        m.cluster)
     }
   }
 

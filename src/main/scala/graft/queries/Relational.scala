@@ -2898,6 +2898,101 @@ object Relational {
         "CAST(0 AS BIGINT) " +
         "UNION ALL SELECT 'rename_zero_copy', CAST(1 AS BIGINT), " +
         "CAST(0 AS BIGINT) " +
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q231_declared_clustering",
+      "DECLARED CLUSTERING SPEC (round-17 — Iceberg's partition-spec / " +
+        "Delta's CLUSTER BY posture, lite): q208 proved multi-dimension " +
+        "zone-map pruning, but its OPTIMIZE takes the dimensions as a " +
+        "per-call argument — the table itself doesn't know its own " +
+        "layout policy, so every maintenance job must. " +
+        "`SnapshotLog.setClusterBy` records the spec as a TABLE PROPERTY " +
+        "(`cluster` config lines, expression-valued like the stats " +
+        "schema), `optimize(spark, dir, statsCol)` with NO dims applies " +
+        "it, and the optimize commit records the spec it used (`#cluster` " +
+        "manifest line, surfaced by DESCRIBE HISTORY) — re-clustering " +
+        "becomes a policy, not an argument. The audit replays q208's " +
+        "honest pairing through the declared path: pre-optimize, a " +
+        "custkey-quarter query scans all 3 date-sliced segments; after a " +
+        "no-args optimize under the declared (o_custkey, day) spec, the " +
+        "SAME query scans <= 2 of the rewritten segments, content exact " +
+        "and identical at both versions, history's newest row reports " +
+        "op 'optimize' WITH the spec string. The spec may EVOLVE " +
+        "(setClusterBy replaces it; segments keep the layout that wrote " +
+        "them — absent stats never skip, Iceberg's spec-evolution " +
+        "contract) and renameColumn re-binds its expressions like every " +
+        "other config expression. At 100 TB this is how a fleet-wide " +
+        "maintenance job re-clusters a thousand tables it knows nothing " +
+        "about.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-snaplog-clby", d)
+        SnapshotLog.reset(dir, checkpointInterval = 3,
+          statsCols = Seq("ck" -> "o_custkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c2 = lit(snapCut2).cast("timestamp")
+        SnapshotLog.append(o.filter(col("o_orderdate") < c1), dir, ts)
+        SnapshotLog.append(
+          o.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2),
+          dir, ts)
+        SnapshotLog.append(o.filter(col("o_orderdate") >= c2), dir, ts)
+        val spec = Seq("o_custkey", "unix_timestamp(o_orderdate) div 86400")
+        SnapshotLog.setClusterBy(s, dir, spec)
+        val declared = SnapshotLog.clusterByOf(dir) == spec
+        val b = SnapshotLog.readAsOf(s, dir, 2)
+          .agg(min(col("o_custkey")).cast("long").as("mn"),
+            max(col("o_custkey")).cast("long").as("mx")).head()
+        val (mnK, mxK) = (b.getLong(0), b.getLong(1))
+        val hiK = mnK + (mxK - mnK) / 4
+        val (frPre, scanPre, totalPre) = SnapshotLog.readAsOfFilteredOn(
+          s, dir, 2, "ck", col("o_custkey"), mnK, hiK)
+        // OPTIMIZE with no dims: the table's own policy applies
+        val vOpt = SnapshotLog.optimize(s, dir, ts)
+        val (frPost, scanPost, _) = SnapshotLog.readAsOfFilteredOn(
+          s, dir, vOpt, "ck", col("o_custkey"), mnK, hiK)
+        val hist = SnapshotLog.history(dir).last
+        val reported = hist.opType == Some("optimize") &&
+          hist.clusterBy == Some(spec.mkString(","))
+        def row(state: String, n: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+          from.agg(n.cast("long").as("n"))
+            .select(lit(state).as("state"), col("n"))
+        def flag(state: String, n: Long): DataFrame =
+          s.range(1).select(lit(state).as("state"), lit(n).as("n"))
+        row("content_rows", count(lit(1)), SnapshotLog.readAsOf(s, dir, vOpt))
+          .unionByName(flag("history_reports_spec", if (reported) 1L else 0L))
+          .unionByName(flag("post_scan_le2", if (scanPost <= 2) 1L else 0L))
+          .unionByName(flag("pre_scan_segments", scanPre.toLong))
+          .unionByName(flag("pre_total_segments", totalPre.toLong))
+          .unionByName(row("q1_cents_post",
+            sum(cents(col("o_totalprice"))), frPost))
+          .unionByName(row("q1_rows_post", count(lit(1)), frPost))
+          .unionByName(row("q1_rows_pre", count(lit(1)), frPre))
+          .unionByName(flag("spec_declared", if (declared) 1L else 0L))
+          .orderBy(col("state"))
+      },
+      Some("WITH o AS (SELECT o_custkey AS ck, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+        "b AS (SELECT min(ck) AS mn, min(ck) + (max(ck) - min(ck)) // 4 " +
+        "AS hi FROM o), " +
+        "q AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(o.c) AS BIGINT) AS cc FROM o, b " +
+        "WHERE o.ck >= b.mn AND o.ck <= b.hi), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM o) " +
+        "SELECT 'content_rows' AS state, n_rows AS n FROM f " +
+        "UNION ALL SELECT 'history_reports_spec', CAST(1 AS BIGINT) " +
+        "UNION ALL SELECT 'post_scan_le2', CAST(1 AS BIGINT) " +
+        "UNION ALL SELECT 'pre_scan_segments', CAST(3 AS BIGINT) " +
+        "UNION ALL SELECT 'pre_total_segments', CAST(3 AS BIGINT) " +
+        "UNION ALL SELECT 'q1_cents_post', cc FROM q " +
+        "UNION ALL SELECT 'q1_rows_post', n_rows FROM q " +
+        "UNION ALL SELECT 'q1_rows_pre', n_rows FROM q " +
+        "UNION ALL SELECT 'spec_declared', CAST(1 AS BIGINT) " +
         "ORDER BY state"))
   )
 

@@ -69,7 +69,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q228_check_constraints",
       "q229_composite_merge",
       // round 17
-      "q230_column_rename")
+      "q230_column_rename",
+      "q231_declared_clustering")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

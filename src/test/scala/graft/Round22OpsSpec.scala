@@ -298,6 +298,49 @@ class Round22OpsSpec extends SparkSpec {
     assert(got.filter(col("txt") === "r105").count() === 1L)
   }
 
+  // == Declared clustering spec (round-17 item 7) ==
+
+  test("declared clustering: policy optimize, spec evolution, rename re-bind") {
+    val dir = tmp("clby")
+    SnapshotLog.reset(dir, checkpointInterval = 4,
+      statsCols = Seq("k" -> "k"))
+    SnapshotLog.append(rows(100), dir, col("k"))
+    SnapshotLog.append(rows(100, from = 100), dir, col("k"))
+    // no spec and no dims: refused loudly, not a silent no-op
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, dir, col("k"))
+    }
+    assert(e.getMessage.contains("no declared clustering spec"))
+    SnapshotLog.setClusterBy(spark, dir, Seq("m"))
+    assert(SnapshotLog.clusterByOf(dir) === Seq("m"))
+    val before = sortedRows(SnapshotLog.readAsOf(spark, dir, 1))
+    val v1 = SnapshotLog.optimize(spark, dir, col("k"))
+    // content exact, and history reports BOTH the op and the spec used
+    assert(sortedRows(SnapshotLog.readAsOf(spark, dir, v1)) === before)
+    val h1 = SnapshotLog.history(dir).last
+    assert(h1.opType === Some("optimize") && h1.clusterBy === Some("m"))
+    // spec EVOLUTION: replace wholesale; old layouts keep reading
+    SnapshotLog.setClusterBy(spark, dir, Seq("k"))
+    assert(SnapshotLog.clusterByOf(dir) === Seq("k"))
+    val v2 = SnapshotLog.optimize(spark, dir, col("k"))
+    assert(SnapshotLog.history(dir).last.clusterBy === Some("k"))
+    assert(sortedRows(SnapshotLog.readAsOf(spark, dir, v2)) === before)
+    // renameColumn re-binds the declared spec like every other config
+    // expression — the policy survives the rename
+    SnapshotLog.renameColumn(spark, dir, "k", "kid")
+    val spec = SnapshotLog.clusterByOf(dir)
+    assert(spec.size === 1 && spec.head.contains("kid"))
+    val v3 = SnapshotLog.optimize(spark, dir, col("kid"))
+    assert(SnapshotLog.readAsOf(spark, dir, v3)
+      .select(col("kid"), col("m"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted === before)
+    // a bad expression is refused before anything lands
+    intercept[IllegalArgumentException] {
+      SnapshotLog.setClusterBy(spark, dir, Seq("not a ( parseable"))
+    }
+  }
+
   test("nested maps fall back to every-key-affected instead of throwing") {
     import spark.implicits._
     val base = tmp("ivm-nested")
