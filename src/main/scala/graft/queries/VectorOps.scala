@@ -187,13 +187,10 @@ object VectorOps {
       val index = regimeIndex(s, d, regime)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-      val exactSet = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-        .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("q_id"), col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the exact answer set is the shared memo (round-17 item 4) —
+      // the calibration now prices ONLY the probe-grid sweeps
+      val exactSet = exactAnnTop5(s, d, regime)
+        .map { case (qid, vid, _) => (qid, vid) }.toSet
       ProbeGrid.map { p =>
         val got = graft.ext.IvfPq.search(index, e, q, topK = 5,
             nProbe = p, shortlist = 96)
@@ -330,7 +327,34 @@ object VectorOps {
     * (IVF) single-probe top-3; recall is an exact integer count over
     * deterministic 6dp-rounded-cosine rankings with vec_id tiebreaks.
     */
-  private def annRecallOver(e: DataFrame): DataFrame = {
+  /** Exact cosine top-5 per probe query (vec_id < 10), ONE memoized
+    * corpus pass per (session, dir, regime) — the recall kernels
+    * (q147/q201) and the nProbe calibration's exact arm all consume
+    * PREFIXES of this one answer set (round-17 item 4: before this,
+    * `build:ann_calibration` re-paid the exact arm q147/q201 had
+    * already priced in the same session). Ordering is the engine-wide
+    * deterministic rank: cosine rounded to 6dp descending, vec_id
+    * tiebreak — so the prefix-3 rows are bit-identical to what the
+    * kernels computed inline before.
+    */
+  private[graft] def exactAnnTop5(s: SparkSession, d: String,
+      regime: String): Seq[(Long, Long, Int)] =
+    served(s, d, s"annexact5_$regime") {
+      CosineSimilarity.ensureRegistered(s)
+      val e = regimeCorpus(s, d, regime)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+
+  private def annRecallOver(s: SparkSession, d: String, regime: String,
+      e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"), col("cell").as("q_cell"))
@@ -343,7 +367,13 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("vec_id"))
     }
-    val exact = top3(e.join(broadcast(q), col("q_id") =!= col("vec_id")))
+    // the exact reference is the memoized answer set's prefix-3 — same
+    // ranking expression, same corpus, zero extra corpus passes
+    val exact = {
+      import s.implicits._
+      exactAnnTop5(s, d, regime).filter(_._3 <= 3)
+        .map { case (qid, vid, _) => (qid, vid) }.toDF("q_id", "vec_id")
+    }
     def arm(name: String, cand: DataFrame) =
       exact.join(top3(cand).withColumn("hit", lit(1)),
           Seq("q_id", "vec_id"), "left")
@@ -910,7 +940,7 @@ object VectorOps {
         val e = withBucket(e0.select(col("vec_id"), col("embedding")))
           .join(labelCellAssign(e0)
             .select(col("vec_id"), col("assigned").as("cell")), Seq("vec_id"))
-        annRecallOver(e)
+        annRecallOver(s, d, "isotropic", e)
       },
       Some {
         val cos = "round(list_inner_product(q_emb, emb)/" +
@@ -1644,7 +1674,7 @@ object VectorOps {
         val e = withBucket(syn.select(col("vec_id"), col("embedding")))
           .join(labelCellAssign(syn)
             .select(col("vec_id"), col("assigned").as("cell")), Seq("vec_id"))
-        annRecallOver(e)
+        annRecallOver(s, d, "clustered", e)
           .select(col("method"), lit("clustered").as("regime"), col("q_id"),
             col("n_hit"), col("recall"))
       },
