@@ -75,7 +75,15 @@ object Bench {
     // clustered IVF-PQ index it needs) — q225 serves the stored table;
     // runs after ann_indexes so the isotropic index memo is shared
     "ann_calibration" ->
-      ((s, d) => graft.queries.VectorOps.warmAnnCalibration(s, d))
+      ((s, d) => graft.queries.VectorOps.warmAnnCalibration(s, d)),
+    // round-17: the cross-arm tables — graph (beam, entries) grid
+    // walks + IVF probe-cost tables, both regimes. Runs after
+    // graph_adj and ann_calibration so the shared adjacency, indexes
+    // and nProbe recall table are already memoized and this step
+    // prices ONLY the grid walks + probe-cost collects; q232's row is
+    // then table-read + pick
+    "ann_arm_cal" ->
+      ((s, d) => graft.queries.VectorOps.warmAnnArms(s, d))
   )
 
   def main(args: Array[String]): Unit = {

@@ -102,6 +102,19 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.queries.VectorOps.annTopKAuto(spark, dataDir, queries, topK,
       targetRecall, excludeSelf)
 
+  /** Cross-ARM recall-targeted serving (round-17): like `annTopKAuto`
+    * but the measured calibration compares ALL serving arms — IVF-PQ
+    * (nProbe grid), the graph beam walk ((beam, entries) grid) and
+    * the exact scan — in one cost unit (candidate rows touched per
+    * query) and serves from the cheapest operating point meeting the
+    * target (q232; `VectorOps.annArmAuto`). `annTopKAuto` above stays
+    * the IVF-only tuner, unchanged.
+    */
+  def annTopKArm(queries: DataFrame, topK: Int = 5,
+      targetRecall: Double = 0.9, excludeSelf: Boolean = true): DataFrame =
+    graft.queries.VectorOps.annTopKArm(spark, dataDir, queries, topK,
+      targetRecall, excludeSelf)
+
   /** Hybrid retrieval serving: reciprocal-rank fusion (k=60) of the
     * q156 lexical idf arm — served from memoized corpus token/df
     * statistics (built once per session, like the ANN indexes) — and

@@ -561,17 +561,32 @@ object VectorOps {
     * jobs instead of one per corpus: at these state sizes the cost is
     * job-scheduling overhead, not data, so co-walking halves the wall.
     * Input (`__grp`, vec_id, embedding); outputs carry `__grp`.
+    * Composition of the two halves below (round-17 item 8 split the
+    * adjacency BUILD from the WALK so the (beam, entries) calibration
+    * grid re-walks ONE shared adjacency instead of rebuilding the
+    * corpus-sized graph per grid point).
     */
   private def graphBeamGrouped(s: SparkSession, eg: DataFrame,
       beam: Int, hops: Int, entries: Int,
       degree: Int): (DataFrame, DataFrame) = {
+    val (base, adj) = graphAdjGrouped(s, eg, degree)
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("__grp"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+    graphWalkGrouped(s, base, adj, q, beam, hops, entries)
+  }
+
+  /** Adjacency half: builds the navigable-small-world edge list for
+    * every `__grp` corpus in `eg` and returns (base, adj) — both
+    * checkpointed (base because three family joins, the entry select
+    * and every hop's score() re-read it; adj because every hop
+    * expands against it). The walk half re-walks these at ANY
+    * (beam, entries) without re-paying this corpus-sized build — the
+    * graph-arm calibration grid (q232) depends on that split.
+    */
+  private def graphAdjGrouped(s: SparkSession, eg: DataFrame,
+      degree: Int): (DataFrame, DataFrame) = {
     CosineSimilarity.ensureRegistered(s)
-    def topN(scored: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("__grp"), col("q_id"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .select(col("__grp"), col("q_id"), col("vec_id"), col("cos_r"))
-    }
     // the NAVIGATION graph: the q51/q183 bucketed kernel at `degree`
     // out-edges per node, built from THREE sign-hash FAMILIES (dim
     // windows at offsets 0/8/16) and unioned — a single family's
@@ -638,9 +653,29 @@ object VectorOps {
         .union(edges.select(col("__grp"), col("b_id").as("src"),
           col("a_id").as("dst")))
         .distinct())
-    val q = base.filter(col("vec_id") < 10)
-      .select(col("__grp"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"))
+    (base, adj)
+  }
+
+  /** Walk half: beam search over a prebuilt (base, adj) pair for an
+    * arbitrary query frame `q` (`__grp`, q_id, q_emb) — the group tags
+    * on `q` decide which corpora walk (joins key on `__grp`, so groups
+    * with no queries cost nothing). Self-matches (vec_id = q_id)
+    * always exclude, as in every serving arm's calibration. Returns
+    * (top-`finalK` per query, every scored candidate) — the second
+    * frame's per-query row count IS the walk's cost in distance
+    * evaluations, the unit the cross-arm tuner compares on.
+    */
+  private def graphWalkGrouped(s: SparkSession, base: DataFrame,
+      adj: DataFrame, q: DataFrame, beam: Int, hops: Int, entries: Int,
+      finalK: Int = 3): (DataFrame, DataFrame) = {
+    CosineSimilarity.ensureRegistered(s)
+    def topN(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("__grp"), col("q_id"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select(col("__grp"), col("q_id"), col("vec_id"), col("cos_r"))
+    }
+    val nAgg = base.groupBy(col("__grp")).agg(count(lit(1)).as("n"))
     def score(cand: DataFrame): DataFrame =
       cand.join(base, Seq("__grp", "vec_id"))
         .join(broadcast(q), Seq("__grp", "q_id"))
@@ -687,21 +722,23 @@ object VectorOps {
         .repartition(1))
       beamDf = topN(scored, beam)
     }
-    (topN(scored, 3), scored)
+    (topN(scored, finalK), scored)
   }
 
-  /** Both regimes' graph-search results, memoized per (session, dir) —
-    * q210 (recall) and q215 (state export) read the same walks.
+  /** The two calibration regimes as ONE tagged (base, adj) pair,
+    * memoized per (session, dir): q210/q215's production walk AND the
+    * graph-arm calibration grid (q232) all re-walk this single
+    * adjacency — the corpus-sized half of graph ANN is paid once per
+    * session, exactly like the served IVF-PQ indexes. One tagged
+    * frame, one grouped build: both regimes' adjacency runs in the
+    * SAME jobs (the per-regime sequential form paid the whole
+    * job-overhead bill twice). The checkpoint also pins the
+    * md5-synthesized clustered frame for q210's exact recall arm.
     */
-  private[graft] def graphBeamRegimes(s: SparkSession,
-      d: String): Seq[(String, DataFrame, DataFrame, DataFrame)] =
-    served(s, d, "gbeam") {
-      // one tagged frame, one grouped walk: both regimes' adjacency
-      // builds and hops run in the SAME jobs (the grouped kernel) —
-      // the per-regime sequential form paid the whole job-overhead
-      // bill twice. The checkpoint also pins the md5-synthesized
-      // clustered frame for q210's exact recall arm.
-      val tagged0 = Seq(
+  private[graft] def regimeAdj(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    served(s, d, "gadj") {
+      val tagged = Seq(
         ("clustered",
           synClustered(s, d).select(col("vec_id"), col("embedding"))),
         ("isotropic",
@@ -709,7 +746,24 @@ object VectorOps {
         .map { case (regime, f) => f.select(lit(regime).as("__grp"),
           col("vec_id"), col("embedding")) }
         .reduce(_.unionByName(_))
-      val tagged = walkCkpt(tagged0)
+      graphAdjGrouped(s, tagged, degree = 8)
+    }
+
+  /** The fixture calibration query set (vec_id < 10) of every regime
+    * in `base`, in the walk kernel's (`__grp`, q_id, q_emb) shape.
+    */
+  private def regimeQueries(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") < 10)
+      .select(col("__grp"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+
+  /** Both regimes' graph-search results, memoized per (session, dir) —
+    * q210 (recall) and q215 (state export) read the same walks.
+    */
+  private[graft] def graphBeamRegimes(s: SparkSession,
+      d: String): Seq[(String, DataFrame, DataFrame, DataFrame)] =
+    served(s, d, "gbeam") {
+      val (base, adj) = regimeAdj(s, d)
       // 24 entry points (vs the kernel's default 8): entries are
       // hash-spread, not cluster-aware, so coverage of a corpus's
       // natural clusters is probabilistic — more entries is the
@@ -717,15 +771,221 @@ object VectorOps {
       // per query each (measured: 8 hash-picked entries covered 6-7 of
       // the 8 synthetic clusters and clustered recall read 0.8; 24
       // restores 1.0)
-      val (topk, visited) = graphBeamGrouped(s, tagged,
-        beam = 8, hops = 4, entries = 24, degree = 8)
+      val (topk, visited) = graphWalkGrouped(s, base, adj,
+        regimeQueries(base), beam = 8, hops = 4, entries = 24)
       Seq("clustered", "isotropic").map { regime =>
         (regime,
-          tagged.filter(col("__grp") === regime).drop("__grp"),
+          base.filter(col("__grp") === regime).drop("__grp"),
           topk.filter(col("__grp") === regime).drop("__grp"),
           visited.filter(col("__grp") === regime).drop("__grp"))
       }
     }
+
+  /** == Graph-arm calibration + cross-arm ANN auto-tuning (round-17
+    * item 8, completing round-16's `annTuned`) ==
+    * The IVF-PQ arm calibrates on an nProbe grid (q225); the graph
+    * arm's dials are (beam, entries). This measures recall@3 of the
+    * beam walk at each grid point against the exact cosine top-3 (the
+    * shared `exactAnnTop5` memo) PLUS the walk's measured cost —
+    * scored candidates per query, i.e. exact distance evaluations,
+    * the unit every published recall-vs-cost ANN curve plots. All
+    * grid walks re-use the ONE memoized (base, adj) pair; a grid
+    * point costs queries·beam·degree·hops scored rows, never a
+    * corpus pass. Both regimes co-walk per grid point (the grouped
+    * kernel), so the whole grid is |GraphGrid| walks.
+    */
+  val GraphGrid: Seq[(Int, Int)] = Seq((2, 4), (4, 8), (8, 24))
+
+  final case class GraphCal(beam: Int, entries: Int, recall: Double,
+      avgVisited: Double)
+
+  private def graphCalibrationAll(s: SparkSession,
+      d: String): Map[String, Seq[GraphCal]] =
+    served(s, d, "gcal") {
+      val (base, adj) = regimeAdj(s, d)
+      val q = regimeQueries(base)
+      val regimes = Seq("clustered", "isotropic")
+      val exact3 = regimes.map { r =>
+        r -> exactAnnTop5(s, d, r).filter(_._3 <= 3)
+          .map { case (qid, vid, _) => (qid, vid) }.toSet
+      }.toMap
+      val nQ = exact3.map { case (r, set) =>
+        r -> set.map(_._1).size.toDouble }
+      val rows = GraphGrid.map { case (beam, entries) =>
+        val (topk, scored) = graphWalkGrouped(s, base, adj, q,
+          beam, hops = 4, entries = entries)
+        val got = topk.select(col("__grp"), col("q_id"), col("vec_id"))
+          .collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        val visited = scored.groupBy(col("__grp"))
+          .agg(count(lit(1)).as("nv")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        regimes.map { regime =>
+          val g = got.filter(_._1 == regime).map(_._2).toSet
+          val ex = exact3(regime)
+          regime -> GraphCal(beam, entries,
+            (g intersect ex).size.toDouble / ex.size,
+            visited.getOrElse(regime, 0L) / nQ(regime))
+        }
+      }
+      regimes.map { regime =>
+        regime -> rows.map(_.toMap.apply(regime))
+      }.toMap
+    }
+
+  /** Measured (beam, entries) → (recall@3, distance evals per query)
+    * table for one regime — the graph arm's q225.
+    */
+  def graphCalibration(s: SparkSession, d: String,
+      regime: String): Seq[GraphCal] =
+    graphCalibrationAll(s, d)(regime)
+
+  /** Cheapest measured grid point meeting the recall target — None
+    * when the graph geometry cannot deliver it (the cross-arm tuner
+    * then drops the arm instead of serving a config that misses SLO).
+    */
+  def graphTuned(s: SparkSession, d: String, targetRecall: Double,
+      regime: String = "isotropic"): Option[(Int, Int)] =
+    graphCalibration(s, d, regime).filter(_.recall >= targetRecall)
+      .sortBy(_.avgVisited).headOption.map(c => (c.beam, c.entries))
+
+  /** Measured IVF candidate volume per grid nProbe: the avg (over the
+    * calibration query set) of the probed cells' member counts — the
+    * rows the ADC stage actually scans per query, the IVF arm's
+    * distance-evaluation count. Derived from the SERVED index's own
+    * cell assignment + the identical centroid-probe ranking
+    * `IvfPq.search` runs (cosine is scale-invariant, so the
+    * un-normalized queries rank cells identically), so the table
+    * prices the real serving path. One |q|·kCells probe ranking +
+    * one kCells-row size agg — query-scale, collected once per
+    * (session, dir, regime).
+    */
+  private def ivfProbeCost(s: SparkSession, d: String,
+      regime: String): Map[Int, Double] =
+    served(s, d, s"ivfcost_$regime") {
+      CosineSimilarity.ensureRegistered(s)
+      val index = regimeIndex(s, d, regime)
+      val e = regimeCorpus(s, d, regime)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sizes = index.cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn"))
+      val ranked = q.crossJoin(broadcast(index.centroids))
+        .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
+        .withColumn("crn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("c_sim").desc, col("cell"))))
+        .join(broadcast(sizes), Seq("cell"))
+        .select(col("q_id"), col("crn"), col("cn")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val nq = ranked.map(_._1).distinct.length.toDouble
+      ProbeGrid.map { p =>
+        p -> ranked.filter(_._2 <= p).map(_._3).sum / nq
+      }.toMap
+    }
+
+  /** One row of the cross-arm tuning table: an arm at one measured
+    * grid point. `cost` is candidate rows touched per query —
+    * distance evaluations for the exact and graph arms, ADC code
+    * scans for the IVF arm (cheaper per row: 8 byte-table lookups vs
+    * a 64-float cosine — so the unit slightly OVER-prices IVF; the
+    * conservative direction, an IVF pick is never justified by
+    * under-counting its work).
+    */
+  final case class AnnArm(arm: String, p1: Int, p2: Int,
+      recall: Double, cost: Double)
+
+  /** The full measured recall-vs-cost table across all three serving
+    * arms — IVF-PQ at each nProbe grid point, the graph walk at each
+    * (beam, entries) grid point, and the exact corpus scan (recall 1
+    * by construction, cost = corpus size) — the curve every ANN
+    * deployment plots before picking an operating point, now computed
+    * by the engine per regime instead of hand-read off dashboards.
+    */
+  def annArmTable(s: SparkSession, d: String,
+      regime: String): Seq[AnnArm] = {
+    val ivfCost = ivfProbeCost(s, d, regime)
+    val ivf = annCalibration(s, d, regime).map { case (p, r) =>
+      AnnArm("ivfpq", p, 96, r, ivfCost(p)) }
+    val graph = graphCalibration(s, d, regime).map(c =>
+      AnnArm("graph", c.beam, c.entries, c.recall, c.avgVisited))
+    val n = served(s, d, s"corpusn_$regime") {
+      java.lang.Long.valueOf(regimeCorpus(s, d, regime).count())
+    }.longValue.toDouble
+    (ivf ++ graph) :+ AnnArm("exact", 0, 0, 1.0, n)
+  }
+
+  /** The cross-arm pick: the cheapest measured operating point (any
+    * arm) meeting the recall target. Total — the exact arm qualifies
+    * at every target, so the fallback when no approximate point
+    * meets SLO is the honest full scan, same as `annTuned`'s
+    * exact-probe fallback.
+    */
+  def annArmAuto(s: SparkSession, d: String, targetRecall: Double,
+      regime: String = "isotropic"): AnnArm =
+    annArmTable(s, d, regime).filter(_.recall >= targetRecall)
+      .minBy(_.cost)
+
+  /** Brute-force cosine top-k of an arbitrary query frame (q_id,
+    * q_emb) — q50's kernel over external queries, the exact serving
+    * arm the cross-arm tuner falls back to.
+    */
+  private[graft] def exactTopKOf(s: SparkSession, d: String,
+      queries: DataFrame, topK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    CosineSimilarity.ensureRegistered(s)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = e.join(broadcast(queries),
+      if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Recall-targeted serving across ALL arms: serve `queries` from
+    * whichever measured operating point `annArmAuto` picked on the
+    * isotropic (fixture-corpus) calibration. The graph arm walks the
+    * session's shared adjacency with the caller's queries (self-ids
+    * always excluded — the walk's scorer drops vec_id = q_id);
+    * output schema matches `annTopK`: (q_id, vec_id, cos_r, rn).
+    */
+  def annTopKArm(s: SparkSession, d: String, queries: DataFrame,
+      topK: Int, targetRecall: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    val pick = annArmAuto(s, d, targetRecall, "isotropic")
+    pick.arm match {
+      case "ivfpq" =>
+        annTopK(s, d, queries, topK, pick.p1, pick.p2, excludeSelf)
+      case "exact" =>
+        exactTopKOf(s, d, queries, topK, excludeSelf)
+      case _ =>
+        val (base, adj) = regimeAdj(s, d)
+        val qg = queries.select(lit("isotropic").as("__grp"),
+          col("q_id"), col("q_emb"))
+        val (topk, _) = graphWalkGrouped(s, base, adj, qg,
+          beam = pick.p1, hops = 4, entries = pick.p2, finalK = topK)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+        topk.drop("__grp")
+          .withColumn("rn", row_number().over(w))
+          .select(col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+    }
+  }
+
+  /** Bench build step for the cross-arm table: both regimes' graph
+    * grid walks + IVF probe-cost tables (their prerequisites —
+    * adjacency, indexes, nProbe calibration — are the ann_indexes /
+    * ann_calibration / graph_adj steps' bills), so q232's row prices
+    * reading the measured table + the pick, not building it.
+    */
+  def warmAnnArms(s: SparkSession, d: String): Unit = {
+    annArmTable(s, d, "isotropic")
+    annArmTable(s, d, "clustered")
+    ()
+  }
 
   /** q187's body over ANY (vec_id, embedding) frame — incremental
     * kNN-graph maintenance shared by the registered query and
@@ -1874,6 +2134,51 @@ object VectorOps {
           }.toDF("regime", "n_probe", "recall", "chosen_at_090")
         }.reduce(_.unionByName(_))
           .orderBy(col("regime"), col("n_probe"))
+      },
+      None),
+
+    GraftQuery(
+      "q232_ann_arm_autotune",
+      "CROSS-ARM ANN auto-tuning (round-17 item 8 — q225 extended to " +
+        "every serving arm): the engine MEASURES, per regime, the full " +
+        "recall-vs-cost curve of all three serving arms — IVF-PQ at " +
+        "each grid nProbe (recall@5 from q225's calibration; cost = avg " +
+        "probed-cell member rows per query, the ADC scan volume, read " +
+        "off the served index's own cell sizes under the identical " +
+        "centroid-probe ranking IvfPq.search runs), the GRAPH beam walk " +
+        "at each (beam, entries) grid point (recall@3 vs the shared " +
+        "exact memo; cost = scored candidates per query — the walk's " +
+        "actual distance evaluations, measured, not modeled), and the " +
+        "EXACT scan (recall 1.0, cost = corpus size) — then " +
+        "`annArmAuto` picks the cheapest operating point meeting the " +
+        "target across ALL of them, and `GraftEngine.annTopKArm` " +
+        "serves from that pick. The output IS the measured table with " +
+        "the 0.9-target pick flagged. Every grid walk re-uses the ONE " +
+        "memoized adjacency (the round-17 build/walk split), so the " +
+        "graph grid costs 3 query-scale walks, never 3 graph builds. " +
+        "Rows-only by the §5.2 contract (KMeans cells and beam walks " +
+        "aren't SQL-expressible); Round22OpsSpec pins that the graph " +
+        "tuner meets the target at minimal measured walk cost, that " +
+        "the cross-arm pick is the global cost minimum among " +
+        "qualifying points, and that annTopKArm's serve matches the " +
+        "picked arm's direct serve row-for-row. At 100 TB this table " +
+        "is the per-index operating-point record every vector-store " +
+        "deployment keeps — recalibrated on the sampled query set, " +
+        "amortized over every serve.",
+      (s, d) => {
+        import s.implicits._
+        Seq("clustered", "isotropic").map { regime =>
+          val table = annArmTable(s, d, regime)
+          val pick = annArmAuto(s, d, 0.9, regime)
+          table.map { a =>
+            (regime, a.arm, a.p1.toLong, a.p2.toLong,
+              math.round(a.recall * 1e6) / 1e6,
+              math.round(a.cost * 100) / 100.0,
+              if (a == pick) 1L else 0L)
+          }.toDF("regime", "arm", "p1", "p2", "recall", "cost_rows",
+            "chosen_at_090")
+        }.reduce(_.unionByName(_))
+          .orderBy(col("regime"), col("arm"), col("p1"), col("p2"))
       },
       None)
   )

@@ -376,4 +376,98 @@ class Round22OpsSpec extends SparkSpec {
     assert(got === fresh)
     assert(!got.contains(3L))
   }
+
+  // == graph-arm calibration + cross-arm auto-tune (round-17 item 8) ==
+
+  test("graphTuned meets the recall target at minimal measured walk cost") {
+    import graft.queries.VectorOps
+    Seq("clustered", "isotropic").foreach { regime =>
+      val cal = VectorOps.graphCalibration(spark, sfDir, regime)
+      assert(cal.map(c => (c.beam, c.entries)) === VectorOps.GraphGrid)
+      assert(cal.forall(c => c.recall >= 0.0 && c.recall <= 1.0))
+      assert(cal.forall(_.avgVisited > 0.0))
+      // measured cost grows with the (beam, entries) dial — the grid
+      // is genuinely ascending-cost, so "first qualifying" = cheapest
+      assert(cal.map(_.avgVisited) === cal.map(_.avgVisited).sorted)
+      val qualifying = cal.filter(_.recall >= 0.9)
+      VectorOps.graphTuned(spark, sfDir, 0.9, regime) match {
+        case Some((b, e)) =>
+          val picked = cal.find(c => c.beam == b && c.entries == e).get
+          assert(picked.recall >= 0.9)
+          assert(qualifying.forall(_.avgVisited >= picked.avgVisited))
+        case None =>
+          assert(qualifying.isEmpty)
+      }
+      // a zero target always tunes to the cheapest grid point
+      assert(VectorOps.graphTuned(spark, sfDir, 0.0, regime) ===
+        Some(VectorOps.GraphGrid.head))
+    }
+    // the fixture geometry: the clustered regime's walk reaches the
+    // 0.9 SLO within the grid (q210 pins 1.0 at the production dial);
+    // the deliberately isotropic corpus does not — the honest miss
+    // that sends the cross-arm tuner to IVF/exact
+    assert(VectorOps.graphTuned(spark, sfDir, 0.9, "clustered").nonEmpty)
+    assert(VectorOps.graphTuned(spark, sfDir, 0.9, "isotropic").isEmpty)
+  }
+
+  test("annArmAuto picks the global cost minimum among qualifying arms") {
+    import graft.queries.VectorOps
+    Seq("clustered", "isotropic").foreach { regime =>
+      val table = VectorOps.annArmTable(spark, sfDir, regime)
+      assert(table.map(_.arm).toSet === Set("ivfpq", "graph", "exact"))
+      val exact = table.filter(_.arm == "exact")
+      assert(exact.size === 1)
+      assert(exact.head.recall === 1.0)
+      // exact cost = corpus size: the 100 TB number every other row
+      // is measured against
+      assert(exact.head.cost ===
+        graft.Tables.load(spark, sfDir, "embeddings").count().toDouble)
+      Seq(0.5, 0.9, 0.99).foreach { target =>
+        val pick = VectorOps.annArmAuto(spark, sfDir, target, regime)
+        assert(pick.recall >= target)
+        val qualifying = table.filter(_.recall >= target)
+        assert(qualifying.forall(_.cost >= pick.cost))
+      }
+      // an impossible-to-approximate target falls back to exact
+      assert(VectorOps.annArmAuto(spark, sfDir, 1.0, regime).cost <=
+        exact.head.cost)
+    }
+  }
+
+  test("annTopKArm serves row-for-row from the arm the tuner picked") {
+    import graft.queries.VectorOps
+    val queries = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    // target 0.9 on the isotropic serving corpus: the pick is an
+    // IVF point (graph misses SLO there, exact costs the corpus) —
+    // the serve must equal the fixed-dial annTopK at that point
+    val pick90 = VectorOps.annArmAuto(spark, sfDir, 0.9, "isotropic")
+    assert(pick90.arm === "ivfpq")
+    assert(rowsOf(VectorOps.annTopKArm(spark, sfDir, queries, 5, 0.9)) ===
+      rowsOf(VectorOps.annTopK(spark, sfDir, queries, 5,
+        pick90.p1, pick90.p2)))
+    // a floor target picks the walk (corpus-independent cost, the
+    // cheapest measured row) — exercising the external-query graph
+    // serve: right shape, self excluded, deterministic across calls
+    val pick0 = VectorOps.annArmAuto(spark, sfDir, 0.0, "isotropic")
+    assert(pick0.arm === "graph")
+    val g1 = rowsOf(VectorOps.annTopKArm(spark, sfDir, queries, 3, 0.0))
+    assert(g1.nonEmpty)
+    assert(g1.forall { case (q, v, _, rn) => v != q && rn >= 1 && rn <= 3 })
+    g1.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted === (1 to rs.size))
+      // rn order is cos_r descending (vec_id tiebreak)
+      assert(rs.sortBy(_._4).map(_._3).reverse.sorted ===
+        rs.sortBy(_._4).map(_._3).reverse)
+    }
+    assert(rowsOf(VectorOps.annTopKArm(spark, sfDir, queries, 3, 0.0)) === g1)
+    // the facade cross-arm entry is the same serve; the IVF-only
+    // facade default (annTopKAuto, Round21OpsSpec) is untouched
+    val eng = new GraftEngine(spark, sfDir)
+    assert(rowsOf(eng.annTopKArm(queries, 3, 0.0)) === g1)
+  }
 }
