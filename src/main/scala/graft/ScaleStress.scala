@@ -333,7 +333,16 @@ object ScaleStress {
       "q230_column_rename",
       // declared-spec optimize: one clustering rewrite of the snapshot
       // (the policy path must price like the explicit-dims path)
-      "q231_declared_clustering")
+      "q231_declared_clustering",
+      // cross-arm tuning table: the graph grid re-walks ONE memoized
+      // adjacency (query-scale), the IVF cost table is a kCells-row
+      // collect — the 10x bill is the adjacency/index builds the
+      // shared memos already price, never a new corpus pass
+      "q232_ann_arm_autotune",
+      // multi-table txn: the protocol is three tiny atomic metadata
+      // publishes at ANY table size; the 10x bill is the staged
+      // appends' ordinary write volume
+      "q233_multi_table_txn")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -109,7 +109,7 @@ object SnapshotLog {
         opType = None, cluster = None)
   }
 
-  private def logDir(dir: String): Path = Paths.get(dir, "_log")
+  private[ext] def logDir(dir: String): Path = Paths.get(dir, "_log")
 
   /** == Incremental manifests (round-13) ==
     * Full-list manifests rewrite O(segments) lines per commit — at
@@ -169,7 +169,7 @@ object SnapshotLog {
     * would otherwise exhaust file descriptors (caught by
     * SnapshotLogSpec's racing-reader test).
     */
-  private def listed[A](p: Path)(f: Iterator[Path] => A): A = {
+  private[ext] def listed[A](p: Path)(f: Iterator[Path] => A): A = {
     val s = Files.list(p)
     try f(s.iterator().asScala) finally s.close()
   }
@@ -179,8 +179,41 @@ object SnapshotLog {
     try f(s.iterator().asScala) finally s.close()
   }
 
-  /** Latest committed version, or -1 when the log is empty. */
+  /** Latest committed version, or -1 when the log is empty.
+    *
+    * This is every read/write path's visibility choke point, so it is
+    * ALSO where committed-but-unpublished multi-table transactions
+    * roll forward (SnapshotTxn.heal): a crash between an intent's
+    * publish and its per-table manifest publishes must not leave the
+    * slow table's new version invisible while the fast table's shows
+    * — healing before answering makes the intent publish the
+    * effective cross-table commit point. The rare-path check rides
+    * the directory listing version() already pays; logs that never
+    * participate in a transaction see zero extra I/O.
+    */
   def version(dir: String): Int = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) -1
+    else {
+      def names = listed(ld)(_.map(_.getFileName.toString).toSeq)
+      val first = names
+      val resolved =
+        if (first.exists(SnapshotTxn.isTxnFile)) {
+          SnapshotTxn.heal(dir, first)
+          names // re-list: healing may have published manifests here
+        } else first
+      resolved
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .foldLeft(-1)(math.max)
+    }
+  }
+
+  /** `version` without the transaction-healing hook — what is
+    * PHYSICALLY published right now. SnapshotTxn reads this while
+    * healing (the hook calling itself back would recurse).
+    */
+  private[ext] def rawVersion(dir: String): Int = {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) -1
     else listed(ld)(_.map(_.getFileName.toString)
@@ -1250,6 +1283,24 @@ object SnapshotLog {
     */
   def append(df: DataFrame, dir: String, statsCol: Column,
       batchTag: Option[Long] = None): Int = {
+    val st = stageAppend(df, dir, statsCol, batchTag)
+    publish(st.dir, st.v, st.lines)
+    st.v
+  }
+
+  /** A fully prepared single-table commit — everything the op did
+    * except the manifest publish. The segment data is already on disk
+    * but INVISIBLE (nothing references it) until `lines` publish as
+    * `v<v>.manifest`; an abandoned stage is an orphan segment dir,
+    * reclaimed by vacuum like any publish-race loser. The multi-table
+    * transaction (SnapshotTxn) stages every participant first, then
+    * makes ONE atomic intent publish the cross-table commit point.
+    */
+  final case class StagedCommit(dir: String, v: Int, lines: Seq[String])
+
+  /** `append` minus the publish (see StagedCommit). */
+  def stageAppend(df: DataFrame, dir: String, statsCol: Column,
+      batchTag: Option[Long] = None): StagedCommit = {
     Files.createDirectories(logDir(dir))
     val prev = version(dir)
     val v = prev + 1
@@ -1274,10 +1325,9 @@ object SnapshotLog {
     // what its OWN version deleted, never standing state
     val carriedMeta = (if (prev < 0) ManifestMeta(Set.empty, Set.empty)
       else meta(dir, prev).carried).copy(opType = Some("append"))
-    publish(dir, v, commitLines(dir, v,
+    StagedCommit(dir, v, commitLines(dir, v,
       carried :+ Segment(rel, mn, mx, batchTag), carried, carriedMeta,
       Some(s"#schema\t${snapSchema.json}")))
-    v
   }
 
   /** == Deletion vectors (merge-on-read, round 14) ==

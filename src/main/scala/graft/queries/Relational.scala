@@ -2993,7 +2993,128 @@ object Relational {
         "UNION ALL SELECT 'q1_rows_post', n_rows FROM q " +
         "UNION ALL SELECT 'q1_rows_pre', n_rows FROM q " +
         "UNION ALL SELECT 'spec_declared', CAST(1 AS BIGINT) " +
-        "ORDER BY state"))
+        "ORDER BY state")),
+
+    GraftQuery(
+      "q233_multi_table_txn",
+      "MULTI-TABLE TRANSACTION (round-17 item 5 — both-or-neither across " +
+        "snapshot logs): a fact log and its audit log commit together " +
+        "through `SnapshotTxn.commitTogether` — every participant STAGES " +
+        "(segment written, invisible), then ONE atomic intent file in " +
+        "the deterministic coordinator's log is the cross-table commit " +
+        "point (embedding every staged manifest, metadata-sized), then " +
+        "roll-forward publishes each manifest, healed idempotently by " +
+        "ANY reader if the writer dies mid-loop (`SnapshotLog.version` " +
+        "spots intent/pointer files on the listing it already pays). " +
+        "The lifecycle this query prices and audits: (1) a plain append " +
+        "of orders slice 0 to the fact log; (2) a COMMITTED txn landing " +
+        "slice 1 + its audit rollup atomically; (3) a CRASHED txn — " +
+        "intent published, roll-forward never runs — whose slice-2 " +
+        "batch both logs must still serve after one ordinary read heals " +
+        "them; (4) an ABORTED txn — pointers written, intent never " +
+        "published — that must NEVER surface and whose stale pointer " +
+        "the age-gated reap collects. The oracle recomputes every " +
+        "slice's rows + exact cents from base orders plus the " +
+        "structural constants (final versions, healed txn-file count, " +
+        "reaped count) — a lost half-transaction, a surfaced aborted " +
+        "batch, or an unhealed log hash-mismatches. SnapshotTxnSpec " +
+        "pins every crash window including the loud foreign-writer " +
+        "detection. At 100 TB the protocol's cost is three tiny atomic " +
+        "file publishes per txn — data never moves; this is the " +
+        "catalog-level multi-table commit of the lakehouse formats, " +
+        "coordination-service-free on a shared filesystem.",
+      (s, d) => {
+        import graft.ext.{SnapshotLog, SnapshotTxn}
+        val factDir = logTmpDir("graft-txn-fact", d)
+        val auditDir = logTmpDir("graft-txn-audit", d)
+        SnapshotLog.reset(factDir, checkpointInterval = 3)
+        SnapshotLog.reset(auditDir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        def slice(i: Int) =
+          o.filter(pmod(col("o_orderkey"), lit(3L)) === i.toLong)
+        def rollup(i: Int) = slice(i)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit(i.toLong).as("slice"), col("n_rows"), col("cents"))
+        // (1) ordinary single-table append — txns and plain commits
+        // interleave on the same log
+        SnapshotLog.append(slice(0), factDir, ts)
+        // (2) the committed transaction: fact batch + audit rollup
+        SnapshotTxn.commitTogether(Seq(
+          SnapshotLog.stageAppend(slice(1), factDir, ts),
+          SnapshotLog.stageAppend(rollup(1), auditDir, col("slice"))))
+        // (4) the ABORTED transaction: pointers only, no intent —
+        // its batch must never surface anywhere (staged FIRST so the
+        // crashed txn below is still un-healed when the reads run;
+        // its orphan segments are ordinary vacuum fare)
+        val aborted = Seq(
+          SnapshotLog.stageAppend(
+            slice(0).withColumn("o_totalprice", lit(0.0)), factDir, ts),
+          SnapshotLog.stageAppend(rollup(0), auditDir, col("slice")))
+        SnapshotTxn.writePointers(aborted, SnapshotTxn.newTxnId())
+        // (3) the CRASHED transaction: committed (intent published)
+        // but the writer dies before roll-forward — the next read of
+        // either participant converges both
+        val crashed = Seq(
+          SnapshotLog.stageAppend(slice(2), factDir, ts),
+          SnapshotLog.stageAppend(rollup(2), auditDir, col("slice")))
+        val crashedId = SnapshotTxn.newTxnId()
+        SnapshotTxn.writePointers(crashed, crashedId)
+        SnapshotTxn.publishIntent(crashed, crashedId)
+        // one ordinary read heals the crashed txn on BOTH logs
+        val vFact = SnapshotLog.version(factDir)
+        val vAudit = SnapshotLog.version(auditDir)
+        def txnFiles(dir: String): Long = {
+          val ld = java.nio.file.Paths.get(dir, "_log")
+          val st = java.nio.file.Files.list(ld)
+          try {
+            var n = 0L
+            val it = st.iterator()
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.startsWith("txn-")) n += 1
+            }
+            n
+          } finally st.close()
+        }
+        val leftover = txnFiles(factDir) + txnFiles(auditDir)
+        val reaped = (SnapshotTxn.reapAborted(factDir, 0,
+          System.currentTimeMillis() + 1000) +
+          SnapshotTxn.reapAborted(auditDir, 0,
+            System.currentTimeMillis() + 1000)).toLong
+        SnapshotLog.readAsOf(s, factDir, vFact)
+          .groupBy(pmod(col("o_orderkey"), lit(3L)).as("k"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit("fact").as("entity"), col("k"), col("n_rows"),
+            col("cents"))
+          .unionByName(SnapshotLog.readAsOf(s, auditDir, vAudit)
+            .select(lit("audit").as("entity"), col("slice").as("k"),
+              col("n_rows"), col("cents")))
+          .unionByName(s.range(1).select(lit("log").as("entity"),
+            lit(0L).as("k"), lit((vFact + 1).toLong).as("n_rows"),
+            lit((vAudit + 1).toLong).as("cents")))
+          .unionByName(s.range(1).select(lit("txn").as("entity"),
+            lit(0L).as("k"), lit(leftover).as("n_rows"),
+            lit(reaped).as("cents")))
+          .orderBy(col("entity"), col("k"))
+      },
+      Some("WITH s AS (SELECT CAST(o_orderkey % 3 AS BIGINT) AS k, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM orders GROUP BY k) " +
+        "SELECT * FROM (" +
+        "SELECT 'audit' AS entity, k, n_rows, cents FROM s WHERE k IN (1, 2) " +
+        "UNION ALL SELECT 'fact', k, n_rows, cents FROM s " +
+        // fact log: v0 plain + v1 txn + v2 healed = 3 versions; audit
+        // log: v0 txn + v1 healed = 2. The aborted txn's pointer is
+        // the ONE leftover txn file, and reap collects exactly it.
+        "UNION ALL SELECT 'log', CAST(0 AS BIGINT), CAST(3 AS BIGINT), " +
+        "CAST(2 AS BIGINT) " +
+        "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(1 AS BIGINT), " +
+        "CAST(1 AS BIGINT)) " +
+        "ORDER BY entity, k"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

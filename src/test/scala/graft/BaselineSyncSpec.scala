@@ -70,7 +70,9 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q229_composite_merge",
       // round 17
       "q230_column_rename",
-      "q231_declared_clustering")
+      "q231_declared_clustering",
+      "q232_ann_arm_autotune",
+      "q233_multi_table_txn")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+import org.apache.spark.sql.functions._
+import graft.ext.{SnapshotLog, SnapshotTxn}
+
+/** Multi-table transaction (round-17 item 5): both-or-neither across
+  * logs under every crash window the protocol has — before the
+  * intent (neither, forever), after the intent but before any/all
+  * manifest publishes (both, healed by any reader), and the
+  * foreign-writer violation (loud, never silent).
+  */
+class SnapshotTxnSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-txn-$tag").toString
+
+  private def rows(n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n).map(k => (k.toLong, s"r$k")).toDF("k", "s")
+  }
+
+  private def keys(dir: String): Set[Long] = {
+    val v = SnapshotLog.version(dir)
+    if (v < 0) Set.empty
+    else SnapshotLog.readAsOf(spark, dir, v)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+  }
+
+  private def txnFiles(dir: String): Seq[String] = {
+    val ld = Paths.get(dir, "_log")
+    if (!Files.isDirectory(ld)) Nil
+    else {
+      val s = Files.list(ld)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("txn-")) b += n
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  test("commitTogether: both tables commit atomically, txn files cleaned") {
+    val a = tmp("a"); val b = tmp("b")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(10), a, col("k"))
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(5, from = 100), a, col("k")),
+      SnapshotLog.stageAppend(rows(7, from = 200), b, col("k")))
+    val vs = SnapshotTxn.commitTogether(staged)
+    assert(vs === Map(a -> 1, b -> 0))
+    assert(SnapshotLog.version(a) === 1)
+    assert(SnapshotLog.version(b) === 0)
+    assert(keys(a) === ((0L until 10L) ++ (100L until 105L)).toSet)
+    assert(keys(b) === (200L until 207L).toSet)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+    // the logs stay ordinary logs: a plain append continues the line
+    assert(SnapshotLog.append(rows(1, from = 999), b, col("k")) === 1)
+  }
+
+  test("crash before the intent: NEITHER table ever shows the data") {
+    val a = tmp("pa"); val b = tmp("pb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(5), a, col("k")),
+      SnapshotLog.stageAppend(rows(5), b, col("k")))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(staged, id)
+    // CRASH here: the intent never publishes. Readers see nothing,
+    // now or ever — the stale pointer is ignored, not followed
+    assert(SnapshotLog.version(a) === -1)
+    assert(SnapshotLog.version(b) === -1)
+    assert(keys(a).isEmpty && keys(b).isEmpty)
+    // the non-coordinator carries the inert pointer; reads still work
+    val ptrCarrier = Seq(a, b).filter(d => txnFiles(d).nonEmpty)
+    assert(ptrCarrier.size === 1)
+    // subsequent NORMAL writes are unaffected by the garbage
+    SnapshotLog.append(rows(3, from = 50), a, col("k"))
+    SnapshotLog.append(rows(3, from = 60), b, col("k"))
+    assert(keys(a) === (50L until 53L).toSet)
+    assert(keys(b) === (60L until 63L).toSet)
+    // age-gated reap collects the aborted pointer (and only that)
+    val d = ptrCarrier.head
+    assert(SnapshotTxn.reapAborted(d, horizonMs = 0,
+      nowMs = System.currentTimeMillis() + 1000) === 1)
+    assert(txnFiles(d).isEmpty)
+  }
+
+  test("crash after the intent: ANY reader heals BOTH tables") {
+    val a = tmp("ia"); val b = tmp("ib")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(4), a, col("k")),
+      SnapshotLog.stageAppend(rows(6, from = 10), b, col("k")))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(staged, id)
+    SnapshotTxn.publishIntent(staged, id)
+    // CRASH here: committed but nothing published. The first read of
+    // EITHER table rolls the whole transaction forward
+    assert(SnapshotLog.version(b) === 0) // read the non-coordinator
+    assert(SnapshotLog.version(a) === 0)
+    assert(keys(a) === (0L until 4L).toSet)
+    assert(keys(b) === (10L until 16L).toSet)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
+  test("crash mid roll-forward: the published half stays, the other heals") {
+    val a = tmp("ma"); val b = tmp("mb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(4), a, col("k")),
+      SnapshotLog.stageAppend(rows(6, from = 10), b, col("k")))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(staged, id)
+    SnapshotTxn.publishIntent(staged, id)
+    // simulate the crash window: hand-publish ONE participant's
+    // manifest straight from the intent (what roll-forward's first
+    // step does), then die before the second
+    val coordDir = Seq(a, b).minBy(d =>
+      Paths.get(d).toAbsolutePath.normalize.toString)
+    val intent = Paths.get(coordDir, "_log", s"txn-$id.intent")
+    val firstLine = new String(Files.readAllBytes(intent),
+      StandardCharsets.UTF_8).linesIterator
+      .find(_.startsWith(s"table\t${Paths.get(a).toAbsolutePath.normalize}"))
+      .get.split('\t')
+    val manifest = new String(Base64.getDecoder.decode(firstLine(3)),
+      StandardCharsets.UTF_8)
+    Files.write(Paths.get(a, "_log", s"v${firstLine(2)}.manifest"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    // a reader of the UNPUBLISHED table converges the rest —
+    // idempotently past the half that already landed
+    assert(keys(b) === (10L until 16L).toSet)
+    assert(keys(a) === (0L until 4L).toSet)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
+  test("a foreign writer on a reserved version fails healing LOUDLY") {
+    val a = tmp("fa"); val b = tmp("fb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(4), a, col("k")),
+      SnapshotLog.stageAppend(rows(6, from = 10), b, col("k")))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(staged, id)
+    SnapshotTxn.publishIntent(staged, id)
+    // a non-transactional writer violates the single-writer contract:
+    // raw-publishes its own v0 into one participant during the crash
+    // window (bypassing version(), which would have healed first)
+    Files.write(Paths.get(b, "_log", "v0.manifest"),
+      "not\tthe\ttransaction's\tmanifest".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] { SnapshotLog.version(a) }
+    assert(e.getMessage.contains("single-writer contract"))
+  }
+
+  test("three tables, one commit point; duplicate participants refused") {
+    val dirs = Seq(tmp("t1"), tmp("t2"), tmp("t3"))
+    dirs.foreach(SnapshotLog.reset(_))
+    val staged = dirs.zipWithIndex.map { case (d, i) =>
+      SnapshotLog.stageAppend(rows(3, from = i * 10), d, col("k"))
+    }
+    SnapshotTxn.commitTogether(staged)
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      assert(keys(d) === (i * 10L until i * 10L + 3L).toSet)
+      assert(txnFiles(d).isEmpty)
+    }
+    val dup = Seq(
+      SnapshotLog.stageAppend(rows(1, from = 100), dirs.head, col("k")),
+      SnapshotLog.stageAppend(rows(1, from = 200), dirs.head, col("k")))
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.commitTogether(dup)
+    }
+  }
+}
