@@ -275,6 +275,17 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
 
   def snapshotVersion(dir: String): Int = graft.ext.SnapshotLog.version(dir)
 
+  /** Multi-table transactional append (round-17; q233): commit one
+    * frame per table, all-or-nothing across their logs — the intent
+    * protocol of `SnapshotTxn.commitTogether`. Returns the committed
+    * version per dir.
+    */
+  def snapshotAppendTogether(
+      writes: Seq[(DataFrame, String, org.apache.spark.sql.Column)]): Map[String, Int] =
+    graft.ext.SnapshotTxn.commitTogether(writes.map { case (df, dir, st) =>
+      graft.ext.SnapshotLog.stageAppend(df, dir, st)
+    })
+
   /** Change-data feed: rows added in versions (fromV, toV] — reads
     * only the delta segments (q176's kernel).
     */

@@ -158,6 +158,18 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(e.getMessage.contains("single-writer contract"))
   }
 
+  test("facade: snapshotAppendTogether commits N frames atomically") {
+    val a = tmp("ga"); val b = tmp("gb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val eng = new GraftEngine(spark, "/root/testdata/sf0.001")
+    val vs = eng.snapshotAppendTogether(Seq(
+      (rows(3), a, col("k")), (rows(4, from = 10), b, col("k"))))
+    assert(vs === Map(a -> 0, b -> 0))
+    assert(keys(a) === (0L until 3L).toSet)
+    assert(keys(b) === (10L until 14L).toSet)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
   test("three tables, one commit point; duplicate participants refused") {
     val dirs = Seq(tmp("t1"), tmp("t2"), tmp("t3"))
     dirs.foreach(SnapshotLog.reset(_))
