@@ -286,6 +286,18 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       graft.ext.SnapshotLog.stageAppend(df, dir, st)
     })
 
+  /** Transactional MOVE (round-17; q234): atomically relocate the rows
+    * of `srcDir` whose key tuple appears in `keys` into `dstDir` — a
+    * staged MoR key-delete + a staged append of the matched rows under
+    * one intent publish (`SnapshotTxn.moveKeys`). Both-or-neither;
+    * replaying the same keys is a no-op. Returns (srcV, dstV).
+    */
+  def snapshotMoveKeys(srcDir: String, dstDir: String, keys: DataFrame,
+      keyCols: Seq[String],
+      dstStats: org.apache.spark.sql.Column): (Int, Int) =
+    graft.ext.SnapshotTxn.moveKeys(spark, srcDir, dstDir, keys, keyCols,
+      dstStats)
+
   /** Change-data feed: rows added in versions (fromV, toV] — reads
     * only the delta segments (q176's kernel).
     */

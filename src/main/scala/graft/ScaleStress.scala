@@ -342,7 +342,11 @@ object ScaleStress {
       // multi-table txn: the protocol is three tiny atomic metadata
       // publishes at ANY table size; the 10x bill is the staged
       // appends' ordinary write volume
-      "q233_multi_table_txn")
+      "q233_multi_table_txn",
+      // transactional move: cost = matched-row bytes (tombstone +
+      // readback append) + the txn protocol's metadata publishes —
+      // never source-table bytes
+      "q234_txn_move")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

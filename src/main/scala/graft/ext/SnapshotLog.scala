@@ -2033,7 +2033,25 @@ object SnapshotLog {
     * natural keys, matching on every column of `keyCols`.
     */
   def deleteMorKeysMulti(spark: SparkSession, dir: String,
-      keys: DataFrame, keyCols: Seq[String]): Int = {
+      keys: DataFrame, keyCols: Seq[String]): Int =
+    stageDeleteMorKeysMulti(spark, dir, keys, keyCols) match {
+      case None => version(dir)
+      case Some((st, _)) => publish(st.dir, st.v, st.lines); st.v
+    }
+
+  /** `deleteMorKeysMulti` minus the publish (see StagedCommit): stages
+    * the delete-sized tombstone segment and returns the prepared commit
+    * plus the MATCHED ROWS (the written tombstone read back with the
+    * positional key columns dropped — a delete-sized parquet read, never
+    * a second pruned table scan), or None when no row matches (an empty
+    * delete stages nothing and leaves no artifact, exactly like the
+    * published form). The multi-table transaction's MOVE composes this
+    * with a `stageAppend` of the returned rows on the destination log
+    * (`SnapshotTxn.moveKeys`) so relocation is both-or-neither.
+    */
+  def stageDeleteMorKeysMulti(spark: SparkSession, dir: String,
+      keys: DataFrame,
+      keyCols: Seq[String]): Option[(StagedCommit, DataFrame)] = {
     require(keyCols.nonEmpty, "deleteMorKeys needs at least one key column")
     val prev = version(dir)
     require(prev >= 0, s"nothing to delete from in $dir")
@@ -2041,7 +2059,7 @@ object SnapshotLog {
     val prevMeta = meta(dir, prev)
     val keySet = keys.select(keyCols.map(col): _*).distinct()
     val candidates = mergeCandidateSegsKeys(spark, dir, prev, keyCols, keySet)
-    if (candidates.isEmpty) return prev
+    if (candidates.isEmpty) return None
     val all = applyDvs(spark, dir, prevMeta.dvs,
       readSegs(spark, dir, prev,
         candidates.map(_.relPath), keepDvKeys = true),
@@ -2052,15 +2070,15 @@ object SnapshotLog {
     hits.write.mode("overwrite").parquet(dvPath)
     if (spark.read.parquet(dvPath).count() == 0L) {
       walked(Paths.get(dvPath))(_.toSeq).reverse.foreach(Files.deleteIfExists)
-      prev
+      None
     } else {
       writeSegColIds(dir, dvPath, hits.columns.toSeq)
       val segs = segments(dir, prev)
-      publish(dir, v, commitLines(dir, v, segs, segs,
+      val moved = spark.read.parquet(dvPath).drop(DvFileCol, DvPosCol)
+      Some((StagedCommit(dir, v, commitLines(dir, v, segs, segs,
         prevMeta.carried.copy(cdcDel = Set(dvRel),
           dvs = prevMeta.dvs + dvRel, opType = Some("delete")),
-        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))
-      v
+        schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}"))), moved))
     }
   }
 

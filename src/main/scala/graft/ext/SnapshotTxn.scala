@@ -136,6 +136,41 @@ object SnapshotTxn {
     staged.map(s => s.dir -> s.v).toMap
   }
 
+  /** == Transactional MOVE (round-17 continuation) ==
+    * Atomically relocate every `srcDir` row whose key tuple appears in
+    * `keys` into `dstDir`: a merge-on-read key-set delete staged on the
+    * source (tombstone-sized — discovery prunes segments by key-range
+    * sidecar stats, commit cost is matched rows, never table bytes)
+    * plus a `stageAppend` of EXACTLY the matched rows (the tombstone
+    * read back — the move ships the bytes it deleted, no second table
+    * scan) on the destination, committed through the one-intent
+    * protocol: no reader can ever observe the rows in both tables or
+    * in neither, and a crash between the intent and roll-forward is
+    * healed by the next read of either participant. The quarantine /
+    * promotion / archive flows of a training-data pipeline (INSERT
+    * INTO archive SELECT ... ; DELETE FROM active WHERE ...) get the
+    * atomicity SQL engines give that pair inside a transaction.
+    * Replaying the same key set is a structural no-op (no matches →
+    * nothing staged, versions unchanged), so the op is idempotent
+    * under at-least-once orchestration. Change feeds stay
+    * replication-consistent: the source's commit rides `#cdcdel`
+    * (readCdc emits typed deletes), the destination's is an ordinary
+    * insert batch. Returns (srcVersion, dstVersion), each unchanged
+    * when no key matched.
+    */
+  def moveKeys(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, keys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      dstStats: org.apache.spark.sql.Column): (Int, Int) =
+    SnapshotLog.stageDeleteMorKeysMulti(spark, srcDir, keys, keyCols) match {
+      case None =>
+        (SnapshotLog.version(srcDir), SnapshotLog.version(dstDir))
+      case Some((del, moved)) =>
+        val app = SnapshotLog.stageAppend(moved, dstDir, dstStats)
+        val vs = commitTogether(Seq(del, app))
+        (vs(srcDir), vs(dstDir))
+    }
+
   private[graft] def newTxnId(): String =
     s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID().toString.take(12)}"
 

@@ -918,6 +918,9 @@ object Relational {
     */
   private[graft] val snapCut1 = "1997-01-01"
   private[graft] val snapCut2 = "1999-01-01"
+  // q234's move-back cut: a strict subset of the < snapCut1 cohort
+  // (fixture dates span 1995-01-01..2001-08-01 — both slices nonempty)
+  private[graft] val snapCut0 = "1996-01-01"
 
   /** Per-process scratch dir for the private snapshot logs the
     * versioned-table queries build: keyed by data dir AND pid, so two
@@ -3114,7 +3117,105 @@ object Relational {
         "CAST(2 AS BIGINT) " +
         "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(1 AS BIGINT), " +
         "CAST(1 AS BIGINT)) " +
-        "ORDER BY entity, k"))
+        "ORDER BY entity, k")),
+
+    GraftQuery(
+      "q234_txn_move",
+      "TRANSACTIONAL MOVE (round-17 continuation — atomic cross-table " +
+        "row relocation): the quarantine / promotion / archive flows of " +
+        "a training-data pipeline are an INSERT-SELECT plus a DELETE " +
+        "that must land together; `SnapshotTxn.moveKeys` stages a " +
+        "merge-on-read key-set delete on the source (tombstone-sized, " +
+        "discovery pruned by key-range sidecar stats) plus an append of " +
+        "EXACTLY the matched rows — the written tombstone read back, so " +
+        "the move ships the bytes it deleted with no second table scan " +
+        "— on the destination, under ONE intent publish: no reader ever " +
+        "sees the rows in both tables or in neither, and a mid-publish " +
+        "crash heals on the next read of either participant " +
+        "(SnapshotTxnSpec pins the crash windows). The lifecycle this " +
+        "query prices: orders land in an ACTIVE log; everything before " +
+        "the archive cut MOVES to an ARCHIVE log (one txn); the oldest " +
+        "slice MOVES BACK (a second txn — round-trip content fidelity " +
+        "through the tombstone-readback path is what the oracle's exact " +
+        "cents hash); replaying the move-back is a structural NO-OP " +
+        "(keys already gone → nothing staged, versions unchanged — " +
+        "at-least-once orchestration safe). The oracle recomputes both " +
+        "final tables from base orders plus the structural constants " +
+        "(version counts, zero leftover txn files, the no-op flag). At " +
+        "100 TB the move's cost is matched-row bytes + three metadata " +
+        "publishes — never source-table bytes; the CDC feeds of both " +
+        "logs stay replication-consistent (typed deletes on the source, " +
+        "an insert batch on the destination).",
+      (s, d) => {
+        import graft.ext.{SnapshotLog, SnapshotTxn}
+        val actDir = logTmpDir("graft-txn-mv-act", d)
+        val arcDir = logTmpDir("graft-txn-mv-arc", d)
+        SnapshotLog.reset(actDir, checkpointInterval = 3)
+        SnapshotLog.reset(arcDir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val c1 = lit(snapCut1).cast("timestamp")
+        val c0 = lit(snapCut0).cast("timestamp")
+        SnapshotLog.append(o, actDir, col("o_orderkey"))
+        // MOVE 1: archive everything before the cut — one intent,
+        // both logs commit or neither does
+        val keys1 = o.filter(col("o_orderdate") < c1).select("o_orderkey")
+        SnapshotTxn.moveKeys(s, actDir, arcDir, keys1,
+          Seq("o_orderkey"), col("o_orderkey"))
+        // MOVE 2: promote the oldest slice BACK — round-trip fidelity
+        val keys0 = o.filter(col("o_orderdate") < c0).select("o_orderkey")
+        val (vArc, vAct) = SnapshotTxn.moveKeys(s, arcDir, actDir, keys0,
+          Seq("o_orderkey"), col("o_orderkey"))
+        // REPLAY move 2: the keys are gone from the archive —
+        // nothing stages, versions unchanged
+        val (vArcR, vActR) = SnapshotTxn.moveKeys(s, arcDir, actDir,
+          keys0, Seq("o_orderkey"), col("o_orderkey"))
+        val noop = vArcR == vArc && vActR == vAct
+        def txnFiles(dir: String): Long = {
+          val ld = java.nio.file.Paths.get(dir, "_log")
+          val st = java.nio.file.Files.list(ld)
+          try {
+            var n = 0L
+            val it = st.iterator()
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.startsWith("txn-")) n += 1
+            }
+            n
+          } finally st.close()
+        }
+        val leftover = txnFiles(actDir) + txnFiles(arcDir)
+        def profile(name: String, dir: String, v: Int): DataFrame =
+          SnapshotLog.readAsOf(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("cents"))
+            .select(lit(name).as("entity"), col("n_rows"), col("cents"))
+        profile("active", actDir, vActR)
+          .unionByName(profile("archive", arcDir, vArcR))
+          .unionByName(s.range(1).select(lit("log").as("entity"),
+            lit((vActR + 1).toLong).as("n_rows"),
+            lit((vArcR + 1).toLong).as("cents")))
+          .unionByName(s.range(1).select(lit("txn").as("entity"),
+            lit(leftover).as("n_rows"),
+            lit(if (noop) 1L else 0L).as("cents")))
+          .orderBy(col("entity"))
+      },
+      Some("WITH o AS (SELECT o_orderkey, o_orderdate AS d, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+        s"act AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(c) AS BIGINT) AS cc FROM o " +
+        s"WHERE d >= TIMESTAMP '$snapCut1' OR d < TIMESTAMP '$snapCut0'), " +
+        s"arc AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(c) AS BIGINT) AS cc FROM o " +
+        s"WHERE d >= TIMESTAMP '$snapCut0' AND d < TIMESTAMP '$snapCut1') " +
+        "SELECT * FROM (" +
+        "SELECT 'active' AS entity, n AS n_rows, cc AS cents FROM act " +
+        "UNION ALL SELECT 'archive', n, cc FROM arc " +
+        // active: v0 load + v1 move-out delete + v2 move-back append;
+        // archive: v0 move-in append + v1 move-back delete. Zero
+        // leftover txn files; the replay was a version-preserving no-op.
+        "UNION ALL SELECT 'log', CAST(3 AS BIGINT), CAST(2 AS BIGINT) " +
+        "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(1 AS BIGINT)) " +
+        "ORDER BY entity"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

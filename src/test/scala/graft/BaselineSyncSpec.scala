@@ -72,7 +72,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q230_column_rename",
       "q231_declared_clustering",
       "q232_ann_arm_autotune",
-      "q233_multi_table_txn")
+      "q233_multi_table_txn",
+      "q234_txn_move")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

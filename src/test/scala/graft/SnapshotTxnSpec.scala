@@ -158,6 +158,90 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(e.getMessage.contains("single-writer contract"))
   }
 
+  test("moveKeys: rows relocate atomically; replay is a version-preserving no-op") {
+    val a = tmp("mva"); val b = tmp("mvb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(20), a, col("k"))
+    import spark.implicits._
+    val ks = Seq(3L, 7L, 11L, 99L).toDF("k") // 99 absent — ignored
+    val (va, vb) = SnapshotTxn.moveKeys(spark, a, b, ks, Seq("k"), col("k"))
+    assert((va, vb) === ((1, 0)))
+    assert(keys(a) === (0L until 20L).toSet -- Set(3L, 7L, 11L))
+    assert(keys(b) === Set(3L, 7L, 11L))
+    // full row content rides the move (tombstone-readback path)
+    val moved = SnapshotLog.readAsOf(spark, b, 0).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
+    assert(moved === Map(3L -> "r3", 7L -> "r7", 11L -> "r11"))
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+    // replay: the keys are gone — nothing stages, versions unchanged
+    val (va2, vb2) = SnapshotTxn.moveKeys(spark, a, b, ks, Seq("k"), col("k"))
+    assert((va2, vb2) === ((1, 0)))
+    // CDC stays replication-consistent: typed deletes on the source,
+    // an insert batch on the destination
+    val srcCdc = SnapshotLog.readCdc(spark, a, 0, 1)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(srcCdc === Map("delete" -> 3L))
+    val dstCdc = SnapshotLog.readCdc(spark, b, -1, 0)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dstCdc === Map("insert" -> 3L))
+  }
+
+  test("moveKeys crash window: post-intent, one read heals delete AND append") {
+    val a = tmp("mvca"); val b = tmp("mvcb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(10), a, col("k"))
+    import spark.implicits._
+    val ks = Seq(2L, 5L).toDF("k")
+    val Some((del, moved)) =
+      SnapshotLog.stageDeleteMorKeysMulti(spark, a, ks, Seq("k"))
+    val app = SnapshotLog.stageAppend(moved, b, col("k"))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(Seq(del, app), id)
+    SnapshotTxn.publishIntent(Seq(del, app), id)
+    // the writer dies here; one ordinary read of EITHER converges both
+    assert(keys(b) === Set(2L, 5L))
+    assert(keys(a) === (0L until 10L).toSet -- Set(2L, 5L))
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
+  test("moveKeys abort window: pre-intent, neither table ever changes") {
+    val a = tmp("mvaa"); val b = tmp("mvab")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(10), a, col("k"))
+    import spark.implicits._
+    val ks = Seq(2L, 5L).toDF("k")
+    val Some((del, moved)) =
+      SnapshotLog.stageDeleteMorKeysMulti(spark, a, ks, Seq("k"))
+    val app = SnapshotLog.stageAppend(moved, b, col("k"))
+    SnapshotTxn.writePointers(Seq(del, app), SnapshotTxn.newTxnId())
+    // no intent ever publishes: the delete never surfaces, the
+    // destination never gains a version
+    assert(keys(a) === (0L until 10L).toSet)
+    assert(SnapshotLog.version(b) === -1)
+    // the stale pointer (one file, in the non-coordinator's log) is
+    // age-gated reap fare
+    val reaped = SnapshotTxn.reapAborted(a, 0,
+      System.currentTimeMillis() + 1000) +
+      SnapshotTxn.reapAborted(b, 0, System.currentTimeMillis() + 1000)
+    assert(reaped === 1)
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
+  test("facade: snapshotMoveKeys relocates a key cohort") {
+    val a = tmp("gmva"); val b = tmp("gmvb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(8), a, col("k"))
+    import spark.implicits._
+    val eng = new GraftEngine(spark, "/root/testdata/sf0.001")
+    val (va, vb) = eng.snapshotMoveKeys(a, b, Seq(1L, 6L).toDF("k"),
+      Seq("k"), col("k"))
+    assert((va, vb) === ((1, 0)))
+    assert(keys(a) === Set(0L, 2L, 3L, 4L, 5L, 7L))
+    assert(keys(b) === Set(1L, 6L))
+  }
+
   test("facade: snapshotAppendTogether commits N frames atomically") {
     val a = tmp("ga"); val b = tmp("gb")
     SnapshotLog.reset(a); SnapshotLog.reset(b)
