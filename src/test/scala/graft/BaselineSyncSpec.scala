@@ -31,49 +31,11 @@ class BaselineSyncSpec extends AnyFunSuite {
   test("baseline covers the recorded-round surface (only post-record queries may be missing)") {
     val missing = Registry.all.map(_.name)
       .filterNot(BenchBaseline.medians.contains)
-    // r12 recorded all 199 then-registered queries; anything missing
-    // here must be new-this-round (name it below when adding one, so
-    // an accidental omission can't hide behind the allowance)
+    // the r17 record covers EVERY registered row (3-invocation
+    // protocol, 2026-08-16); name queries added AFTER it here, so an
+    // accidental omission can't hide behind the allowance
     val newThisRound = Set(
-      "q200_stream_replay_audit",
-      "q201_ann_recall_clustered",
-      "q202_commit_retry_audit",
-      "q203_manifest_compaction",
-      "q204_unigram_segmentation",
-      "q205_deflate_sizes",
-      "q206_snapshot_optimize",
-      "q207_bucketed_join",
-      "q208_multidim_prune",
-      // round 14
-      "q209_snapshot_delete_mor",
-      "q210_graph_ann_recall",
-      "q211_wordpiece_train",
-      "q212_wordpiece_encode",
-      "q213_stats_evolution",
-      "q214_wordpiece_segmentation",
-      "q215_graph_ann_topk",
-      "q216_snapshot_merge_mor",
-      // round 15
-      "q217_stream_source_audit",
-      "q218_incremental_optimize",
-      "q219_incremental_knn_cdc",
-      "q220_segment_health",
-      "q221_incremental_view",
-      "q222_snapshot_restore",
-      // round 16
-      "q223_snapshot_update",
-      "q224_snapshot_clone",
-      "q225_ann_autotune",
-      "q226_cdc_apply",
-      "q227_snapshot_history",
-      "q228_check_constraints",
-      "q229_composite_merge",
-      // round 17
-      "q230_column_rename",
-      "q231_declared_clustering",
-      "q232_ann_arm_autotune",
-      "q233_multi_table_txn",
-      "q234_txn_move")
+      "q235_bloom_discovery")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")
