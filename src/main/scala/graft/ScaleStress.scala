@@ -346,7 +346,11 @@ object ScaleStress {
       // transactional move: cost = matched-row bytes (tombstone +
       // readback append) + the txn protocol's metadata publishes —
       // never source-table bytes
-      "q234_txn_move")
+      "q234_txn_move",
+      // bloom discovery: the probe aggregate is src-keys x candidate
+      // blooms (map-side codegen); the 10x bill is the three appends'
+      // ordinary write + stat-pass volume
+      "q235_bloom_discovery")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

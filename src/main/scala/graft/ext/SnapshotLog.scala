@@ -343,6 +343,66 @@ object SnapshotLog {
     }
   }
 
+  /** == Per-segment Bloom sidecars (round-17 continuation — Delta's
+    * bloom-filter-index posture on the zone-map engine) ==
+    * Range zone maps prune date/cluster-ordered layouts; a SCATTERED
+    * key layout (hash-distributed ids, residue-sharded ingest) leaves
+    * every segment's [min, max] overlapping every probe, and
+    * MERGE/DELETE-by-keys discovery opens the whole table. A bloom
+    * config line (`bloom<TAB>statName<TAB>expectedItems<TAB>fpp`)
+    * makes every subsequent segment write record, IN the one-pass stat
+    * aggregate it already runs (`bloom_build` is a
+    * TypedImperativeAggregate — zero extra scans, the q208 rule), a
+    * Bloom filter of the stat expression's xxhash64 values, stored
+    * beside the zone stats (`_bloomstats`, base64 lines keyed by stat
+    * name like the sidecar). Discovery then probes each
+    * range-surviving candidate's bloom DISTRIBUTED over the src keys
+    * (`bloomPruneCandidates`). Zone-map law throughout: a bloom has
+    * no false negatives (it can only KEEP extra candidates, never
+    * drop a true one — oversubscription just degrades fpp), segments
+    * written before the config carry no bloom and never skip, and the
+    * exact key semi-join downstream re-applies equality, so answers
+    * are independent of pruning. Blooms key by STAT NAME, so
+    * `renameColumn` needs no re-keying (the recorded bits hash VALUES,
+    * which renames don't change), and compaction/OPTIMIZE rewrites
+    * record fresh blooms through the same stat pass.
+    */
+  def bloomSpecOf(dir: String): Map[String, (Long, Double)] = {
+    val p = configPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.startsWith("bloom\t")).map { l =>
+        val a = l.split('\t')
+        a(1) -> (a(2).toLong, a(3).toDouble)
+      }.toMap
+  }
+
+  def setBloomOn(dir: String, statName: String,
+      expectedItems: Long = 1L << 17, fpp: Double = 0.001): Unit = {
+    val p = configPath(dir)
+    require(Files.exists(p),
+      s"no table config in $dir — reset first (the bloom spec is a " +
+        "table property)")
+    require(expectedItems > 0,
+      s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1): $fpp")
+    require(statsColsOf(dir).exists(_._1 == statName),
+      s"no stat named '$statName' — blooms attach to a recorded stat " +
+        "expression (add it via reset/evolveStatsCols first)")
+    val lock = configLocks.computeIfAbsent(
+      p.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .toSeq.filterNot(_.startsWith(s"bloom\t$statName\t")) :+
+        s"bloom\t$statName\t$expectedItems\t$fpp"
+      val tmp = logDir(dir).resolve(s".config.tmp-${writerToken()}")
+      Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def evolveStatsCols(dir: String, add: Seq[(String, String)]): Unit = {
     val p = configPath(dir)
     require(Files.exists(p),
@@ -1144,12 +1204,23 @@ object SnapshotLog {
     */
   private val RowsStatName = "__rows"
 
+  /** Sidecar file beside `_zonestats`: base64 serialized Bloom filters
+    * keyed by stat name, one per bloom-configured stat the segment
+    * resolved (see the bloom scaladoc at `bloomSpecOf`).
+    */
+  private val BloomStatsFile = "_bloomstats"
+
   private def statsAndSidecar(spark: SparkSession, dir: String,
       segPath: String, statsCol: Column): (Long, Long) = {
     val df = spark.read.parquet(segPath)
     val resolved = statsColsOf(dir).filter { case (_, e) =>
       scala.util.Try(df.select(expr(e))).isSuccess
     }
+    // bloom-configured stats ride the SAME one-row aggregate as one
+    // more (binary) agg column each — zero extra scans
+    val bloomSpec = bloomSpecOf(dir)
+    val blooms = resolved.filter { case (n, _) => bloomSpec.contains(n) }
+    if (blooms.nonEmpty) graft.functions.BloomAgg.ensureRegistered(spark)
     // CHECK constraints ride the SAME one-row aggregate — zero extra
     // scans; a check that cannot resolve fails loudly here (silently
     // skipping a constraint is how bad rows land unreported)
@@ -1174,6 +1245,11 @@ object SnapshotLog {
       } ++
       notNulls.zipWithIndex.map { case (c, i) =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i")
+      } ++
+      blooms.zipWithIndex.map { case ((n, e), i) =>
+        val (items, p) = bloomSpec(n)
+        call_function(graft.functions.BloomAgg.name,
+          xxhash64(expr(e)), lit(items), lit(p)).as(s"__bl$i")
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val chkBase = 3 + 2 * resolved.size
@@ -1209,9 +1285,32 @@ object SnapshotLog {
       }
     Files.write(Paths.get(segPath, ZoneStatsFile),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    if (blooms.nonEmpty) {
+      val bloomBase = nnBase + notNulls.size
+      val blines = blooms.zipWithIndex.map { case ((n, _), i) =>
+        val bytes = r.getAs[Array[Byte]](bloomBase + i)
+        s"$n\t${java.util.Base64.getEncoder.encodeToString(bytes)}"
+      }
+      Files.write(Paths.get(segPath, BloomStatsFile),
+        blines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
     writeSegColIds(dir, segPath, df.columns.toSeq)
     if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
     else (r.getLong(0), r.getLong(1))
+  }
+
+  /** The Bloom sidecars of a segment — empty when none were recorded
+    * (pre-config segments, or a table that never configured one);
+    * absent blooms never skip, the zone-map rule.
+    */
+  def sidecarBloom(dir: String, rel: String): Map[String, Array[Byte]] = {
+    val p = Paths.get(dir, rel, BloomStatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, b) = l.split('\t')
+        n -> java.util.Base64.getDecoder.decode(b)
+      }.toMap
   }
 
   /** The sidecar stats of a segment — empty when none were recorded.
@@ -2252,17 +2351,58 @@ object SnapshotLog {
           case Some((n, e)) =>
             val r = srcM.agg(min(expr(e)).cast("long").as("mn"),
               max(expr(e)).cast("long").as("mx")).head()
-            if (r.isNullAt(0)) acc // all-null src keys: nothing to prune on
-            else {
-              val (lo, hi) = (r.getLong(0), r.getLong(1))
-              acc.filter { s =>
-                sidecarStats(dir, s.relPath).get(n) match {
-                  case Some((mn, mx)) => mn <= hi && mx >= lo
-                  case None => true // absent stats never skip (q208 rule)
+            val ranged =
+              if (r.isNullAt(0)) acc // all-null src keys: nothing to prune on
+              else {
+                val (lo, hi) = (r.getLong(0), r.getLong(1))
+                acc.filter { s =>
+                  sidecarStats(dir, s.relPath).get(n) match {
+                    case Some((mn, mx)) => mn <= hi && mx >= lo
+                    case None => true // absent stats never skip (q208 rule)
+                  }
                 }
               }
-            }
+            bloomPruneCandidates(spark, dir, n, e, srcM, ranged)
         }
+      }
+    }
+  }
+
+  /** Bloom stage of touched-key discovery (round-17; see the spec
+    * scaladoc at `bloomSpecOf`): among range-surviving candidates,
+    * drop every segment whose recorded bloom for stat `n` could not
+    * contain ANY src key — ONE distributed aggregate over the src
+    * keys probes every candidate's bloom map-side
+    * (`bloom_might_contain` is codegen'd; the blooms ride the plan as
+    * binary literals, driver memory bounded by candidate count x
+    * filter bytes, manifest-sized). The stat already passed the
+    * key-only/deterministic/non-time qualification, so equal keys
+    * give equal probe hashes. Candidates without a bloom are kept
+    * (pre-config segments — absent stats never skip); false positives
+    * only KEEP candidates; the discovery semi-join downstream
+    * re-applies exact equality, so answers are independent of this
+    * stage. An empty src aggregates to null probes → everything kept
+    * (the caller's empty-hit path handles it).
+    */
+  private def bloomPruneCandidates(spark: SparkSession, dir: String,
+      n: String, e: String, srcM: DataFrame,
+      cands: Seq[Segment]): Seq[Segment] = {
+    if (cands.isEmpty || bloomSpecOf(dir).isEmpty) cands
+    else {
+      val withBloom = cands.flatMap(s =>
+        sidecarBloom(dir, s.relPath).get(n).map(s.relPath -> _))
+      if (withBloom.isEmpty) cands
+      else {
+        graft.functions.BloomMightContain.ensureRegistered(spark)
+        val probes = withBloom.zipWithIndex.map { case ((_, bytes), i) =>
+          max(call_function(graft.functions.BloomMightContain.name,
+            lit(bytes), xxhash64(expr(e))).cast("int")).as(s"__bm$i")
+        }
+        val r = srcM.agg(probes.head, probes.tail: _*).head()
+        val dead = withBloom.zipWithIndex.collect {
+          case ((rel, _), i) if !r.isNullAt(i) && r.getInt(i) == 0 => rel
+        }.toSet
+        cands.filterNot(s => dead(s.relPath))
       }
     }
   }

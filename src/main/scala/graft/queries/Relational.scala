@@ -3215,6 +3215,85 @@ object Relational {
         // leftover txn files; the replay was a version-preserving no-op.
         "UNION ALL SELECT 'log', CAST(3 AS BIGINT), CAST(2 AS BIGINT) " +
         "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(1 AS BIGINT)) " +
+        "ORDER BY entity")),
+
+    GraftQuery(
+      "q235_bloom_discovery",
+      "PER-SEGMENT BLOOM SIDECARS (round-17 continuation — Delta's " +
+        "bloom-filter-index posture on the zone-map engine): range zone " +
+        "maps prune date-clustered layouts, but a SCATTERED key layout " +
+        "(hash-distributed ids, residue-sharded ingest) leaves every " +
+        "segment's [min, max] overlapping every probe — range pruning " +
+        "keeps all files and MERGE/DELETE-by-keys discovery opens the " +
+        "whole table. `setBloomOn(statName)` records, in the SAME " +
+        "one-pass segment stat aggregate every writer already runs " +
+        "(bloom_build, a TypedImperativeAggregate — zero extra scans, " +
+        "the q208 rule), a per-segment Bloom filter of the stat " +
+        "expression's hashed values; discovery then probes each " +
+        "range-surviving candidate's bloom DISTRIBUTED (one aggregate " +
+        "over the already-materialized src keys, bloom_might_contain " +
+        "map-side) and drops segments no src key could inhabit. Safety " +
+        "is zone-map law: no false negatives ever (a bloom can only " +
+        "keep extra candidates, never drop a true one), segments " +
+        "written before the config never skip, and the exact key " +
+        "semi-join re-applies downstream so the answer is independent " +
+        "of pruning. The audit: orders land as THREE residue-interleaved " +
+        "segments whose key ranges fully overlap (ranges prune nothing), " +
+        "then a key-set MoR merge of a 1-in-300 cohort must discover " +
+        "exactly ONE candidate of three, and the merged content is " +
+        "recomputed exactly by the oracle. At 100 TB this is the " +
+        "point-lookup half of data skipping: discovery cost becomes " +
+        "src-keys x bloom probes (map-side, codegen) instead of a " +
+        "table-wide key scan.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-bloom-disc", d)
+        SnapshotLog.reset(dir, checkpointInterval = 4,
+          statsCols = Seq("ok" -> "o_orderkey"))
+        SnapshotLog.setBloomOn(dir, "ok", expectedItems = 1L << 18,
+          fpp = 1e-8)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        (0 to 2).foreach { r =>
+          SnapshotLog.append(
+            o.filter(pmod(col("o_orderkey"), lit(3L)) === r.toLong),
+            dir, col("o_orderkey"))
+        }
+        // the 1-in-300 cohort lives entirely in the residue-1 segment
+        // (300 is a multiple of 3): ranges keep all three, the blooms
+        // must keep exactly one
+        val src = o.filter(pmod(col("o_orderkey"), lit(300L)) === 1L)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val cands = SnapshotLog.mergeCandidateSegsKeys(s, dir, 2,
+          Seq("o_orderkey"), src)
+        val v = SnapshotLog.mergeMorKeys(s, src, dir, Seq("o_orderkey"),
+          col("o_orderkey"))
+        val after = SnapshotLog.readAsOf(s, dir, v)
+        after.agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit("content").as("entity"), col("n_rows"), col("cents"))
+          .unionByName(after
+            .filter(pmod(col("o_orderkey"), lit(300L)) === 1L)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents(col("o_totalprice"))).as("cents"))
+            .select(lit("updated").as("entity"), col("n_rows"),
+              col("cents")))
+          .unionByName(s.range(1).select(lit("discovery").as("entity"),
+            lit(cands.size.toLong).as("n_rows"), lit(3L).as("cents")))
+          .orderBy(col("entity"))
+      },
+      Some("WITH o AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c, " +
+        "CAST(round(o_totalprice*2*100) AS BIGINT) AS c2 FROM orders), " +
+        "f AS (SELECT CASE WHEN k % 300 = 1 THEN c2 ELSE c END AS cf, " +
+        "CASE WHEN k % 300 = 1 THEN 1 ELSE 0 END AS u FROM o) " +
+        "SELECT * FROM (" +
+        "SELECT 'content' AS entity, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(cf) AS BIGINT) AS cents FROM f " +
+        "UNION ALL SELECT 'discovery', CAST(1 AS BIGINT), " +
+        "CAST(3 AS BIGINT) " +
+        "UNION ALL SELECT 'updated', CAST(sum(u) AS BIGINT), " +
+        "CAST(sum(CASE WHEN u = 1 THEN cf END) AS BIGINT) FROM f) " +
         "ORDER BY entity"))
   )
 

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ext.SnapshotLog
+import graft.functions.BloomAgg
+
+/** Per-segment Bloom sidecars (round-17 continuation): point-key
+  * discovery pruning for MERGE/DELETE-by-keys on tables whose key
+  * ranges overlap across segments (the scattered-key layout range
+  * zone maps cannot prune), plus the build aggregate's own laws.
+  */
+class BloomStatsSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-bloom-$tag").toString
+
+  private def rows(ks: Seq[Long]) = {
+    import spark.implicits._
+    ks.map(k => (k, s"r$k")).toDF("k", "s")
+  }
+
+  test("bloom_build is partitioning-invariant and has no false negatives") {
+    BloomAgg.ensureRegistered(spark)
+    import spark.implicits._
+    val df = (0L until 5000L).map(k => k * 37L).toDF("k")
+    def build(parts: Int): Array[Byte] = df.repartition(parts)
+      .agg(call_function(BloomAgg.name, xxhash64(col("k")),
+        lit(10000L), lit(0.01)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val one = build(1)
+    val eight = build(8)
+    assert(java.util.Arrays.equals(one, eight),
+      "serialized bloom must not depend on partitioning")
+    // no false negatives: every inserted key probes true
+    graft.functions.BloomMightContain.ensureRegistered(spark)
+    val misses = df
+      .filter(!call_function(graft.functions.BloomMightContain.name,
+        lit(one), xxhash64(col("k"))))
+      .count()
+    assert(misses === 0L)
+  }
+
+  test("interleaved-key segments: ranges cannot prune, blooms can") {
+    val dir = tmp("ivl")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.setBloomOn(dir, "kk", expectedItems = 10000L,
+      fpp = 1e-8)
+    // three segments with FULLY overlapping [min, max] key ranges
+    // but disjoint residue classes — the zone map keeps all three
+    val all = (0L until 3000L)
+    (0 to 2).foreach { r =>
+      SnapshotLog.append(rows(all.filter(_ % 3 == r)), dir, col("k"))
+    }
+    import spark.implicits._
+    val srcKeys = all.filter(k => k % 300 == 1).map(k => (k, "u")).toDF("k", "s")
+    val cands = SnapshotLog.mergeCandidateSegsKeys(spark, dir, 2,
+      Seq("k"), srcKeys)
+    assert(cands.size === 1,
+      s"bloom should prune to the residue-1 segment, got ${cands.size}")
+    // pruning is candidates-only: the merge answer is unchanged
+    val v = SnapshotLog.mergeKeys(spark, srcKeys, dir, Seq("k"), col("k"))
+    val got = SnapshotLog.readAsOf(spark, dir, v)
+      .filter(col("s") === "u").select(col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === all.filter(_ % 300 == 1).toSet)
+    assert(SnapshotLog.readAsOf(spark, dir, v).count() === 3000L)
+  }
+
+  test("segments written before setBloomOn are never skipped") {
+    val dir = tmp("pre")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.append(rows((0L until 100L).filter(_ % 2 == 0)), dir, col("k"))
+    SnapshotLog.setBloomOn(dir, "kk")
+    SnapshotLog.append(rows((0L until 100L).filter(_ % 2 == 1)), dir, col("k"))
+    import spark.implicits._
+    // keys live in the PRE-bloom segment; it has no bloom → kept
+    val srcKeys = Seq((2L, "u"), (4L, "u")).toDF("k", "s")
+    val cands = SnapshotLog.mergeCandidateSegsKeys(spark, dir, 1,
+      Seq("k"), srcKeys)
+    assert(cands.size === 1, "pre-bloom segment kept, bloomed one pruned")
+    val v = SnapshotLog.mergeKeys(spark, srcKeys, dir, Seq("k"), col("k"))
+    assert(SnapshotLog.readAsOf(spark, dir, v)
+      .filter(col("s") === "u").count() === 2L)
+  }
+
+  test("in-range-but-absent keys: the bloom prunes what ranges cannot") {
+    val dir = tmp("none")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.setBloomOn(dir, "kk", fpp = 1e-8)
+    // even keys only: the recorded range is [0, 1998]
+    SnapshotLog.append(rows((0L until 2000L).filter(_ % 2 == 0)),
+      dir, col("k"))
+    import spark.implicits._
+    // odd keys sit INSIDE the range — only the bloom can rule them out
+    val ghost = Seq.tabulate(20)(i => (2L * i + 1L, "u")).toDF("k", "s")
+    val cands = SnapshotLog.mergeCandidateSegsKeys(spark, dir, 0,
+      Seq("k"), ghost)
+    assert(cands.isEmpty, s"bloom should prune the only segment: $cands")
+    val before = SnapshotLog.version(dir)
+    val v = SnapshotLog.deleteMorKeysMulti(spark, dir, ghost, Seq("k"))
+    assert(v === before, "no-match delete commits nothing")
+  }
+
+  test("optimize rewrites carry blooms forward") {
+    val dir = tmp("opt")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.setBloomOn(dir, "kk", fpp = 1e-8)
+    (0 to 2).foreach { r =>
+      SnapshotLog.append(rows((0L until 600L).filter(_ % 3 == r)),
+        dir, col("k"))
+    }
+    val vOpt = SnapshotLog.optimize(spark, dir, col("k"), Seq(col("k")))
+    val segs = SnapshotLog.segments(dir, vOpt)
+    assert(segs.forall(s =>
+      SnapshotLog.sidecarBloom(dir, s.relPath).contains("kk")),
+      "every rewritten segment must record the configured bloom")
+  }
+
+  test("setBloomOn refuses unknown stats and bad parameters") {
+    val dir = tmp("cfg")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.setBloomOn(dir, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.setBloomOn(dir, "kk", fpp = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.setBloomOn(dir, "kk", expectedItems = 0L)
+    }
+  }
+}
