@@ -298,6 +298,15 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
     graft.ext.SnapshotTxn.moveKeys(spark, srcDir, dstDir, keys, keyCols,
       dstStats)
 
+  /** Cross-table snapshot handle (round-17; q236): a consistent
+    * version cut across N logs — no pinned pair can expose half a
+    * multi-table transaction (`SnapshotTxn.pinTogether`'s stable
+    * double scan). Read each table with `snapshotRead(dir, pins(dir))`
+    * for MVCC isolation from every later writer.
+    */
+  def snapshotPinTogether(dirs: Seq[String]): Map[String, Int] =
+    graft.ext.SnapshotTxn.pinTogether(dirs)
+
   /** Change-data feed: rows added in versions (fromV, toV] — reads
     * only the delta segments (q176's kernel).
     */

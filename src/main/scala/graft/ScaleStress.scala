@@ -350,7 +350,10 @@ object ScaleStress {
       // bloom discovery: the probe aggregate is src-keys x candidate
       // blooms (map-side codegen); the 10x bill is the three appends'
       // ordinary write + stat-pass volume
-      "q235_bloom_discovery")
+      "q235_bloom_discovery",
+      // consistent pin: two version listings per table at any size;
+      // the 10x bill is the lifecycle's ordinary append volume
+      "q236_consistent_pin")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -171,6 +171,47 @@ object SnapshotTxn {
         (vs(srcDir), vs(dstDir))
     }
 
+  /** == Cross-table snapshot handle (round-17 continuation) ==
+    * `commitTogether` gives atomic cross-table VISIBILITY; what it
+    * deliberately does not give is cross-table snapshot ISOLATION for
+    * a reader capturing versions at different times (the documented
+    * boundary in ARCHITECTURE.md §multi-table). `pinTogether` closes
+    * it with an optimistic double scan: read every participant's
+    * healed version, read them all again — if ANY moved, retry. A
+    * stable double scan IS a consistent cut, because the protocol
+    * writes pointers BEFORE the intent and `SnapshotLog.version`
+    * heals before answering: suppose a transaction T straddled a
+    * stable cut (table B read post-T, table A read pre-T on both
+    * scans). B post-T means T's intent had published by B's first
+    * read; A's second read happens later, and A's directory already
+    * holds either the intent (A coordinates) or T's pointer (written
+    * before the intent) — so A's version() healing would publish T's
+    * manifest and read post-T, contradicting stability. Readers then
+    * time-travel each table at its pinned version (`readAsOf`),
+    * immune to every later writer — MVCC across logs with no catalog
+    * service, the Iceberg-catalog snapshot-handle shape on a shared
+    * filesystem. Retry under a continuous writer storm is the
+    * standard optimistic-read trade; `maxAttempts` bounds it loudly
+    * rather than spinning forever.
+    */
+  def pinTogether(dirs: Seq[String],
+      maxAttempts: Int = 10): Map[String, Int] = {
+    require(dirs.nonEmpty, "empty pin set")
+    require(dirs.map(canon).distinct.size == dirs.size,
+      "pin set names a table twice")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val first = dirs.map(d => d -> SnapshotLog.version(d))
+      val second = dirs.map(d => d -> SnapshotLog.version(d))
+      if (first == second) return first.toMap
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"pinTogether observed no stable cut across ${dirs.size} tables " +
+        s"in $maxAttempts attempts — writer storm; raise maxAttempts " +
+        "or pin during a quieter window")
+  }
+
   private[graft] def newTxnId(): String =
     s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID().toString.take(12)}"
 

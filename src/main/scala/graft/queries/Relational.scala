@@ -3294,7 +3294,117 @@ object Relational {
         "CAST(3 AS BIGINT) " +
         "UNION ALL SELECT 'updated', CAST(sum(u) AS BIGINT), " +
         "CAST(sum(CASE WHEN u = 1 THEN cf END) AS BIGINT) FROM f) " +
-        "ORDER BY entity"))
+        "ORDER BY entity")),
+
+    GraftQuery(
+      "q236_consistent_pin",
+      "CROSS-TABLE SNAPSHOT HANDLE (round-17 continuation — the " +
+        "isolation half the multi-table transaction deliberately left " +
+        "out, now closed): q233's protocol makes commits atomically " +
+        "VISIBLE across logs, but a reader capturing table versions at " +
+        "different times could still pair a post-txn fact snapshot " +
+        "with a pre-txn audit snapshot. `SnapshotTxn.pinTogether` " +
+        "returns a CONSISTENT version cut via an optimistic stable " +
+        "double scan: pointers publish before the intent and " +
+        "`version()` heals before answering, so a transaction " +
+        "straddling a stable cut is structurally impossible (the " +
+        "scaladoc carries the proof; SnapshotTxnSpec races a " +
+        "committing writer against the pin to pin it empirically). " +
+        "Readers then time-travel every table at its pinned version — " +
+        "MVCC across logs with no catalog service, the Iceberg-catalog " +
+        "snapshot-handle shape on a shared filesystem. The lifecycle " +
+        "this query prices and audits: a fact log and its audit " +
+        "rollup log take a plain append, a COMMITTED transaction, and " +
+        "a CRASHED transaction (intent published, roll-forward never " +
+        "runs); pinTogether must return the HEALED cut (the crashed " +
+        "txn's batch visible on BOTH logs); a LATER writer then " +
+        "appends to the fact log, and the pinned reads must not see " +
+        "it (the isolation row counts exactly the later batch). The " +
+        "oracle recomputes every slice from base orders plus the " +
+        "structural constants (pinned versions, isolation delta, " +
+        "zero leftover txn files). At 100 TB a pin costs two version " +
+        "listings per table — metadata-sized at any data volume.",
+      (s, d) => {
+        import graft.ext.{SnapshotLog, SnapshotTxn}
+        val factDir = logTmpDir("graft-pin-fact", d)
+        val auditDir = logTmpDir("graft-pin-audit", d)
+        SnapshotLog.reset(factDir, checkpointInterval = 3)
+        SnapshotLog.reset(auditDir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        def slice(i: Int) =
+          o.filter(pmod(col("o_orderkey"), lit(3L)) === i.toLong)
+        def rollup(i: Int) = slice(i)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit(i.toLong).as("slice"), col("n_rows"), col("cents"))
+        SnapshotLog.append(slice(0), factDir, ts)
+        SnapshotTxn.commitTogether(Seq(
+          SnapshotLog.stageAppend(slice(1), factDir, ts),
+          SnapshotLog.stageAppend(rollup(1), auditDir, col("slice"))))
+        // the CRASHED transaction: intent published, writer dies —
+        // the PIN itself must converge both logs before answering
+        val crashed = Seq(
+          SnapshotLog.stageAppend(slice(2), factDir, ts),
+          SnapshotLog.stageAppend(rollup(2), auditDir, col("slice")))
+        val crashedId = SnapshotTxn.newTxnId()
+        SnapshotTxn.writePointers(crashed, crashedId)
+        SnapshotTxn.publishIntent(crashed, crashedId)
+        val pins = SnapshotTxn.pinTogether(Seq(factDir, auditDir))
+        def txnFiles(dir: String): Long = {
+          val ld = java.nio.file.Paths.get(dir, "_log")
+          val st = java.nio.file.Files.list(ld)
+          try {
+            var n = 0L
+            val it = st.iterator()
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.startsWith("txn-")) n += 1
+            }
+            n
+          } finally st.close()
+        }
+        val leftover = txnFiles(factDir) + txnFiles(auditDir)
+        // a LATER writer the pinned reads must be isolated from
+        SnapshotLog.append(
+          slice(0).withColumn("o_totalprice", lit(0.0)), factDir, ts)
+        val pinnedFact = SnapshotLog.readAsOf(s, factDir, pins(factDir))
+        val headRows = SnapshotLog.readAsOf(s, factDir,
+          SnapshotLog.version(factDir)).count()
+        val pinRows = pinnedFact.count()
+        pinnedFact
+          .groupBy(pmod(col("o_orderkey"), lit(3L)).as("k"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit("fact").as("entity"), col("k"), col("n_rows"),
+            col("cents"))
+          .unionByName(SnapshotLog.readAsOf(s, auditDir, pins(auditDir))
+            .select(lit("audit").as("entity"), col("slice").as("k"),
+              col("n_rows"), col("cents")))
+          .unionByName(s.range(1).select(lit("pin").as("entity"),
+            lit(0L).as("k"), lit((pins(factDir) + 1).toLong).as("n_rows"),
+            lit((pins(auditDir) + 1).toLong).as("cents")))
+          .unionByName(s.range(1).select(lit("iso").as("entity"),
+            lit(0L).as("k"), lit(headRows - pinRows).as("n_rows"),
+            lit(leftover).as("cents")))
+          .orderBy(col("entity"), col("k"))
+      },
+      Some("WITH s AS (SELECT CAST(o_orderkey % 3 AS BIGINT) AS k, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM orders GROUP BY k) " +
+        "SELECT * FROM (" +
+        "SELECT 'audit' AS entity, k, n_rows, cents FROM s WHERE k IN (1, 2) " +
+        "UNION ALL SELECT 'fact', k, n_rows, cents FROM s " +
+        // fact: v0 plain + v1 txn + v2 healed-by-pin = pins 2; audit:
+        // v0 txn + v1 healed = pins 1. The isolation delta is exactly
+        // slice 0's row count (the later writer's batch); zero
+        // leftover txn files after the pin healed the crash.
+        "UNION ALL SELECT 'iso', CAST(0 AS BIGINT), " +
+        "(SELECT n_rows FROM s WHERE k = 0), CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT 'pin', CAST(0 AS BIGINT), CAST(3 AS BIGINT), " +
+        "CAST(2 AS BIGINT)) " +
+        "ORDER BY entity, k"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -35,7 +35,8 @@ class BaselineSyncSpec extends AnyFunSuite {
     // protocol, 2026-08-16); name queries added AFTER it here, so an
     // accidental omission can't hide behind the allowance
     val newThisRound = Set(
-      "q235_bloom_discovery")
+      "q235_bloom_discovery",
+      "q236_consistent_pin")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -229,6 +229,67 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
   }
 
+  test("pinTogether heals a crashed txn before answering") {
+    val a = tmp("pina"); val b = tmp("pinb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotLog.append(rows(5), a, col("k"))
+    val staged = Seq(
+      SnapshotLog.stageAppend(rows(3, from = 100), a, col("k")),
+      SnapshotLog.stageAppend(rows(4, from = 200), b, col("k")))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(staged, id)
+    SnapshotTxn.publishIntent(staged, id)
+    // the writer dies before roll-forward; the pin itself converges
+    // both logs — no pinned pair can show half the transaction
+    val pins = SnapshotTxn.pinTogether(Seq(a, b))
+    assert(pins === Map(a -> 1, b -> 0))
+    assert(txnFiles(a).isEmpty && txnFiles(b).isEmpty)
+  }
+
+  test("pinTogether never exposes half a transaction under a committing writer") {
+    val a = tmp("racea"); val b = tmp("raceb")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    val writer = new Thread(() => {
+      (0 until 12).foreach { i =>
+        SnapshotTxn.commitTogether(Seq(
+          SnapshotLog.stageAppend(rows(2, from = i * 10), a, col("k")),
+          SnapshotLog.stageAppend(rows(2, from = i * 10), b, col("k"))))
+        Thread.sleep(5)
+      }
+    })
+    writer.start()
+    try {
+      // only paired transactions ever commit, so EVERY consistent cut
+      // has version(a) == version(b); a straddled pin would differ
+      (0 until 25).foreach { _ =>
+        val pins = SnapshotTxn.pinTogether(Seq(a, b), maxAttempts = 200)
+        assert(pins(a) === pins(b),
+          s"pin exposed half a transaction: $pins")
+      }
+    } finally writer.join()
+    assert(SnapshotLog.version(a) === 11)
+    assert(SnapshotLog.version(b) === 11)
+  }
+
+  test("pinned reads are isolated from later writers") {
+    val a = tmp("isoa"); val b = tmp("isob")
+    SnapshotLog.reset(a); SnapshotLog.reset(b)
+    SnapshotTxn.commitTogether(Seq(
+      SnapshotLog.stageAppend(rows(6), a, col("k")),
+      SnapshotLog.stageAppend(rows(4, from = 50), b, col("k"))))
+    val pins = SnapshotTxn.pinTogether(Seq(a, b))
+    SnapshotLog.append(rows(9, from = 300), a, col("k"))
+    SnapshotLog.append(rows(9, from = 400), b, col("k"))
+    assert(SnapshotLog.readAsOf(spark, a, pins(a)).count() === 6L)
+    assert(SnapshotLog.readAsOf(spark, b, pins(b)).count() === 4L)
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.pinTogether(Nil)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.pinTogether(Seq(a, a))
+    }
+  }
+
   test("facade: snapshotMoveKeys relocates a key cohort") {
     val a = tmp("gmva"); val b = tmp("gmvb")
     SnapshotLog.reset(a); SnapshotLog.reset(b)
