@@ -307,6 +307,14 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
   def snapshotPinTogether(dirs: Seq[String]): Map[String, Int] =
     graft.ext.SnapshotTxn.pinTogether(dirs)
 
+  /** Bloom/range-pruned point lookup (round-17; q237): read version
+    * `v` opening only segments whose zone map AND bloom sidecar admit
+    * one of `keys` — (frame, segmentsScanned, segmentsTotal).
+    */
+  def snapshotReadKeys(dir: String, v: Int, keyCols: Seq[String],
+      keys: DataFrame): (DataFrame, Int, Int) =
+    graft.ext.SnapshotLog.readAsOfKeys(spark, dir, v, keyCols, keys)
+
   /** Change-data feed: rows added in versions (fromV, toV] — reads
     * only the delta segments (q176's kernel).
     */

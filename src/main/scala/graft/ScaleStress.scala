@@ -353,7 +353,10 @@ object ScaleStress {
       "q235_bloom_discovery",
       // consistent pin: two version listings per table at any size;
       // the 10x bill is the lifecycle's ordinary append volume
-      "q236_consistent_pin")
+      "q236_consistent_pin",
+      // point lookup: the serving read opens bloom-admitted segments
+      // only; the 10x bill is the log build's write + stat volume
+      "q237_point_lookup")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

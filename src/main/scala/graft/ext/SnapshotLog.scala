@@ -2407,6 +2407,33 @@ object SnapshotLog {
     }
   }
 
+  /** Point-lookup read (round-17 continuation): the SELECT-side twin
+    * of merge/delete key discovery — read version `v` opening ONLY
+    * the segments whose range zone map AND bloom sidecar admit at
+    * least one of `keys` (`mergeCandidateSegsKeys` is the shared
+    * pruning kernel). The exact key semi-join re-applies downstream,
+    * so the answer equals the full snapshot read filtered to the keys
+    * regardless of which segments carried stats or blooms — but a
+    * point lookup on a scattered-key 100 TB table opens bloom-admitted
+    * files instead of every file. Returns (frame, segmentsScanned,
+    * segmentsTotal) like `readAsOfFilteredOn`.
+    */
+  def readAsOfKeys(spark: SparkSession, dir: String, v: Int,
+      keyCols: Seq[String], keys: DataFrame): (DataFrame, Int, Int) = {
+    require(keyCols.nonEmpty, "point lookup needs at least one key column")
+    val segs = segments(dir, v)
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    val cands = mergeCandidateSegsKeys(spark, dir, v, keyCols, keySet)
+    if (cands.isEmpty) (readAsOf(spark, dir, v).limit(0), 0, segs.size)
+    else {
+      val m = meta(dir, v)
+      val df = applyDvs(spark, dir, m.dvs,
+        readSegs(spark, dir, v, cands.map(_.relPath),
+          keepDvKeys = m.dvs.nonEmpty))
+      (df.join(keySet, keyCols, "left_semi"), cands.size, segs.size)
+    }
+  }
+
   /** MERGE (upsert by key) as a copy-on-write commit — the operation
     * behind q189's CDC dedup gate becoming a real table write: every
     * `src` row whose `key` matches an existing row REPLACES it; the

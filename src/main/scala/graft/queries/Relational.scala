@@ -3404,7 +3404,70 @@ object Relational {
         "(SELECT n_rows FROM s WHERE k = 0), CAST(0 AS BIGINT) " +
         "UNION ALL SELECT 'pin', CAST(0 AS BIGINT), CAST(3 AS BIGINT), " +
         "CAST(2 AS BIGINT)) " +
-        "ORDER BY entity, k"))
+        "ORDER BY entity, k")),
+
+    GraftQuery(
+      "q237_point_lookup",
+      "BLOOM-PRUNED POINT LOOKUP (round-17 continuation — the " +
+        "SELECT-side twin of q235's discovery pruning): a serving-path " +
+        "key fetch on a scattered-key table ('give me these 500 " +
+        "documents by id') cannot prune by range when every segment's " +
+        "[min, max] overlaps every probe; `readAsOfKeys` routes the " +
+        "read through the SAME pruning kernel merge/delete discovery " +
+        "uses (range zone maps, then the per-segment Bloom sidecars, " +
+        "probed distributed and map-side) and opens ONLY the admitted " +
+        "segments, re-applying the exact key semi-join downstream so " +
+        "the answer equals the full-scan read filtered to the keys — " +
+        "independence from pruning, deletion vectors included. The " +
+        "audit: orders land as three residue-interleaved segments " +
+        "(ranges keep all three), a 1-in-900 sub-cohort is MoR-deleted " +
+        "(the lookup must respect tombstones), and the 1-in-300 " +
+        "lookup must open exactly ONE segment of three with content " +
+        "the oracle recomputes exactly. At 100 TB this turns a " +
+        "point-key serving read from a table-wide key scan into " +
+        "bloom-admitted files only — Delta's bloom-filter-index read " +
+        "path on the zone-map engine.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-point-lookup", d)
+        SnapshotLog.reset(dir, checkpointInterval = 4,
+          statsCols = Seq("ok" -> "o_orderkey"))
+        SnapshotLog.setBloomOn(dir, "ok", expectedItems = 1L << 18,
+          fpp = 1e-8)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        (0 to 2).foreach { r =>
+          SnapshotLog.append(
+            o.filter(pmod(col("o_orderkey"), lit(3L)) === r.toLong),
+            dir, col("o_orderkey"))
+        }
+        // tombstone a sub-cohort: the pruned lookup must still
+        // anti-join the deletion vectors away
+        SnapshotLog.deleteMorKeysMulti(spark = s, dir = dir,
+          keys = o.filter(pmod(col("o_orderkey"), lit(900L)) === 1L)
+            .select("o_orderkey"),
+          keyCols = Seq("o_orderkey"))
+        val v = SnapshotLog.version(dir)
+        val probe = o.filter(pmod(col("o_orderkey"), lit(300L)) === 1L)
+          .select("o_orderkey")
+        val (hits, scanned, total) = SnapshotLog.readAsOfKeys(
+          s, dir, v, Seq("o_orderkey"), probe)
+        hits.agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit("hits").as("entity"), col("n_rows"), col("cents"))
+          .unionByName(s.range(1).select(lit("scan").as("entity"),
+            lit(scanned.toLong).as("n_rows"), lit(total.toLong).as("cents")))
+          .orderBy(col("entity"))
+      },
+      Some("WITH o AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+        "h AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS cc FROM o " +
+        "WHERE k % 300 = 1 AND NOT k % 900 = 1) " +
+        "SELECT * FROM (" +
+        "SELECT 'hits' AS entity, n AS n_rows, cc AS cents FROM h " +
+        "UNION ALL SELECT 'scan', CAST(1 AS BIGINT), CAST(3 AS BIGINT)) " +
+        "ORDER BY entity"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

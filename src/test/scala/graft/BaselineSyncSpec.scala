@@ -36,7 +36,8 @@ class BaselineSyncSpec extends AnyFunSuite {
     // accidental omission can't hide behind the allowance
     val newThisRound = Set(
       "q235_bloom_discovery",
-      "q236_consistent_pin")
+      "q236_consistent_pin",
+      "q237_point_lookup")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

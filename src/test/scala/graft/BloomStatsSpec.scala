@@ -117,6 +117,35 @@ class BloomStatsSpec extends SparkSpec {
       "every rewritten segment must record the configured bloom")
   }
 
+  test("readAsOfKeys: point lookup opens only bloom-admitted segments") {
+    val dir = tmp("plk")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.setBloomOn(dir, "kk", expectedItems = 10000L, fpp = 1e-8)
+    val all = (0L until 3000L)
+    (0 to 2).foreach { r =>
+      SnapshotLog.append(rows(all.filter(_ % 3 == r)), dir, col("k"))
+    }
+    import spark.implicits._
+    val probe = Seq(7L, 301L, 904L).toDF("k") // all residue 1
+    val (df, scanned, total) = SnapshotLog.readAsOfKeys(spark, dir, 2,
+      Seq("k"), probe)
+    assert((scanned, total) === ((1, 3)))
+    assert(df.select(col("k")).collect().map(_.getLong(0)).toSet ===
+      Set(7L, 301L, 904L))
+    // answer equals the full read filtered to the keys (independence
+    // from pruning), including under deletion vectors
+    SnapshotLog.deleteMorKeysMulti(spark, dir, Seq(301L).toDF("k"), Seq("k"))
+    val v = SnapshotLog.version(dir)
+    val (df2, _, _) = SnapshotLog.readAsOfKeys(spark, dir, v, Seq("k"), probe)
+    assert(df2.select(col("k")).collect().map(_.getLong(0)).toSet ===
+      Set(7L, 904L))
+    // absent keys: zero segments opened, empty frame, schema intact
+    val (df3, s3, _) = SnapshotLog.readAsOfKeys(spark, dir, v, Seq("k"),
+      Seq(9999L).toDF("k"))
+    assert(df3.count() === 0L && s3 === 0)
+    assert(df3.columns.toSeq === Seq("k", "s"))
+  }
+
   test("setBloomOn refuses unknown stats and bad parameters") {
     val dir = tmp("cfg")
     SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
