@@ -356,7 +356,11 @@ object ScaleStress {
       "q236_consistent_pin",
       // point lookup: the serving read opens bloom-admitted segments
       // only; the 10x bill is the log build's write + stat volume
-      "q237_point_lookup")
+      "q237_point_lookup",
+      // transactional apply: per batch the extra cost over the plain
+      // apply is a metadata bookmark append + intent publishes; apply
+      // cost stays change volume + matched replica rows
+      "q238_txn_cdc_apply")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

@@ -2257,6 +2257,81 @@ object SnapshotLog {
     v
   }
 
+  /** Stage ONE merge-on-read commit landing a RESOLVED CDC batch
+    * (round-17 — the transactional APPLY's data half): `upserts` (new
+    * images, key-unique per the merge contract) lands as the
+    * dataChange segment, and ONE delete-sized DV tombstones BOTH the
+    * replaced old images of upsert keys AND every row matching
+    * `delKeys` — the merge + delete pair `applyCdcBatchKeys` used to
+    * commit as TWO versions, folded into one stageable commit so the
+    * multi-table transaction can land data + bookmark under one
+    * intent (`SnapshotSource.applyCdcBatchTxnKeys`). Discovery prunes
+    * by key range AND bloom over the UNION of upsert/delete keys; the
+    * change feed reads identically to the merge encoding (delete(old
+    * image / deleted row) + insert(new image)). Returns None when the
+    * batch nets to nothing here (no upserts, no matched delete keys)
+    * — an empty stage leaves no artifact; the caller's bookmark alone
+    * still records the batch. Both inputs must be deterministic
+    * (parquet-backed CDC batches are — the merge-src caveat).
+    */
+  def stageApplyMorKeys(spark: SparkSession, upserts: DataFrame,
+      delKeys: DataFrame, dir: String, keys: Seq[String],
+      statsCol: Column): Option[StagedCommit] = {
+    require(keys.nonEmpty, "apply needs at least one key column")
+    val prev = version(dir)
+    require(prev >= 0, s"nothing to apply into in $dir — append first")
+    val v = prev + 1
+    val segs = segments(dir, prev)
+    val prevMeta = meta(dir, prev)
+    val hasUp = !upserts.isEmpty
+    val srcStaged =
+      if (!hasUp) None
+      else {
+        val snapSchema = evolvedSchema(gateSchema(spark, dir, prev),
+          upserts.schema, spark.sessionState.analyzer.resolver)
+        val srcRel = s"seg-$v-${writerToken()}"
+        val srcPath = absPath(dir, srcRel)
+        upserts.write.mode("overwrite").parquet(srcPath)
+        val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
+        Some((Segment(srcRel, smn, smx), snapSchema, srcPath,
+          upserts.schema))
+      }
+    val tombKeys = (srcStaged match {
+      case Some((_, _, p, sc)) => spark.read.schema(sc).parquet(p)
+        .select(keys.map(col): _*)
+        .unionByName(delKeys.select(keys.map(col): _*))
+      case None => delKeys.select(keys.map(col): _*)
+    }).distinct()
+    val candidates = mergeCandidateSegsKeys(spark, dir, prev, keys, tombKeys)
+    val dvRel = s"seg-$v-dv-${writerToken()}"
+    val dvPath = absPath(dir, dvRel)
+    val anyMatched =
+      if (candidates.isEmpty) false
+      else {
+        val all = applyDvs(spark, dir, prevMeta.dvs,
+          readSegs(spark, dir, prev,
+            candidates.map(_.relPath), keepDvKeys = true),
+          keepPos = true)
+        val matched = all.join(tombKeys, keys, "left_semi")
+        matched.write.mode("overwrite").parquet(dvPath)
+        val any = spark.read.parquet(dvPath).count() > 0L
+        if (!any)
+          walked(Paths.get(dvPath))(_.toSeq).reverse
+            .foreach(Files.deleteIfExists)
+        else writeSegColIds(dir, dvPath, matched.columns.toSeq)
+        any
+      }
+    if (srcStaged.isEmpty && !anyMatched) None
+    else Some(StagedCommit(dir, v, commitLines(dir, v,
+      segs ++ srcStaged.map(_._1), segs,
+      prevMeta.carried.copy(
+        cdcDel = if (anyMatched) Set(dvRel) else Set.empty,
+        dvs = if (anyMatched) prevMeta.dvs + dvRel else prevMeta.dvs,
+        opType = Some("merge")),
+      srcStaged.map { case (_, sc, _, _) => s"#schema\t${sc.json}" }
+        .orElse(schemaOf(dir, prev).map(sc => s"#schema\t${sc.json}")))))
+  }
+
   /** mergeMor with serializable re-run-on-conflict. */
   def mergeMorWithRetry(spark: SparkSession, src: DataFrame, dir: String,
       key: String, statsCol: Column, maxAttempts: Int = 5): Int =

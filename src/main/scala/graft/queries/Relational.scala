@@ -3467,7 +3467,143 @@ object Relational {
         "SELECT * FROM (" +
         "SELECT 'hits' AS entity, n AS n_rows, cc AS cents FROM h " +
         "UNION ALL SELECT 'scan', CAST(1 AS BIGINT), CAST(3 AS BIGINT)) " +
-        "ORDER BY entity"))
+        "ORDER BY entity")),
+
+    GraftQuery(
+      "q238_txn_cdc_apply",
+      "TRANSACTIONAL CDC APPLY WITH OFFSET BOOKKEEPING (round-17 " +
+        "continuation — the exactly-once consumer loop closed end to " +
+        "end): q226's keyed apply is exactly-once in CONTENT (replay " +
+        "idempotent by value), but a consumer tracking WHICH batches " +
+        "landed keeps offsets beside data non-atomically — the classic " +
+        "dual-write where a crash leaves 'applied?' ambiguous and " +
+        "replays append content-identical versions. " +
+        "`applyCdcBatchTxnKeys` lands each resolved batch as ONE " +
+        "folded merge-on-read commit (upserts segment + one DV " +
+        "covering replaced AND deleted rows — the old merge+delete " +
+        "pair collapsed, `stageApplyMorKeys`) plus a BOOKMARK row on " +
+        "a second log, under ONE multi-table intent: both-or-neither, " +
+        "and the bookmark becomes the replay gate. The lifecycle this " +
+        "query prices and audits: a source log takes two appends, a " +
+        "MoR key-set delete and a MoR merge; four CDC batches " +
+        "replicate it — two applied normally, ONE CRASHED post-intent " +
+        "(the replay's own bookmark read heals both logs and SKIPS, " +
+        "version-exact), one applied after — then a full replay of an " +
+        "applied batch skips. The oracle recomputes the replica's " +
+        "final per-residue profile from base orders (delete cohort " +
+        "removed, merge cohort doubled) plus the structural constants " +
+        "(bookmark rows and id-sum, per-log version counts, both skip " +
+        "flags, zero leftover txn files). At 100 TB the added cost " +
+        "over the plain apply is one metadata-sized bookmark append + " +
+        "three tiny intent publishes per batch; apply cost stays " +
+        "change volume + matched replica rows.",
+      (s, d) => {
+        import graft.ext.{SnapshotLog, SnapshotTxn}
+        import graft.streaming.SnapshotSource
+        val srcDir = logTmpDir("graft-txnapply-src", d)
+        val dstDir = logTmpDir("graft-txnapply-dst", d)
+        val bmDir = logTmpDir("graft-txnapply-bm", d)
+        SnapshotLog.reset(srcDir, checkpointInterval = 3)
+        SnapshotLog.reset(dstDir, checkpointInterval = 3)
+        SnapshotLog.reset(bmDir, checkpointInterval = 3)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val ts = unix_timestamp(col("o_orderdate"))
+        // source history: two appends, a MoR key-set delete, a MoR merge
+        SnapshotLog.append(
+          o.filter(pmod(col("o_orderkey"), lit(3L)) =!= 2L), srcDir, ts)
+        SnapshotLog.append(
+          o.filter(pmod(col("o_orderkey"), lit(3L)) === 2L), srcDir, ts)
+        SnapshotLog.deleteMorKeysMulti(s, srcDir,
+          o.filter(pmod(col("o_orderkey"), lit(30L)) === 2L)
+            .select("o_orderkey"), Seq("o_orderkey"))
+        SnapshotLog.mergeMorKeys(s,
+          o.filter(pmod(col("o_orderkey"), lit(300L)) === 0L)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          srcDir, Seq("o_orderkey"), ts)
+        def batch(fromV: Int, toV: Int) =
+          SnapshotLog.readCdc(s, srcDir, fromV, toV)
+        def applyB(fromV: Int, toV: Int): Boolean =
+          SnapshotSource.applyCdcBatchTxnKeys(s, batch(fromV, toV),
+            dstDir, bmDir, toV.toLong, Seq("o_orderkey"), ts)
+        applyB(-1, 0)
+        applyB(0, 1)
+        // batch 2 (the delete): committed post-intent, writer dies —
+        // its replay below must HEAL both logs and SKIP
+        val b2 = batch(1, 2)
+        val dels2 = b2.filter(col("_change_type") === "delete")
+          .select("o_orderkey")
+        val ups2 = b2.drop("_change_type", "_commit_version").limit(0)
+        val Some(dataSt) = SnapshotLog.stageApplyMorKeys(s, ups2, dels2,
+          dstDir, Seq("o_orderkey"), ts)
+        val nDel2 = dels2.count()
+        val bmSt = SnapshotLog.stageAppend(
+          s.range(1).select(lit(2L).as("batch_id"),
+            lit(0L).as("n_upserts"), lit(nDel2).as("n_deletes")),
+          bmDir, col("batch_id"))
+        val crashedId = SnapshotTxn.newTxnId()
+        SnapshotTxn.writePointers(Seq(dataSt, bmSt), crashedId)
+        SnapshotTxn.publishIntent(Seq(dataSt, bmSt), crashedId)
+        val healedSkip = !applyB(1, 2)
+        applyB(2, 3)
+        val replaySkip = !applyB(0, 1)
+        def txnFiles(dir: String): Long = {
+          val ld = java.nio.file.Paths.get(dir, "_log")
+          val st = java.nio.file.Files.list(ld)
+          try {
+            var n = 0L
+            val it = st.iterator()
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.startsWith("txn-")) n += 1
+            }
+            n
+          } finally st.close()
+        }
+        val leftover = txnFiles(dstDir) + txnFiles(bmDir)
+        val vDst = SnapshotLog.version(dstDir)
+        val vBm = SnapshotLog.version(bmDir)
+        val bmTab = SnapshotLog.readAsOf(s, bmDir, vBm)
+        SnapshotLog.readAsOf(s, dstDir, vDst)
+          .groupBy(pmod(col("o_orderkey"), lit(3L)).as("k"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(lit("replica").as("entity"), col("k"), col("n_rows"),
+            col("cents"))
+          .unionByName(bmTab
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("batch_id")).as("cents"))
+            .select(lit("bookmark").as("entity"), lit(0L).as("k"),
+              col("n_rows"), col("cents")))
+          .unionByName(s.range(1).select(lit("log").as("entity"),
+            lit(0L).as("k"), lit((vDst + 1).toLong).as("n_rows"),
+            lit((vBm + 1).toLong).as("cents")))
+          .unionByName(s.range(1).select(lit("skip").as("entity"),
+            lit(0L).as("k"), lit(if (healedSkip) 1L else 0L).as("n_rows"),
+            lit(if (replaySkip) 1L else 0L).as("cents")))
+          .unionByName(s.range(1).select(lit("txn").as("entity"),
+            lit(0L).as("k"), lit(leftover).as("n_rows"),
+            lit(0L).as("cents")))
+          .orderBy(col("entity"), col("k"))
+      },
+      Some("WITH o AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS c, " +
+        "CAST(round(o_totalprice*2*100) AS BIGINT) AS c2 FROM orders), " +
+        "f AS (SELECT CAST(k % 3 AS BIGINT) AS g, " +
+        "CASE WHEN k % 300 = 0 THEN c2 ELSE c END AS cf FROM o " +
+        "WHERE NOT k % 30 = 2), " +
+        "r AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cf) AS BIGINT) AS cc FROM f GROUP BY g) " +
+        "SELECT * FROM (" +
+        "SELECT 'bookmark' AS entity, CAST(0 AS BIGINT) AS k, " +
+        "CAST(4 AS BIGINT) AS n_rows, CAST(6 AS BIGINT) AS cents " +
+        "UNION ALL SELECT 'log', CAST(0 AS BIGINT), CAST(4 AS BIGINT), " +
+        "CAST(4 AS BIGINT) " +
+        "UNION ALL SELECT 'replica', g, n, cc FROM r " +
+        "UNION ALL SELECT 'skip', CAST(0 AS BIGINT), CAST(1 AS BIGINT), " +
+        "CAST(1 AS BIGINT) " +
+        "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(0 AS BIGINT)) " +
+        "ORDER BY entity, k"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.SnapshotLog
+import graft.ext.{SnapshotLog, SnapshotTxn}
 
 /** Streaming SOURCE over a SnapshotLog — the missing half of the
   * lakehouse loop (the engine had nine sinks/transforms and zero log
@@ -416,9 +416,12 @@ object SnapshotSource {
   /** Composite-key apply — natural multi-column keys resolve the
     * same way (last `_commit_version` wins per key TUPLE).
     */
-  def applyCdcBatchKeys(spark: SparkSession, changes: DataFrame,
-      dstLogDir: String, keys: Seq[String],
-      statsCol: org.apache.spark.sql.Column): Unit = {
+  /** Last-change-wins resolution of one CDC batch per key tuple:
+    * (new images to upsert, key tuples to delete). Shared by the
+    * two-commit apply and the transactional apply.
+    */
+  private def resolveCdcWinners(changes: DataFrame,
+      keys: Seq[String]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc, col("__up").desc)
@@ -433,6 +436,13 @@ object SnapshotSource {
     // semi-joins them away (and key-range-prunes its discovery), so a
     // delete-heavy batch never drags its key list through the driver
     val dels = last.filter(col("__up") === 0).select(keys.map(col): _*)
+    (upserts, dels)
+  }
+
+  def applyCdcBatchKeys(spark: SparkSession, changes: DataFrame,
+      dstLogDir: String, keys: Seq[String],
+      statsCol: org.apache.spark.sql.Column): Unit = {
+    val (upserts, dels) = resolveCdcWinners(changes, keys)
     val hasDst = SnapshotLog.version(dstLogDir) >= 0
     if (!hasDst) {
       if (!upserts.isEmpty)
@@ -442,6 +452,68 @@ object SnapshotSource {
     }
     if (SnapshotLog.version(dstLogDir) >= 0 && !dels.isEmpty)
       SnapshotLog.deleteMorKeysMulti(spark, dstLogDir, dels, keys)
+  }
+
+  /** == Transactional keyed CDC APPLY (round-17 continuation) ==
+    * `applyCdcBatchKeys` is exactly-once in CONTENT (replay is
+    * idempotent by value), but a consumer tracking WHICH batches
+    * landed keeps that bookkeeping beside the data — the classic
+    * offsets-and-data dual write, where a crash between the two
+    * leaves "applied?" ambiguous and replay adds content-identical
+    * versions. This variant lands the RESOLVED batch as ONE
+    * merge-on-read commit (`SnapshotLog.stageApplyMorKeys` — the
+    * merge + delete pair folded into one version) and a BOOKMARK row
+    * (batch_id, n_upserts, n_deletes) on a separate log, under ONE
+    * multi-table intent: both-or-neither, healed by any reader. With
+    * the bookmark as the gate, replay after EVERY crash window is
+    * version-exact, not just content-exact — pre-intent crash:
+    * neither landed, the replay applies; post-intent crash: the
+    * bookmark read's own `version()` heals both logs, the replay
+    * sees the batch recorded and SKIPS. Returns true when this call
+    * applied the batch, false when the bookmark showed it already
+    * had. At 100 TB the added cost over the plain apply is one
+    * metadata-sized bookmark append + the intent publishes.
+    */
+  def applyCdcBatchTxnKeys(spark: SparkSession, changes: DataFrame,
+      dstLogDir: String, bookmarkDir: String, batchId: Long,
+      keys: Seq[String],
+      statsCol: org.apache.spark.sql.Column): Boolean = {
+    if (isApplied(spark, bookmarkDir, batchId)) return false
+    val (upserts, dels) = resolveCdcWinners(changes, keys)
+    val hasDst = SnapshotLog.version(dstLogDir) >= 0
+    val dataStage: Option[SnapshotLog.StagedCommit] =
+      if (!hasDst) {
+        if (upserts.isEmpty) None
+        else Some(SnapshotLog.stageAppend(upserts, dstLogDir, statsCol))
+      } else {
+        SnapshotLog.stageApplyMorKeys(spark, upserts, dels, dstLogDir,
+          keys, statsCol)
+      }
+    import spark.implicits._
+    val bm = Seq((batchId, upserts.count(), dels.count()))
+      .toDF("batch_id", "n_upserts", "n_deletes")
+    val bmStage = SnapshotLog.stageAppend(bm, bookmarkDir, col("batch_id"))
+    SnapshotTxn.commitTogether(dataStage.toSeq :+ bmStage)
+    true
+  }
+
+  /** Single-key convenience. */
+  def applyCdcBatchTxn(spark: SparkSession, changes: DataFrame,
+      dstLogDir: String, bookmarkDir: String, batchId: Long, key: String,
+      statsCol: org.apache.spark.sql.Column): Boolean =
+    applyCdcBatchTxnKeys(spark, changes, dstLogDir, bookmarkDir, batchId,
+      Seq(key), statsCol)
+
+  /** Whether the bookmark log records `batchId` as applied. The
+    * `version()` read heals any committed-but-unpublished apply
+    * transaction first — so this gate is exactly what makes replay
+    * after a post-intent crash a SKIP, not a duplicate version.
+    */
+  def isApplied(spark: SparkSession, bookmarkDir: String,
+      batchId: Long): Boolean = {
+    val v = SnapshotLog.version(bookmarkDir)
+    v >= 0 && !SnapshotLog.readAsOf(spark, bookmarkDir, v)
+      .filter(col("batch_id") === batchId).isEmpty
   }
 
   /** Continuous keyed replication: tail `srcLogDir`'s full change feed

@@ -37,7 +37,8 @@ class BaselineSyncSpec extends AnyFunSuite {
     val newThisRound = Set(
       "q235_bloom_discovery",
       "q236_consistent_pin",
-      "q237_point_lookup")
+      "q237_point_lookup",
+      "q238_txn_cdc_apply")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

@@ -290,6 +290,95 @@ class SnapshotTxnSpec extends SparkSpec {
     }
   }
 
+  test("transactional apply: one folded commit + bookmark under one intent; replay skips") {
+    import graft.streaming.SnapshotSource
+    val dst = tmp("apta"); val bm = tmp("aptb")
+    SnapshotLog.reset(dst); SnapshotLog.reset(bm)
+    import spark.implicits._
+    def cdc(rs: Seq[(Long, String, String)], v: Int) =
+      rs.map { case (k, s, t) => (k, s, t, v) }
+        .toDF("k", "s", "_change_type", "_commit_version")
+    // batch 0: initial inserts
+    val b0 = cdc((0L until 10L).map(k => (k, s"r$k", "insert")), 0)
+    assert(SnapshotSource.applyCdcBatchTxn(spark, b0, dst, bm, 0L, "k",
+      col("k")))
+    assert(SnapshotLog.version(dst) === 0 && SnapshotLog.version(bm) === 0)
+    // replay of batch 0: the bookmark gates it — NO new versions
+    assert(!SnapshotSource.applyCdcBatchTxn(spark, b0, dst, bm, 0L, "k",
+      col("k")))
+    assert(SnapshotLog.version(dst) === 0 && SnapshotLog.version(bm) === 0)
+    // batch 1: a delete, an update pair and an insert — the old
+    // two-commit apply made TWO dst versions; the folded commit makes ONE
+    val b1 = cdc(Seq((3L, "r3", "delete"), (5L, "r5", "update_preimage"),
+      (5L, "R5", "update_postimage"), (100L, "r100", "insert")), 1)
+    assert(SnapshotSource.applyCdcBatchTxn(spark, b1, dst, bm, 1L, "k",
+      col("k")))
+    assert(SnapshotLog.version(dst) === 1, "merge + delete fold into ONE version")
+    val got = SnapshotLog.readAsOf(spark, dst, 1).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
+    val want = (0L until 10L).filterNot(_ == 3L)
+      .map(k => k -> s"r$k").toMap + (5L -> "R5") + (100L -> "r100")
+    assert(got === want)
+    val bms = SnapshotLog.readAsOf(spark, bm, SnapshotLog.version(bm))
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_upserts"), r.getAs[Long]("n_deletes"))).toSet
+    assert(bms === Set((0L, 10L, 0L), (1L, 2L, 1L)))
+    assert(txnFiles(dst).isEmpty && txnFiles(bm).isEmpty)
+  }
+
+  test("transactional apply, post-intent crash: the bookmark gate heals and skips") {
+    import graft.streaming.SnapshotSource
+    val dst = tmp("apca"); val bm = tmp("apcb")
+    SnapshotLog.reset(dst); SnapshotLog.reset(bm)
+    SnapshotLog.append(rows(6), dst, col("k"))
+    import spark.implicits._
+    val ups = Seq((2L, "U2")).toDF("k", "s")
+    val dels = Seq(Tuple1(4L)).toDF("k")
+    val Some(dataSt) = SnapshotLog.stageApplyMorKeys(spark, ups, dels,
+      dst, Seq("k"), col("k"))
+    val bmSt = SnapshotLog.stageAppend(
+      Seq((7L, 1L, 1L)).toDF("batch_id", "n_upserts", "n_deletes"),
+      bm, col("batch_id"))
+    val id = SnapshotTxn.newTxnId()
+    SnapshotTxn.writePointers(Seq(dataSt, bmSt), id)
+    SnapshotTxn.publishIntent(Seq(dataSt, bmSt), id)
+    // writer dies; the REPLAY's own bookmark read heals both and skips
+    val changes = Seq((2L, "U2", "insert", 1), (4L, "r4", "delete", 1))
+      .toDF("k", "s", "_change_type", "_commit_version")
+    assert(!SnapshotSource.applyCdcBatchTxn(spark, changes, dst, bm, 7L,
+      "k", col("k")))
+    assert(SnapshotLog.version(dst) === 1 && SnapshotLog.version(bm) === 0)
+    val got = keys(dst)
+    assert(got === Set(0L, 1L, 2L, 3L, 5L))
+    assert(txnFiles(dst).isEmpty && txnFiles(bm).isEmpty)
+  }
+
+  test("transactional apply, pre-intent crash: the replay applies cleanly") {
+    import graft.streaming.SnapshotSource
+    val dst = tmp("appa"); val bm = tmp("appb")
+    SnapshotLog.reset(dst); SnapshotLog.reset(bm)
+    SnapshotLog.append(rows(5), dst, col("k"))
+    import spark.implicits._
+    val ups = Seq((1L, "U1")).toDF("k", "s")
+    val dels = spark.emptyDataset[Tuple1[Long]].toDF("k")
+    val Some(dataSt) = SnapshotLog.stageApplyMorKeys(spark, ups, dels,
+      dst, Seq("k"), col("k"))
+    val bmSt = SnapshotLog.stageAppend(
+      Seq((3L, 1L, 0L)).toDF("batch_id", "n_upserts", "n_deletes"),
+      bm, col("batch_id"))
+    SnapshotTxn.writePointers(Seq(dataSt, bmSt), SnapshotTxn.newTxnId())
+    // no intent: nothing ever lands; the replay applies for real
+    val changes = Seq((1L, "U1", "insert", 1))
+      .toDF("k", "s", "_change_type", "_commit_version")
+    assert(SnapshotSource.applyCdcBatchTxn(spark, changes, dst, bm, 3L,
+      "k", col("k")))
+    assert(SnapshotLog.version(dst) === 1 && SnapshotLog.version(bm) === 0)
+    val got = SnapshotLog.readAsOf(spark, dst, 1).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("s")).toMap
+    assert(got === Map(0L -> "r0", 1L -> "U1", 2L -> "r2", 3L -> "r3",
+      4L -> "r4"))
+  }
+
   test("facade: snapshotMoveKeys relocates a key cohort") {
     val a = tmp("gmva"); val b = tmp("gmvb")
     SnapshotLog.reset(a); SnapshotLog.reset(b)
