@@ -426,6 +426,82 @@ object ScaleStress {
     // rewrite cost (identical on both sides). Plus the clone-cost
     // claim: cloning the 10x log is timed alone — O(files) link
     // calls, no data bytes.
+    // --bloom-prune: the round-17 point-key claim isolated from the
+    // fixture builds — a scattered-key layout (4 residue-interleaved
+    // segments whose [min, max] key ranges are identical) where RANGE
+    // stats cannot prune anything, so plain discovery opens all 4
+    // segments; the bloom arm must open exactly 1. Fresh logs per rep,
+    // full arm first (the --merge-prune block's JIT/page-cache rule).
+    if (flagArgs.contains("--bloom-prune")) {
+      import graft.ext.SnapshotLog
+      val o = Tables.load(spark, out, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val ts = unix_timestamp(col("o_orderdate"))
+      def buildB(dir: String, withBloom: Boolean): Unit = {
+        SnapshotLog.reset(dir, checkpointInterval = 8,
+          statsCols = Seq("ok" -> "o_orderkey"))
+        if (withBloom)
+          SnapshotLog.setBloomOn(dir, "ok", expectedItems = 1L << 19,
+            fpp = 1e-8)
+        (0L until 4L).foreach { r =>
+          SnapshotLog.append(
+            o.filter(pmod(col("o_orderkey"), lit(4L)) === r), dir, ts)
+        }
+      }
+      // every 40th EXISTING key — 40 is a multiple of 4, so the src
+      // cohort lives entirely in the residue-1 segment (the replicated
+      // fixture's key-gap rule: sample existing keys, never arithmetic
+      // windows)
+      val srcB = o.filter(pmod(col("o_orderkey"), lit(40L)) === 1L)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      def timeArmB(withBloom: Boolean): (Double, String) = {
+        val arm = if (withBloom) "bloom" else "plain"
+        val times = (1 to 2).map { i =>
+          val dir = s"$out/bloomlog-$arm-$i"
+          buildB(dir, withBloom)
+          val t = System.nanoTime()
+          SnapshotLog.mergeMor(spark, srcB, dir, "o_orderkey", ts)
+          (System.nanoTime() - t) / 1e9
+        }
+        (times.min, s"$out/bloomlog-$arm-2")
+      }
+      val (tPlain, plainDir) = timeArmB(withBloom = false)
+      val (tBloom, bloomDir) = timeArmB(withBloom = true)
+      // the skip decision itself, on a pre-merge twin of the bloom log
+      val probeB = s"$out/bloomlog-probe"
+      buildB(probeB, withBloom = true)
+      val nCand = SnapshotLog.mergeCandidateSegs(spark, probeB, 3,
+        "o_orderkey", srcB).size
+      println(s"SCALE bloom_discovery_candidates $nCand of 4")
+      // the rows below are only evidence if the skip actually happened
+      require(nCand == 1, s"expected 1 bloom-admitted segment, got $nCand")
+      println(f"SCALE merge_mor_bloom_discovery $tBloom%.2f")
+      println(f"SCALE merge_mor_scattered_full $tPlain%.2f")
+      val nB = SnapshotLog.readAsOf(spark, bloomDir,
+        SnapshotLog.version(bloomDir)).count()
+      val nPl = SnapshotLog.readAsOf(spark, plainDir,
+        SnapshotLog.version(plainDir)).count()
+      require(nB == nPl, s"bloom vs plain merge diverged: $nB vs $nPl")
+      println(s"SCALE bloom_content_rows $nB")
+      // the READ-side win, isolated from write rent: a point fetch of
+      // the src cohort on the pre-merge probe twin (1 admitted
+      // segment) vs the plain log (keys semi-join over all 4) —
+      // min-of-2, plain first
+      val probeKeys = srcB.select("o_orderkey")
+      def timeLookup(dir: String): Double =
+        (1 to 2).map { _ =>
+          val t = System.nanoTime()
+          val (hits, _, _) = SnapshotLog.readAsOfKeys(spark, dir, 3,
+            Seq("o_orderkey"), probeKeys)
+          hits.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val tLkPlain = timeLookup(s"$out/bloomlog-plain-1")
+      val tLkBloom = timeLookup(probeB)
+      println(f"SCALE point_lookup_bloom $tLkBloom%.2f")
+      println(f"SCALE point_lookup_scattered_full $tLkPlain%.2f")
+    }
+
     if (flagArgs.contains("--merge-prune")) {
       import graft.ext.SnapshotLog
       val o = Tables.load(spark, out, "orders")

@@ -2459,6 +2459,17 @@ object SnapshotLog {
     * stage. An empty src aggregates to null probes → everything kept
     * (the caller's empty-hit path handles it).
     */
+  /** Key sets at or below this size probe the blooms ON THE DRIVER
+    * (one hash collect, then in-memory mightContain loops) instead of
+    * embedding every candidate's filter as a plan literal: the
+    * distributed probe ships candidateCount x filterBytes inside
+    * every task binary, which for a typical delete/merge key set
+    * (thousands of keys) costs more than the probe itself. Larger
+    * sets fall back to the distributed aggregate, where the literal
+    * shipping amortizes over real row volume.
+    */
+  private val BloomDriverProbeKeys = 65536
+
   private def bloomPruneCandidates(spark: SparkSession, dir: String,
       n: String, e: String, srcM: DataFrame,
       cands: Seq[Segment]): Seq[Segment] = {
@@ -2468,15 +2479,26 @@ object SnapshotLog {
         sidecarBloom(dir, s.relPath).get(n).map(s.relPath -> _))
       if (withBloom.isEmpty) cands
       else {
-        graft.functions.BloomMightContain.ensureRegistered(spark)
-        val probes = withBloom.zipWithIndex.map { case ((_, bytes), i) =>
-          max(call_function(graft.functions.BloomMightContain.name,
-            lit(bytes), xxhash64(expr(e))).cast("int")).as(s"__bm$i")
-        }
-        val r = srcM.agg(probes.head, probes.tail: _*).head()
-        val dead = withBloom.zipWithIndex.collect {
-          case ((rel, _), i) if !r.isNullAt(i) && r.getInt(i) == 0 => rel
-        }.toSet
+        val hashes = srcM.select(xxhash64(expr(e)).as("__h"))
+        val sample = hashes.limit(BloomDriverProbeKeys + 1).collect()
+        val dead: Set[String] =
+          if (sample.length <= BloomDriverProbeKeys) {
+            withBloom.collect { case (rel, bytes) =>
+              val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes))
+              rel -> sample.exists(r => f.mightContainLong(r.getLong(0)))
+            }.collect { case (rel, hit) if !hit => rel }.toSet
+          } else {
+            graft.functions.BloomMightContain.ensureRegistered(spark)
+            val probes = withBloom.zipWithIndex.map { case ((_, bytes), i) =>
+              max(call_function(graft.functions.BloomMightContain.name,
+                lit(bytes), col("__h")).cast("int")).as(s"__bm$i")
+            }
+            val r = hashes.agg(probes.head, probes.tail: _*).head()
+            withBloom.zipWithIndex.collect {
+              case ((rel, _), i) if !r.isNullAt(i) && r.getInt(i) == 0 => rel
+            }.toSet
+          }
         cands.filterNot(s => dead(s.relPath))
       }
     }

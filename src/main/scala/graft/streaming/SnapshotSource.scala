@@ -516,6 +516,27 @@ object SnapshotSource {
       .filter(col("batch_id") === batchId).isEmpty
   }
 
+  /** Continuous TRANSACTIONAL replication: the WAL tail composed with
+    * the transactional apply — each planned batch's id doubles as its
+    * bookmark id, so the two recovery layers interlock: a crash
+    * between the sink body and the checkpoint's commit marker makes
+    * the WAL REPLAY the batch, and the bookmark gate turns that
+    * replay into a version-exact SKIP instead of a content-identical
+    * duplicate version (the residual the plain `applyChangesKeys`
+    * documents). Returns the batch ids processed this run.
+    */
+  def applyChangesTxnKeys(spark: SparkSession, srcLogDir: String,
+      ckDir: String, dstLogDir: String, bookmarkDir: String,
+      keys: Seq[String], statsCol: org.apache.spark.sql.Column,
+      maxBatches: Int = Int.MaxValue,
+      maxVersionsPerTrigger: Int = Int.MaxValue): Seq[Long] =
+    run(spark, srcLogDir, ckDir, cdc = true, maxBatches = maxBatches,
+      maxVersionsPerTrigger = maxVersionsPerTrigger) { (df, batchId) =>
+      applyCdcBatchTxnKeys(spark, df, dstLogDir, bookmarkDir, batchId,
+        keys, statsCol)
+      ()
+    }
+
   /** Continuous keyed replication: tail `srcLogDir`'s full change feed
     * and apply each batch into `dstLogDir` — the replica converges to
     * the source's head state through appends, CoW/MoR deletes, merges,

@@ -146,6 +146,25 @@ class BloomStatsSpec extends SparkSpec {
     assert(df3.columns.toSeq === Seq("k", "s"))
   }
 
+  test("large key sets take the distributed probe path and prune identically") {
+    val dir = tmp("big")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.setBloomOn(dir, "kk", expectedItems = 200000L, fpp = 1e-8)
+    // two residue-interleaved segments; the 70k-key probe set exceeds
+    // the driver-probe threshold (65536), forcing the distributed
+    // aggregate probe — the verdict must match the driver path's
+    val all = (0L until 140000L)
+    (0 to 1).foreach { r =>
+      SnapshotLog.append(rows(all.filter(_ % 2 == r)), dir, col("k"))
+    }
+    import spark.implicits._
+    val srcKeys = all.filter(_ % 2 == 1).map(k => (k, "u")).toDF("k", "s")
+    val cands = SnapshotLog.mergeCandidateSegsKeys(spark, dir, 1,
+      Seq("k"), srcKeys)
+    assert(cands.size === 1,
+      s"distributed bloom probe should keep only the odd segment: $cands")
+  }
+
   test("setBloomOn refuses unknown stats and bad parameters") {
     val dir = tmp("cfg")
     SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))

@@ -379,6 +379,32 @@ class SnapshotTxnSpec extends SparkSpec {
       4L -> "r4"))
   }
 
+  test("continuous txn tail: WAL replay after a crash is a version-exact skip") {
+    import graft.streaming.SnapshotSource
+    val src = tmp("cta"); val dst = tmp("ctb"); val bm = tmp("ctc")
+    val ck = Files.createTempDirectory("graft-txn-ck").toString
+    SnapshotLog.reset(src); SnapshotLog.reset(dst); SnapshotLog.reset(bm)
+    SnapshotLog.append(rows(8), src, col("k"))
+    import spark.implicits._
+    SnapshotLog.deleteMorKeysMulti(spark, src, Seq(Tuple1(2L)).toDF("k"),
+      Seq("k"))
+    val ids = SnapshotSource.applyChangesTxnKeys(spark, src, ck, dst, bm,
+      Seq("k"), col("k"), maxVersionsPerTrigger = 1)
+    assert(ids === Seq(0L, 1L))
+    val (vDst, vBm) = (SnapshotLog.version(dst), SnapshotLog.version(bm))
+    assert(keys(dst) === (0L until 8L).toSet - 2L)
+    // crash: the sink body ran but the checkpoint's commit marker for
+    // the last batch never landed — the WAL must REPLAY it, and the
+    // bookmark must turn the replay into a version-exact skip
+    Files.delete(Paths.get(ck, "commits", "1"))
+    val replay = SnapshotSource.applyChangesTxnKeys(spark, src, ck, dst,
+      bm, Seq("k"), col("k"), maxVersionsPerTrigger = 1)
+    assert(replay === Seq(1L))
+    assert(SnapshotLog.version(dst) === vDst)
+    assert(SnapshotLog.version(bm) === vBm)
+    assert(keys(dst) === (0L until 8L).toSet - 2L)
+  }
+
   test("facade: snapshotMoveKeys relocates a key cohort") {
     val a = tmp("gmva"); val b = tmp("gmvb")
     SnapshotLog.reset(a); SnapshotLog.reset(b)
