@@ -315,6 +315,13 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       keys: DataFrame): (DataFrame, Int, Int) =
     graft.ext.SnapshotLog.readAsOfKeys(spark, dir, v, keyCols, keys)
 
+  /** Configure a per-segment Bloom sidecar on a recorded stat
+    * (round-17; q235/q237) — point-key discovery and lookup pruning.
+    */
+  def snapshotSetBloom(dir: String, statName: String,
+      expectedItems: Long = 1L << 17, fpp: Double = 0.001): Unit =
+    graft.ext.SnapshotLog.setBloomOn(dir, statName, expectedItems, fpp)
+
   /** Change-data feed: rows added in versions (fromV, toV] — reads
     * only the delta segments (q176's kernel).
     */

@@ -1732,7 +1732,8 @@ object SnapshotLog {
     * any data.
     */
   final case class SegmentHealth(relPath: String, rows: Long, bytes: Long,
-      dvRows: Long, tombstoneRatio: Double, statsCovered: Int)
+      dvRows: Long, tombstoneRatio: Double, statsCovered: Int,
+      bloomsCovered: Int = 0)
 
   def segmentHealth(spark: SparkSession, dir: String,
       v: Int): Seq[SegmentHealth] = {
@@ -1772,7 +1773,12 @@ object SnapshotLog {
       val dv = math.min(dvBySeg.getOrElse(s.relPath, 0L), raw)
       SegmentHealth(s.relPath, raw, bytes, dv,
         if (raw == 0) 0.0 else dv.toDouble / raw,
-        sidecarCovered(dir, s.relPath).size)
+        sidecarCovered(dir, s.relPath).size,
+        // bloom coverage is the maintenance signal for the bloom
+        // config: a bloom-configured stat whose segments predate the
+        // config reads as 0 here — the selection policy's cue that an
+        // OPTIMIZE rewrite would arm point-key pruning on them
+        sidecarBloom(dir, s.relPath).size)
     }
   }
 

@@ -165,6 +165,31 @@ class BloomStatsSpec extends SparkSpec {
       s"distributed bloom probe should keep only the odd segment: $cands")
   }
 
+  test("clones carry blooms; health reports bloom coverage") {
+    val src = tmp("clsrc"); val dst = tmp("cldst")
+    SnapshotLog.reset(src, statsCols = Seq("kk" -> "k"))
+    SnapshotLog.append(rows((0L until 100L).filter(_ % 2 == 0)),
+      src, col("k"))
+    SnapshotLog.setBloomOn(src, "kk", fpp = 1e-8)
+    SnapshotLog.append(rows((0L until 100L).filter(_ % 2 == 1)),
+      src, col("k"))
+    // health: the pre-config segment reads bloomsCovered 0 — the
+    // maintenance cue that a rewrite would arm point-key pruning
+    val h = SnapshotLog.segmentHealth(spark, src, 1)
+      .map(x => x.relPath -> x.bloomsCovered).toMap
+    assert(h.values.toSeq.sorted === Seq(0, 1))
+    // a shallow clone serves the same bloom-pruned lookups: even-key
+    // probes keep the (pre-config, bloom-less) even segment — absent
+    // blooms never skip — while the odd segment's bloom rules it out
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dst))
+    SnapshotLog.cloneShallow(src, dst)
+    import spark.implicits._
+    val (hits, scanned, total) = SnapshotLog.readAsOfKeys(spark, dst,
+      SnapshotLog.version(dst), Seq("k"), Seq(2L, 4L).toDF("k"))
+    assert((scanned, total) === ((1, 2)))
+    assert(hits.count() === 2L)
+  }
+
   test("setBloomOn refuses unknown stats and bad parameters") {
     val dir = tmp("cfg")
     SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
