@@ -1821,9 +1821,21 @@ object SnapshotLog {
     val prev = version(dir)
     require(prev >= 0, s"nothing to optimize in $dir")
     val compacted = meta(dir, prev).compacted
+    // a bloom-configured table whose segment predates the config (or
+    // a later-added bloom stat) reads bloomsCovered < configured —
+    // rewriting it ARMS point-key pruning, the same
+    // maintenance-fixes-metadata rule stats evolution established
+    // (q213); never-rewritten big healthy segments with full coverage
+    // stay untouched
+    val wantBlooms = bloomSpecOf(dir).size
     val picked = segmentHealth(spark, dir, prev).filter(h =>
       (h.bytes < smallBytes && !compacted(h.relPath)) ||
-        (h.dvRows > 0 && h.tombstoneRatio >= minTombstoneRatio))
+        (h.dvRows > 0 && h.tombstoneRatio >= minTombstoneRatio) ||
+        // no compacted-skip here: a segment compacted BEFORE the
+        // bloom config still lacks blooms, and its rewrite heals the
+        // very condition that selected it — convergence holds (the
+        // next call reads it covered and leaves it alone)
+        (wantBlooms > 0 && h.bloomsCovered < wantBlooms))
       .map(_.relPath).toSet
     optimizeSegments(spark, dir, statsCol, dims, picked, bucketBits, bits)
   }

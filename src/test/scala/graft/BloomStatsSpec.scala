@@ -190,6 +190,30 @@ class BloomStatsSpec extends SparkSpec {
     assert(hits.count() === 2L)
   }
 
+  test("incremental optimize arms blooms on pre-config segments, then converges") {
+    val dir = tmp("arm")
+    SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
+    // two big pre-config segments (written before any bloom config)
+    SnapshotLog.append(rows((0L until 400L).filter(_ % 2 == 0)),
+      dir, col("k"))
+    SnapshotLog.append(rows((0L until 400L).filter(_ % 2 == 1)),
+      dir, col("k"))
+    SnapshotLog.setBloomOn(dir, "kk", fpp = 1e-8)
+    // the selection policy must pick BOTH bloom-less segments even
+    // though they are neither small-file nor tombstone-heavy cases
+    val v1 = SnapshotLog.optimizeIncremental(spark, dir, col("k"),
+      Seq(col("k")), smallBytes = 1L)
+    assert(v1 === 2)
+    assert(SnapshotLog.segmentHealth(spark, dir, v1)
+      .forall(_.bloomsCovered === 1))
+    // convergence: a second call finds full coverage and rewrites
+    // nothing
+    val v2 = SnapshotLog.optimizeIncremental(spark, dir, col("k"),
+      Seq(col("k")), smallBytes = 1L)
+    assert(v2 === v1, "armed table must not re-rewrite")
+    assert(SnapshotLog.readAsOf(spark, dir, v2).count() === 400L)
+  }
+
   test("setBloomOn refuses unknown stats and bad parameters") {
     val dir = tmp("cfg")
     SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
