@@ -360,7 +360,10 @@ object ScaleStress {
       // transactional apply: per batch the extra cost over the plain
       // apply is a metadata bookmark append + intent publishes; apply
       // cost stays change volume + matched replica rows
-      "q238_txn_cdc_apply")
+      "q238_txn_cdc_apply",
+      // tuple bloom: composite-key discovery opens only tuple-admitted
+      // segments; the 10x bill is the three appends' write/stat volume
+      "q239_tuple_bloom")
     // a misspelled tail name would otherwise filter to an empty run
     // that exits 0 looking like clean evidence
     val unknown = only.diff(headline.toSet)

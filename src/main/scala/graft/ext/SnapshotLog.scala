@@ -2400,48 +2400,56 @@ object SnapshotLog {
     * prunes intersect. Each key prunes independently under the same
     * safety rules as the single-key form.
     */
+  /** Whether stat expression `e` is usable for key-based pruning over
+    * the key columns `cols`: resolving against a keys-only projection
+    * proves the stat depends on no other column, and the expression
+    * must be deterministic for equal keys to imply equal stat values
+    * (read off the analyzed Project — Column hides its expression in
+    * Spark 4, the delete-predicate technique). Deterministic is NOT
+    * sufficient alone: the current-time family
+    * (current_date/current_timestamp/now/localtimestamp) is
+    * deterministic=true yet drifts between segment-write time and
+    * merge time — a stat like datediff(current_date(), key) records a
+    * range that goes stale, and a stale range can wrongly SKIP a
+    * segment holding matched keys, turning the merge into a silent
+    * duplicate-key insert (round-17 advice). Reject any stat whose
+    * analyzed expression contains one.
+    */
+  private def statUsableOn(srcM: DataFrame, cols: Seq[String],
+      e: String): Boolean =
+    scala.util.Try {
+      srcM.select(cols.map(col): _*).select(expr(e)).queryExecution
+        .analyzed
+        .collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.forall(ne => ne.deterministic && !ne.exists {
+              case _: org.apache.spark.sql.catalyst.expressions
+                .CurrentDate => true
+              case _: org.apache.spark.sql.catalyst.expressions
+                .CurrentTimestampLike => true // CurrentTimestamp + Now
+              case _: org.apache.spark.sql.catalyst.expressions
+                .LocalTimestamp => true
+              case _: org.apache.spark.sql.catalyst.expressions
+                .CurrentTime => true
+              case _ => false
+            })
+        }.getOrElse(true)
+    }.getOrElse(false)
+
   def mergeCandidateSegsKeys(spark: SparkSession, dir: String, v: Int,
       keys: Seq[String], srcM: DataFrame): Seq[Segment] = {
     val segs = segments(dir, v)
-    keys.foldLeft(segs) { (acc, key) =>
+    val used = scala.collection.mutable.Set.empty[String]
+    val perKey = keys.foldLeft(segs) { (acc, key) =>
       if (acc.isEmpty) acc
       else {
         val stat = statsColsOf(dir).find { case (_, e) =>
-          scala.util.Try {
-            // resolving against a key-only projection proves the stat
-            // depends on no other column, and the expression must be
-            // deterministic for equal keys to imply equal stat values
-            // (read off the analyzed Project — Column hides its
-            // expression in Spark 4, the delete-predicate technique).
-            // Deterministic is NOT sufficient alone: the current-time
-            // family (current_date/current_timestamp/now/localtimestamp)
-            // is deterministic=true yet drifts between segment-write
-            // time and merge time — a stat like
-            // datediff(current_date(), key) records a range that goes
-            // stale, and a stale range can wrongly SKIP a segment
-            // holding matched keys, turning the merge into a silent
-            // duplicate-key insert (round-17 advice). Reject any stat
-            // whose analyzed expression contains one.
-            srcM.select(col(key)).select(expr(e)).queryExecution.analyzed
-              .collectFirst {
-                case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-                  p.projectList.forall(ne => ne.deterministic && !ne.exists {
-                    case _: org.apache.spark.sql.catalyst.expressions
-                      .CurrentDate => true
-                    case _: org.apache.spark.sql.catalyst.expressions
-                      .CurrentTimestampLike => true // CurrentTimestamp + Now
-                    case _: org.apache.spark.sql.catalyst.expressions
-                      .LocalTimestamp => true
-                    case _: org.apache.spark.sql.catalyst.expressions
-                      .CurrentTime => true
-                    case _ => false
-                  })
-              }.getOrElse(true)
-          }.getOrElse(false)
+          statUsableOn(srcM, Seq(key), e)
         }
         stat match {
           case None => acc
           case Some((n, e)) =>
+            used += n
             val r = srcM.agg(min(expr(e)).cast("long").as("mn"),
               max(expr(e)).cast("long").as("mx")).head()
             val ranged =
@@ -2459,6 +2467,28 @@ object SnapshotLog {
         }
       }
     }
+    // TUPLE-bloom phase (round-17 continuation): a composite natural
+    // key whose every single column is unselective (each segment
+    // spans the full range of l_orderkey AND of l_linenumber) defeats
+    // per-column pruning entirely — but a bloom over a stat of the
+    // WHOLE key tuple (e.g. `xxhash64(l_orderkey, l_linenumber)`)
+    // prunes point tuple sets exactly. Probe every bloom-configured
+    // stat the per-key fold did not already apply, provided it
+    // depends only on the key tuple (same deterministic/non-time
+    // qualification — equal tuples give equal probe hashes). Its
+    // recorded RANGE is typically meaningless (a hash spans the full
+    // long range) and correctly prunes nothing; the bloom is the
+    // point. Single-key tables get the same bonus for any additional
+    // bloom stat beyond the one the fold picked.
+    val bloomCfg = bloomSpecOf(dir)
+    if (perKey.isEmpty || bloomCfg.isEmpty) perKey
+    else statsColsOf(dir)
+      .filter { case (n, e) => bloomCfg.contains(n) && !used(n) &&
+        statUsableOn(srcM, keys, e) }
+      .foldLeft(perKey) { case (acc, (n, e)) =>
+        if (acc.isEmpty) acc
+        else bloomPruneCandidates(spark, dir, n, e, srcM, acc)
+      }
   }
 
   /** Bloom stage of touched-key discovery (round-17; see the spec

@@ -3603,7 +3603,79 @@ object Relational {
         "CAST(1 AS BIGINT) " +
         "UNION ALL SELECT 'txn', CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
         "CAST(0 AS BIGINT)) " +
-        "ORDER BY entity, k"))
+        "ORDER BY entity, k")),
+
+    GraftQuery(
+      "q239_tuple_bloom",
+      "COMPOSITE-KEY TUPLE BLOOMS (round-17 continuation — pruning for " +
+        "natural keys no single column can separate): lineitem's " +
+        "(l_orderkey, l_linenumber) is the q229-class composite key, " +
+        "and a line-spread layout leaves EVERY segment spanning the " +
+        "full range of BOTH columns — per-column zone maps and " +
+        "per-column blooms prune nothing, because each probed orderkey " +
+        "has line numbers in every segment. A stat over the WHOLE key " +
+        "tuple (`xxhash64(l_orderkey, l_linenumber)`) fixes it: its " +
+        "recorded range is a meaningless full-span hash (and correctly " +
+        "prunes nothing — zone-map law), but its BLOOM answers 'could " +
+        "this segment hold this exact tuple', and discovery now probes " +
+        "every bloom-configured stat that depends only on the full key " +
+        "tuple after the per-key fold (same deterministic/non-time " +
+        "qualification — equal tuples hash equally). The audit: " +
+        "lineitem lands as three line-spread segments, a composite " +
+        "key-set MoR delete of a 1-in-21 tuple cohort must discover " +
+        "exactly ONE candidate of three, and the surviving content is " +
+        "recomputed exactly by the oracle. At 100 TB this is the " +
+        "difference between a composite-key DELETE opening every file " +
+        "and opening the files that could hold the tuples.",
+      (s, d) => {
+        import graft.ext.SnapshotLog
+        val dir = logTmpDir("graft-tuple-bloom", d)
+        SnapshotLog.reset(dir, checkpointInterval = 4,
+          statsCols = Seq("ok" -> "l_orderkey",
+            "tk" -> "xxhash64(l_orderkey, l_linenumber)"))
+        SnapshotLog.setBloomOn(dir, "tk", expectedItems = 1L << 19,
+          fpp = 1e-8)
+        val l = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+        val res = pmod(col("l_orderkey") + col("l_linenumber"), lit(3L))
+        (0 to 2).foreach { r =>
+          SnapshotLog.append(l.filter(res === r.toLong), dir,
+            col("l_orderkey"))
+        }
+        // the 1-in-21 tuple cohort lives entirely in the residue-0
+        // segment (21 is a multiple of 3); every probed ORDERKEY has
+        // other line numbers in the other segments, so the per-column
+        // ok stat keeps all three — only the tuple bloom separates
+        val cohort = l.filter(
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(21L)) === 0L)
+          .select("l_orderkey", "l_linenumber")
+        val cands = SnapshotLog.mergeCandidateSegsKeys(s, dir, 2,
+          Seq("l_orderkey", "l_linenumber"), cohort)
+        val v = SnapshotLog.deleteMorKeysMulti(s, dir, cohort,
+          Seq("l_orderkey", "l_linenumber"))
+        SnapshotLog.readAsOf(s, dir, v)
+          .groupBy(pmod(col("l_orderkey") + col("l_linenumber"), lit(3L))
+            .as("g"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(cents(col("l_extendedprice"))).as("cents"))
+          .select(lit("content").as("entity"), col("g"), col("n_rows"),
+            col("cents"))
+          .unionByName(s.range(1).select(lit("discovery").as("entity"),
+            lit(0L).as("g"), lit(cands.size.toLong).as("n_rows"),
+            lit(3L).as("cents")))
+          .orderBy(col("entity"), col("g"))
+      },
+      Some("WITH l AS (SELECT l_orderkey AS k, l_linenumber AS ln, " +
+        "CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem), " +
+        "f AS (SELECT CAST((k + ln) % 3 AS BIGINT) AS g, c FROM l " +
+        "WHERE NOT (k + ln) % 21 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT 'content' AS entity, g, CAST(count(*) AS BIGINT) AS " +
+        "n_rows, CAST(sum(c) AS BIGINT) AS cents FROM f GROUP BY g " +
+        "UNION ALL SELECT 'discovery', CAST(0 AS BIGINT), " +
+        "CAST(1 AS BIGINT), CAST(3 AS BIGINT)) " +
+        "ORDER BY entity, g"))
   )
 
   /** Approximate-query-processing mode (plans/ApproxDistinctRewrite).

@@ -38,7 +38,8 @@ class BaselineSyncSpec extends AnyFunSuite {
       "q235_bloom_discovery",
       "q236_consistent_pin",
       "q237_point_lookup",
-      "q238_txn_cdc_apply")
+      "q238_txn_cdc_apply",
+      "q239_tuple_bloom")
     val unexplained = missing.filterNot(newThisRound)
     assert(unexplained.isEmpty,
       s"queries with no baseline median and no new-query allowance: ${unexplained.mkString(",")}")

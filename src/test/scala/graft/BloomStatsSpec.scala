@@ -214,6 +214,33 @@ class BloomStatsSpec extends SparkSpec {
     assert(SnapshotLog.readAsOf(spark, dir, v2).count() === 400L)
   }
 
+  test("tuple blooms prune composite keys no single column can") {
+    val dir = tmp("tup")
+    import spark.implicits._
+    def rows2(ps: Seq[(Long, Long)]) =
+      ps.map { case (a, b) => (a, b, s"r$a-$b") }.toDF("a", "b", "s")
+    // ONE stat, over the whole key tuple: its range (a hash) prunes
+    // nothing, its bloom is the point
+    SnapshotLog.reset(dir, statsCols = Seq("tk" -> "xxhash64(a, b)"))
+    SnapshotLog.setBloomOn(dir, "tk", expectedItems = 10000L, fpp = 1e-8)
+    val all = for { a <- 0L until 60L; b <- 0L until 50L } yield (a, b)
+    // both segments span the FULL range of a AND of b — no
+    // single-column stat could separate them
+    SnapshotLog.append(rows2(all.filter(t => (t._1 + t._2) % 2 == 0)),
+      dir, col("a"))
+    SnapshotLog.append(rows2(all.filter(t => (t._1 + t._2) % 2 == 1)),
+      dir, col("a"))
+    val probe = all.filter(t => (t._1 + t._2) % 2 == 0).take(20)
+      .toDF("a", "b")
+    val cands = SnapshotLog.mergeCandidateSegsKeys(spark, dir, 1,
+      Seq("a", "b"), probe)
+    assert(cands.size === 1,
+      s"tuple bloom should prune to the even-sum segment: ${cands.size}")
+    // pruning is candidates-only: the composite delete is exact
+    val v = SnapshotLog.deleteMorKeysMulti(spark, dir, probe, Seq("a", "b"))
+    assert(SnapshotLog.readAsOf(spark, dir, v).count() === 3000L - 20L)
+  }
+
   test("setBloomOn refuses unknown stats and bad parameters") {
     val dir = tmp("cfg")
     SnapshotLog.reset(dir, statsCols = Seq("kk" -> "k"))
