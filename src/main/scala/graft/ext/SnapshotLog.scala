@@ -440,7 +440,7 @@ object SnapshotLog {
     * Per-table row predicates stored in `_log/config`
     * (`check<TAB>name<TAB>sqlExpr`) and enforced at the ONE choke
     * point every data segment already passes through: the one-pass
-    * stat aggregate (`statsAndSidecar`) gains a violation counter per
+    * stat aggregate (`segStatPlan`/`writeSegWithStats`) gains a violation counter per
     * check — `sum(expr IS FALSE)`, SQL CHECK semantics, null passes —
     * so enforcement costs ZERO extra scans on append, compact,
     * optimize, merge (src + rewrite), and update (post + survivor)
@@ -1210,11 +1210,23 @@ object SnapshotLog {
     */
   private val BloomStatsFile = "_bloomstats"
 
-  private def statsAndSidecar(spark: SparkSession, dir: String,
-      segPath: String, statsCol: Column): (Long, Long) = {
-    val df = spark.read.parquet(segPath)
+  /** The one-pass segment stat aggregate, resolved against a frame
+    * with the segment's schema: primary min/max/count, every resolved
+    * sidecar stat's min/max, CHECK/NOT-NULL violation counters and
+    * bloom sketches all ride ONE aggregate — zero extra scans beyond
+    * whatever pass evaluates it (q208's rule).
+    */
+  private final case class SegStatPlan(
+      resolved: Seq[(String, String)],
+      checks: Seq[(String, String)],
+      notNulls: Seq[String],
+      blooms: Seq[(String, String)],
+      aggs: Seq[Column])
+
+  private def segStatPlan(spark: SparkSession, dir: String,
+      schemaDf: DataFrame, statsCol: Column): SegStatPlan = {
     val resolved = statsColsOf(dir).filter { case (_, e) =>
-      scala.util.Try(df.select(expr(e))).isSuccess
+      scala.util.Try(schemaDf.select(expr(e))).isSuccess
     }
     // bloom-configured stats ride the SAME one-row aggregate as one
     // more (binary) agg column each — zero extra scans
@@ -1228,7 +1240,7 @@ object SnapshotLog {
     // NOT NULL columns absent from this segment's schema are the
     // null-fill case the addNotNull head-scan refuses up front; a
     // segment written after the constraint always carries the column
-    val notNulls = notNullsOf(dir).filter(c => df.columns.exists(
+    val notNulls = notNullsOf(dir).filter(c => schemaDf.columns.exists(
       spark.sessionState.analyzer.resolver(_, c)))
     val aggs = Seq(min(statsCol).cast("long").as("__mn"),
       max(statsCol).cast("long").as("__mx"),
@@ -1251,26 +1263,35 @@ object SnapshotLog {
         call_function(graft.functions.BloomAgg.name,
           xxhash64(expr(e)), lit(items), lit(p)).as(s"__bl$i")
       }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val chkBase = 3 + 2 * resolved.size
-    checks.zipWithIndex.foreach { case ((n, e), i) =>
-      val bad = if (r.isNullAt(chkBase + i)) 0L else r.getLong(chkBase + i)
+    SegStatPlan(resolved, checks, notNulls, blooms, aggs)
+  }
+
+  /** Constraint refusals + sidecar/col-id writes from the evaluated
+    * stat aggregate (`v`: alias → value). Returns the primary
+    * (min, max). Shared by the observe-fold write path and the grouped
+    * per-bucket OPTIMIZE stats.
+    */
+  private def segStatFinish(dir: String, segPath: String,
+      cols: Seq[String], p: SegStatPlan, v: String => Any): (Long, Long) = {
+    def longAt(name: String): Option[Long] =
+      Option(v(name)).map(_.asInstanceOf[Number].longValue())
+    p.checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = longAt(s"__chk$i").getOrElse(0L)
       if (bad > 0L)
         throw new IllegalArgumentException(
           s"CHECK constraint '$n' ($e) violated by $bad rows — the commit " +
             "is refused before any manifest publishes; the orphan segment " +
             "is reclaimed by vacuum")
     }
-    val nnBase = chkBase + checks.size
-    notNulls.zipWithIndex.foreach { case (c, i) =>
-      val bad = if (r.isNullAt(nnBase + i)) 0L else r.getLong(nnBase + i)
+    p.notNulls.zipWithIndex.foreach { case (c, i) =>
+      val bad = longAt(s"__nn$i").getOrElse(0L)
       if (bad > 0L)
         throw new IllegalArgumentException(
           s"CHECK constraint violated: NOT NULL column '$c' received " +
             s"$bad null rows — the commit is refused before any manifest " +
             "publishes")
     }
-    val cnt = r.getLong(2)
+    val cnt = longAt("__cnt").getOrElse(0L)
     // a resolved-but-ALL-NULL stat records a SENTINEL line ("-") — the
     // segment DID record under the current spec, there is just no range
     // to prune on. Without it, coverage audits read the segment as
@@ -1278,25 +1299,60 @@ object SnapshotLog {
     // (round-15 advice); sidecarStats skips sentinels, so pruning never
     // sees a fake range.
     val lines = s"$RowsStatName\t$cnt\t$cnt" +:
-      resolved.zipWithIndex.map {
-        case ((n, _), i) if !r.isNullAt(3 + 2 * i) =>
-          s"$n\t${r.getLong(3 + 2 * i)}\t${r.getLong(3 + 2 * i + 1)}"
-        case ((n, _), _) => s"$n\t-\t-"
+      p.resolved.zipWithIndex.map { case ((n, _), i) =>
+        (longAt(s"__amn$i"), longAt(s"__amx$i")) match {
+          case (Some(mn), Some(mx)) => s"$n\t$mn\t$mx"
+          case _ => s"$n\t-\t-"
+        }
       }
     Files.write(Paths.get(segPath, ZoneStatsFile),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    if (blooms.nonEmpty) {
-      val bloomBase = nnBase + notNulls.size
-      val blines = blooms.zipWithIndex.map { case ((n, _), i) =>
-        val bytes = r.getAs[Array[Byte]](bloomBase + i)
+    if (p.blooms.nonEmpty) {
+      val blines = p.blooms.zipWithIndex.map { case ((n, _), i) =>
+        val bytes = v(s"__bl$i").asInstanceOf[Array[Byte]]
         s"$n\t${java.util.Base64.getEncoder.encodeToString(bytes)}"
       }
       Files.write(Paths.get(segPath, BloomStatsFile),
         blines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     }
-    writeSegColIds(dir, segPath, df.columns.toSeq)
-    if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-    else (r.getLong(0), r.getLong(1))
+    writeSegColIds(dir, segPath, cols)
+    (longAt("__mn"), longAt("__mx")) match {
+      case (Some(mn), Some(mx)) => (mn, mx)
+      case _ => (Long.MaxValue, Long.MinValue)
+    }
+  }
+
+  /** Write `df` as a segment AND evaluate its stat aggregate in the
+    * SAME pass via `observe` (CollectMetrics) — the round-17
+    * optimization replacing the former write-then-re-read shape, which
+    * paid a second full scan of every committed segment just to record
+    * its sidecar (guide §1.2: remove unnecessary passes). Values are
+    * identical by construction: the observed aggregate sees exactly
+    * the rows the write persists, with the same expressions the
+    * re-read aggregated. Refusals (CHECK/NOT NULL) still fire before
+    * any manifest publishes — the segment data is on disk either way,
+    * an orphan reclaimed by vacuum.
+    */
+  private def writeSegWithStats(df: DataFrame, dir: String,
+      segPath: String, statsCol: Column): (Long, Long) = {
+    val (mn, mx, _) = writeSegWithStatsN(df, dir, segPath, statsCol)
+    (mn, mx)
+  }
+
+  /** `writeSegWithStats` that also returns the observed row count —
+    * for callers (restore) that branch on an empty rewrite without
+    * paying a separate count job.
+    */
+  private def writeSegWithStatsN(df: DataFrame, dir: String,
+      segPath: String, statsCol: Column): (Long, Long, Long) = {
+    val plan = segStatPlan(df.sparkSession, dir, df, statsCol)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, plan.aggs.head, plan.aggs.tail: _*)
+      .write.mode("overwrite").parquet(segPath)
+    val m = obs.get
+    val (mn, mx) = segStatFinish(dir, segPath, df.columns.toSeq, plan, m.apply)
+    (mn, mx,
+      Option(m("__cnt")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
   }
 
   /** The Bloom sidecars of a segment — empty when none were recorded
@@ -1417,8 +1473,8 @@ object SnapshotLog {
     // data too; the loser's orphan directory is reclaimed by vacuum.
     val rel = s"seg-$v-${writerToken()}"
     val segPath = Paths.get(dir, rel).toString
-    df.write.mode("overwrite").parquet(segPath)
-    val (mn, mx) = statsAndSidecar(df.sparkSession, dir, segPath, statsCol)
+    // write + stat aggregate in ONE pass (observe-fold, guide §1.2)
+    val (mn, mx) = writeSegWithStats(df, dir, segPath, statsCol)
     val carried = if (prev < 0) Nil else segments(dir, prev)
     // batches/compacted carry forward; cdcDel does NOT — it records
     // what its OWN version deleted, never standing state
@@ -1596,8 +1652,9 @@ object SnapshotLog {
     // able to overwrite this rewrite's files before the publish race
     val rel = s"seg-$v-${writerToken()}"
     val segPath = Paths.get(dir, rel).toString
-    readAsOf(spark, dir, prev).write.mode("overwrite").parquet(segPath)
-    val (mn, mx) = statsAndSidecar(spark, dir, segPath, statsCol)
+    // rewrite + stat aggregate in ONE pass (observe-fold, guide §1.2)
+    val (mn, mx) =
+      writeSegWithStats(readAsOf(spark, dir, prev), dir, segPath, statsCol)
     // the rewrite materializes the evolved schema into the segment, and
     // the snapshot schema carries forward unchanged
     publish(dir, v, commitLines(dir, v, Seq(Segment(rel, mn, mx)),
@@ -1706,12 +1763,29 @@ object SnapshotLog {
     val bucketDirs = listed(staging)(_.filter(
       _.getFileName.toString.startsWith("__zb=")).toSeq)
       .sortBy(_.getFileName.toString)
-    val newSegs = bucketDirs.map { bd =>
-      val b = bd.getFileName.toString.stripPrefix("__zb=")
-      val rel = s"seg-$v-z$b-$token"
-      Files.move(bd, Paths.get(dir, rel))
-      val (mn, mx) = statsAndSidecar(spark, dir, absPath(dir, rel), statsCol)
-      Segment(rel, mn, mx)
+    // Per-bucket stats as ONE grouped aggregate over the staged output
+    // (column-pruned parquet read of just the stat columns) instead of
+    // one full stat job per bucket dir — 2^bucketBits jobs become one
+    // (guide §2.4: fewer passes; the per-group agg values are identical
+    // to the per-dir aggregates because partitionBy wrote exactly each
+    // group's rows into its dir).
+    val newSegs = if (bucketDirs.isEmpty) Seq.empty[Segment] else {
+      val statDf = spark.read.parquet(staging.toString)
+      val plan = segStatPlan(spark, dir, statDf.drop("__zb"), statsCol)
+      val byBucket = statDf
+        .groupBy(col("__zb").cast("string").as("__zbkey"))
+        .agg(plan.aggs.head, plan.aggs.tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val segCols = statDf.drop("__zb").columns.toSeq
+      bucketDirs.map { bd =>
+        val b = bd.getFileName.toString.stripPrefix("__zb=")
+        val rel = s"seg-$v-z$b-$token"
+        Files.move(bd, Paths.get(dir, rel))
+        val row = byBucket(b)
+        val (mn, mx) = segStatFinish(dir, absPath(dir, rel), segCols, plan,
+          name => row.get(row.fieldIndex(name)))
+        Segment(rel, mn, mx)
+      }
     }
     walked(staging)(_.toSeq).reverse.foreach(Files.deleteIfExists)
     newSegs
@@ -2045,9 +2119,9 @@ object SnapshotLog {
       // survivors = NOT proven deleted — null-predicate rows stay, so
       // only this side needs the coalesce (¬null is null, and a bare
       // !predicate filter would drop the very rows SQL DELETE keeps)
-      touchedDf.filter(!coalesce(predicate, lit(false)))
-        .write.mode("overwrite").parquet(rewritePath)
-      val (mn, mx) = statsAndSidecar(spark, dir, rewritePath, statsCol)
+      val (mn, mx) = writeSegWithStats(
+        touchedDf.filter(!coalesce(predicate, lit(false))),
+        dir, rewritePath, statsCol)
       val touchedSet = touched.map(_.relPath).toSet
       val untouched = segs.filterNot(s => touchedSet(s.relPath))
       // dvs carry forward: entries for the rewritten segments point at
@@ -2237,9 +2311,8 @@ object SnapshotLog {
       spark.sessionState.analyzer.resolver)
     val srcRel = s"seg-$v-${writerToken()}"
     val srcPath = absPath(dir, srcRel)
-    src.write.mode("overwrite").parquet(srcPath)
+    val (smn, smx) = writeSegWithStats(src, dir, srcPath, statsCol)
     val srcM = spark.read.schema(src.schema).parquet(srcPath)
-    val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
     val srcKeys = srcM.select(keys.map(col): _*).distinct()
     // old images of matched keys, DV-applied (a key merged twice
     // tombstones the FIRST merge's src row, not a ghost); the scan
@@ -2309,8 +2382,7 @@ object SnapshotLog {
           upserts.schema, spark.sessionState.analyzer.resolver)
         val srcRel = s"seg-$v-${writerToken()}"
         val srcPath = absPath(dir, srcRel)
-        upserts.write.mode("overwrite").parquet(srcPath)
-        val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
+        val (smn, smx) = writeSegWithStats(upserts, dir, srcPath, statsCol)
         Some((Segment(srcRel, smn, smx), snapSchema, srcPath,
           upserts.schema))
       }
@@ -2635,9 +2707,8 @@ object SnapshotLog {
     // materialize src ONCE; all phases below see this one frozen copy
     val srcRel = s"seg-$v-${writerToken()}"
     val srcPath = absPath(dir, srcRel)
-    src.write.mode("overwrite").parquet(srcPath)
+    val (smn, smx) = writeSegWithStats(src, dir, srcPath, statsCol)
     val srcM = spark.read.schema(src.schema).parquet(srcPath)
-    val (smn, smx) = statsAndSidecar(spark, dir, srcPath, statsCol)
     val srcKeys = srcM.select(keys.map(col): _*).distinct()
     val prevMeta = meta(dir, prev)
     // discovery opens ONLY the key-range-overlapping candidates (see
@@ -2674,9 +2745,9 @@ object SnapshotLog {
         writeSegColIds(dir, absPath(dir, delRel), touchedDf.columns.toSeq)
         val rewriteRel = s"seg-$v-rw-${writerToken()}"
         val rewritePath = absPath(dir, rewriteRel)
-        touchedDf.join(srcKeys, keys, "left_anti")
-          .write.mode("overwrite").parquet(rewritePath)
-        val (mn, mx) = statsAndSidecar(spark, dir, rewritePath, statsCol)
+        val (mn, mx) = writeSegWithStats(
+          touchedDf.join(srcKeys, keys, "left_anti"),
+          dir, rewritePath, statsCol)
         (Seq(Segment(rewriteRel, mn, mx)), Set(delRel))
       }
 
@@ -2817,14 +2888,14 @@ object SnapshotLog {
       // never re-evaluates between pre and post, so the pair is exact
       val postRel = s"seg-$v-post-${writerToken()}"
       val postPath = absPath(dir, postRel)
-      applySet(readSegs(spark, dir, prev, Seq(preRel)))
-        .write.mode("overwrite").parquet(postPath)
-      val (pmn, pmx) = statsAndSidecar(spark, dir, postPath, statsCol)
+      val (pmn, pmx) = writeSegWithStats(
+        applySet(readSegs(spark, dir, prev, Seq(preRel))),
+        dir, postPath, statsCol)
       val rwRel = s"seg-$v-rw-${writerToken()}"
       val rwPath = absPath(dir, rwRel)
-      touchedDf.filter(!coalesce(predicate, lit(false)))
-        .write.mode("overwrite").parquet(rwPath)
-      val (mn, mx) = statsAndSidecar(spark, dir, rwPath, statsCol)
+      val (mn, mx) = writeSegWithStats(
+        touchedDf.filter(!coalesce(predicate, lit(false))),
+        dir, rwPath, statsCol)
       val touchedSet = touched.map(_.relPath).toSet
       val untouched = segs.filterNot(s => touchedSet(s.relPath))
       publish(dir, v, commitLines(dir, v,
@@ -2879,8 +2950,8 @@ object SnapshotLog {
       val pre = spark.read.parquet(dvPath).drop(DvFileCol, DvPosCol)
       val postRel = s"seg-$v-post-${writerToken()}"
       val postPath = absPath(dir, postRel)
-      applySet(pre).write.mode("overwrite").parquet(postPath)
-      val (pmn, pmx) = statsAndSidecar(spark, dir, postPath, statsCol)
+      val (pmn, pmx) = writeSegWithStats(applySet(pre), dir, postPath,
+        statsCol)
       publish(dir, v, commitLines(dir, v,
         segs :+ Segment(postRel, pmn, pmx), segs,
         prevMeta.carried.copy(
@@ -3091,17 +3162,15 @@ object SnapshotLog {
     val insertSeg = insertParts.reduceOption(_.unionByName(_)).flatMap { df =>
       val rel = s"seg-$vNew-${writerToken()}"
       val p = absPath(dir, rel)
-      df.write.mode("overwrite").parquet(p)
-      // a 0-row fresh segment only matters when NOTHING else composes
-      // the manifest (restoring to a delete-all state must stay
-      // readable); otherwise drop it
-      if (shared.nonEmpty && spark.read.parquet(p).count() == 0L) {
+      // write + stats + row count in ONE observed pass; a 0-row fresh
+      // segment only matters when NOTHING else composes the manifest
+      // (restoring to a delete-all state must stay readable); otherwise
+      // drop it (its sidecars vanish with the dir)
+      val (mn, mx, cnt) = writeSegWithStatsN(df, dir, p, statsCol)
+      if (shared.nonEmpty && cnt == 0L) {
         walked(Paths.get(p))(_.toSeq).reverse.foreach(Files.deleteIfExists)
         None
-      } else {
-        val (mn, mx) = statsAndSidecar(spark, dir, p, statsCol)
-        Some(Segment(rel, mn, mx))
-      }
+      } else Some(Segment(rel, mn, mx))
     }
     // the DELETES (#cdcdel): prev-only files' live content (DV-applied
     // as of prev) + shared-file row images of tombstones v adds over
@@ -3500,8 +3569,7 @@ object SnapshotLog {
       val (rel, mn, mx) = written.getOrElse {
         val r = s"seg-$v-${writerToken()}"
         val p = absPath(dir, r)
-        df.write.mode("overwrite").parquet(p)
-        val (a, b) = statsAndSidecar(df.sparkSession, dir, p, statsCol)
+        val (a, b) = writeSegWithStats(df, dir, p, statsCol)
         val t = (r, a, b)
         written = Some(t)
         t

@@ -105,12 +105,21 @@ object VectorOps {
     * index identical to a lazily-built one.
     */
   def warmIndexes(s: SparkSession, d: String): Unit = {
+    import scala.collection.parallel.CollectionConverters._
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    served(s, d, "ivfpq") {
-      graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
-    }
-    served(s, d, "ivf") { graft.ext.AnnIndex.build(s, e, k = 16) }
-    served(s, d, "pq") { graft.ext.PqIndex.build(s, e, dim = 64) }
+    // The three builds are independent (separate memo keys, separate
+    // seeded fits) and each is a chain of mostly-idle tiny KMeans jobs
+    // at fixture scale — run them as concurrent driver jobs so one
+    // build's stragglers back-fill the others' scheduling gaps (guide
+    // §2.6 "overlap independent jobs"). Each build is deterministic, so
+    // the warmed indexes are bit-identical to the sequential form's.
+    Seq[() => AnyRef](
+      () => served(s, d, "ivfpq") {
+        graft.ext.IvfPq.build(s, e, dim = 64, kCells = 16, kCodes = 64)
+      },
+      () => served(s, d, "ivf") { graft.ext.AnnIndex.build(s, e, k = 16) },
+      () => served(s, d, "pq") { graft.ext.PqIndex.build(s, e, dim = 64) }
+    ).par.foreach(_.apply())
     ()
   }
 
