@@ -60,7 +60,12 @@ object JobProfile {
           val step = name.stripPrefix("build:")
           val fn = Bench.buildSteps.toMap.getOrElse(step,
             throw new NoSuchElementException(s"unknown build step: $step"))
-          (() => releaseAll(), () => fn(spark, sfDir))
+          // SPARK_GRAFT_NORELEASE=1 keeps shared memos across build
+          // steps — measures a step's IN-SWEEP marginal cost (the
+          // Bench accounting) instead of its full dependency chain
+          (if (sys.env.contains("SPARK_GRAFT_NORELEASE")) (() => ())
+           else (() => releaseAll()),
+            () => fn(spark, sfDir))
         } else {
           val fn = SparkEntry.queries(name)
           (() => (),
@@ -81,8 +86,13 @@ object JobProfile {
         println(f"[jobprofile] $name run$i wall=$wallSec%.2f s " +
           f"jobs=${snap.size} jobSec=$jobSec%.2f gapSec=${wallSec - jobSec}%.2f")
         if (i == runs) {
-          snap.sortBy(-_._2).sortBy(_._1).foreach { case (id, s, e, desc) =>
-            println(f"[jobprofile]   job$id%4d ${(e - s) / 1e3}%7.3f s  $desc")
+          val byStart = snap.sortBy(_._2)
+          byStart.zipWithIndex.foreach { case ((id, s, e, desc), ix) =>
+            val gap =
+              if (ix == 0) 0.0
+              else (s - byStart(ix - 1)._3) / 1e3 // idle since prev job end
+            println(f"[jobprofile]   job$id%4d ${(e - s) / 1e3}%7.3f s " +
+              f"gapBefore=$gap%7.3f s  $desc")
           }
         }
       }

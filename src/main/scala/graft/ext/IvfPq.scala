@@ -215,6 +215,63 @@ object IvfPq {
     * different id space: a numeric collision would otherwise silently
     * drop a true neighbor (see AnnIndex.search).
     */
+  /** `search` evaluated at EVERY nProbe of `probeGrid` in one job
+    * chain — the calibration sweep's shape (round-17 optimization,
+    * guide §2.4: the per-grid-point sequential searches re-paid the
+    * probe ranking, the ADC scan and three window passes six times
+    * over for one measurement each). The probe ranking runs once to
+    * the grid's max, every candidate's ADC score computes once, and a
+    * 6-way explode on the grid column replays the per-point shortlist
+    * cut as one windowed pass partitioned by (q_id, p). For each p the
+    * candidate set (cells with crn <= p), the ADC rounding, the
+    * shortlist tiebreak and the exact re-rank are expression-identical
+    * to `search(nProbe = p)`, so the returned rows per p are
+    * bit-identical to the sequential sweep's. Returns
+    * (p, q_id, vec_id, cos_r, rn).
+    */
+  def searchGrid(index: Index, vectors: DataFrame, queries: DataFrame,
+      topK: Int, probeGrid: Seq[Int], shortlist: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    CosineSimilarity.ensureRegistered(queries.sparkSession)
+    val k = index.kCodes
+    val maxProbe = probeGrid.max
+    val qUnit = unitize(queries
+      .withColumnRenamed("q_emb", "embedding"))
+      .withColumnRenamed("embedding", "q_emb")
+    val qCells = qUnit
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim", expr("cosine_sim(q_emb, centroid)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("crn") <= maxProbe)
+      .select(col("q_id"), col("cell"), col("crn"),
+        (if (index.residual) minus(col("q_emb"), col("centroid"))
+         else col("q_emb")).as("q_res"))
+    val probes = PqIndex.distanceTable(index.codebooks, qCells, k,
+      index.subDim, keys = Seq("q_id", "cell", "crn"), vecCol = "q_res")
+    val short = index.cells.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
+      .withColumn("adc", round(aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+          (c, s) => element_at(col("dt"), s * k + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("p", explode(array(probeGrid.map(lit): _*)))
+      .filter(col("crn") <= col("p"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("q_id"), col("p"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("srn") <= shortlist)
+      .select(col("p"), col("q_id"), col("vec_id"))
+    short.join(vectors, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_r", round(expr("cosine_sim(q_emb, embedding)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"), col("p"))
+          .orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select(col("p"), col("q_id"), col("vec_id"), col("cos_r"), col("rn"))
+  }
+
   def search(index: Index, vectors: DataFrame, queries: DataFrame,
       topK: Int = 5, nProbe: Int = 8, shortlist: Int = 25,
       excludeSelf: Boolean = true): DataFrame = {
