@@ -69,7 +69,7 @@ final class GraftEngine(val spark: SparkSession, val dataDir: String) {
       cfg: Recommender.Config = Recommender.Config()): DataFrame = {
     val ratings = RatingsConverter.synthesize(users, pool, cfg.seed)
       .withColumnRenamed("tconst", "itemId")
-    val (model, _) = Recommender.train(ratings, cfg)
+    val model = Recommender.trainModel(ratings, cfg)
     Recommender.recommendAll(model, k)
   }
 

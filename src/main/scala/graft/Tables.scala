@@ -29,7 +29,24 @@ object Tables {
     */
   val requiredConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Resolved-plan memo per (session, dir, table): `spark.read.parquet`
+    * pays a driver-side file listing + footer schema inference on EVERY
+    * call, and the registry's ~250 queries load fixture tables ~500
+    * times per sweep — pure repeated metadata work (guide §5: the
+    * driver should do almost no data work; §6: listing cost). The memo
+    * holds only the resolved LOGICAL PLAN (a catalog entry, the S2
+    * posture) — no rows, no cache: every action on the shared frame
+    * still scans parquet from disk, so bench/oracle runs keep computing
+    * from the inputs. Fixture files are immutable for a session's
+    * lifetime, which is what makes the listing reusable.
+    */
+  private val loaded = new KeyedMemo[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrBuild((spark, dir, name))(loadUncached(spark, dir, name))
+
+  private def loadUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame =
     if (name == "events") {
       // Defensive for externally-built sessions (the SparkEntry driver
       // contract hands us a session our builders never saw): without this

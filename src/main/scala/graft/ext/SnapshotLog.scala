@@ -1342,17 +1342,68 @@ object SnapshotLog {
   /** `writeSegWithStats` that also returns the observed row count —
     * for callers (restore) that branch on an empty rewrite without
     * paying a separate count job.
+    *
+    * Deliberately NOT the `Observation` helper: Observation initializes
+    * the session's `observationManager` lazy field, whose value is not
+    * java-serializable — and Spark ML models keep their training
+    * summary's SparkSession reference inside the scoring UDF closure,
+    * so one Observation anywhere in the session made every LATER
+    * ML-model transform die with Task not serializable (found by the
+    * full-sweep verify: q173 poisoned q138). The string-named
+    * `observe` overload plants the same CollectMetrics node without
+    * ever touching the manager; metrics come back through a scoped
+    * QueryExecutionListener keyed on a per-write unique name. Listener
+    * delivery is async on the shared bus — if the row has not arrived
+    * within the bound (never observed; belt-and-braces for a dropped
+    * event), the stat aggregate falls back to the pre-round-17
+    * two-pass re-read, which is slower but value-identical.
     */
   private def writeSegWithStatsN(df: DataFrame, dir: String,
       segPath: String, statsCol: Column): (Long, Long, Long) = {
-    val plan = segStatPlan(df.sparkSession, dir, df, statsCol)
-    val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, plan.aggs.head, plan.aggs.tail: _*)
-      .write.mode("overwrite").parquet(segPath)
-    val m = obs.get
-    val (mn, mx) = segStatFinish(dir, segPath, df.columns.toSeq, plan, m.apply)
-    (mn, mx,
-      Option(m("__cnt")).map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+    val spark = df.sparkSession
+    val plan = segStatPlan(spark, dir, df, statsCol)
+    val obsName =
+      s"__graft_segstats_${java.util.UUID.randomUUID().toString.take(12)}"
+    @volatile var metric: Option[org.apache.spark.sql.Row] = None
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get(obsName).foreach { r =>
+          metric = Some(r)
+          latch.countDown()
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val observed =
+      try {
+        df.observe(obsName, plan.aggs.head, plan.aggs.tail: _*)
+          .write.mode("overwrite").parquet(segPath)
+        if (latch.await(60, java.util.concurrent.TimeUnit.SECONDS)) metric
+        else None
+      } finally spark.listenerManager.unregister(listener)
+    observed match {
+      case Some(r) =>
+        val at = (n: String) => r.get(r.fieldIndex(n))
+        val (mn, mx) = segStatFinish(dir, segPath, df.columns.toSeq, plan, at)
+        (mn, mx, Option(at("__cnt"))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+      case None =>
+        // two-pass fallback: aggregate the written segment (the shape
+        // every commit paid before round 17)
+        val rdf = spark.read.parquet(segPath)
+        val plan2 = segStatPlan(spark, dir, rdf, statsCol)
+        val r = rdf.agg(plan2.aggs.head, plan2.aggs.tail: _*).head()
+        val at = (n: String) => r.get(r.fieldIndex(n))
+        val (mn, mx) =
+          segStatFinish(dir, segPath, rdf.columns.toSeq, plan2, at)
+        (mn, mx, Option(at("__cnt"))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+    }
   }
 
   /** The Bloom sidecars of a segment — empty when none were recorded

@@ -36,7 +36,7 @@ object RecoOps {
       val ratings = RatingSynth.synthRatings(s, d)
         .select(col("userId").cast("string").as("userId"),
           col("itemId").cast("string").as("itemId"), col("rating"))
-      Recommender.train(ratings)._1
+      Recommender.trainModel(ratings)
     }
 
   /** Explicit bench/session setup for the memoized ALS model. */

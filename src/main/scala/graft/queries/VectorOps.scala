@@ -725,8 +725,12 @@ object VectorOps {
     // the per-hop state is groups·queries·beam·degree rows —
     // single-partition frames, so each hop's eager checkpoint
     // schedules 1 task per stage instead of shuffle.partitions of
-    // them (the walk's cost is job/task overhead, not data)
-    var scored = walkCkpt(score(entry).repartition(1))
+    // them (the walk's cost is job/task overhead, not data).
+    // coalesce(1), not repartition(1): the round-robin exchange per
+    // hop was one more shuffle stage (and AQE job) per checkpoint on
+    // frames whose row ORDER nothing depends on — every consumer
+    // re-sorts through a window (guide §2.4: remove shuffles outright)
+    var scored = walkCkpt(score(entry).coalesce(1))
     var beamDf = topN(scored, beam)
     (1 to hops).foreach { _ =>
       val expand = beamDf.select(col("__grp"), col("q_id"),
@@ -738,7 +742,7 @@ object VectorOps {
         scored.select(col("__grp"), col("q_id"), col("vec_id")),
         Seq("__grp", "q_id", "vec_id"), "left_anti")
       scored = walkCkpt(scored.unionByName(score(unseen))
-        .repartition(1))
+        .coalesce(1))
       beamDf = topN(scored, beam)
     }
     (topN(scored, finalK), scored)

@@ -85,6 +85,21 @@ object Recommender {
     } finally cached.unpersist()
   }
 
+  /** `train` without the holdout RMSE job — for serving callers that
+    * only keep the model (the session memo, trainAndRecommend): the
+    * tuple form scored the 20% holdout on every build and both callers
+    * threw the number away (guide §1.2: don't compute what you
+    * discard). IDENTICAL model: same cache, same seeded split (the fit
+    * still trains on the 80% side), same pipeline fit.
+    */
+  def trainModel(ratings: DataFrame, cfg: Config = Config()): PipelineModel = {
+    val cached = ratings.cache()
+    try {
+      val Array(train, _) = cached.randomSplit(Array(0.8, 0.2), cfg.seed)
+      pipeline(cfg).fit(train)
+    } finally cached.unpersist()
+  }
+
   /** M4: 3-fold CrossValidator over the reference's single grid point
     * (recommender.py:112–127). Returns the best model.
     */
