@@ -42,19 +42,21 @@ object Tables {
     */
   private val loaded = new KeyedMemo[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive for externally-built sessions (the SparkEntry driver
+    // contract hands us a session our builders never saw): without this
+    // conf a TIMESTAMP(NANOS) scan throws. The set is monotonic —
+    // always "true", never unset — and deliberately OUTSIDE the memo:
+    // the self-heal contract (IngestSpec pins it) is per CALL, because
+    // an action on the shared frame re-reads the parquet and needs the
+    // conf live even when the plan itself was memoized earlier.
+    if (name == "events") spark.conf.set(requiredConf._1, requiredConf._2)
     loaded.getOrBuild((spark, dir, name))(loadUncached(spark, dir, name))
+  }
 
   private def loadUncached(spark: SparkSession, dir: String,
       name: String): DataFrame =
     if (name == "events") {
-      // Defensive for externally-built sessions (the SparkEntry driver
-      // contract hands us a session our builders never saw): without this
-      // conf a TIMESTAMP(NANOS) scan throws. Unlike the racy per-call
-      // toggle this replaced, the set is monotonic — always "true", never
-      // unset — so concurrent loads of different tables cannot observe a
-      // flip; our own builders remain the primary path.
-      spark.conf.set(requiredConf._1, requiredConf._2)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // The fixture's physical `ts` encoding has changed across driver
       // regenerations; accept every layout seen so far and normalize to
