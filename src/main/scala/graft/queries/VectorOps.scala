@@ -231,6 +231,18 @@ object VectorOps {
     ()
   }
 
+  /** The calibration sweep's exact serving shape, exposed for the
+    * PlansInternal plan-audit main (measurement-only — same grid, same
+    * shortlist, same projection + collect annCalibration runs).
+    */
+  def calibrationSweepForPlanAudit(index: graft.ext.IvfPq.Index,
+      corpus: DataFrame, q: DataFrame): Unit = {
+    graft.ext.IvfPq.searchGrid(index, corpus, q, topK = 5, ProbeGrid,
+        shortlist = 96)
+      .select(col("p"), col("q_id"), col("vec_id")).collect()
+    ()
+  }
+
   /** The tuned (nProbe, shortlist) for a recall target: cheapest grid
     * point whose measured recall meets it, else the exact-probe
     * fallback.
