@@ -3944,6 +3944,44 @@ object TextOps {
   private val unigramMemo = new graft.KeyedMemo[(SparkSession, String, Int),
     (Seq[(String, Long, Long)], Seq[Long], DataFrame, DataFrame)]
 
+  /** Run `action` on a frame derived from `df` while aggregating `agg`
+    * over df's rows in the SAME pass: `observe` plants a
+    * CollectMetrics node at df's plan position, so every df row flows
+    * through it regardless of downstream explode/filter/groupBy.
+    * String-named observe + a scoped QueryExecutionListener, NEVER the
+    * `Observation` helper — its lazily-initialized observationManager
+    * is not java-serializable and poisons later ML-model task closures
+    * (the SnapshotLog writeSegWithStatsN finding). Returns the action
+    * result plus the observed long, None when the async listener event
+    * was missed (caller re-aggregates separately, value-identically).
+    */
+  private def observedAction[A](df: DataFrame, agg: Column)(
+      action: DataFrame => A): (A, Option[Long]) = {
+    val s = df.sparkSession
+    val obsName =
+      s"__graft_obs_${java.util.UUID.randomUUID().toString.take(12)}"
+    @volatile var metric: Option[Long] = None
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get(obsName).foreach { r =>
+          metric = Option(r.get(0)).map(_.asInstanceOf[Number].longValue())
+          latch.countDown()
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val res = action(df.observe(obsName, agg))
+      if (latch.await(60, java.util.concurrent.TimeUnit.SECONDS)) (res, metric)
+      else (res, None)
+    } finally s.listenerManager.unregister(listener)
+  }
+
   private[graft] def unigramLoop(s: SparkSession, d: String, rounds: Int)
       : (Seq[(String, Long, Long)], Seq[Long], DataFrame) = {
     val (pieces, losses, seg, _) =
@@ -4019,12 +4057,25 @@ object TextOps {
     var usageOut: Seq[(String, Long)] = vocab
     (1 to rounds).foreach { _ =>
       val seg = segmentUnder(costsOf(vocab))
-      val roundLoss = seg.agg(sum(col("freq") * col("wcost")))
-        .first().getLong(0)
+      // loss + usage in ONE Viterbi pass (guide §1.2: don't run the
+      // same work twice): the round loss rides the usage collect as an
+      // observed metric (CollectMetrics planted below the explode, so
+      // it sums over every seg row) instead of its own action — the
+      // separate agg re-ran the identical DP fold over the whole word
+      // table a second time per EM round. Same expression, same rows,
+      // so the recorded loss is value-identical; a missed listener
+      // event falls back to the former two-pass shape.
+      val (usageRows, obsLoss) = observedAction(seg,
+          sum(col("freq") * col("wcost"))) { o =>
+        o.select(col("freq"), explode(col("ps")).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+          .collect()
+      }
+      val roundLoss = obsLoss.getOrElse(
+        seg.agg(sum(col("freq") * col("wcost"))).first().getLong(0))
       losses += roundLoss
-      val usage = seg.select(col("freq"), explode(col("ps")).as("p"))
-        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val usage =
+        usageRows.map(r => (r.getString(0), r.getLong(1))).toMap
       val charFloor = vocab.collect {
         case (p, _) if p.length == 1 => p -> math.max(usage.getOrElse(p, 0L), 1L)
       }

@@ -846,7 +846,16 @@ object VectorOps {
       }.toMap
       val nQ = exact3.map { case (r, set) =>
         r -> set.map(_._1).size.toDouble }
-      val rows = GraphGrid.map { case (beam, entries) =>
+      // the grid points are independent walks over the ONE memoized
+      // (base, adj) pair — run them as concurrent driver jobs (guide
+      // §2.6: overlap independent jobs) so each walk's per-hop
+      // planning/scheduling gaps back-fill with the other's tasks;
+      // results are deterministic per point and .par preserves order.
+      // The (8,24) point reads the graphBeamRegimes memo (KeyedMemo
+      // builds distinct keys in parallel, same-key callers block on
+      // the one build), so concurrency never duplicates a walk.
+      import scala.collection.parallel.CollectionConverters._
+      val rows = GraphGrid.par.map { case (beam, entries) =>
         // the (8, 24) grid point IS the production walk q210/q215
         // serve from (graphBeamRegimes: beam=8, hops=4, entries=24) —
         // read the memoized walk instead of re-walking the identical
@@ -880,7 +889,7 @@ object VectorOps {
             (g intersect ex).size.toDouble / ex.size,
             visited.getOrElse(regime, 0L) / nQ(regime))
         }
-      }
+      }.seq
       regimes.map { regime =>
         regime -> rows.map(_.toMap.apply(regime))
       }.toMap
